@@ -1,0 +1,74 @@
+"""Headline-query benchmark.
+
+Runs the engine's flagship queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialised via a count-ish action
+(collect on aggregates, count on row-level outputs) so the measured
+time covers scan → shuffle → result, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from gentropy_spark.plans import full_registry
+from gentropy_spark.session import get_session
+
+# Headline set: one per operator family (SURVEY §2 A/C/D/E).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_clump_leads",
+    "locus_breaker",
+    "overlap_join",
+    "coloc",
+    "credible_set_filter",
+    "qc_gc_lambda",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+    "token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session(app_name="gentropy_spark_bench")
+    registry = full_registry()
+
+    # Warm the JVM/codegen path once so per-query numbers measure the
+    # engine, not first-call JIT latency.
+    registry["q1_pricing_summary"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # Force full materialisation of every column.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

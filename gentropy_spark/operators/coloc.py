@@ -1,0 +1,133 @@
+"""Colocalisation operators: COLOC and eCAVIAR CLPP (SURVEY §2.C6–C7).
+
+Re-expresses gentropy's Bayesian colocalisation
+(/root/reference/src/gentropy/method/colocalisation.py: ``Coloc`` at
+:192, ``ECaviar`` at :100) as pure Column-expression aggregations —
+no UDFs, no vector types:
+
+- The reference materialises per-group log-BF dense vectors and runs a
+  numpy ``logsumexp`` UDF per row. Here logsumexp is a two-pass
+  grouped aggregation: ``max(x)`` then ``ln(sum(exp(x - max))) + max``
+  — whole-stage-codegen friendly and partial-agg friendly (max and sum
+  both combine map-side).
+- H3's "same-signal" exclusion term uses the identity
+  log(Σ_{i≠j} e^{a_i + b_j}) = logdiff(logsum(a) + logsum(b),
+  logsum(a+b)) exactly as the reference does.
+
+Input contract: one row per overlapping tag variant with columns
+(group keys..., left_logbf, right_logbf, left_pp, right_pp).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _logsumexp_agg(col: F.Column, mx: F.Column) -> F.Column:
+    """Grouped logsumexp given the pre-computed group max."""
+    return F.log(F.sum(F.exp(col - mx))) + mx
+
+
+def grouped_logsumexp(df: DataFrame, group_cols: Sequence[str], value_col: str) -> DataFrame:
+    """logsumexp(value) per group (SURVEY §2.G2).
+
+    Reference: common/stats.py:23 ``get_logsum`` (numpy UDF) — here a
+    max-shifted two-aggregate composition over a single shuffle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols)
+    shifted = df.withColumn("_mx", F.max(value_col).over(w))
+    return shifted.groupBy(*group_cols, "_mx").agg(
+        (F.log(F.sum(F.exp(F.col(value_col) - F.col("_mx")))) + F.col("_mx")).alias(
+            "logsum"
+        )
+    ).drop("_mx")
+
+
+def coloc(
+    overlaps: DataFrame,
+    group_cols: Sequence[str],
+    left_logbf: str = "left_logbf",
+    right_logbf: str = "right_logbf",
+    prior_c1: float = 1e-4,
+    prior_c2: float = 1e-4,
+    prior_c12: float = 1e-5,
+) -> DataFrame:
+    """COLOC H0..H4 posterior probabilities per overlap group.
+
+    Returns one row per group with (n_overlapping, h0..h4).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols)
+    lp1, lp2, lp12 = math.log(prior_c1), math.log(prior_c2), math.log(prior_c12)
+
+    enriched = (
+        overlaps.withColumn("_sum_bf", F.col(left_logbf) + F.col(right_logbf))
+        .withColumn("_mx_l", F.max(left_logbf).over(w))
+        .withColumn("_mx_r", F.max(right_logbf).over(w))
+        .withColumn("_mx_s", F.max("_sum_bf").over(w))
+    )
+    grouped = enriched.groupBy(*group_cols, "_mx_l", "_mx_r", "_mx_s").agg(
+        F.count("*").alias("n_overlapping"),
+        _logsumexp_agg(F.col(left_logbf), F.col("_mx_l")).alias("logsum1"),
+        _logsumexp_agg(F.col(right_logbf), F.col("_mx_r")).alias("logsum2"),
+        _logsumexp_agg(F.col("_sum_bf"), F.col("_mx_s")).alias("logsum12"),
+    )
+
+    lh0 = F.lit(0.0)
+    lh1 = F.lit(lp1) + F.col("logsum1")
+    lh2 = F.lit(lp2) + F.col("logsum2")
+    # logdiff(sumlogsum, logsum12): log(e^a - e^b) with a = logsum1+logsum2.
+    sumlogsum = F.col("logsum1") + F.col("logsum2")
+    mx34 = F.greatest(sumlogsum, F.col("logsum12"))
+    logdiff = F.when(
+        sumlogsum <= F.col("logsum12"),
+        F.lit(-math.inf),
+    ).otherwise(
+        mx34 + F.log(F.exp(sumlogsum - mx34) - F.exp(F.col("logsum12") - mx34))
+    )
+    lh3 = F.lit(lp1) + F.lit(lp2) + logdiff
+    lh4 = F.lit(lp12) + F.col("logsum12")
+
+    all_mx = F.greatest(lh0, lh1, lh2, lh3, lh4)
+    denom = (
+        F.exp(lh0 - all_mx)
+        + F.exp(lh1 - all_mx)
+        + F.exp(lh2 - all_mx)
+        + F.exp(lh3 - all_mx)
+        + F.exp(lh4 - all_mx)
+    )
+    posterior = lambda lh: F.exp(lh - all_mx) / denom  # noqa: E731
+
+    return grouped.select(
+        *group_cols,
+        "n_overlapping",
+        posterior(lh0).alias("h0"),
+        posterior(lh1).alias("h1"),
+        posterior(lh2).alias("h2"),
+        posterior(lh3).alias("h3"),
+        posterior(lh4).alias("h4"),
+    )
+
+
+def ecaviar_clpp(
+    overlaps: DataFrame,
+    group_cols: Sequence[str],
+    left_pp: str = "left_pp",
+    right_pp: str = "right_pp",
+) -> DataFrame:
+    """eCAVIAR colocalisation posterior probability per overlap group.
+
+    CLPP = Σ_tags left_pp · right_pp (reference colocalisation.py:108
+    ``_get_clpp`` + the groupBy at :163).
+    """
+    return overlaps.groupBy(*group_cols).agg(
+        F.count("*").alias("n_overlapping"),
+        F.sum(F.col(left_pp) * F.col(right_pp)).alias("clpp"),
+    )

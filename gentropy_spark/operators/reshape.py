@@ -1,0 +1,97 @@
+"""Relational reshape operators: top-k per group, wide<->long pivots.
+
+Re-expresses the reference's generic Spark helpers
+(/root/reference/src/gentropy/common/spark.py:
+``get_top_ranked_in_window`` :122, ``get_record_with_maximum_value``
+:158, ``convert_from_wide_to_long`` :22, ``convert_from_long_to_wide``
+:72, ``pivot_df`` :387) as standalone, scale-conscious transforms.
+
+Scale notes:
+- top_k_per_group is a single hash-partitioned window (one shuffle on
+  the group keys); no global sort.
+- wide_to_long uses the built-in ``stack``-equivalent via
+  explode(array(structs)) so it stays in whole-stage codegen.
+- long_to_wide uses ``pivot`` with an explicit value list (avoids the
+  extra distinct-values job, which at 100 TB would be a full scan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int = 1,
+    rank_col: str = "rank_in_group",
+) -> DataFrame:
+    """Keep the top-k rows per group under a deterministic ordering.
+
+    Args:
+        df: input.
+        group_cols: grouping keys (should be high-cardinality at scale).
+        order_cols: ordering columns (include tie-breakers for
+            determinism — required for oracle-exact results).
+        k: rows to keep per group.
+        rank_col: name of the emitted rank column.
+
+    Returns:
+        Input rows restricted to rank <= k, with ``rank_col`` added.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def wide_to_long(
+    df: DataFrame,
+    id_vars: Sequence[str],
+    value_vars: Sequence[str],
+    var_name: str = "attribute",
+    value_name: str = "value",
+) -> DataFrame:
+    """Melt wide columns into (attribute, value) rows.
+
+    Stays JVM-side: builds an array of (name, value) structs and
+    explodes it — one narrow stage, no shuffle.
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias(var_name),
+                F.col(c).cast("double").alias(value_name),
+            )
+            for c in value_vars
+        ]
+    )
+    return df.select(
+        *id_vars, F.explode(pairs).alias("_kv")
+    ).select(*id_vars, f"_kv.{var_name}", f"_kv.{value_name}")
+
+
+def long_to_wide(
+    df: DataFrame,
+    id_vars: Sequence[str],
+    var_col: str,
+    value_col: str,
+    value_list: Sequence[str],
+    agg: str = "first",
+) -> DataFrame:
+    """Pivot long rows into one column per ``value_list`` entry.
+
+    ``value_list`` must be supplied explicitly: letting Spark infer it
+    requires an eager distinct scan, unacceptable on a 100 TB input.
+    """
+    aggfn = getattr(F, agg)
+    return (
+        df.groupBy(*id_vars)
+        .pivot(var_col, list(value_list))
+        .agg(aggfn(F.col(value_col)))
+    )

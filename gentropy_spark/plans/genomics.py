@@ -1,0 +1,402 @@
+"""Genomic-shaped operator queries on the events table (SURVEY §2.C).
+
+Data mapping (SURVEY §4): ``events`` plays the summary-statistics
+table — study_id = user_id, contig = event_type, pos = µs epoch of
+ts, signif = value (a −log10 p proxy), point_id = event_id. Left/right
+"study types" for overlap/coloc are the even/odd study_id halves.
+
+Every Spark query here has a structurally identical DuckDB oracle
+built from shared SQL fragments, so the clumping/sessionization/
+overlap/coloc semantics are value-hash-verified end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gentropy_spark.operators.clumping import exclude_regions, locus_breaker, window_clump
+from gentropy_spark.operators.coloc import coloc, ecaviar_clpp
+from gentropy_spark.operators.overlaps import overlap_join, overlap_length
+from gentropy_spark.plans.registry import QuerySpec
+from gentropy_spark.sources.readers import read_table, ts_micros
+
+DEC = "decimal(38,6)"
+
+# Clumping calibration (positions are µs; events span ~weeks).
+SIGNIF_MIN = 100.0
+CLUMP_WINDOW_US = 21_600_000_000  # 6 h
+LB_BASELINE = 50.0
+LB_DIST_US = 43_200_000_000  # 12 h
+LB_LEAD = 150.0
+LB_FLANK_US = 3_600_000_000  # 1 h
+TAG_BUCKET_US = 3_600_000_000  # 1 h tag-variant buckets for coloc
+EXCLUDE = [
+    ("error", 1_704_844_800_000_000, 1_705_708_800_000_000),  # 2024-01-10..20
+    ("click", 1_704_067_200_000_000, 1_704_412_800_000_000),  # 2024-01-01..05
+]
+
+
+def sumstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → summary-statistics shape."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("point_id"),
+        F.col("user_id").alias("study_id"),
+        F.col("event_type").alias("contig"),
+        ts_micros(ev).alias("pos"),
+        F.col("value").alias("signif"),
+    )
+
+
+SUMSTATS_SQL = """
+  SELECT event_id AS point_id, user_id AS study_id, event_type AS contig,
+         epoch_us(ts) AS pos, value AS signif
+  FROM events
+"""
+
+
+def _clustered_sql(signif_min: float, max_gap: int) -> str:
+    """Shared SQL fragment: filter + gap-boundary running-sum clusters."""
+    return f"""
+  SELECT *, CAST(SUM(CASE WHEN gap IS NULL OR gap > {max_gap} THEN 1 ELSE 0 END)
+       OVER (PARTITION BY study_id, contig ORDER BY pos, point_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cluster_seq
+  FROM (
+    SELECT *, pos - LAG(pos) OVER (PARTITION BY study_id, contig
+                                   ORDER BY pos, point_id) AS gap
+    FROM ({SUMSTATS_SQL}) WHERE signif >= {signif_min}
+  )
+"""
+
+
+_RANKED_SQL_TEMPLATE = """
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY study_id, contig, cluster_seq
+                       ORDER BY signif DESC, pos, point_id) AS lead_rank,
+    COUNT(*) OVER (PARTITION BY study_id, contig, cluster_seq) AS n_members,
+    MIN(pos) OVER (PARTITION BY study_id, contig, cluster_seq) AS mn_pos,
+    MAX(pos) OVER (PARTITION BY study_id, contig, cluster_seq) AS mx_pos
+  FROM ({clustered})
+"""
+
+
+# --- C1: window-based clumping -------------------------------------------
+def q_window_clump_leads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return window_clump(
+        sumstats(spark, sf_dir),
+        window=CLUMP_WINDOW_US,
+        min_signif=SIGNIF_MIN,
+    )
+
+
+WINDOW_CLUMP_SQL = f"""
+SELECT study_id, contig, cluster_seq, n_members,
+       mn_pos AS cluster_start, mx_pos AS cluster_end,
+       point_id AS lead_point_id, pos AS lead_pos, signif AS lead_signif
+FROM ({_RANKED_SQL_TEMPLATE.format(clustered=_clustered_sql(SIGNIF_MIN, CLUMP_WINDOW_US))})
+WHERE lead_rank = 1
+"""
+
+
+# --- C3: locus-breaker sessionization ------------------------------------
+def q_locus_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return locus_breaker(
+        sumstats(spark, sf_dir),
+        baseline_signif=LB_BASELINE,
+        distance_cutoff=LB_DIST_US,
+        lead_signif=LB_LEAD,
+        flank=LB_FLANK_US,
+    )
+
+
+def _locus_breaker_sql() -> str:
+    ranked = _RANKED_SQL_TEMPLATE.format(
+        clustered=_clustered_sql(LB_BASELINE, LB_DIST_US)
+    )
+    return f"""
+SELECT study_id, contig, cluster_seq, n_members,
+       GREATEST(mn_pos - {LB_FLANK_US}, 0) AS locus_start,
+       mx_pos + {LB_FLANK_US} AS locus_end,
+       point_id AS lead_point_id, pos AS lead_pos, signif AS lead_signif
+FROM ({ranked})
+WHERE lead_rank = 1 AND signif >= {LB_LEAD}
+"""
+
+
+LOCUS_BREAKER_SQL = _locus_breaker_sql()
+
+
+# --- C4: region blacklist filter -----------------------------------------
+def q_exclude_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exclude_regions(sumstats(spark, sf_dir), EXCLUDE)
+
+
+EXCLUDE_SQL = (
+    f"SELECT * FROM ({SUMSTATS_SQL}) WHERE "
+    + " AND ".join(
+        f"NOT (contig = '{c}' AND pos >= {s} AND pos <= {e})" for c, s, e in EXCLUDE
+    )
+)
+
+
+# --- C5: locus overlap join ----------------------------------------------
+def _loci_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    loci = locus_breaker(
+        sumstats(spark, sf_dir),
+        baseline_signif=LB_BASELINE,
+        distance_cutoff=LB_DIST_US,
+        lead_signif=LB_LEAD,
+        flank=LB_FLANK_US,
+    ).select("study_id", "contig", "cluster_seq", "locus_start", "locus_end")
+    left = loci.filter(F.col("study_id") % 2 == 0)
+    right = loci.filter(F.col("study_id") % 2 == 1)
+    return left, right
+
+
+def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left, right = _loci_sides(spark, sf_dir)
+    pairs = overlap_join(left, right)
+    return pairs.select(
+        "contig",
+        "left_study_id",
+        "left_cluster_seq",
+        "right_study_id",
+        "right_cluster_seq",
+        "left_locus_start",
+        "left_locus_end",
+        "right_locus_start",
+        "right_locus_end",
+        overlap_length(
+            F.col("left_locus_start"),
+            F.col("left_locus_end"),
+            F.col("right_locus_start"),
+            F.col("right_locus_end"),
+        ).alias("overlap_len"),
+    )
+
+
+OVERLAP_SQL = f"""
+WITH loci AS (
+  SELECT study_id, contig, cluster_seq, locus_start, locus_end
+  FROM ({LOCUS_BREAKER_SQL})
+)
+SELECT l.contig,
+       l.study_id AS left_study_id, l.cluster_seq AS left_cluster_seq,
+       r.study_id AS right_study_id, r.cluster_seq AS right_cluster_seq,
+       l.locus_start AS left_locus_start, l.locus_end AS left_locus_end,
+       r.locus_start AS right_locus_start, r.locus_end AS right_locus_end,
+       GREATEST(LEAST(l.locus_end, r.locus_end)
+                - GREATEST(l.locus_start, r.locus_start), 0) AS overlap_len
+FROM loci l
+JOIN loci r ON l.contig = r.contig
+WHERE l.study_id % 2 = 0 AND r.study_id % 2 = 1
+  AND l.locus_start <= r.locus_end AND r.locus_start <= l.locus_end
+"""
+
+
+# --- tag-level overlap rows shared by C6/C7 ------------------------------
+def _tag_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tag overlap rows: left/right studies sharing a (contig, bucket)."""
+    ss = sumstats(spark, sf_dir)
+    w = Window.partitionBy("study_id", "contig")
+    tags = (
+        ss.withColumn("bucket", F.expr(f"pos div {TAG_BUCKET_US}"))
+        .withColumn("logbf", F.col("signif") / 10.0)
+        .withColumn(
+            "pp",
+            F.col("signif") / F.sum(F.col("signif").cast(DEC)).over(w).cast("double"),
+        )
+    )
+    left = tags.filter(F.col("study_id") % 2 == 0).select(
+        "contig",
+        "bucket",
+        F.col("study_id").alias("left_study_id"),
+        F.col("logbf").alias("left_logbf"),
+        F.col("pp").alias("left_pp"),
+    )
+    right = tags.filter(F.col("study_id") % 2 == 1).select(
+        "contig",
+        "bucket",
+        F.col("study_id").alias("right_study_id"),
+        F.col("logbf").alias("right_logbf"),
+        F.col("pp").alias("right_pp"),
+    )
+    return left.join(right, on=["contig", "bucket"], how="inner")
+
+
+TAG_OVERLAPS_SQL = f"""
+  WITH tags AS (
+    SELECT contig, study_id,
+           pos // {TAG_BUCKET_US} AS bucket,
+           signif / 10.0 AS logbf,
+           signif / CAST(SUM(CAST(signif AS DECIMAL(38,6)))
+                         OVER (PARTITION BY study_id, contig) AS DOUBLE) AS pp
+    FROM ({SUMSTATS_SQL})
+  )
+  SELECT l.contig, l.bucket,
+         l.study_id AS left_study_id, l.logbf AS left_logbf, l.pp AS left_pp,
+         r.study_id AS right_study_id, r.logbf AS right_logbf, r.pp AS right_pp
+  FROM tags l
+  JOIN tags r ON l.contig = r.contig AND l.bucket = r.bucket
+  WHERE l.study_id % 2 = 0 AND r.study_id % 2 = 1
+"""
+
+
+# --- C6: COLOC -----------------------------------------------------------
+def q_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = coloc(
+        _tag_overlaps(spark, sf_dir),
+        group_cols=["left_study_id", "right_study_id", "contig"],
+    )
+    return out.select(
+        "left_study_id",
+        "right_study_id",
+        "contig",
+        "n_overlapping",
+        *[F.round(F.col(h), 6).alias(h) for h in ("h0", "h1", "h2", "h3", "h4")],
+    )
+
+
+COLOC_SQL = f"""
+WITH pairs AS ({TAG_OVERLAPS_SQL}),
+enriched AS (
+  SELECT *, left_logbf + right_logbf AS sum_bf,
+    MAX(left_logbf) OVER (PARTITION BY left_study_id, right_study_id, contig) AS mx_l,
+    MAX(right_logbf) OVER (PARTITION BY left_study_id, right_study_id, contig) AS mx_r,
+    MAX(left_logbf + right_logbf)
+        OVER (PARTITION BY left_study_id, right_study_id, contig) AS mx_s
+  FROM pairs
+),
+grouped AS (
+  SELECT left_study_id, right_study_id, contig, mx_l, mx_r, mx_s,
+    COUNT(*) AS n_overlapping,
+    LN(SUM(EXP(left_logbf - mx_l))) + mx_l AS logsum1,
+    LN(SUM(EXP(right_logbf - mx_r))) + mx_r AS logsum2,
+    LN(SUM(EXP(sum_bf - mx_s))) + mx_s AS logsum12
+  FROM enriched
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+hyps AS (
+  SELECT left_study_id, right_study_id, contig, n_overlapping,
+    0.0 AS lh0,
+    LN(1e-4) + logsum1 AS lh1,
+    LN(1e-4) + logsum2 AS lh2,
+    LN(1e-4) + LN(1e-4) + CASE
+      WHEN logsum1 + logsum2 <= logsum12 THEN '-infinity'::DOUBLE
+      ELSE GREATEST(logsum1 + logsum2, logsum12)
+           + LN(EXP(logsum1 + logsum2 - GREATEST(logsum1 + logsum2, logsum12))
+                - EXP(logsum12 - GREATEST(logsum1 + logsum2, logsum12)))
+      END AS lh3,
+    LN(1e-5) + logsum12 AS lh4
+  FROM grouped
+),
+post AS (
+  SELECT *, GREATEST(lh0, lh1, lh2, lh3, lh4) AS mx,
+    EXP(lh0 - GREATEST(lh0, lh1, lh2, lh3, lh4))
+    + EXP(lh1 - GREATEST(lh0, lh1, lh2, lh3, lh4))
+    + EXP(lh2 - GREATEST(lh0, lh1, lh2, lh3, lh4))
+    + EXP(lh3 - GREATEST(lh0, lh1, lh2, lh3, lh4))
+    + EXP(lh4 - GREATEST(lh0, lh1, lh2, lh3, lh4)) AS denom
+  FROM hyps
+)
+SELECT left_study_id, right_study_id, contig, n_overlapping,
+  ROUND(EXP(lh0 - mx) / denom, 6) AS h0,
+  ROUND(EXP(lh1 - mx) / denom, 6) AS h1,
+  ROUND(EXP(lh2 - mx) / denom, 6) AS h2,
+  ROUND(EXP(lh3 - mx) / denom, 6) AS h3,
+  ROUND(EXP(lh4 - mx) / denom, 6) AS h4
+FROM post
+"""
+
+
+# --- C7: eCAVIAR CLPP ----------------------------------------------------
+def q_ecaviar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ecaviar_clpp(
+        _tag_overlaps(spark, sf_dir),
+        group_cols=["left_study_id", "right_study_id", "contig"],
+    )
+    return out.select(
+        "left_study_id",
+        "right_study_id",
+        "contig",
+        "n_overlapping",
+        F.round(F.col("clpp"), 6).alias("clpp"),
+    )
+
+
+ECAVIAR_SQL = f"""
+WITH pairs AS ({TAG_OVERLAPS_SQL})
+SELECT left_study_id, right_study_id, contig,
+       COUNT(*) AS n_overlapping,
+       ROUND(SUM(left_pp * right_pp), 6) AS clpp
+FROM pairs
+GROUP BY 1, 2, 3
+"""
+
+
+# --- C9: 95% credible set filter -----------------------------------------
+def q_credible_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order by posterior desc per locus, keep rows until cum-mass ≥ 0.95.
+
+    Reference: study_locus.py:803 ``filter_credible_set`` /
+    :963 ``annotate_credible_sets``: keep all variants whose
+    cumulative posterior (excluding own) is below the threshold.
+    """
+    ss = sumstats(spark, sf_dir)
+    grp = Window.partitionBy("study_id", "contig")
+    pp = F.round(
+        F.col("signif") / F.sum(F.col("signif").cast(DEC)).over(grp).cast("double"),
+        9,
+    )
+    ordered = Window.partitionBy("study_id", "contig").orderBy(
+        F.col("pp").desc(), F.col("point_id").asc()
+    )
+    return (
+        ss.withColumn("pp", pp)
+        .withColumn(
+            "cum_pp",
+            F.sum("pp").over(
+                ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("cum_pp") - F.col("pp") < 0.95)
+        .select(
+            "study_id",
+            "contig",
+            "point_id",
+            "pos",
+            "signif",
+            "pp",
+            F.round("cum_pp", 6).alias("cum_pp"),
+        )
+    )
+
+
+CREDIBLE_SQL = f"""
+WITH pp_tab AS (
+  SELECT *, ROUND(signif / CAST(SUM(CAST(signif AS DECIMAL(38,6)))
+                   OVER (PARTITION BY study_id, contig) AS DOUBLE), 9) AS pp
+  FROM ({SUMSTATS_SQL})
+),
+cum AS (
+  SELECT *, SUM(pp) OVER (PARTITION BY study_id, contig
+                          ORDER BY pp DESC, point_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_pp
+  FROM pp_tab
+)
+SELECT study_id, contig, point_id, pos, signif, pp, ROUND(cum_pp, 6) AS cum_pp
+FROM cum
+WHERE cum_pp - pp < 0.95
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "window_clump_leads": QuerySpec(q_window_clump_leads, WINDOW_CLUMP_SQL),
+    "locus_breaker": QuerySpec(q_locus_breaker, LOCUS_BREAKER_SQL),
+    "exclude_region": QuerySpec(q_exclude_region, EXCLUDE_SQL),
+    "overlap_join": QuerySpec(q_overlap_join, OVERLAP_SQL),
+    "coloc": QuerySpec(q_coloc, COLOC_SQL),
+    "ecaviar_clpp": QuerySpec(q_ecaviar, ECAVIAR_SQL),
+    "credible_set_filter": QuerySpec(q_credible_set, CREDIBLE_SQL),
+}

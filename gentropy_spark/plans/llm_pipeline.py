@@ -1,0 +1,249 @@
+"""LLM-training-data pipeline queries (SURVEY §2.E) on documents/embeddings.
+
+Dedup, similarity search and text analysis as first-class engine
+capabilities. Oracle-exactness notes: tokenization regexes behave
+identically under Java regex and RE2; integer/integer divisions are
+exact; cosine values are rounded to 6 dp *before* thresholding and
+ranking so both engines make identical decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gentropy_spark.functions.text import (
+    normalized_fingerprint,
+    predict_lang,
+    quality_profile,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+from gentropy_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    rare_shingle_jaccard_pairs,
+    simhash_buckets,
+)
+from gentropy_spark.operators.similarity import cosine_topk, embedding_dup_pairs
+from gentropy_spark.plans.registry import QuerySpec
+from gentropy_spark.sources.readers import read_table
+
+TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+# --- E1: exact dedup ------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(read_table(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id,
+       md5(text) AS content_hash,
+       COUNT(*) OVER (PARTITION BY md5(text)) AS group_n,
+       doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+FROM documents
+"""
+
+
+# --- E2: rare-shingle Jaccard near-dup -----------------------------------
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rare_shingle_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), n=3, max_df=10, min_jaccard=0.2
+    )
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, GREATEST(len(t) - 2, 0)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM rsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, sa.set_size AS size_a, sb.set_size AS size_b,
+       ROUND(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.2
+"""
+
+
+# --- E3/E4: MinHash LSH + SimHash (rows-only: engine-specific hashes) ----
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_buckets(read_table(spark, sf_dir, "documents"))
+
+
+# --- E5: brute-force cosine top-k ----------------------------------------
+COS_SQL = (
+    "ROUND(list_dot_product(a.v, b.v) / "
+    "(SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6)"
+)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
+    )
+    return cosine_topk(queries, corpus, k=5)
+
+
+ANN_TOPK_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id, {COS_SQL} AS cosine
+  FROM vecs a, vecs b
+  WHERE a.vec_id < 10 AND b.vec_id >= 10
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# --- E11: embedding-cosine near-dup pairs --------------------------------
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_dup_pairs(
+        read_table(spark, sf_dir, "embeddings"), min_cosine=0.3
+    )
+
+
+DEDUP_EMB_SQL = f"""
+WITH vecs AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b, {COS_SQL} AS cosine
+FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {COS_SQL} >= 0.3
+"""
+
+
+# --- E7: text quality profile --------------------------------------------
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    prof = quality_profile(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in prof.items()])
+
+
+TEXT_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, {TOKS_SQL} AS toks,
+         LENGTH(text) AS n_chars,
+         GREATEST(LENGTH(text), 1) AS dc
+  FROM documents
+)
+SELECT doc_id, n_chars,
+  LEN(toks) AS n_tokens,
+  LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / dc AS alpha_ratio,
+  LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / dc AS digit_ratio,
+  LENGTH(regexp_replace(text, '[^\\s]', '', 'g')) / dc AS ws_ratio,
+  LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) / dc AS upper_ratio,
+  LEN(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is')))
+    / GREATEST(LEN(toks), 1) AS stop_ratio,
+  list_sum(list_transform(toks, x -> LENGTH(x)))::BIGINT
+    / GREATEST(LEN(toks), 1) AS mean_token_len
+FROM base
+"""
+
+
+# --- E8: language ID ------------------------------------------------------
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", predict_lang(F.col("text")).alias("pred_lang"))
+
+
+LANGID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+    LEN(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS s_en,
+    LEN(list_filter(toks, x -> x IN ('der','die','und','das','nicht'))) AS s_de,
+    LEN(list_filter(toks, x -> x IN ('le','la','les','et','une'))) AS s_fr,
+    LEN(list_filter(toks, x -> x IN ('el','los','una','por','como'))) AS s_es
+  FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+)
+SELECT doc_id,
+  CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM scored
+"""
+
+
+# --- E9: token counting ---------------------------------------------------
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        token_count_bpe_ish(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+  LEN(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
+  LEN(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# --- E10: normalized fingerprint -----------------------------------------
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select(
+            "doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint")
+        )
+        .withColumn("fp_group_n", F.count("*").over(w))
+    )
+
+
+FINGERPRINT_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       COUNT(*) OVER (PARTITION BY fingerprint) AS fp_group_n
+FROM fp
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(q_dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": QuerySpec(q_dedup_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, None),
+    "dedup_simhash": QuerySpec(q_dedup_simhash, None),
+    "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ANN_TOPK_SQL),
+    "dedup_embedding_cosine": QuerySpec(q_dedup_embedding, DEDUP_EMB_SQL),
+    "text_quality": QuerySpec(q_text_quality, TEXT_QUALITY_SQL),
+    "text_langid": QuerySpec(q_text_langid, LANGID_SQL),
+    "token_count": QuerySpec(q_token_count, TOKEN_COUNT_SQL),
+    "doc_fingerprint": QuerySpec(q_doc_fingerprint, FINGERPRINT_SQL),
+}

@@ -1,0 +1,228 @@
+"""Summary-statistics QC queries (SURVEY §2.D + G2).
+
+Re-expresses gentropy's sumstat QC suite
+(/root/reference/src/gentropy/method/sumstat_quality_controls.py:
+``gc_lambda_check`` :97, ``p_z_test`` :157, ``mean_beta_check`` :230)
+and the dataset sanity filter
+(/root/reference/src/gentropy/dataset/summary_statistics.py:147) on
+the synthetic mapping: beta = (value−150)/100, se = 0.5+(event_id%10)/20.
+
+All are single-shuffle grouped aggregations (partial-agg friendly);
+the reference uses percentile_approx for the GC-lambda median — we use
+exact percentile at test SF (the oracle needs exactness) and note
+percentile_approx as the 100 TB drop-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gentropy_spark.operators.coloc import grouped_logsumexp
+from gentropy_spark.plans.registry import QuerySpec
+from gentropy_spark.sources.readers import read_table, ts_micros
+
+DEC = "decimal(38,6)"
+CHI2_MEDIAN_1DF = 0.45493642311957185  # scipy.stats.chi2.ppf(0.5, df=1)
+
+BETA_SQL = "(value - 150.0) / 100.0"
+SE_SQL = "0.5 + (event_id % 10) / 20.0"
+
+
+def _gwas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"),
+        F.col("user_id").alias("study_id"),
+        F.col("event_type").alias("contig"),
+        ts_micros(ev).alias("pos"),
+        F.col("value"),
+        ((F.col("value") - 150.0) / 100.0).alias("beta"),
+        (0.5 + (F.col("event_id") % 10) / 20.0).alias("se"),
+        (F.col("value") / 100.0).alias("z_from_p"),
+    )
+
+
+GWAS_SQL = f"""
+  SELECT event_id, user_id AS study_id, event_type AS contig,
+         epoch_us(ts) AS pos, value,
+         {BETA_SQL} AS beta, {SE_SQL} AS se,
+         value / 100.0 AS z_from_p
+  FROM events
+"""
+
+
+# --- D1: genomic-control lambda ------------------------------------------
+def q_gc_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _gwas(spark, sf_dir)
+    z2 = (F.col("beta") / F.col("se")) ** 2
+    return (
+        g.withColumn("z2", z2)
+        .groupBy("study_id")
+        .agg(F.expr("percentile(z2, 0.5)").alias("z2_median"))
+        .select(
+            "study_id",
+            (F.col("z2_median") / CHI2_MEDIAN_1DF).alias("gc_lambda"),
+        )
+    )
+
+
+GC_LAMBDA_SQL = f"""
+SELECT study_id,
+       quantile_cont(POW(beta / se, 2), 0.5) / {CHI2_MEDIAN_1DF!r} AS gc_lambda
+FROM ({GWAS_SQL})
+GROUP BY study_id
+"""
+
+
+# --- D2: P-Z consistency --------------------------------------------------
+def q_pz_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _gwas(spark, sf_dir)
+    z = F.col("beta") / F.col("se")
+    return (
+        g.withColumn("z", z)
+        .groupBy("study_id")
+        .agg(
+            F.round(F.corr("z", "z_from_p"), 6).alias("pz_corr"),
+            (
+                F.sum((F.col("z") - F.col("z_from_p")).cast(DEC)).cast("double")
+                / F.count("*")
+            ).alias("mean_diff"),
+        )
+    )
+
+
+PZ_SQL = f"""
+SELECT study_id,
+       ROUND(CORR(beta / se, z_from_p), 6) AS pz_corr,
+       CAST(SUM(CAST(beta / se - z_from_p AS DECIMAL(38,6))) AS DOUBLE)
+         / COUNT(*) AS mean_diff
+FROM ({GWAS_SQL})
+GROUP BY study_id
+"""
+
+
+# --- D3: mean beta --------------------------------------------------------
+def q_mean_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _gwas(spark, sf_dir)
+    return g.groupBy("study_id").agg(
+        (F.sum(F.col("beta").cast(DEC)).cast("double") / F.count("*")).alias(
+            "mean_beta"
+        ),
+        F.count("*").alias("n_variants"),
+    )
+
+
+MEAN_BETA_SQL = f"""
+SELECT study_id,
+       CAST(SUM(CAST(beta AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_beta,
+       COUNT(*) AS n_variants
+FROM ({GWAS_SQL})
+GROUP BY study_id
+"""
+
+
+# --- D4: sanity filter + dedup -------------------------------------------
+def q_sanity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/range validity filter + key dedup keeping the lowest event_id.
+
+    Reference: summary_statistics.py:147 ``sanity_filter`` (drop null
+    mandatory fields, p-values out of (0, 1], duplicated variants).
+    """
+    g = _gwas(spark, sf_dir)
+    valid = (
+        F.col("study_id").isNotNull()
+        & F.col("contig").isNotNull()
+        & F.col("pos").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") > 0)
+        & (F.col("value") < 1000)
+    )
+    w = Window.partitionBy("study_id", "contig", "pos").orderBy("event_id")
+    return (
+        g.filter(valid)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "study_id", "contig", "pos", "value")
+    )
+
+
+SANITY_SQL = f"""
+SELECT event_id, study_id, contig, pos, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY study_id, contig, pos
+                               ORDER BY event_id) AS rn
+  FROM ({GWAS_SQL})
+  WHERE study_id IS NOT NULL AND contig IS NOT NULL AND pos IS NOT NULL
+    AND value IS NOT NULL AND value > 0 AND value < 1000
+)
+WHERE rn = 1
+"""
+
+
+# --- D5: QC flag accumulation --------------------------------------------
+def q_qc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed QC flag accumulation, emitted as a joined string.
+
+    Reference pattern: StudyLocus qualityControls array building
+    (study_locus.py:398 ``_qc_subsignificant_associations`` and
+    neighbors) — conditional flag append without UDFs. concat_ws
+    skips NULL branches in both engines.
+    """
+    g = _gwas(spark, sf_dir)
+    flags = F.concat_ws(
+        "|",
+        F.when(F.col("value") < 1.0, F.lit("SUBSIGNIFICANT")),
+        F.when(F.col("value") > 250.0, F.lit("EXTREME_SIGNAL")),
+        F.when(F.col("contig") == "error", F.lit("FLAGGED_CONTIG")),
+        F.when(F.abs(F.col("beta")) > 1.2, F.lit("LARGE_EFFECT")),
+    )
+    return g.select("event_id", "study_id", flags.alias("qc_flags")).filter(
+        F.col("qc_flags") != ""
+    )
+
+
+QC_FLAGS_SQL = f"""
+SELECT event_id, study_id,
+       CONCAT_WS('|',
+         CASE WHEN value < 1.0 THEN 'SUBSIGNIFICANT' END,
+         CASE WHEN value > 250.0 THEN 'EXTREME_SIGNAL' END,
+         CASE WHEN contig = 'error' THEN 'FLAGGED_CONTIG' END,
+         CASE WHEN ABS(beta) > 1.2 THEN 'LARGE_EFFECT' END
+       ) AS qc_flags
+FROM ({GWAS_SQL})
+WHERE CONCAT_WS('|',
+         CASE WHEN value < 1.0 THEN 'SUBSIGNIFICANT' END,
+         CASE WHEN value > 250.0 THEN 'EXTREME_SIGNAL' END,
+         CASE WHEN contig = 'error' THEN 'FLAGGED_CONTIG' END,
+         CASE WHEN ABS(beta) > 1.2 THEN 'LARGE_EFFECT' END) <> ''
+"""
+
+
+# --- G2: grouped logsumexp ------------------------------------------------
+def q_logsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _gwas(spark, sf_dir).withColumn("logbf", F.col("value") / 10.0)
+    out = grouped_logsumexp(g, ["study_id"], "logbf")
+    return out.select("study_id", F.round("logsum", 6).alias("logsum"))
+
+
+LOGSUM_SQL = f"""
+WITH vals AS (
+  SELECT study_id, value / 10.0 AS logbf,
+         MAX(value / 10.0) OVER (PARTITION BY study_id) AS mx
+  FROM ({GWAS_SQL})
+)
+SELECT study_id, ROUND(LN(SUM(EXP(logbf - mx))) + mx, 6) AS logsum
+FROM vals
+GROUP BY study_id, mx
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "qc_gc_lambda": QuerySpec(q_gc_lambda, GC_LAMBDA_SQL),
+    "qc_pz_consistency": QuerySpec(q_pz_consistency, PZ_SQL),
+    "qc_mean_beta": QuerySpec(q_mean_beta, MEAN_BETA_SQL),
+    "sanity_filter": QuerySpec(q_sanity_filter, SANITY_SQL),
+    "qc_flag_accumulate": QuerySpec(q_qc_flags, QC_FLAGS_SQL),
+    "logsum": QuerySpec(q_logsum, LOGSUM_SQL),
+}

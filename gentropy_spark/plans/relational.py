@@ -1,0 +1,280 @@
+"""Relational/analytics core queries (SURVEY §2.A).
+
+These exercise the engine's scan → filter → join → aggregate spine on
+the TPC-H-shaped tables. Design rules for oracle-exactness:
+
+- Every SUM over doubles is computed as SUM(CAST(x AS DECIMAL(38,6)))
+  then cast back to DOUBLE: decimal addition is associative, so Spark's
+  partial-aggregation order and DuckDB's serial order give bit-equal
+  results. (A plain double SUM is order-dependent in the last ulp.)
+- Every average is decimal-sum / count in double.
+- Quantile/corr-style statistics are rounded to 6 dp on both sides.
+- Tie-breaking orderings are always total (include a unique key).
+
+Scale notes: dimension tables are broadcast explicitly; fact scans
+carry pushed filters (verified in tests/test_plans.py); aggregations
+are partial-agg friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gentropy_spark.operators.reshape import long_to_wide, top_k_per_group, wide_to_long
+from gentropy_spark.plans.registry import QuerySpec
+from gentropy_spark.sources.readers import read_table
+
+DEC = "decimal(38,6)"
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _dsum(col: F.Column) -> F.Column:
+    """Order-independent sum of a double column (via exact decimal)."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+# --- A1: pricing summary (TPC-H Q1 shape) --------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias(
+                "avg_qty"
+            ),
+            (
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count("*")
+            ).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count("*")).alias(
+                "avg_disc"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- A2: shipping priority (TPC-H Q3 shape) ------------------------------
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT
+  l_orderkey,
+  CAST(o_orderdate AS DATE) AS o_orderdate,
+  o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- A3: local supplier volume (TPC-H Q5 shape) --------------------------
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# --- A4: top-k per group --------------------------------------------------
+def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        group_cols=["o_custkey"],
+        order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+
+
+TOP_K_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_group
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rank_in_group
+  FROM orders
+)
+WHERE rank_in_group <= 3
+"""
+
+
+# --- A5: wide -> long melt ------------------------------------------------
+MELT_VARS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_wide_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return wide_to_long(
+        li,
+        id_vars=["l_orderkey", "l_linenumber"],
+        value_vars=MELT_VARS,
+        var_name="attribute",
+        value_name="value",
+    )
+
+
+WIDE_TO_LONG_SQL = " UNION ALL ".join(
+    f"SELECT l_orderkey, l_linenumber, '{v}' AS attribute, "
+    f"CAST({v} AS DOUBLE) AS value FROM lineitem"
+    for v in MELT_VARS
+)
+
+
+# --- A6: long -> wide pivot ----------------------------------------------
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast(DEC)
+    )
+    out = long_to_wide(
+        ev,
+        id_vars=["user_id"],
+        var_col="event_type",
+        value_col="value_dec",
+        value_list=EVENT_TYPES,
+        agg="sum",
+    )
+    return out.select(
+        "user_id", *[F.col(t).cast("double").alias(t) for t in EVENT_TYPES]
+    )
+
+
+PIVOT_SQL = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(38,6)) END) "
+        f"AS DOUBLE) AS {t}"
+        for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
+# --- A8: quantile profile -------------------------------------------------
+def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    pct = F.expr("percentile(c_acctbal, array(0.25, 0.5, 0.75))")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.min("c_acctbal"), 6).alias("min_bal"),
+        F.round(pct.getItem(0), 6).alias("p25_bal"),
+        F.round(pct.getItem(1), 6).alias("p50_bal"),
+        F.round(pct.getItem(2), 6).alias("p75_bal"),
+        F.round(F.max("c_acctbal"), 6).alias("max_bal"),
+    )
+
+
+DECILE_SQL = """
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n_customers,
+  ROUND(MIN(c_acctbal), 6) AS min_bal,
+  ROUND(quantile_cont(c_acctbal, 0.25), 6) AS p25_bal,
+  ROUND(quantile_cont(c_acctbal, 0.50), 6) AS p50_bal,
+  ROUND(quantile_cont(c_acctbal, 0.75), 6) AS p75_bal,
+  ROUND(MAX(c_acctbal), 6) AS max_bal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier": QuerySpec(q5_local_supplier, Q5_SQL),
+    "top_k_per_group": QuerySpec(q_top_k_per_group, TOP_K_SQL),
+    "wide_to_long": QuerySpec(q_wide_to_long, WIDE_TO_LONG_SQL),
+    "pivot_wide": QuerySpec(q_pivot_wide, PIVOT_SQL),
+    "q_decile_stats": QuerySpec(q_decile_stats, DECILE_SQL),
+}

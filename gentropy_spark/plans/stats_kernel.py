@@ -1,0 +1,144 @@
+"""Stats-kernel verification queries (SURVEY §2.B).
+
+Bind the column kernel in ``functions/stats.py`` to the events table:
+p = value/300 ∈ (0, 1] (events values are positive), with synthetic
+null patterns for the harmonisation cascade. Float outputs that pass
+through log/exp are rounded to 6 dp on both sides; pure-arithmetic
+outputs are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gentropy_spark.functions.stats import (
+    effect_ci,
+    harmonise_effect,
+    neglog_pvalue,
+    pvalue_from_neglog,
+    split_pvalue,
+)
+from gentropy_spark.plans.registry import QuerySpec
+from gentropy_spark.sources.readers import read_table
+
+P_SQL = "value / 300.0"
+
+
+def _pvals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select("event_id", (F.col("value") / 300.0).alias("p"))
+    )
+
+
+PVALS_SQL = f"SELECT event_id, {P_SQL} AS p FROM events WHERE value > 0"
+
+
+# --- B1 -------------------------------------------------------------------
+def q_pvalue_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m, e = split_pvalue(F.col("p"))
+    return _pvals(spark, sf_dir).select("event_id", m, e)
+
+
+PVALUE_SPLIT_SQL = f"""
+SELECT event_id,
+       ROUND(p / POW(10.0, FLOOR(LOG10(p))), 3) AS p_mantissa,
+       CAST(FLOOR(LOG10(p)) AS INT) AS p_exponent
+FROM ({PVALS_SQL})
+"""
+
+
+# --- B2 -------------------------------------------------------------------
+def q_neglog_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m, e = split_pvalue(F.col("p"))
+    df = _pvals(spark, sf_dir).select("event_id", m, e)
+    return df.select(
+        "event_id",
+        F.round(neglog_pvalue(F.col("p_mantissa"), F.col("p_exponent")), 6).alias(
+            "neglog_pval"
+        ),
+    )
+
+
+NEGLOG_SQL = f"""
+SELECT event_id,
+       ROUND(-1 * (LOG10(p_mantissa) + p_exponent), 6) AS neglog_pval
+FROM ({PVALUE_SPLIT_SQL})
+"""
+
+
+# --- B3 -------------------------------------------------------------------
+def q_pvalue_from_neglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _pvals(spark, sf_dir).select(
+        "event_id", (-F.log10(F.col("p"))).alias("nlp")
+    )
+    m, e = pvalue_from_neglog(F.col("nlp"))
+    return df.select("event_id", F.round(m, 6).alias("p_mantissa"), e)
+
+
+PVALUE_FROM_NEGLOG_SQL = f"""
+SELECT event_id,
+       ROUND(POW(10.0, CEIL(nlp) - nlp), 6) AS p_mantissa,
+       CAST(-1 * CEIL(nlp) AS INT) AS p_exponent
+FROM (SELECT event_id, -LOG10(p) AS nlp FROM ({PVALS_SQL}))
+"""
+
+
+# --- B4 -------------------------------------------------------------------
+def q_effect_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    beta = (F.col("value") - 150.0) / 100.0
+    se = 0.5 + (F.col("event_id") % 10) / 20.0
+    lo, hi = effect_ci(beta, se)
+    return ev.select("event_id", beta.alias("beta"), se.alias("se"), lo, hi)
+
+
+EFFECT_CI_SQL = """
+SELECT event_id,
+       (value - 150.0) / 100.0 AS beta,
+       0.5 + (event_id % 10) / 20.0 AS se,
+       (value - 150.0) / 100.0 - 1.96 * (0.5 + (event_id % 10) / 20.0) AS ci_lower,
+       (value - 150.0) / 100.0 + 1.96 * (0.5 + (event_id % 10) / 20.0) AS ci_upper
+FROM events
+"""
+
+
+# --- B6 -------------------------------------------------------------------
+def q_stderr_harmonise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic null-pattern cascade: event_id%3==0 rows carry only an
+    odds ratio + CI; others carry beta + se."""
+    ev = read_table(spark, sf_dir, "events")
+    is_or = F.col("event_id") % 3 == 0
+    beta = F.when(~is_or, (F.col("value") - 150.0) / 100.0)
+    odds = F.when(is_or, 1.0 + F.col("value") / 300.0)
+    se = F.when(~is_or, 0.5 + (F.col("event_id") % 10) / 20.0)
+    ci_up = F.when(is_or, 1.5 + F.col("value") / 300.0)
+    ci_lo = F.when(is_or, 0.5 + F.col("value") / 600.0)
+    beta_h, se_h = harmonise_effect(beta, odds, se, ci_up, ci_lo)
+    return ev.select(
+        "event_id",
+        F.round(beta_h, 6).alias("beta_h"),
+        F.round(se_h, 6).alias("se_h"),
+    )
+
+
+HARMONISE_SQL = """
+SELECT event_id,
+  ROUND(CASE WHEN event_id % 3 <> 0 THEN (value - 150.0) / 100.0
+             ELSE LN(1.0 + value / 300.0) END, 6) AS beta_h,
+  ROUND(CASE WHEN event_id % 3 <> 0 THEN 0.5 + (event_id % 10) / 20.0
+             ELSE ABS(LN(1.5 + value / 300.0) - LN(0.5 + value / 600.0)) / 3.92
+             END, 6) AS se_h
+FROM events
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "pvalue_split": QuerySpec(q_pvalue_split, PVALUE_SPLIT_SQL),
+    "neglog_pvalue": QuerySpec(q_neglog_pvalue, NEGLOG_SQL),
+    "pvalue_from_neglog": QuerySpec(q_pvalue_from_neglog, PVALUE_FROM_NEGLOG_SQL),
+    "effect_ci": QuerySpec(q_effect_ci, EFFECT_CI_SQL),
+    "stderr_harmonise": QuerySpec(q_stderr_harmonise, HARMONISE_SQL),
+}

@@ -1,0 +1,65 @@
+"""SparkSession factory — the single place where scale knobs live.
+
+Re-expresses the role of the reference's ``common/session.py``
+(gentropy Session wrapper: spark config, write modes, extended spark
+conf) as a plain factory returning a tuned SparkSession.
+
+The defaults are chosen for correctness at test scale and sanity at
+cluster scale:
+- AQE on (runtime coalescing of shuffle partitions, skew-join
+  splitting) so the same plan survives a 1000x scale-up.
+- Arrow on for any Pandas-UDF exchange.
+- Broadcast threshold raised: all TPC-H-shaped dims and
+  post-aggregation loci tables should broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "gentropy_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession.
+
+    Args:
+        app_name: Spark application name.
+        master: master URL; defaults to ``local[$SPARK_GRAFT_CPUS]``.
+        shuffle_partitions: base shuffle parallelism (AQE coalesces
+            down at runtime, so err high for cluster use).
+        extra_conf: extra key/value Spark conf overrides.
+
+    Returns:
+        A SparkSession with the engine's standard configuration.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as raw nanosecond longs instead.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

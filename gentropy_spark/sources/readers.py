@@ -1,0 +1,97 @@
+"""Table readers — parquet-first, schema-aware, pruning-friendly.
+
+Re-expresses the reference's dataset IO layer
+(``dataset/dataset.py:from_parquet`` and the Session read helpers,
+reference: /root/reference/src/gentropy/dataset/dataset.py:131) as
+plain functions. Key behaviors kept:
+
+- schema enforcement on read (fail fast on drift),
+- recursive/partitioned parquet discovery,
+- the caller always gets a plain DataFrame (column pruning and
+  predicate pushdown stay visible to Catalyst — never cache here).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    expected_schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read one synthetic table from an sf directory.
+
+    Args:
+        spark: active session.
+        sf_dir: e.g. ``/root/testdata/sf0.01``.
+        name: table name (one of TABLE_NAMES, or any parquet path stem).
+        expected_schema: if given, assert read schema field names match.
+
+    Returns:
+        DataFrame for ``{sf_dir}/{name}.parquet``.
+    """
+    # Defensive: the driver may hand us a session without our factory
+    # config; TIMESTAMP(NANOS) parquet (events.ts) needs this to load.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if expected_schema is not None:
+        got = {f_.name for f_ in df.schema.fields}
+        want = {f_.name for f_ in expected_schema.fields}
+        missing = want - got
+        if missing:
+            raise ValueError(f"table {name} missing expected columns: {sorted(missing)}")
+    return df
+
+
+def ts_micros(df: DataFrame, ts_col: str = "ts") -> "F.Column":
+    """Microsecond epoch position from a timestamp-ish column.
+
+    events.ts arrives as a nanosecond long (see nanosAsLong above);
+    other tables carry true timestamps. DuckDB's epoch_us() floors
+    nanos to micros, so the long branch uses integer division.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype in ("bigint", "long"):
+        return F.expr(f"{ts_col} div 1000")
+    return F.unix_micros(F.col(ts_col))
+
+
+@dataclass
+class Tables:
+    """Lazy handle bundle over one scale-factor directory.
+
+    Accessing ``.lineitem`` etc. returns a fresh DataFrame scan so each
+    query plan carries its own pushed filters/pruned columns.
+    """
+
+    spark: SparkSession
+    sf_dir: str
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in TABLE_NAMES:
+            raise AttributeError(f"unknown table {name!r}")
+        return read_table(self.spark, self.sf_dir, name)

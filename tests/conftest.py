@@ -1,0 +1,18 @@
+from __future__ import annotations
+
+import pytest
+
+from gentropy_spark.session import get_session
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session(app_name="gentropy_spark_tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
