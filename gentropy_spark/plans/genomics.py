@@ -15,7 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gentropy_spark.operators.clumping import exclude_regions, locus_breaker, window_clump
+from gentropy_spark.operators.clumping import (
+    _cluster_seq,
+    exclude_regions,
+    locus_breaker,
+    semi_lead_clump,
+    window_clump,
+)
+from gentropy_spark.operators.finemapping import pics, susie_like
 from gentropy_spark.operators.coloc import coloc, ecaviar_clpp
 from gentropy_spark.operators.overlaps import overlap_join, overlap_length
 from gentropy_spark.plans.registry import QuerySpec
@@ -400,3 +407,138 @@ REGISTRY: dict[str, QuerySpec] = {
     "ecaviar_clpp": QuerySpec(q_ecaviar, ECAVIAR_SQL),
     "credible_set_filter": QuerySpec(q_credible_set, CREDIBLE_SQL),
 }
+
+
+# --- C8: PICS fine-mapping (oracle-checked via erfc kernel) --------------
+PICS_TAU = 10_800_000_000  # 3 h distance-decay scale for synthetic r²
+
+
+def q_pics_finemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ss = sumstats(spark, sf_dir).filter(F.col("signif") >= SIGNIF_MIN)
+    clustered = _cluster_seq(
+        ss, "study_id", "contig", "pos", "point_id", CLUMP_WINDOW_US
+    )
+    return pics(clustered, tau=PICS_TAU)
+
+
+def _pics_sql() -> str:
+    from gentropy_spark.functions.distributions import norm_sf_sql
+
+    clustered = _clustered_sql(SIGNIF_MIN, CLUMP_WINDOW_US)
+    nlp_lead = "nlp_lead"
+    z = f"(({nlp_lead}) - ({nlp_lead}) * r2) / (SQRT(1.0 - POW(SQRT(r2), 6.4)) * SQRT({nlp_lead}) / 2.0)"
+    prob = (
+        f"CASE WHEN pos = lead_pos THEN 1.0 "
+        f"WHEN r2 >= 0.5 THEN 2.0 * {norm_sf_sql(z)} END"
+    )
+    return f"""
+WITH clustered AS ({clustered}),
+annotated AS (
+  SELECT *,
+    FIRST_VALUE(signif / 10.0) OVER w AS nlp_lead,
+    FIRST_VALUE(pos) OVER w AS lead_pos
+  FROM clustered
+  WINDOW w AS (PARTITION BY study_id, contig, cluster_seq
+               ORDER BY signif DESC, pos, point_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+with_r2 AS (
+  SELECT *, EXP(-ABS(pos - lead_pos) / {float(PICS_TAU)!r}) AS r2
+  FROM annotated
+),
+with_prob AS (
+  SELECT *, {prob} AS prob FROM with_r2
+)
+SELECT study_id, contig, cluster_seq, point_id, pos,
+       ROUND(r2, 6) AS r2,
+       ROUND(prob / SUM(prob) OVER (PARTITION BY study_id, contig, cluster_seq), 6)
+         AS pics_pp
+FROM with_prob
+"""
+
+
+PICS_SQL = _pics_sql()
+
+
+# --- C10: LD-based (dominance) clumping ----------------------------------
+LD_R2_THRESHOLD = 0.5
+
+
+def q_ld_clump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep associations not linked to any more-significant one.
+
+    Reference: method/clump.py:20 ``_is_lead_linked`` — a lead is
+    flagged when a more significant lead appears among its LD tags
+    (a dominance rule, not the iterative PLINK walk). Synthetic LD:
+    r² = exp(−|Δpos|/τ) ≥ 0.5 ⟺ |Δpos| ≤ τ·ln2.
+    """
+    import math as _math
+
+    max_gap = int(PICS_TAU * _math.log(1.0 / LD_R2_THRESHOLD))
+    ss = sumstats(spark, sf_dir).filter(F.col("signif") >= SIGNIF_MIN)
+    a, b = ss.alias("a"), ss.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.study_id") == F.col("b.study_id"))
+            & (F.col("a.contig") == F.col("b.contig"))
+            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= max_gap)
+            & (
+                (F.col("b.signif") > F.col("a.signif"))
+                | (
+                    (F.col("b.signif") == F.col("a.signif"))
+                    & (F.col("b.point_id") < F.col("a.point_id"))
+                )
+            ),
+            "leftsemi",
+        )
+    ).select("point_id")
+    return ss.join(dominated, on="point_id", how="left_anti").select(
+        "point_id", "study_id", "contig", "pos", "signif"
+    )
+
+
+def _ld_clump_sql() -> str:
+    import math as _math
+
+    max_gap = int(PICS_TAU * _math.log(1.0 / LD_R2_THRESHOLD))
+    return f"""
+WITH ss AS (SELECT * FROM ({SUMSTATS_SQL}) WHERE signif >= {SIGNIF_MIN})
+SELECT point_id, study_id, contig, pos, signif
+FROM ss a
+WHERE NOT EXISTS (
+  SELECT 1 FROM ss b
+  WHERE b.study_id = a.study_id AND b.contig = a.contig
+    AND ABS(a.pos - b.pos) <= {max_gap}
+    AND (b.signif > a.signif
+         OR (b.signif = a.signif AND b.point_id < a.point_id))
+)
+"""
+
+
+LD_CLUMP_SQL = _ld_clump_sql()
+
+
+# --- C2: iterative semi-lead clumping (rows-only: sequential prune) ------
+def q_window_clump_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semi_lead_clump(
+        sumstats(spark, sf_dir), window=CLUMP_WINDOW_US, min_signif=SIGNIF_MIN
+    )
+
+
+# --- G1: SuSiE-like iterative fine-mapping (rows-only: iterative) --------
+def q_susie_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ss = sumstats(spark, sf_dir).filter(F.col("signif") >= LB_BASELINE)
+    return susie_like(
+        ss.withColumn("z", F.col("signif") / 10.0), tau=float(PICS_TAU)
+    )
+
+
+REGISTRY.update(
+    {
+        "pics_finemap": QuerySpec(q_pics_finemap, PICS_SQL),
+        "ld_clump": QuerySpec(q_ld_clump, LD_CLUMP_SQL),
+        "window_clump_semi": QuerySpec(q_window_clump_semi, None),
+        "susie_like_finemap": QuerySpec(q_susie_like, None),
+    }
+)

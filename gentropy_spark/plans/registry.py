@@ -36,10 +36,11 @@ def full_registry() -> dict[str, QuerySpec]:
         qc,
         relational,
         stats_kernel,
+        streaming_plan,
     )
 
     registry: dict[str, QuerySpec] = {}
-    for module in (relational, genomics, qc, stats_kernel, llm_pipeline):
+    for module in (relational, genomics, qc, stats_kernel, llm_pipeline, streaming_plan):
         overlap = registry.keys() & module.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {sorted(overlap)}")

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gentropy_spark.functions.arrays import HARMONIC_NORM, harmonic_sum
 from gentropy_spark.operators.reshape import long_to_wide, top_k_per_group, wide_to_long
 from gentropy_spark.plans.registry import QuerySpec
 from gentropy_spark.sources.readers import read_table
@@ -269,7 +270,45 @@ GROUP BY c_mktsegment
 """
 
 
+# --- A7: harmonic sum scoring --------------------------------------------
+def q_harmonic_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, type) harmonic sum of normalised event values.
+
+    Reference: common/spark.py:724 ``calculate_harmonic_sum`` — used
+    for evidence-score aggregation in the L2G/association pipelines.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    arrs = ev.groupBy("user_id", "event_type").agg(
+        F.collect_list((F.col("value") / 300.0)).alias("scores")
+    )
+    return arrs.select(
+        "user_id",
+        "event_type",
+        F.size("scores").alias("n_scores"),
+        F.round(harmonic_sum(F.col("scores")), 6).alias("harmonic_score"),
+    )
+
+
+HARMONIC_SQL = f"""
+WITH arrs AS (
+  SELECT user_id, event_type, list(value / 300.0) AS scores
+  FROM events GROUP BY 1, 2
+),
+sorted AS (
+  SELECT user_id, event_type, len(scores) AS n_scores,
+         list_reverse_sort(scores) AS s
+  FROM arrs
+)
+SELECT user_id, event_type, n_scores,
+  ROUND(list_sum(list_transform(generate_series(1, len(s)),
+                                i -> s[i] / (i * i))) / {HARMONIC_NORM!r}, 6)
+    AS harmonic_score
+FROM sorted
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "harmonic_sum": QuerySpec(q_harmonic_sum, HARMONIC_SQL),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": QuerySpec(q5_local_supplier, Q5_SQL),

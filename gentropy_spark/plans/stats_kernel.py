@@ -135,7 +135,43 @@ FROM events
 """
 
 
+# --- B5: probit / chi2 conversions ---------------------------------------
+def q_zscore_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chi2 = chi2_isf(p, 1 dof); z = sign(beta)·sqrt(chi2).
+
+    Reference: common/stats.py:80 ``chi2_from_pvalue`` and :572
+    ``zscore_from_pvalue`` (scipy UDFs there; pure Column polynomial
+    kernels here — functions/distributions.py).
+    """
+    from gentropy_spark.functions.distributions import chi2_isf_1df_col
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    p = F.col("value") / 300.0
+    beta = (F.col("value") - 150.0) / 100.0
+    chi2 = chi2_isf_1df_col(p)
+    sign = F.when(beta >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return ev.select(
+        "event_id",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(sign * F.sqrt(chi2), 6).alias("zscore"),
+    )
+
+
+def _zscore_chi2_sql() -> str:
+    from gentropy_spark.functions.distributions import chi2_isf_1df_sql
+
+    chi2 = chi2_isf_1df_sql("value / 300.0")
+    return f"""
+SELECT event_id,
+  ROUND({chi2}, 6) AS chi2,
+  ROUND((CASE WHEN (value - 150.0) / 100.0 >= 0 THEN 1.0 ELSE -1.0 END)
+        * SQRT({chi2}), 6) AS zscore
+FROM events WHERE value > 0
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "zscore_chi2": QuerySpec(q_zscore_chi2, _zscore_chi2_sql()),
     "pvalue_split": QuerySpec(q_pvalue_split, PVALUE_SPLIT_SQL),
     "neglog_pvalue": QuerySpec(q_neglog_pvalue, NEGLOG_SQL),
     "pvalue_from_neglog": QuerySpec(q_pvalue_from_neglog, PVALUE_FROM_NEGLOG_SQL),

@@ -1,0 +1,50 @@
+"""Streaming + multimodal plan entries (SURVEY §2.F6, E12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gentropy_spark.operators.multimodal import attach_binary_payload, decode_features
+from gentropy_spark.plans.registry import QuerySpec
+from gentropy_spark.sources.readers import read_table
+from gentropy_spark.streaming.windowed import WINDOW_US, run_available_now
+
+
+# --- F6: watermarked streaming windowed aggregation ----------------------
+def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming tumbling-window aggregate, drained with
+    availableNow — with a complete drain this must equal the batch
+    group-by, which is exactly what the oracle asserts."""
+    return run_available_now(spark, sf_dir)
+
+
+STREAM_SQL = f"""
+SELECT (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS window_start_us,
+       user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- E12: multimodal binary decode plumbing ------------------------------
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_features(attach_binary_payload(docs))
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+       CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height,
+       CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS n_frames
+FROM documents
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "stream_window_agg": QuerySpec(q_stream_window_agg, STREAM_SQL),
+    "multimodal_decode": QuerySpec(q_multimodal_decode, MULTIMODAL_SQL),
+}

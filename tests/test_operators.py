@@ -1,0 +1,183 @@
+"""Unit tests per operator on tiny inline frames.
+
+Fixtures mirror the reference's doctest examples where semantics
+match (cited per test), so parity with gentropy's intended behavior
+is checked directly, independent of the synthetic tables.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gentropy_spark.functions.arrays import harmonic_sum
+from gentropy_spark.functions.distributions import (
+    chi2_isf_1df_col,
+    erfc_col,
+    norm_sf_col,
+    probit_col,
+)
+from gentropy_spark.functions.stats import effect_ci, split_pvalue
+from gentropy_spark.operators.clumping import semi_lead_clump, window_clump
+from gentropy_spark.operators.coloc import grouped_logsumexp
+from gentropy_spark.operators.overlaps import overlap_join
+from gentropy_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+def test_window_clump_reference_example(spark):
+    """Cluster boundaries from window_based_clumping.py:44 doctest:
+    window 10 → clusters {2,4,12}, {31,38,42}, chr2 {41,44,50}, s2 {55,62,70}."""
+    data = [
+        ("s1", "chr1", 2, 1, 5.0),
+        ("s1", "chr1", 4, 2, 7.0),
+        ("s1", "chr1", 12, 3, 6.0),
+        ("s1", "chr1", 31, 4, 9.0),
+        ("s1", "chr1", 38, 5, 2.0),
+        ("s1", "chr1", 42, 6, 4.0),
+        ("s1", "chr2", 41, 7, 3.0),
+        ("s1", "chr2", 44, 8, 8.0),
+        ("s1", "chr2", 50, 9, 1.0),
+        ("s2", "chr2", 55, 10, 2.0),
+        ("s2", "chr2", 62, 11, 5.0),
+        ("s2", "chr2", 70, 12, 3.0),
+    ]
+    df = spark.createDataFrame(
+        data, ["study_id", "contig", "pos", "point_id", "signif"]
+    )
+    out = window_clump(df, window=10).collect()
+    got = {
+        (r.study_id, r.contig, r.cluster_seq): (r.lead_pos, r.n_members) for r in out
+    }
+    assert got == {
+        ("s1", "chr1", 1): (4, 3),
+        ("s1", "chr1", 2): (31, 3),
+        ("s1", "chr2", 1): (44, 3),
+        ("s2", "chr2", 1): (62, 3),
+    }
+
+
+def test_semi_lead_prune_reference_example(spark):
+    """_prune_peak doctest (window_based_clumping.py:127): positions
+    (3,9,8,4,6) listed by p-value, window 2 → leads 1,1,0,0,1."""
+    # One cluster; significance ordering makes positions sort 3,9,8,4,6.
+    data = [
+        ("s", "c", 3, 1, 50.0),
+        ("s", "c", 9, 2, 40.0),
+        ("s", "c", 8, 3, 30.0),
+        ("s", "c", 4, 4, 20.0),
+        ("s", "c", 6, 5, 10.0),
+    ]
+    df = spark.createDataFrame(
+        data, ["study_id", "contig", "pos", "point_id", "signif"]
+    )
+    out = semi_lead_clump(df, window=2).collect()
+    flags = {r.pos: r.is_semi_lead for r in out}
+    assert flags == {3: True, 9: True, 8: False, 4: False, 6: True}
+
+
+def test_split_pvalue_examples(spark):
+    """split_pvalue doctests (common/stats.py:437): 0.01→(1.0,−2),
+    0.123→(1.23,−1), 0.99→(9.9,−1)."""
+    df = spark.createDataFrame([(0.01,), (0.123,), (0.99,)], ["p"])
+    m, e = split_pvalue(F.col("p"))
+    rows = df.select(m, e).collect()
+    assert [(r.p_mantissa, r.p_exponent) for r in rows] == [
+        (1.0, -2),
+        (1.23, -1),
+        (9.9, -1),
+    ]
+
+
+def test_effect_ci_reference_example(spark):
+    """ci doctest (common/stats.py:156): beta 0.5, se 0.2 → (0.108, 0.892)."""
+    df = spark.createDataFrame([(0.5, 0.2)], ["beta", "se"])
+    lo, hi = effect_ci(F.col("beta"), F.col("se"))
+    r = df.select(F.round(lo, 3).alias("lo"), F.round(hi, 3).alias("hi")).first()
+    assert (r.lo, r.hi) == (0.108, 0.892)
+
+
+def test_harmonic_sum_reference_example(spark):
+    """calculate_harmonic_sum doctest (common/spark.py:733):
+    [0.3,0.8,1.0]→0.75, [0.7,0.2,0.9]→0.67."""
+    df = spark.createDataFrame([([0.3, 0.8, 1.0],), ([0.7, 0.2, 0.9],)], ["arr"])
+    rows = df.select(F.round(harmonic_sum(F.col("arr")), 2).alias("h")).collect()
+    assert [r.h for r in rows] == [0.75, 0.67]
+
+
+def test_logsumexp_reference_example(spark):
+    """get_logsum doctest (common/stats.py:34): [0.2,0.1,0.05,0] → 1.476557."""
+    df = spark.createDataFrame(
+        [("g", 0.2), ("g", 0.1), ("g", 0.05), ("g", 0.0)], ["k", "v"]
+    )
+    r = grouped_logsumexp(df, ["k"], "v").first()
+    assert round(r.logsum, 6) == 1.476557
+
+
+def test_distribution_kernels_against_python(spark):
+    df = spark.createDataFrame([(0.5,), (0.05,), (0.001,)], ["p"])
+    rows = df.select(
+        "p",
+        probit_col(F.col("p")).alias("z"),
+        chi2_isf_1df_col(F.col("p")).alias("chi2"),
+        erfc_col(F.col("p")).alias("erfc"),
+        norm_sf_col(F.col("p")).alias("sf"),
+    ).collect()
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    for r in rows:
+        assert abs(r.z - nd.inv_cdf(r.p)) < 1e-6
+        assert abs(r.chi2 - nd.inv_cdf(r.p / 2) ** 2) < 1e-5
+        assert abs(r.erfc - math.erfc(r.p)) < 1e-6
+        assert abs(r.sf - (1 - nd.cdf(r.p))) < 1e-6
+
+
+def test_overlap_join_tiled_matches_plain(spark):
+    """The tiled (scale-path) overlap join must emit exactly the same
+    pairs as the plain range join, each exactly once."""
+    left = spark.createDataFrame(
+        [("c1", 0, 100, "L1"), ("c1", 250, 400, "L2"), ("c2", 10, 20, "L3")],
+        ["contig", "locus_start", "locus_end", "lid"],
+    )
+    right = spark.createDataFrame(
+        [("c1", 90, 260, "R1"), ("c1", 500, 600, "R2"), ("c2", 15, 30, "R3")],
+        ["contig", "locus_start", "locus_end", "rid"],
+    )
+    plain = {
+        (r.left_lid, r.right_rid)
+        for r in overlap_join(left, right).collect()
+    }
+    tiled = [
+        (r.left_lid, r.right_rid)
+        for r in overlap_join(left, right, tile_width=64).collect()
+    ]
+    assert plain == {("L1", "R1"), ("L2", "R1"), ("L3", "R3")}
+    assert sorted(tiled) == sorted(plain)  # exactly-once emission
+
+
+def test_lsh_topk_subset_of_bruteforce(spark):
+    """LSH ANN results must be a (bucket-restricted) subset of the
+    brute-force scores: every returned pair carries the same cosine the
+    brute-force assigns it."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, ["vid", "vec"])
+    queries = df.filter(F.col("vid") < 5).select(
+        F.col("vid").alias("query_id"), "vec"
+    )
+    corpus = df.filter(F.col("vid") >= 5).select(
+        F.col("vid").alias("corpus_id"), "vec"
+    )
+    brute = {
+        (r.query_id, r.corpus_id): r.cosine
+        for r in cosine_topk(queries, corpus, k=35).collect()
+    }
+    planes = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(2)]
+    approx = lsh_topk(queries, corpus, planes, k=5).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert brute[(r.query_id, r.corpus_id)] == pytest.approx(r.cosine, abs=1e-9)

@@ -45,8 +45,9 @@ def _norm_cell(v):
 
 def _norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    # key=repr: tuples may mix None with floats, which plain < rejects.
     return sorted(
-        tuple(_norm_cell(r[i]) for i in idx) for r in rows
+        (tuple(_norm_cell(r[i]) for i in idx) for r in rows), key=repr
     )
 
 
