@@ -91,9 +91,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15")
     )
+    # orders/customer scale with the fact table — no explicit broadcast
+    # (AQE auto-broadcasts below threshold at test SF; shuffles at 100 TB).
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
@@ -134,9 +136,12 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01"))
     )
     li = read_table(spark, sf_dir, "lineitem")
+    # True dims (region/nation/supplier) broadcast; orders/customer are
+    # fact-scaled — join order puts the selective orders filter first and
+    # lets AQE pick broadcast vs shuffle by runtime size.
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey)
