@@ -542,3 +542,118 @@ REGISTRY.update(
         "susie_like_finemap": QuerySpec(q_susie_like, None),
     }
 )
+
+
+# --- CARMA-style outlier detection + kNN imputation ----------------------
+NEIGH_TAU = 10_800_000_000  # LD decay scale (3 h)
+NEIGH_SPAN = 2 * NEIGH_TAU  # neighbourhood radius
+
+
+def _neighbour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out LD-weighted neighbour expectation of z per point.
+
+    Shared kernel for carma_outliers / sumstat_imputation: a range
+    self-join within (study, contig) bounded by NEIGH_SPAN, weights
+    w = exp(−|Δpos|/τ). Scale: the join keys carry the partitioning;
+    the span bound keeps per-row fan-in constant.
+    """
+    ss = sumstats(spark, sf_dir).withColumn("z", F.col("signif") / 10.0)
+    a = ss.alias("a")
+    b = ss.select(
+        F.col("study_id").alias("b_study"),
+        F.col("contig").alias("b_contig"),
+        F.col("pos").alias("b_pos"),
+        F.col("point_id").alias("b_id"),
+        (F.col("signif") / 10.0).alias("b_z"),
+    ).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.study_id") == F.col("b_study"))
+        & (F.col("a.contig") == F.col("b_contig"))
+        & (F.col("a.point_id") != F.col("b_id"))
+        & (F.abs(F.col("a.pos") - F.col("b_pos")) <= NEIGH_SPAN),
+    ).withColumn("w", F.exp(-F.abs(F.col("a.pos") - F.col("b_pos")) / F.lit(float(NEIGH_TAU))))
+    return pairs.groupBy("point_id", "a.study_id", "a.contig", "a.pos", "z").agg(
+        F.count("*").alias("n_neighbours"),
+        F.sum(F.col("w") * F.col("b_z")).alias("wz_sum"),
+        F.sum("w").alias("w_sum"),
+    )
+
+
+_NEIGH_SQL = f"""
+  SELECT a.point_id, a.study_id, a.contig, a.pos, a.signif / 10.0 AS z,
+         COUNT(*) AS n_neighbours,
+         SUM(EXP(-ABS(a.pos - b.pos) / {float(NEIGH_TAU)!r}) * (b.signif / 10.0)) AS wz_sum,
+         SUM(EXP(-ABS(a.pos - b.pos) / {float(NEIGH_TAU)!r})) AS w_sum
+  FROM ({SUMSTATS_SQL}) a
+  JOIN ({SUMSTATS_SQL}) b
+    ON a.study_id = b.study_id AND a.contig = b.contig
+   AND a.point_id <> b.point_id AND ABS(a.pos - b.pos) <= {NEIGH_SPAN}
+  GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+def q_carma_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag points inconsistent with their LD neighbourhood.
+
+    The essence of CARMA's outlier step (method/carma.py: per-locus
+    Bayesian model flags variants whose z conflicts with LD-implied
+    expectation) as a declarative plan: outlier ⟺
+    |z − E_LD[z]| > threshold.
+    """
+    stats = _neighbour_stats(spark, sf_dir)
+    expected = F.col("wz_sum") / F.col("w_sum")
+    resid = F.col("z") - expected
+    return stats.select(
+        "point_id",
+        "study_id",
+        "contig",
+        F.col("n_neighbours"),
+        F.round(expected, 6).alias("expected_z"),
+        F.round(resid, 6).alias("residual"),
+        (F.round(F.abs(resid), 6) > 8.0).alias("is_outlier"),
+    )
+
+
+CARMA_SQL = f"""
+SELECT point_id, study_id, contig, n_neighbours,
+       ROUND(wz_sum / w_sum, 6) AS expected_z,
+       ROUND(z - wz_sum / w_sum, 6) AS residual,
+       ROUND(ABS(z - wz_sum / w_sum), 6) > 8.0 AS is_outlier
+FROM ({_NEIGH_SQL})
+"""
+
+
+def q_sumstat_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out LD-weighted z imputation + imputation info score.
+
+    Reference: method/sumstat_imputation.py (per-region numpy solve);
+    the kNN-smoother formulation keeps the same contract (imputed z +
+    quality) as one distributed range join.
+    """
+    stats = _neighbour_stats(spark, sf_dir)
+    return stats.select(
+        "point_id",
+        "study_id",
+        "contig",
+        F.round(F.col("wz_sum") / F.col("w_sum"), 6).alias("z_imputed"),
+        F.round(F.col("z"), 6).alias("z_observed"),
+        F.round(F.col("w_sum") / F.col("n_neighbours"), 6).alias("impute_info"),
+    )
+
+
+IMPUTE_SQL = f"""
+SELECT point_id, study_id, contig,
+       ROUND(wz_sum / w_sum, 6) AS z_imputed,
+       ROUND(z, 6) AS z_observed,
+       ROUND(w_sum / n_neighbours, 6) AS impute_info
+FROM ({_NEIGH_SQL})
+"""
+
+
+REGISTRY.update(
+    {
+        "carma_outliers": QuerySpec(q_carma_outliers, CARMA_SQL),
+        "sumstat_imputation": QuerySpec(q_sumstat_imputation, IMPUTE_SQL),
+    }
+)

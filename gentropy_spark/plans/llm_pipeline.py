@@ -25,7 +25,7 @@ from gentropy_spark.operators.dedup import (
     rare_shingle_jaccard_pairs,
     simhash_buckets,
 )
-from gentropy_spark.operators.similarity import cosine_topk, embedding_dup_pairs
+from gentropy_spark.operators.similarity import cosine_topk, embedding_dup_pairs, lsh_topk
 from gentropy_spark.plans.registry import QuerySpec
 from gentropy_spark.sources.readers import read_table
 
@@ -235,7 +235,30 @@ FROM fp
 """
 
 
+# --- E6: LSH-bucketed ANN (rows-only: recall < 1 by design) --------------
+def _det_hyperplanes(n_planes: int = 3, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no RNG dependency)."""
+    planes = []
+    for p in range(n_planes):
+        planes.append(
+            [(((i * 2654435761 + p * 40503) % 1000) / 500.0) - 1.0 for i in range(dim)]
+        )
+    return planes
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
+    )
+    return lsh_topk(queries, corpus, _det_hyperplanes(), k=5)
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "ann_lsh_bucketed": QuerySpec(q_ann_lsh, None),
     "dedup_exact": QuerySpec(q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_jaccard, DEDUP_JACCARD_SQL),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, None),
