@@ -181,7 +181,7 @@ scored AS (
 )
 SELECT point_id, study_id, gene_id, l2g_score,
        CAST(ROW_NUMBER() OVER (PARTITION BY point_id, study_id
-                          ORDER BY l2g_score DESC, gene_id) AS BIGINT) AS gene_rank
+                          ORDER BY l2g_score DESC, gene_id) AS INT) AS gene_rank
 FROM scored
 """
 
@@ -288,13 +288,13 @@ def _enrichment_sql() -> str:
     return f"""
 WITH per AS (
   SELECT o_orderpriority,
-         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS a,
-         SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS b
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS b
   FROM orders GROUP BY 1
 ),
 tot AS (
-  SELECT SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS tf,
-         SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS tn
+  SELECT CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS tf,
+         CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS tn
   FROM orders
 ),
 j AS (

@@ -117,8 +117,8 @@ scored AS (
   WHERE a.vec_id < 10 AND b.vec_id >= 10
 ),
 ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY cosine DESC, corpus_id) AS rank
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS INT) AS rank
   FROM scored
 )
 SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
@@ -155,7 +155,7 @@ WITH base AS (
   FROM documents
 )
 SELECT doc_id, n_chars,
-  LEN(toks) AS n_tokens,
+  CAST(LEN(toks) AS INT) AS n_tokens,
   LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / dc AS alpha_ratio,
   LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / dc AS digit_ratio,
   LENGTH(regexp_replace(text, '[^\\s]', '', 'g')) / dc AS ws_ratio,
@@ -205,8 +205,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_COUNT_SQL = r"""
 SELECT doc_id,
-  LEN(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
-  LEN(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+  CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_ws_tokens,
+  CAST(LEN(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens
 FROM documents
 """
 

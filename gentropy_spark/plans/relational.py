@@ -186,10 +186,10 @@ TOP_K_SQL = """
 SELECT o_custkey, o_orderkey, o_totalprice, rank_in_group
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (
+         CAST(ROW_NUMBER() OVER (
            PARTITION BY o_custkey
            ORDER BY o_totalprice DESC, o_orderkey ASC
-         ) AS rank_in_group
+         ) AS INT) AS rank_in_group
   FROM orders
 )
 WHERE rank_in_group <= 3
@@ -300,7 +300,7 @@ WITH arrs AS (
   FROM events GROUP BY 1, 2
 ),
 sorted AS (
-  SELECT user_id, event_type, len(scores) AS n_scores,
+  SELECT user_id, event_type, CAST(len(scores) AS INT) AS n_scores,
          list_reverse_sort(scores) AS s
   FROM arrs
 )

@@ -1,0 +1,148 @@
+"""Tests for helpers, region parsing, writers, and the typed dataset."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gentropy_spark.datasets.base import SchemaValidationError, TypedDataset
+from gentropy_spark.functions.genomic_region import GenomicRegion, parse_region_col
+from gentropy_spark.functions.helpers import (
+    clean_strings_from_symbols,
+    get_record_with_maximum_value,
+    map_column_by_dictionary,
+    nullify_empty_array,
+    order_array_of_structs_by_field,
+    safe_array_union,
+    string2camelcase,
+)
+from gentropy_spark.sources.writers import read_csv_quarantine, write_partitioned
+
+
+def test_string2camelcase():
+    """Mirrors spark.py:218 doctests."""
+    assert string2camelcase("hello_world") == "helloWorld"
+    assert string2camelcase("hello-world data") == "helloWorldData"
+    with pytest.raises(ValueError):
+        string2camelcase("")
+
+
+def test_map_and_clean_and_nullify(spark):
+    df = spark.createDataFrame([("a", []), ("b", [1]), ("Zz!x", [2])], ["k", "arr"])
+    out = df.select(
+        map_column_by_dictionary(F.col("k"), {"a": "alpha", "b": "beta"}).alias("m"),
+        clean_strings_from_symbols(F.col("k")).alias("c"),
+        nullify_empty_array(F.col("arr")).alias("n"),
+    ).collect()
+    assert [r.m for r in out] == ["alpha", "beta", None]
+    assert out[2].c == "zz_x"
+    assert out[0].n is None and out[1].n == [1]
+
+
+def test_order_array_of_structs(spark):
+    df = spark.createDataFrame(
+        [([{"v": 1.0, "id": "a"}, {"v": None, "id": "n"}, {"v": 3.0, "id": "b"}],)],
+        T.StructType(
+            [
+                T.StructField(
+                    "arr",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("v", T.DoubleType()),
+                                T.StructField("id", T.StringType()),
+                            ]
+                        )
+                    ),
+                )
+            ]
+        ),
+    )
+    r = df.select(
+        order_array_of_structs_by_field(F.col("arr"), "v").alias("s")
+    ).first()
+    assert [x["id"] for x in r.s] == ["b", "a", "n"]  # desc, nulls last
+
+
+def test_safe_array_union(spark):
+    df = spark.createDataFrame(
+        [([1, 2], [2, 3]), (None, [4]), ([5], None)],
+        T.StructType(
+            [
+                T.StructField("a", T.ArrayType(T.IntegerType())),
+                T.StructField("b", T.ArrayType(T.IntegerType())),
+            ]
+        ),
+    )
+    out = [r.u for r in df.select(safe_array_union(F.col("a"), F.col("b")).alias("u")).collect()]
+    assert out == [[1, 2, 3], [4], [5]]
+
+
+def test_get_record_with_maximum_value(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, 30.0), ("g", 3, 30.0), ("h", 4, 5.0)],
+        ["grp", "id", "v"],
+    )
+    out = get_record_with_maximum_value(df, ["grp"], "v", "id").collect()
+    assert {(r.grp, r.id) for r in out} == {("g", 2), ("h", 4)}
+
+
+def test_genomic_region_parse_and_overlap(spark):
+    r = GenomicRegion.parse("chr1:100-200")
+    assert (r.contig, r.start, r.end, r.length()) == ("chr1", 100, 200, 101)
+    assert r.overlaps(GenomicRegion.parse("chr1:150-300"))
+    assert not r.overlaps(GenomicRegion.parse("chr2:150-300"))
+    with pytest.raises(ValueError):
+        GenomicRegion.parse("chr1:200-100")
+
+    df = spark.createDataFrame([("chr2:5-9",), ("bogus",)], ["spec"])
+    rows = df.select(*parse_region_col(F.col("spec"))).collect()
+    assert (rows[0].contig, rows[0].region_start, rows[0].region_end) == ("chr2", 5, 9)
+    assert rows[1].contig is None
+
+
+def test_write_partitioned_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(c, p, float(p)) for c in ("a", "b") for p in range(20)],
+        ["contig", "pos", "v"],
+    )
+    path = str(tmp_path / "out")
+    write_partitioned(df, path, ["contig"], ["pos"], num_partitions=2)
+    back = spark.read.parquet(path)
+    assert back.count() == 40
+    # partition pruning works on the layout
+    pruned = back.filter(F.col("contig") == "a")
+    assert pruned.count() == 20
+    files = {r[0] for r in pruned.select(F.input_file_name()).collect()}
+    assert all("contig=a" in f for f in files)
+
+
+def test_csv_quarantine(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,v\n1,2.0\n2,notanumber\n3,4.5\n")
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("v", T.DoubleType())]
+    )
+    df = read_csv_quarantine(spark, str(p), schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+
+
+def test_typed_dataset_validation_and_flags(spark):
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    df = spark.createDataFrame([(1, 2.0), (2, -1.0)], schema)
+    ds = TypedDataset(df, schema, "demo")
+    flagged = ds.flag("qualityControls", F.col("v") < 0, "NEGATIVE")
+    rows = {r.id: r.qualityControls for r in flagged.df.collect()}
+    assert rows[1] == [] and rows[2] == ["NEGATIVE"]
+    assert flagged.valid_rows().count() == 1
+
+    with pytest.raises(SchemaValidationError):
+        TypedDataset(df.drop("v"), schema, "demo")
+    with pytest.raises(SchemaValidationError):
+        TypedDataset(df.withColumn("v", F.col("v").cast("string")), schema, "demo")
