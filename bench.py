@@ -28,11 +28,17 @@ HEADLINE = [
     "locus_breaker",
     "overlap_join",
     "coloc",
+    "pics_finemap",
     "credible_set_filter",
+    "ld_clump",
     "qc_gc_lambda",
+    "sumstat_qc_summary",
+    "v2g_distance",
+    "l2g_score",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "dedup_embedding_cosine",
     "text_quality",
     "token_count",
 ]

@@ -17,16 +17,31 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Left-to-right fold dot product over double arrays."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Left-to-right dot product over double arrays.
+
+    When ``dim`` is known, unroll into explicit arithmetic: Spark's
+    higher-order functions (aggregate/zip_with) evaluate INTERPRETED
+    per row (no whole-stage codegen) — the unrolled form is ~10x
+    faster and numerically identical (left-associated addition, and
+    IEEE 0.0+x == x for the fold's seed).
+    """
+    if dim is not None:
+        terms = [
+            F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """dot/(‖a‖·‖b‖) with norms as sqrt of self-dot (mirrors the oracle)."""
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return dot(a, b, dim) / (F.sqrt(dot(a, a, dim)) * F.sqrt(dot(b, b, dim)))
 
 
 def cosine_topk(
@@ -36,6 +51,7 @@ def cosine_topk(
     query_id: str = "query_id",
     corpus_id: str = "corpus_id",
     vec: str = "vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k: every query scored against the corpus.
 
@@ -49,7 +65,7 @@ def cosine_topk(
     q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("qv"))
     c = corpus.select(F.col(corpus_id), as_double(F.col(vec)).alias("cv"))
     scored = q.crossJoin(c).withColumn(
-        "cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+        "cosine", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc()
@@ -67,6 +83,7 @@ def embedding_dup_pairs(
     vec: str = "embedding",
     block_col: str | None = "label",
     min_cosine: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks (SURVEY E11).
 
@@ -93,7 +110,7 @@ def embedding_dup_pairs(
         a.join(b, on=join_keys) if join_keys else a.crossJoin(b)
     ).filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        pairs.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb"), dim), 6))
         .filter(F.col("cosine") >= min_cosine)
         .select(*(["block"] if block_col else []), "id_a", "id_b", "cosine")
     )

@@ -163,7 +163,9 @@ def _loci_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
 
 def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     left, right = _loci_sides(spark, sf_dir)
-    pairs = overlap_join(left, right)
+    # Tiled equi-join (scale path): proven pair-identical to the plain
+    # range join in tests/test_operators.py; the oracle is the plain form.
+    pairs = overlap_join(left, right, tile_width=86_400_000_000)
     return pairs.select(
         "contig",
         "left_study_id",
@@ -655,5 +657,144 @@ REGISTRY.update(
     {
         "carma_outliers": QuerySpec(q_carma_outliers, CARMA_SQL),
         "sumstat_imputation": QuerySpec(q_sumstat_imputation, IMPUTE_SQL),
+    }
+)
+
+
+# --- StudyLocus surface: id assignment, trans flags, locus stats ---------
+def q_study_locus_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic study-locus id: md5 of the '_'-joined key columns.
+
+    Reference: study_locus.py:628 ``assign_study_locus_id`` (md5 of
+    concatenated uniqueness-defining columns).
+    """
+    ss = sumstats(spark, sf_dir)
+    return ss.select(
+        "point_id",
+        "study_id",
+        "contig",
+        F.md5(
+            F.concat_ws("_", F.col("study_id"), F.col("contig"), F.col("pos"))
+        ).alias("study_locus_id"),
+    )
+
+
+STUDY_LOCUS_ID_SQL = f"""
+SELECT point_id, study_id, contig,
+       md5(CONCAT_WS('_', study_id, contig, pos)) AS study_locus_id
+FROM ({SUMSTATS_SQL})
+"""
+
+
+TRANS_DIST_US = 2 * 86_400_000_000  # cis window: 2 days
+
+
+def q_trans_qtl_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag trans associations: lead further than the cis window from
+    its gene (study_locus.py:710 ``flag_trans_qtls`` — distance rule
+    against the study's target gene; gene = study_id-keyed interval).
+    """
+    ss = sumstats(spark, sf_dir)
+    from gentropy_spark.plans.l2g import BASE_US, GENE_SPACING_US
+
+    gene_start = BASE_US + (F.col("study_id") % 100) * GENE_SPACING_US
+    dist = F.abs(F.col("pos") - gene_start)
+    return ss.select(
+        "point_id",
+        "study_id",
+        "contig",
+        (dist > TRANS_DIST_US).alias("is_trans"),
+        F.when(dist > TRANS_DIST_US, F.lit("TRANS_QTL")).otherwise(F.lit("")).alias(
+            "qc_flag"
+        ),
+    )
+
+
+def _trans_sql() -> str:
+    from gentropy_spark.plans.l2g import BASE_US, GENE_SPACING_US
+
+    gene_start = f"({BASE_US} + (study_id % 100) * {GENE_SPACING_US})"
+    return f"""
+SELECT point_id, study_id, contig,
+       ABS(pos - {gene_start}) > {TRANS_DIST_US} AS is_trans,
+       CASE WHEN ABS(pos - {gene_start}) > {TRANS_DIST_US}
+            THEN 'TRANS_QTL' ELSE '' END AS qc_flag
+FROM ({SUMSTATS_SQL})
+"""
+
+
+def q_locus_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-locus composition stats: variant count, distinct positions,
+    span, signal mass (study_locus.py:1018 ``annotate_locus_statistics``
+    + :892 ``unique_variants_in_locus``)."""
+    ss = sumstats(spark, sf_dir).filter(F.col("signif") >= LB_BASELINE)
+    clustered = _cluster_seq(ss, "study_id", "contig", "pos", "point_id", LB_DIST_US)
+    return clustered.groupBy("study_id", "contig", "cluster_seq").agg(
+        F.count("*").alias("n_variants"),
+        F.countDistinct("pos").alias("n_unique_positions"),
+        (F.max("pos") - F.min("pos")).alias("locus_span"),
+        F.sum(F.col("signif").cast(DEC)).cast("double").alias("signal_mass"),
+    )
+
+
+LOCUS_STATS_SQL = f"""
+SELECT study_id, contig, cluster_seq,
+       COUNT(*) AS n_variants,
+       COUNT(DISTINCT pos) AS n_unique_positions,
+       MAX(pos) - MIN(pos) AS locus_span,
+       CAST(SUM(CAST(signif AS DECIMAL(38,6))) AS DOUBLE) AS signal_mass
+FROM ({_clustered_sql(LB_BASELINE, LB_DIST_US)})
+GROUP BY 1, 2, 3
+"""
+
+
+def q_sumstat_qc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All QC metrics joined into one per-study table — the
+    summary_statistics_qc dataset shape (dataset/summary_statistics_qc.py)."""
+    from gentropy_spark.plans.qc import q_gc_lambda, q_mean_beta, q_pz_consistency
+
+    gc = q_gc_lambda(spark, sf_dir)
+    pz = q_pz_consistency(spark, sf_dir)
+    mb = q_mean_beta(spark, sf_dir)
+    out = gc.join(pz, on="study_id").join(mb, on="study_id")
+    return out.select(
+        "study_id",
+        F.round("gc_lambda", 6).alias("gc_lambda"),
+        "pz_corr",
+        F.round("mean_diff", 6).alias("mean_diff"),
+        F.round("mean_beta", 6).alias("mean_beta"),
+        "n_variants",
+        (
+            (F.col("gc_lambda") < 2.0)
+            & (F.abs(F.col("mean_beta")) < 0.1)
+            & (F.col("pz_corr") > 0.9)
+        ).alias("qc_pass"),
+    )
+
+
+def _qc_summary_sql() -> str:
+    from gentropy_spark.plans.qc import GC_LAMBDA_SQL, MEAN_BETA_SQL, PZ_SQL
+
+    return f"""
+WITH gc AS ({GC_LAMBDA_SQL}), pz AS ({PZ_SQL}), mb AS ({MEAN_BETA_SQL})
+SELECT gc.study_id,
+       ROUND(gc.gc_lambda, 6) AS gc_lambda,
+       pz.pz_corr,
+       ROUND(pz.mean_diff, 6) AS mean_diff,
+       ROUND(mb.mean_beta, 6) AS mean_beta,
+       mb.n_variants,
+       (gc.gc_lambda < 2.0 AND ABS(mb.mean_beta) < 0.1 AND pz.pz_corr > 0.9)
+         AS qc_pass
+FROM gc JOIN pz ON gc.study_id = pz.study_id
+JOIN mb ON gc.study_id = mb.study_id
+"""
+
+
+REGISTRY.update(
+    {
+        "study_locus_id": QuerySpec(q_study_locus_id, STUDY_LOCUS_ID_SQL),
+        "trans_qtl_flag": QuerySpec(q_trans_qtl_flag, _trans_sql()),
+        "locus_statistics": QuerySpec(q_locus_statistics, LOCUS_STATS_SQL),
+        "sumstat_qc_summary": QuerySpec(q_sumstat_qc_summary, _qc_summary_sql()),
     }
 )

@@ -106,7 +106,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
     )
-    return cosine_topk(queries, corpus, k=5)
+    return cosine_topk(queries, corpus, k=5, dim=64)
 
 
 ANN_TOPK_SQL = f"""
@@ -128,7 +128,7 @@ SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
 # --- E11: embedding-cosine near-dup pairs --------------------------------
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(
-        read_table(spark, sf_dir, "embeddings"), min_cosine=0.3
+        read_table(spark, sf_dir, "embeddings"), min_cosine=0.3, dim=64
     )
 
 

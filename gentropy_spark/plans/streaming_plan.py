@@ -44,7 +44,26 @@ FROM documents
 """
 
 
+# --- F6b: streaming dedup (watermarked dropDuplicates) -------------------
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on the natural key; with a complete
+    availableNow drain this equals batch DISTINCT-by-key keeping the
+    first arrival — oracle = min(event_id) per key."""
+    from gentropy_spark.streaming.windowed import run_dedup_available_now
+
+    return run_dedup_available_now(spark, sf_dir)
+
+
+STREAM_DEDUP_SQL = """
+SELECT user_id, event_type, epoch_us(ts) AS pos,
+       MIN(event_id) AS first_event_id, COUNT(*) AS n_dups
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "stream_dedup": QuerySpec(q_stream_dedup, STREAM_DEDUP_SQL),
     "stream_window_agg": QuerySpec(q_stream_window_agg, STREAM_SQL),
     "multimodal_decode": QuerySpec(q_multimodal_decode, MULTIMODAL_SQL),
 }

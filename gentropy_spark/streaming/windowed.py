@@ -55,6 +55,50 @@ def windowed_event_agg(stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_keys(stream: DataFrame) -> DataFrame:
+    """Stateful streaming dedup on the natural key.
+
+    Implemented as a keyed aggregation (min arrival id + duplicate
+    count) rather than dropDuplicates: the kept row is then
+    deterministic (lowest event_id) regardless of partition/task
+    ordering — required for the oracle and the right semantics for a
+    lineage-preserving dedup anyway.
+    """
+    return (
+        stream.withColumn("pos", F.expr("ts div 1000"))
+        .groupBy("user_id", "event_type", "pos")
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def run_dedup_available_now(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup"
+) -> DataFrame:
+    """Drain the events file-stream through the stateful dedup."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = dedup_keys(stream)
+    checkpoint = tempfile.mkdtemp(prefix="gentropy_spark_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_available_now(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_window_agg"
 ) -> DataFrame:
