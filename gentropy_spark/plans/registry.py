@@ -38,10 +38,11 @@ def full_registry() -> dict[str, QuerySpec]:
         relational,
         stats_kernel,
         streaming_plan,
+        variants,
     )
 
     registry: dict[str, QuerySpec] = {}
-    for module in (relational, genomics, qc, stats_kernel, llm_pipeline, streaming_plan, l2g):
+    for module in (relational, genomics, qc, stats_kernel, llm_pipeline, streaming_plan, l2g, variants):
         overlap = registry.keys() & module.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {sorted(overlap)}")

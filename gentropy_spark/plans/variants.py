@@ -1,0 +1,138 @@
+"""Variant-index and credible-set QC queries (SURVEY §2 extras).
+
+- variant_id_normalize: long/unplaced variant ID hashing, mirroring
+  /root/reference/src/gentropy/dataset/variant_index.py:73
+  ``hash_long_variant_ids`` exactly (OTVAR_ md5 forms, threshold
+  branch, pass-through for short IDs).
+- credible_set_qc: per-locus posterior sanity (Σpp ≈ 1, set size
+  bounds) — the credible_set_qc.py step re-expressed as one grouped
+  aggregation over the credible-set filter output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gentropy_spark.plans.genomics import CREDIBLE_SQL, SUMSTATS_SQL, q_credible_set
+from gentropy_spark.plans.registry import QuerySpec
+from gentropy_spark.sources.readers import read_table  # noqa: F401 (module pattern)
+
+ID_HASH_THRESHOLD = 40
+
+
+def hash_long_variant_ids(
+    variant_id: F.Column, chromosome: F.Column, position: F.Column, threshold: int
+) -> F.Column:
+    """Reference-faithful ID normalisation (variant_index.py:73)."""
+    return (
+        F.when(
+            chromosome.isNull() | position.isNull(),
+            F.concat(F.lit("OTVAR_"), F.md5(variant_id)),
+        )
+        .when(
+            F.length(variant_id) >= threshold,
+            F.concat_ws(
+                "_", F.lit("OTVAR"), chromosome, position, F.md5(variant_id)
+            ),
+        )
+        .otherwise(variant_id)
+    )
+
+
+def q_variant_id_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic variant IDs with long-allele and unplaced cases."""
+    ss_sql_cols = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_id").alias("point_id"),
+            F.col("event_type").alias("contig"),
+            F.expr("ts div 1000").alias("pos"),
+        )
+    )
+    raw_id = F.concat_ws(
+        "_",
+        F.col("contig"),
+        F.col("pos"),
+        F.expr("repeat('A', CAST(point_id % 30 AS INT))"),
+    )
+    chrom = F.when(F.col("point_id") % 17 != 0, F.col("contig"))
+    pos = F.when(F.col("point_id") % 17 != 0, F.col("pos"))
+    return ss_sql_cols.select(
+        "point_id",
+        raw_id.alias("raw_variant_id"),
+        hash_long_variant_ids(raw_id, chrom, pos, ID_HASH_THRESHOLD).alias(
+            "variant_id"
+        ),
+        (F.length(raw_id) >= ID_HASH_THRESHOLD).alias("was_hashed"),
+    )
+
+
+VARIANT_ID_SQL = f"""
+WITH base AS (
+  SELECT event_id AS point_id, event_type AS contig, epoch_us(ts) AS pos
+  FROM events
+),
+built AS (
+  SELECT point_id,
+         CONCAT_WS('_', contig, pos, repeat('A', CAST(point_id % 30 AS INT))) AS raw_variant_id,
+         CASE WHEN point_id % 17 <> 0 THEN contig END AS chrom,
+         CASE WHEN point_id % 17 <> 0 THEN pos END AS cpos
+  FROM base
+)
+SELECT point_id, raw_variant_id,
+  CASE
+    WHEN chrom IS NULL OR cpos IS NULL THEN 'OTVAR_' || md5(raw_variant_id)
+    WHEN LENGTH(raw_variant_id) >= {ID_HASH_THRESHOLD}
+      THEN CONCAT_WS('_', 'OTVAR', chrom, cpos, md5(raw_variant_id))
+    ELSE raw_variant_id
+  END AS variant_id,
+  LENGTH(raw_variant_id) >= {ID_HASH_THRESHOLD} AS was_hashed
+FROM built
+"""
+
+
+def q_credible_set_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-locus credible-set sanity: Σpp, set size, abnormal-pip flag.
+
+    Reference: credible_set_qc.py step + study_locus.py:439
+    ``qc_abnormal_pips`` (valid when cumulative posterior mass is in
+    [0.99, 1.0] for a full locus; here the 95% set keeps mass ≤ 1).
+    """
+    cs = q_credible_set(spark, sf_dir)
+    return cs.groupBy("study_id", "contig").agg(
+        F.count("*").alias("set_size"),
+        F.round(
+            F.sum(F.col("pp").cast("decimal(38,9)")).cast("double"), 6
+        ).alias("pp_mass"),
+        F.max("pp").alias("top_pp"),
+    ).select(
+        "study_id",
+        "contig",
+        "set_size",
+        "pp_mass",
+        F.round("top_pp", 6).alias("top_pp"),
+        ((F.col("pp_mass") >= 0.95) & (F.col("pp_mass") <= 1.000001)).alias(
+            "mass_in_range"
+        ),
+    )
+
+
+CREDIBLE_QC_SQL = f"""
+WITH cs AS ({CREDIBLE_SQL})
+SELECT study_id, contig,
+       COUNT(*) AS set_size,
+       ROUND(CAST(SUM(CAST(pp AS DECIMAL(38,9))) AS DOUBLE), 6) AS pp_mass,
+       ROUND(MAX(pp), 6) AS top_pp,
+       (ROUND(CAST(SUM(CAST(pp AS DECIMAL(38,9))) AS DOUBLE), 6) >= 0.95
+        AND ROUND(CAST(SUM(CAST(pp AS DECIMAL(38,9))) AS DOUBLE), 6) <= 1.000001)
+         AS mass_in_range
+FROM cs
+GROUP BY 1, 2
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "variant_id_normalize": QuerySpec(q_variant_id_normalize, VARIANT_ID_SQL),
+    "credible_set_qc": QuerySpec(q_credible_set_qc, CREDIBLE_QC_SQL),
+}
