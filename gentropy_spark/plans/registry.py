@@ -32,6 +32,7 @@ def full_registry() -> dict[str, QuerySpec]:
     """Merge every plan module's registry (import here to avoid cycles)."""
     from gentropy_spark.plans import (
         genomics,
+        graph_ld,
         l2g,
         llm_pipeline,
         qc,
@@ -42,7 +43,7 @@ def full_registry() -> dict[str, QuerySpec]:
     )
 
     registry: dict[str, QuerySpec] = {}
-    for module in (relational, genomics, qc, stats_kernel, llm_pipeline, streaming_plan, l2g, variants):
+    for module in (relational, genomics, qc, stats_kernel, llm_pipeline, streaming_plan, l2g, variants, graph_ld):
         overlap = registry.keys() & module.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {sorted(overlap)}")
