@@ -270,3 +270,137 @@ REGISTRY: dict[str, QuerySpec] = {
     "token_count": QuerySpec(q_token_count, TOKEN_COUNT_SQL),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, FINGERPRINT_SQL),
 }
+
+
+# --- E13: repetition detection (data-quality heuristic) ------------------
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max repeated 3-gram share per document — the classic LLM-corpus
+    repetition filter (a doc whose top shingle dominates is boilerplate
+    or a loop). Uses NON-distinct shingles (occurrence counts)."""
+    from gentropy_spark.functions.text import tokens as _tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+                F.element_at(toks, (i + 3).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = toked.select("doc_id", F.explode(grams).alias("shingle"))
+    counts = exploded.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_shingles"),
+        F.max("c").alias("top_shingle_count"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_shingle_share"),
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH toked AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, GREATEST(len(t) - 2, 0)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toked
+),
+counts AS (
+  SELECT doc_id, shingle, COUNT(*) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+       SUM(c) AS n_shingles,
+       MAX(c) AS top_shingle_count,
+       ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_shingle_share
+FROM counts GROUP BY doc_id
+"""
+
+
+# --- E14: corpus log-frequency quality score ------------------------------
+def q_text_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean log10 corpus frequency of a doc's tokens — a unigram-LM
+    quality proxy (low = rare/garbled vocabulary). Two aggregations and
+    one broadcast-ish join of the doc tokens against the corpus
+    frequency table; at 100 TB the frequency table is the small side."""
+    from gentropy_spark.functions.text import tokens as _tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").alias("corpus_freq"))
+    joined = tok.join(freq, on="tok")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.sum(F.log10("corpus_freq").cast("decimal(38,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_log_freq"),
+    )
+
+
+TEXT_LOGFREQ_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS corpus_freq FROM tok GROUP BY tok)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(CAST(LOG10(corpus_freq) AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_log_freq
+FROM tok JOIN freq USING (tok)
+GROUP BY doc_id
+"""
+
+
+# --- E4b: SimHash candidate pairs (rows-only: engine-specific hashes) ----
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup candidates: split the 64-bit fingerprint
+    into four 16-bit bands, equi-join on any shared band, verify with
+    bit_count(xor) <= 8 hamming distance."""
+    fps = simhash_buckets(read_table(spark, sf_dir, "documents")).persist()
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.expr(
+                            f"CAST(shiftright(simhash, {band * 16}) & 65535 AS INT)"
+                        ).alias("band_val"),
+                    )
+                    for band in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.band_val")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "band_val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.expr("bit_count(x.simhash ^ y.simhash)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= 8)
+
+
+REGISTRY.update(
+    {
+        "text_repetition": QuerySpec(q_text_repetition, TEXT_REPETITION_SQL),
+        "text_logfreq": QuerySpec(q_text_logfreq, TEXT_LOGFREQ_SQL),
+        "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, None),
+    }
+)

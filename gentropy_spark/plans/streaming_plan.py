@@ -62,7 +62,40 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- F6c: custom stateful sessionization (applyInPandasWithState) --------
+SESSION_GAP_US = 43_200_000_000
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionizer; under a single-batch availableNow
+    drain the result equals batch gap-sessionization (the oracle)."""
+    from gentropy_spark.streaming.windowed import run_sessionize_available_now
+
+    return run_sessionize_available_now(spark, sf_dir)
+
+
+STREAM_SESSIONIZE_SQL = f"""
+WITH clustered AS (
+  SELECT *, SUM(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_US} THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id, event_type ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM (
+    SELECT user_id, event_type, epoch_us(ts) AS pos,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type ORDER BY epoch_us(ts)) AS gap
+    FROM events
+  )
+)
+SELECT user_id, event_type,
+       MIN(pos) AS session_start, MAX(pos) AS session_end,
+       COUNT(*) AS n_events
+FROM clustered
+GROUP BY user_id, event_type, session_seq
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "stream_sessionize": QuerySpec(q_stream_sessionize, STREAM_SESSIONIZE_SQL),
     "stream_dedup": QuerySpec(q_stream_dedup, STREAM_DEDUP_SQL),
     "stream_window_agg": QuerySpec(q_stream_window_agg, STREAM_SQL),
     "multimodal_decode": QuerySpec(q_multimodal_decode, MULTIMODAL_SQL),

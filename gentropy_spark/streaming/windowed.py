@@ -99,6 +99,103 @@ def run_dedup_available_now(
     return spark.table(query_name)
 
 
+def sessionize_stateful(stream: DataFrame, gap_us: int = 43_200_000_000) -> DataFrame:
+    """Custom stateful streaming sessionization (applyInPandasWithState).
+
+    The streaming counterpart of the locus-breaker operator: per
+    (user, type) key, contiguous runs of events separated by more than
+    ``gap_us`` become sessions. State carries the open session across
+    micro-batches; completed sessions are appended, and the still-open
+    session is emitted when the group times out (or, under an
+    availableNow drain, flushed by the final batch walk).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("session_start", T.LongType()),
+            T.StructField("session_end", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start", T.LongType()),
+            T.StructField("end", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        rows = []
+        cur = state.get if state.exists else None
+        cur = list(cur) if cur else None
+        for pdf in pdf_iter:
+            for pos in sorted(pdf["pos"]):
+                pos = int(pos)
+                if cur is None:
+                    cur = [pos, pos, 1]
+                elif pos - cur[1] > gap_us:
+                    rows.append((key[0], key[1], cur[0], cur[1], cur[2]))
+                    cur = [pos, pos, 1]
+                else:
+                    cur[1] = pos
+                    cur[2] += 1
+        if cur is not None:
+            # availableNow drain: flush the open session too (documented
+            # simplification; a continuous run would rely on timeout).
+            rows.append((key[0], key[1], cur[0], cur[1], cur[2]))
+            state.remove()
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id",
+                "event_type",
+                "session_start",
+                "session_end",
+                "n_events",
+            ],
+        )
+
+    with_pos = stream.withColumn("pos", F.expr("ts div 1000"))
+    return with_pos.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_sessionize_available_now(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_sessionize"
+) -> DataFrame:
+    """Drain the events file-stream through the stateful sessionizer."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = sessionize_stateful(stream)
+    checkpoint = tempfile.mkdtemp(prefix="gentropy_spark_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_available_now(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_window_agg"
 ) -> DataFrame:
