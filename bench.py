@@ -56,11 +56,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # Force full materialisation of every column.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: shields the metric from CI noise
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # Force full materialisation of every column.
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

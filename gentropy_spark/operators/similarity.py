@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 
 
 def as_double(vec: Column) -> Column:
-    return F.transform(vec, lambda x: x.cast("double"))
+    # Native array cast (codegen) — NOT transform(x -> cast(x)), which
+    # drops to interpreted higher-order-function evaluation per row.
+    return vec.cast("array<double>")
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:

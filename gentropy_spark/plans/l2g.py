@@ -77,7 +77,21 @@ def q_v2g_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos") - F.col("gene_end"),
         F.lit(0),
     )
-    joined = variants.join(F.broadcast(genes), on="contig", how="inner").filter(
+    # Tile equi-join: a contig-only join would build |variants|x|genes/contig|
+    # rows before the range filter. Genes sit on a regular grid, so each
+    # variant can only reach tiles k_lo..k_hi (≤2 of them) — explode those
+    # and equi-join on (contig, tile); the exact range predicate stays.
+    genes_k = genes.withColumn(
+        "gk", F.expr(f"(gene_start - {BASE_US}) div {GENE_SPACING_US}")
+    )
+    k_hi = F.expr(f"(pos - {BASE_US} + {V2G_FLANK_US}) div {GENE_SPACING_US}")
+    k_lo = F.expr(
+        f"(pos - {BASE_US} - {GENE_WIDTH_US} - {V2G_FLANK_US}) div {GENE_SPACING_US}"
+    )
+    vars_k = variants.withColumn(
+        "gk", F.explode(F.array_distinct(F.array(k_lo, k_hi)))
+    )
+    joined = vars_k.join(F.broadcast(genes_k), on=["contig", "gk"], how="inner").filter(
         (F.col("pos") >= F.col("gene_start") - V2G_FLANK_US)
         & (F.col("pos") <= F.col("gene_end") + V2G_FLANK_US)
     )

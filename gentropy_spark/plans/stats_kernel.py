@@ -178,3 +178,60 @@ REGISTRY: dict[str, QuerySpec] = {
     "effect_ci": QuerySpec(q_effect_ci, EFFECT_CI_SQL),
     "stderr_harmonise": QuerySpec(q_stderr_harmonise, HARMONISE_SQL),
 }
+
+
+# --- end-to-end ingestion harmonisation pipeline -------------------------
+def q_sumstat_harmonise_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ingestion pipeline: raw table → canonical summary-statistics
+    schema with p-value components, harmonised effect and CI, and a
+    validity flag — the shape every datasource adapter produces
+    (e.g. datasource/gwas_catalog sumstat preprocessing: rename,
+    split p, normalise effect, flag invalid rows; never drop silently).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    p = F.col("value") / 300.0
+    beta = (F.col("value") - 150.0) / 100.0
+    se = 0.5 + (F.col("event_id") % 10) / 20.0
+    m, e = split_pvalue(p)
+    lo, hi = effect_ci(beta, se)
+    valid = (F.col("value") > 0) & (F.col("value") < 300.0)
+    return ev.select(
+        F.col("event_id").alias("variant_key"),
+        F.col("user_id").alias("study_id"),
+        F.col("event_type").alias("chromosome"),
+        F.expr("ts div 1000").alias("position"),
+        F.when(valid, m).alias("p_mantissa"),
+        F.when(valid, e).alias("p_exponent"),
+        F.round(beta, 6).alias("beta"),
+        F.round(se, 6).alias("standard_error"),
+        F.round(lo, 6).alias("ci_lower"),
+        F.round(hi, 6).alias("ci_upper"),
+        valid.alias("is_valid"),
+    )
+
+
+HARMONISE_INGEST_SQL = """
+SELECT event_id AS variant_key,
+       user_id AS study_id,
+       event_type AS chromosome,
+       epoch_us(ts) AS position,
+       CASE WHEN value > 0 AND value < 300.0
+            THEN ROUND((value / 300.0) / POW(10.0, FLOOR(LOG10(value / 300.0))), 3)
+       END AS p_mantissa,
+       CASE WHEN value > 0 AND value < 300.0
+            THEN CAST(FLOOR(LOG10(value / 300.0)) AS INT)
+       END AS p_exponent,
+       ROUND((value - 150.0) / 100.0, 6) AS beta,
+       ROUND(0.5 + (event_id % 10) / 20.0, 6) AS standard_error,
+       ROUND((value - 150.0) / 100.0 - 1.96 * (0.5 + (event_id % 10) / 20.0), 6)
+         AS ci_lower,
+       ROUND((value - 150.0) / 100.0 + 1.96 * (0.5 + (event_id % 10) / 20.0), 6)
+         AS ci_upper,
+       (value > 0 AND value < 300.0) AS is_valid
+FROM events
+"""
+
+
+REGISTRY["sumstat_harmonise_ingest"] = QuerySpec(
+    q_sumstat_harmonise_ingest, HARMONISE_INGEST_SQL
+)
