@@ -82,6 +82,87 @@ def pics(
     )
 
 
+def carma_like(
+    df: DataFrame,
+    study: str = "study_id",
+    contig: str = "contig",
+    pos: str = "pos",
+    z_col: str = "z",
+    point_id: str = "point_id",
+    max_causal: int = 5,
+    z_stop: float = 3.0,
+    outlier_resid: float = 3.0,
+    tau: float = 10_800_000_000.0,
+) -> DataFrame:
+    """CARMA-style per-locus Bayesian model search with outlier flags.
+
+    The reference (method/carma.py, 919 LoC numpy) runs a shotgun
+    stochastic search over causal configurations with spike-slab
+    priors and flags LD-inconsistent outliers. This operator keeps the
+    two load-bearing ideas — configuration search over an LD model and
+    residual-based outlier detection — in a deterministic greedy form:
+
+    per (study, contig) group: forward-select up to ``max_causal``
+    variants maximising the conditional residual |z| (residualised
+    through R = distance-decay LD), stop when the best remaining
+    conditional |z| < ``z_stop``; then flag outliers where the final
+    residual exceeds ``outlier_resid``.
+
+    Runs Arrow-batched via applyInPandas (locus-bounded numpy), one
+    shuffle on the locus key.
+    """
+    out_schema = T.StructType(
+        [
+            df.schema[study],
+            df.schema[contig],
+            df.schema[point_id],
+            T.StructField("in_model", T.BooleanType()),
+            T.StructField("model_order", T.IntegerType()),
+            T.StructField("residual_z", T.DoubleType()),
+            T.StructField("is_outlier", T.BooleanType()),
+        ]
+    )
+
+    def search(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(point_id).reset_index(drop=True)
+        z = pdf[z_col].to_numpy(dtype=np.float64)
+        p = pdf[pos].to_numpy(dtype=np.float64)
+        n = len(z)
+        R = np.exp(-np.abs(p[:, None] - p[None, :]) / tau)
+        chosen: list[int] = []
+        effects = np.zeros(n)
+        resid = z.copy()
+        for _ in range(min(max_causal, n)):
+            cand = int(np.argmax(np.abs(resid)))
+            if abs(resid[cand]) < z_stop or cand in chosen:
+                break
+            chosen.append(cand)
+            # joint refit of chosen effects: solve R_cc b = z_c
+            sub = np.ix_(chosen, chosen)
+            b = np.linalg.solve(R[sub] + 1e-6 * np.eye(len(chosen)), z[chosen])
+            effects = np.zeros(n)
+            effects[chosen] = b
+            resid = z - R @ effects
+        order = {idx: i + 1 for i, idx in enumerate(chosen)}
+        return pd.DataFrame(
+            {
+                study: pdf[study],
+                contig: pdf[contig],
+                point_id: pdf[point_id],
+                "in_model": [i in order for i in range(n)],
+                "model_order": [order.get(i, 0) for i in range(n)],
+                "residual_z": np.round(resid, 6),
+                "is_outlier": np.abs(resid) > outlier_resid,
+            }
+        )
+
+    return (
+        df.select(study, contig, point_id, pos, z_col)
+        .groupBy(study, contig)
+        .applyInPandas(search, schema=out_schema)
+    )
+
+
 def susie_like(
     df: DataFrame,
     study: str = "study_id",

@@ -22,7 +22,7 @@ from gentropy_spark.operators.clumping import (
     semi_lead_clump,
     window_clump,
 )
-from gentropy_spark.operators.finemapping import pics, susie_like
+from gentropy_spark.operators.finemapping import carma_like, pics, susie_like
 from gentropy_spark.operators.coloc import coloc, ecaviar_clpp
 from gentropy_spark.operators.overlaps import overlap_join, overlap_length
 from gentropy_spark.plans.registry import QuerySpec
@@ -536,8 +536,16 @@ def q_susie_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_carma_finemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy CARMA-style configuration search per locus (rows-only:
+    iterative linear algebra)."""
+    ss = sumstats(spark, sf_dir).filter(F.col("signif") >= LB_BASELINE)
+    return carma_like(ss.withColumn("z", F.col("signif") / 10.0))
+
+
 REGISTRY.update(
     {
+        "carma_finemap": QuerySpec(q_carma_finemap, None),
         "pics_finemap": QuerySpec(q_pics_finemap, PICS_SQL),
         "ld_clump": QuerySpec(q_ld_clump, LD_CLUMP_SQL),
         "window_clump_semi": QuerySpec(q_window_clump_semi, None),
