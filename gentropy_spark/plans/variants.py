@@ -136,3 +136,124 @@ REGISTRY: dict[str, QuerySpec] = {
     "variant_id_normalize": QuerySpec(q_variant_id_normalize, VARIANT_ID_SQL),
     "credible_set_qc": QuerySpec(q_credible_set_qc, CREDIBLE_QC_SQL),
 }
+
+
+# --- allele direction / variant typing -----------------------------------
+ALLELES = ["A", "C", "G", "T", "AT", "GCC"]
+
+
+def q_allele_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allele-level direction ops on synthetic ref/alt pairs.
+
+    Reference: dataset/variant_direction.py — reverse, complement,
+    strand-ambiguity and variant-type coding (1=SNP 2=INS 3=DEL 4=MNP).
+    """
+    from gentropy_spark.functions.alleles import (
+        complement_allele,
+        is_strand_ambiguous,
+        reverse_allele,
+        variant_type,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    allele_arr = F.array(*[F.lit(a) for a in ALLELES])
+    ref = F.element_at(allele_arr, (F.col("event_id") % 6 + 1).cast("int"))
+    alt = F.element_at(allele_arr, (F.expr("event_id div 7") % 6 + 1).cast("int"))
+    return ev.select(
+        "event_id",
+        ref.alias("ref"),
+        alt.alias("alt"),
+        reverse_allele(ref).alias("ref_reversed"),
+        complement_allele(ref).alias("ref_complement"),
+        is_strand_ambiguous(ref, alt).alias("strand_ambiguous"),
+        variant_type(ref, alt).alias("variant_type"),
+    )
+
+
+ALLELE_SQL = """
+WITH built AS (
+  SELECT event_id,
+    (['A','C','G','T','AT','GCC'])[(event_id % 6) + 1] AS ref,
+    (['A','C','G','T','AT','GCC'])[((event_id // 7) % 6) + 1] AS alt
+  FROM events
+)
+SELECT event_id, ref, alt,
+  reverse(upper(ref)) AS ref_reversed,
+  translate(upper(ref), 'ACGT', 'TGCA') AS ref_complement,
+  (LENGTH(ref) = LENGTH(alt)
+   AND reverse(translate(upper(alt), 'ACGT', 'TGCA')) = upper(ref))
+    AS strand_ambiguous,
+  CAST(CASE WHEN LENGTH(alt) > LENGTH(ref) THEN 2
+            WHEN LENGTH(alt) < LENGTH(ref) THEN 3
+            WHEN LENGTH(alt) = 1 AND LENGTH(ref) = 1 THEN 1
+            ELSE 4 END AS INT) AS variant_type
+FROM built
+"""
+
+
+def q_direction_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect-direction concordance between study pairs sharing tag
+    buckets — the cross-study sign test the direction dataset feeds."""
+    from gentropy_spark.plans.genomics import TAG_BUCKET_US
+
+    ss_sql = SUMSTATS_SQL  # noqa: F841 (mirrors oracle structure)
+    ev = read_table(spark, sf_dir, "events")
+    tags = ev.select(
+        F.col("user_id").alias("study_id"),
+        F.col("event_type").alias("contig"),
+        F.expr(f"(ts div 1000) div {TAG_BUCKET_US}").alias("bucket"),
+        F.signum(F.col("value") - 150.0).alias("direction"),
+    )
+    left = tags.filter(F.col("study_id") % 2 == 0).select(
+        "contig", "bucket", F.col("study_id").alias("left_study"),
+        F.col("direction").alias("left_dir"),
+    )
+    right = tags.filter(F.col("study_id") % 2 == 1).select(
+        "contig", "bucket", F.col("study_id").alias("right_study"),
+        F.col("direction").alias("right_dir"),
+    )
+    pairs = left.join(right, on=["contig", "bucket"])
+    return pairs.groupBy("left_study", "right_study").agg(
+        F.count("*").alias("n_shared"),
+        F.sum(
+            F.when(F.col("left_dir") == F.col("right_dir"), 1).otherwise(0)
+        ).cast("long").alias("n_concordant"),
+        F.round(
+            F.sum(
+                F.when(F.col("left_dir") == F.col("right_dir"), 1).otherwise(0)
+            )
+            / F.count("*"),
+            6,
+        ).alias("concordance"),
+    )
+
+
+def _concordance_sql() -> str:
+    from gentropy_spark.plans.genomics import TAG_BUCKET_US
+
+    return f"""
+WITH tags AS (
+  SELECT user_id AS study_id, event_type AS contig,
+         epoch_us(ts) // {TAG_BUCKET_US} AS bucket,
+         SIGN(value - 150.0) AS direction
+  FROM events
+)
+SELECT l.study_id AS left_study, r.study_id AS right_study,
+       COUNT(*) AS n_shared,
+       CAST(SUM(CASE WHEN l.direction = r.direction THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_concordant,
+       ROUND(SUM(CASE WHEN l.direction = r.direction THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS concordance
+FROM tags l
+JOIN tags r ON l.contig = r.contig AND l.bucket = r.bucket
+WHERE l.study_id % 2 = 0 AND r.study_id % 2 = 1
+GROUP BY 1, 2
+"""
+
+
+REGISTRY.update(
+    {
+        "allele_direction": QuerySpec(q_allele_direction, ALLELE_SQL),
+        "direction_concordance": QuerySpec(q_direction_concordance, _concordance_sql()),
+    }
+)

@@ -35,6 +35,27 @@ def write_partitioned(
     shaped.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed+sorted managed table for co-located joins.
+
+    Two tables bucketed the same way join WITHOUT a shuffle exchange —
+    the 100 TB answer for repeated joins on the same key (e.g. the
+    summary-stats ↔ loci ↔ LD joins every pipeline step repeats).
+    Verified shuffle-free in tests/test_framework.py.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def read_csv_quarantine(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:

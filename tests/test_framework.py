@@ -146,3 +146,63 @@ def test_typed_dataset_validation_and_flags(spark):
         TypedDataset(df.drop("v"), schema, "demo")
     with pytest.raises(SchemaValidationError):
         TypedDataset(df.withColumn("v", F.col("v").cast("string")), schema, "demo")
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Same-bucketed tables must sort-merge join with zero Exchange."""
+    from gentropy_spark.sources.writers import write_bucketed
+
+    a = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("w", F.col("id") * 3)
+    write_bucketed(a, "bt_a", ["id"], num_buckets=4, sort_cols=["id"])
+    write_bucketed(b, "bt_b", ["id"], num_buckets=4, sort_cols=["id"])
+    # disable broadcast so the join strategy is the bucketed SMJ
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bt_a").join(spark.table("bt_b"), on="id")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        import re
+
+        assert not re.findall(r"\(\d+\) Exchange", plan), plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_stream_checkpoint_idempotent(spark, sf_dir, tmp_path):
+    """A second availableNow drain over the same checkpoint must not
+    reprocess (exactly-once file-source semantics)."""
+    from gentropy_spark.streaming.windowed import windowed_event_agg
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q = (
+            windowed_event_agg(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q.lastProgress
+
+    drain("ckpt_run1")
+    first = spark.table("ckpt_run1").count()
+    assert first > 0
+    progress = drain("ckpt_run2")
+    # no new files -> second drain reads zero input rows
+    assert progress is None or progress["numInputRows"] == 0
