@@ -339,7 +339,8 @@ def q_text_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.round(
-            F.sum(F.log10("corpus_freq").cast("decimal(38,9)")).cast("double")
+            F.sum(F.round(F.log10("corpus_freq"), 9).cast("decimal(38,9)"))
+            .cast("double")
             / F.count("*"),
             6,
         ).alias("mean_log_freq"),
@@ -353,7 +354,7 @@ WITH tok AS (
 freq AS (SELECT tok, COUNT(*) AS corpus_freq FROM tok GROUP BY tok)
 SELECT doc_id,
        COUNT(*) AS n_tokens,
-       ROUND(CAST(SUM(CAST(LOG10(corpus_freq) AS DECIMAL(38,9))) AS DOUBLE)
+       ROUND(CAST(SUM(CAST(ROUND(LOG10(corpus_freq), 9) AS DECIMAL(38,9))) AS DOUBLE)
              / COUNT(*), 6) AS mean_log_freq
 FROM tok JOIN freq USING (tok)
 GROUP BY doc_id

@@ -85,7 +85,8 @@ def q_pz_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.corr("z", "z_from_p"), 6).alias("pz_corr"),
             (
-                F.sum((F.col("z") - F.col("z_from_p")).cast(DEC)).cast("double")
+                F.sum(F.round(F.col("z") - F.col("z_from_p"), 6).cast(DEC))
+                .cast("double")
                 / F.count("*")
             ).alias("mean_diff"),
         )
@@ -95,7 +96,7 @@ def q_pz_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 PZ_SQL = f"""
 SELECT study_id,
        ROUND(CORR(beta / se, z_from_p), 6) AS pz_corr,
-       CAST(SUM(CAST(beta / se - z_from_p AS DECIMAL(38,6))) AS DOUBLE)
+       CAST(SUM(CAST(ROUND(beta / se - z_from_p, 6) AS DECIMAL(38,6))) AS DOUBLE)
          / COUNT(*) AS mean_diff
 FROM ({GWAS_SQL})
 GROUP BY study_id
@@ -226,3 +227,120 @@ REGISTRY: dict[str, QuerySpec] = {
     "qc_flag_accumulate": QuerySpec(q_qc_flags, QC_FLAGS_SQL),
     "logsum": QuerySpec(q_logsum, LOGSUM_SQL),
 }
+
+
+# --- inverse-variance meta-analysis ---------------------------------------
+META_BUCKET_US = 3_600_000_000
+
+
+def q_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effect inverse-variance meta-analysis across studies
+    sharing a tag bucket.
+
+    Reference: finngen_ukb_mvp_meta.py / method-level meta-analysis —
+    meta_beta = Σ(β/se²)/Σ(1/se²), meta_se = √(1/Σ(1/se²)), z and a
+    −log10 p from the χ²(1) survival kernel. Decimal-cast partial sums
+    keep the merge order-independent.
+    """
+    g = _gwas(spark, sf_dir)
+    w = 1.0 / (F.col("se") * F.col("se"))
+    # DECIMAL(38,12) without pre-rounding: w and w*beta terminate at
+    # <=8 decimal digits for this data, so 12-dp quantization is
+    # tie-free in BOTH engines (a 6-dp cast was not: Spark quantizes
+    # the exact binary double, DuckDB its shortest decimal repr, and
+    # they straddle x.xxxxxx5 boundaries differently).
+    tagged = g.select(
+        "contig",
+        F.expr(f"pos div {META_BUCKET_US}").alias("bucket"),
+        (w * F.col("beta")).alias("wb"),
+        w.alias("w"),
+    )
+    agg = tagged.groupBy("contig", "bucket").agg(
+        F.count("*").alias("n_studies"),
+        F.sum(F.col("wb").cast("decimal(38,12)")).cast("double").alias("sum_wb"),
+        F.sum(F.col("w").cast("decimal(38,12)")).cast("double").alias("sum_w"),
+    )
+    meta_beta = F.col("sum_wb") / F.col("sum_w")
+    meta_se = F.sqrt(1.0 / F.col("sum_w"))
+    z = meta_beta / meta_se
+    # meta significance is emitted as z only: division and sqrt are
+    # IEEE-exact cross-engine, while an exp/log p-value chain is
+    # libm-dependent (the z -> p conversion is covered by B2/B5).
+    return agg.select(
+        "contig",
+        "bucket",
+        "n_studies",
+        F.round(meta_beta, 6).alias("meta_beta"),
+        F.round(meta_se, 6).alias("meta_se"),
+        F.round(z, 6).alias("meta_z"),
+    )
+
+
+def _meta_sql() -> str:
+    z = "(sum_wb / sum_w) / SQRT(1.0 / sum_w)"
+    return f"""
+WITH tagged AS (
+  SELECT contig, pos // {META_BUCKET_US} AS bucket,
+         (1.0 / (se * se)) * beta AS wb,
+         1.0 / (se * se) AS w
+  FROM ({GWAS_SQL})
+),
+agg AS (
+  SELECT contig, bucket, COUNT(*) AS n_studies,
+         CAST(SUM(CAST(wb AS DECIMAL(38,12))) AS DOUBLE) AS sum_wb,
+         CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS sum_w
+  FROM tagged GROUP BY 1, 2
+)
+SELECT contig, bucket, n_studies,
+  ROUND(sum_wb / sum_w, 6) AS meta_beta,
+  ROUND(SQRT(1.0 / sum_w), 6) AS meta_se,
+  ROUND({z}, 6) AS meta_z
+FROM agg
+"""
+
+
+# --- N_eff sanity check ----------------------------------------------------
+def q_qc_n_eff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-sample-size check from allele frequency and SE.
+
+    Reference: sumstat_quality_controls.py:29 ``genotypic_variance``
+    (2·af·(1−af)) and :277 ``sumstat_n_eff_check``:
+    n_eff ≈ 1/(var_g · se²); per-study median ratio to the expected N.
+    Synthetic af = (event_id % 50 + 1)/100.
+    """
+    g = _gwas(spark, sf_dir)
+    af = (F.col("event_id") % 50 + 1) / 100.0
+    var_g = 2.0 * af * (1.0 - af)
+    n_eff = 1.0 / (var_g * F.col("se") * F.col("se"))
+    return (
+        g.withColumn("n_eff", n_eff)
+        .groupBy("study_id")
+        .agg(
+            F.round(F.expr("percentile(n_eff, 0.5)"), 6).alias("median_n_eff"),
+            F.round(F.min("n_eff"), 6).alias("min_n_eff"),
+            F.round(F.max("n_eff"), 6).alias("max_n_eff"),
+        )
+    )
+
+
+N_EFF_SQL = f"""
+WITH g AS (
+  SELECT study_id,
+         1.0 / ((2.0 * ((event_id % 50 + 1) / 100.0)
+                 * (1.0 - (event_id % 50 + 1) / 100.0)) * se * se) AS n_eff
+  FROM ({GWAS_SQL})
+)
+SELECT study_id,
+       ROUND(quantile_cont(n_eff, 0.5), 6) AS median_n_eff,
+       ROUND(MIN(n_eff), 6) AS min_n_eff,
+       ROUND(MAX(n_eff), 6) AS max_n_eff
+FROM g GROUP BY study_id
+"""
+
+
+REGISTRY.update(
+    {
+        "meta_analysis": QuerySpec(q_meta_analysis, _meta_sql()),
+        "qc_n_eff": QuerySpec(q_qc_n_eff, N_EFF_SQL),
+    }
+)
