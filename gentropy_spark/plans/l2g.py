@@ -330,3 +330,59 @@ REGISTRY: dict[str, QuerySpec] = {
     "props_json_parse": QuerySpec(q_props_json_parse, PROPS_JSON_SQL),
     "enrichment_odds_ratio": QuerySpec(q_enrichment_odds_ratio, _enrichment_sql()),
 }
+
+
+# --- L2G gold standard ----------------------------------------------------
+def q_l2g_gold_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive/negative training labels per (lead, gene).
+
+    Reference: dataset/l2g_gold_standard.py — the nearest gene is the
+    positive; other genes reachable from the locus are negatives;
+    ambiguous loci (tied top weight) are excluded entirely.
+    """
+    v2g = q_v2g_distance(spark, sf_dir)
+    per_pair = v2g.groupBy("point_id", "study_id", "gene_id").agg(
+        F.max("v2g_weight").alias("w")
+    )
+    lead_w = Window.partitionBy("point_id", "study_id")
+    ranked = per_pair.withColumn("top_w", F.max("w").over(lead_w)).withColumn(
+        "n_at_top",
+        F.sum(F.when(F.col("w") == F.col("top_w"), 1).otherwise(0)).over(lead_w),
+    )
+    return (
+        ranked.filter(F.col("n_at_top") == 1)
+        .select(
+            "point_id",
+            "study_id",
+            "gene_id",
+            F.when(F.col("w") == F.col("top_w"), F.lit("positive"))
+            .otherwise(F.lit("negative"))
+            .alias("label"),
+        )
+    )
+
+
+L2G_GOLD_SQL = f"""
+WITH v2g AS ({V2G_SQL}),
+per_pair AS (
+  SELECT point_id, study_id, gene_id, MAX(v2g_weight) AS w
+  FROM v2g GROUP BY 1, 2, 3
+),
+with_top AS (
+  SELECT *, MAX(w) OVER (PARTITION BY point_id, study_id) AS top_w
+  FROM per_pair
+),
+ranked AS (
+  SELECT *,
+    SUM(CASE WHEN w = top_w THEN 1 ELSE 0 END)
+      OVER (PARTITION BY point_id, study_id) AS n_at_top
+  FROM with_top
+)
+SELECT point_id, study_id, gene_id,
+       CASE WHEN w = top_w THEN 'positive' ELSE 'negative' END AS label
+FROM ranked
+WHERE n_at_top = 1
+"""
+
+
+REGISTRY["l2g_gold_standard"] = QuerySpec(q_l2g_gold_standard, L2G_GOLD_SQL)

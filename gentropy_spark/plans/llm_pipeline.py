@@ -150,7 +150,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_QUALITY_SQL = f"""
 WITH base AS (
   SELECT doc_id, text, {TOKS_SQL} AS toks,
-         LENGTH(text) AS n_chars,
+         CAST(LENGTH(text) AS INT) AS n_chars,
          GREATEST(LENGTH(text), 1) AS dc
   FROM documents
 )
@@ -315,7 +315,7 @@ counts AS (
   SELECT doc_id, shingle, COUNT(*) AS c FROM grams GROUP BY 1, 2
 )
 SELECT doc_id,
-       SUM(c) AS n_shingles,
+       CAST(SUM(c) AS BIGINT) AS n_shingles,
        MAX(c) AS top_shingle_count,
        ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_shingle_share
 FROM counts GROUP BY doc_id
