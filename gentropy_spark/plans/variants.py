@@ -257,3 +257,41 @@ REGISTRY.update(
         "direction_concordance": QuerySpec(q_direction_concordance, _concordance_sql()),
     }
 )
+
+
+# --- chromosome/contig label validation ----------------------------------
+VALID_CONTIGS = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_contig_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag rows whose contig label is not in the contig index.
+
+    Reference: study_locus.py:252 ``validate_chromosome_label`` (flag,
+    never drop) against dataset/contig_index.py. A literal IN-list at
+    this cardinality; a broadcast join against the index table at real
+    cardinality.
+    """
+    from gentropy_spark.plans.genomics import sumstats as _sumstats
+
+    ss = _sumstats(spark, sf_dir)
+    valid = F.col("contig").isin(VALID_CONTIGS)
+    return ss.select(
+        "point_id",
+        "contig",
+        valid.alias("contig_valid"),
+        F.when(~valid, F.lit("INVALID_CHROMOSOME")).otherwise(F.lit("")).alias(
+            "qc_flag"
+        ),
+    )
+
+
+CONTIG_VALIDATION_SQL = f"""
+SELECT point_id, contig,
+       contig IN ('click','view','purchase','signup','error') AS contig_valid,
+       CASE WHEN contig IN ('click','view','purchase','signup','error')
+            THEN '' ELSE 'INVALID_CHROMOSOME' END AS qc_flag
+FROM ({SUMSTATS_SQL})
+"""
+
+
+REGISTRY["contig_validation"] = QuerySpec(q_contig_validation, CONTIG_VALIDATION_SQL)

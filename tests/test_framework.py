@@ -206,3 +206,12 @@ def test_stream_checkpoint_idempotent(spark, sf_dir, tmp_path):
     progress = drain("ckpt_run2")
     # no new files -> second drain reads zero input rows
     assert progress is None or progress["numInputRows"] == 0
+
+
+def test_cli_list_and_run(capsys):
+    from gentropy_spark.cli import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "window_clump_leads\toracle" in out
+    assert main(["run", "nonexistent_query"]) == 2
