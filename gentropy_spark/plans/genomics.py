@@ -354,10 +354,13 @@ def q_credible_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ss = sumstats(spark, sf_dir)
     grp = Window.partitionBy("study_id", "contig")
-    pp = F.round(
-        F.col("signif") / F.sum(F.col("signif").cast(DEC)).over(grp).cast("double"),
-        9,
+    # truncation (floor of scaled value) instead of ROUND: IEEE-exact in
+    # both engines, so the per-row pp — and hence every cumulative sum —
+    # is bit-identical cross-engine.
+    raw_pp = (
+        F.col("signif") / F.sum(F.col("signif").cast(DEC)).over(grp).cast("double")
     )
+    pp = F.floor(raw_pp * 1e9) / 1e9
     ordered = Window.partitionBy("study_id", "contig").orderBy(
         F.col("pp").desc(), F.col("point_id").asc()
     )
@@ -377,15 +380,15 @@ def q_credible_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
             "signif",
             "pp",
-            F.round("cum_pp", 6).alias("cum_pp"),
+            (F.floor(F.col("cum_pp") * 1e6) / 1e6).alias("cum_pp"),
         )
     )
 
 
 CREDIBLE_SQL = f"""
 WITH pp_tab AS (
-  SELECT *, ROUND(signif / CAST(SUM(CAST(signif AS DECIMAL(38,6)))
-                   OVER (PARTITION BY study_id, contig) AS DOUBLE), 9) AS pp
+  SELECT *, FLOOR((signif / CAST(SUM(CAST(signif AS DECIMAL(38,6)))
+                   OVER (PARTITION BY study_id, contig) AS DOUBLE)) * 1e9) / 1e9 AS pp
   FROM ({SUMSTATS_SQL})
 ),
 cum AS (
@@ -394,7 +397,7 @@ cum AS (
                           ROWS UNBOUNDED PRECEDING) AS cum_pp
   FROM pp_tab
 )
-SELECT study_id, contig, point_id, pos, signif, pp, ROUND(cum_pp, 6) AS cum_pp
+SELECT study_id, contig, point_id, pos, signif, pp, FLOOR(cum_pp * 1e6) / 1e6 AS cum_pp
 FROM cum
 WHERE cum_pp - pp < 0.95
 """
@@ -765,12 +768,15 @@ def q_sumstat_qc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pz = q_pz_consistency(spark, sf_dir)
     mb = q_mean_beta(spark, sf_dir)
     out = gc.join(pz, on="study_id").join(mb, on="study_id")
+    # trunc (floor of the scaled value), not round: multiply+floor are
+    # IEEE-exact in both engines, while ROUND diverges on exact ties.
+    t6 = lambda c: F.floor(F.col(c) * 1e6) / 1e6  # noqa: E731
     return out.select(
         "study_id",
-        F.round("gc_lambda", 6).alias("gc_lambda"),
+        t6("gc_lambda").alias("gc_lambda"),
         "pz_corr",
-        F.round("mean_diff", 6).alias("mean_diff"),
-        F.round("mean_beta", 6).alias("mean_beta"),
+        t6("mean_diff").alias("mean_diff"),
+        t6("mean_beta").alias("mean_beta"),
         "n_variants",
         (
             (F.col("gc_lambda") < 2.0)
@@ -786,10 +792,10 @@ def _qc_summary_sql() -> str:
     return f"""
 WITH gc AS ({GC_LAMBDA_SQL}), pz AS ({PZ_SQL}), mb AS ({MEAN_BETA_SQL})
 SELECT gc.study_id,
-       ROUND(gc.gc_lambda, 6) AS gc_lambda,
+       FLOOR(gc.gc_lambda * 1e6) / 1e6 AS gc_lambda,
        pz.pz_corr,
-       ROUND(pz.mean_diff, 6) AS mean_diff,
-       ROUND(mb.mean_beta, 6) AS mean_beta,
+       FLOOR(pz.mean_diff * 1e6) / 1e6 AS mean_diff,
+       FLOOR(mb.mean_beta * 1e6) / 1e6 AS mean_beta,
        mb.n_variants,
        (gc.gc_lambda < 2.0 AND ABS(mb.mean_beta) < 0.1 AND pz.pz_corr > 0.9)
          AS qc_pass

@@ -279,7 +279,9 @@ def q_enrichment_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tf") - F.col("a")).alias("c"),
         (F.col("tn") - F.col("b")).alias("d"),
     )
-    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    # Contingency arithmetic in doubles: the denominator product of four
+    # ~N-sized margins overflows int64 already at sf0.1-scale counts.
+    a, b, c, d = (F.col(x).cast("double") for x in ("a", "b", "c", "d"))
     n = a + b + c + d
     chi2 = (n * F.pow(a * d - b * c, 2)) / ((a + b) * (c + d) * (a + c) * (b + d))
     return j.select(
@@ -296,8 +298,8 @@ def q_enrichment_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _enrichment_sql() -> str:
     chi2 = (
-        "((a + b + c + d) * POW(a * d - b * c, 2))"
-        " / ((a + b) * (c + d) * (a + c) * (b + d))"
+        "((ad + bd + cd + dd) * POW(ad * dd - bd * cd, 2))"
+        " / ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd))"
     )
     return f"""
 WITH per AS (
@@ -315,10 +317,11 @@ j AS (
   SELECT o_orderpriority, a, b, tf - a AS c, tn - b AS d FROM per, tot
 )
 SELECT o_orderpriority, a, b, c, d,
-       ROUND((a * d) / (b * c), 6) AS odds_ratio,
+       ROUND((ad * dd) / (bd * cd), 6) AS odds_ratio,
        ROUND({chi2}, 6) AS chi2,
        ROUND({chi2_sf_1df_sql(chi2)}, 6) AS p_value
-FROM j
+FROM (SELECT *, CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+             CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd FROM j)
 """
 
 

@@ -55,9 +55,11 @@ GWAS_SQL = f"""
 # --- D1: genomic-control lambda ------------------------------------------
 def q_gc_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _gwas(spark, sf_dir)
-    z2 = (F.col("beta") / F.col("se")) ** 2
+    # z*z, not pow(z, 2): POW is libm-evaluated and may differ by 1 ulp
+    # across engines; multiplication is IEEE-exact.
+    z = F.col("beta") / F.col("se")
     return (
-        g.withColumn("z2", z2)
+        g.withColumn("z2", z * z)
         .groupBy("study_id")
         .agg(F.expr("percentile(z2, 0.5)").alias("z2_median"))
         .select(
@@ -69,7 +71,7 @@ def q_gc_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GC_LAMBDA_SQL = f"""
 SELECT study_id,
-       quantile_cont(POW(beta / se, 2), 0.5) / {CHI2_MEDIAN_1DF!r} AS gc_lambda
+       quantile_cont((beta / se) * (beta / se), 0.5) / {CHI2_MEDIAN_1DF!r} AS gc_lambda
 FROM ({GWAS_SQL})
 GROUP BY study_id
 """

@@ -322,3 +322,58 @@ REGISTRY: dict[str, QuerySpec] = {
     "pivot_wide": QuerySpec(q_pivot_wide, PIVOT_SQL),
     "q_decile_stats": QuerySpec(q_decile_stats, DECILE_SQL),
 }
+
+
+# --- component-set signature matching ------------------------------------
+def q_complex_set_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group entities by identical component sets.
+
+    Reference: dataset/molecular_complex.py — aptamers are annotated
+    with a molecularComplexId when their measured UniProt ID set
+    matches a complex's component set. The canonical mechanism is a
+    set-equality join: canonicalise each side's set (sorted, joined)
+    and equi-join/group on the signature. Here: customers grouped by
+    the exact set of suppliers that served their orders.
+    """
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    sigs = pairs.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("l_suppkey"))).alias(
+            "supplier_sig"
+        ),
+        F.countDistinct("l_suppkey").alias("set_size"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("supplier_sig")
+    return sigs.select(
+        "o_custkey",
+        "supplier_sig",
+        "set_size",
+        F.count("*").over(w).alias("n_custs_same_set"),
+    )
+
+
+COMPLEX_SET_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+sigs AS (
+  SELECT o_custkey,
+         array_to_string(list_sort(list(l_suppkey)), ',') AS supplier_sig,
+         COUNT(DISTINCT l_suppkey) AS set_size
+  FROM pairs GROUP BY o_custkey
+)
+SELECT o_custkey, supplier_sig, set_size,
+       COUNT(*) OVER (PARTITION BY supplier_sig) AS n_custs_same_set
+FROM sigs
+"""
+
+
+REGISTRY["complex_set_match"] = QuerySpec(q_complex_set_match, COMPLEX_SET_SQL)

@@ -100,18 +100,19 @@ def q_credible_set_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     [0.99, 1.0] for a full locus; here the 95% set keeps mass ≤ 1).
     """
     cs = q_credible_set(spark, sf_dir)
+    # pp is 9-dp-truncated upstream → the decimal(38,9) cast is exact;
+    # outputs are truncated (IEEE-exact), not rounded (tie-divergent).
+    t6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
     return cs.groupBy("study_id", "contig").agg(
         F.count("*").alias("set_size"),
-        F.round(
-            F.sum(F.col("pp").cast("decimal(38,9)")).cast("double"), 6
-        ).alias("pp_mass"),
+        t6(F.sum(F.col("pp").cast("decimal(38,9)")).cast("double")).alias("pp_mass"),
         F.max("pp").alias("top_pp"),
     ).select(
         "study_id",
         "contig",
         "set_size",
         "pp_mass",
-        F.round("top_pp", 6).alias("top_pp"),
+        t6(F.col("top_pp")).alias("top_pp"),
         ((F.col("pp_mass") >= 0.95) & (F.col("pp_mass") <= 1.000001)).alias(
             "mass_in_range"
         ),
@@ -122,10 +123,10 @@ CREDIBLE_QC_SQL = f"""
 WITH cs AS ({CREDIBLE_SQL})
 SELECT study_id, contig,
        COUNT(*) AS set_size,
-       ROUND(CAST(SUM(CAST(pp AS DECIMAL(38,9))) AS DOUBLE), 6) AS pp_mass,
-       ROUND(MAX(pp), 6) AS top_pp,
-       (ROUND(CAST(SUM(CAST(pp AS DECIMAL(38,9))) AS DOUBLE), 6) >= 0.95
-        AND ROUND(CAST(SUM(CAST(pp AS DECIMAL(38,9))) AS DOUBLE), 6) <= 1.000001)
+       FLOOR(CAST(SUM(CAST(pp AS DECIMAL(38,9))) AS DOUBLE) * 1e6) / 1e6 AS pp_mass,
+       FLOOR(MAX(pp) * 1e6) / 1e6 AS top_pp,
+       (FLOOR(CAST(SUM(CAST(pp AS DECIMAL(38,9))) AS DOUBLE) * 1e6) / 1e6 >= 0.95
+        AND FLOOR(CAST(SUM(CAST(pp AS DECIMAL(38,9))) AS DOUBLE) * 1e6) / 1e6 <= 1.000001)
          AS mass_in_range
 FROM cs
 GROUP BY 1, 2
