@@ -5,6 +5,11 @@ deduplication as DataFrame transforms. All candidate generation is
 join-based (never a cross join): the only O(n²) work is within a
 candidate bucket, which is the standard scale posture for 100 TB
 dedup (cf. MinHash banding).
+
+Hashing is the cross-engine polynomial family from
+``functions/xhash.py`` (pure int64 arithmetic), so MinHash signatures,
+band buckets and SimHash fingerprints are bit-identical in Spark and
+DuckDB — every operator here is full value-hash oracle-checkable.
 """
 
 from __future__ import annotations
@@ -13,6 +18,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gentropy_spark.functions.text import tokens
+from gentropy_spark.functions.xhash import (
+    B1,
+    B2,
+    M1,
+    M2,
+    band_bucket,
+    poly_hash,
+    seed_coeffs,
+    seeded,
+)
+from gentropy_spark.session import track_cache
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -58,6 +74,49 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     )
 
 
+def _jaccard_verify(
+    cand: DataFrame, sh: DataFrame, id_col: str, min_jaccard: float
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs only.
+
+    Scale posture (fixes the r1 frequent-shingle blow-up): the shared
+    shingles per pair are found by exploding CANDIDATE pairs against
+    each side's shingle set — join 1 fans each pair out to side-a's
+    shingles, join 2 is an equi-join on (id_b, shingle). Cost is
+    O(candidates × avg set size); a frequent shingle can no longer
+    induce a quadratic shingle-index self-join because the shingle is
+    never a join key on its own.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, on="id_a")
+        .join(sb, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a"),
+            on="id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("set_size", "size_b"),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def rare_shingle_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -79,17 +138,20 @@ def rare_shingle_jaccard_pairs(
     # and the size lookup — persist it once instead of re-running the
     # tokenize→explode→distinct pipeline four times. At cluster scale
     # this materialisation is the bucketed shingle-index table a real
-    # dedup pipeline would write anyway.
-    sh = shingles(df, text_col, id_col, n).persist()
+    # dedup pipeline would write anyway. Handles are registered with
+    # session.track_cache so long-running sessions stay bounded.
+    sh = track_cache(shingles(df, text_col, id_col, n))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df_count"))
         .filter(F.col("df_count") <= max_df)
         .select("shingle")
     )
-    rare_sh = sh.join(rare, on="shingle", how="inner").persist()
+    rare_sh = track_cache(sh.join(rare, on="shingle", how="inner"))
     sizes = rare_sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
 
+    # Rare-shingle fan-out is bounded by max_df, so the shingle-keyed
+    # self-join is safe here (each shingle yields <= max_df² pairs).
     a = rare_sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = rare_sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -123,27 +185,31 @@ def minhash_lsh_pairs(
     bands: int = 8,
     min_jaccard: float = 0.2,
 ) -> DataFrame:
-    """MinHash + banded LSH near-duplicate candidate pairs (SURVEY E3).
+    """MinHash + banded LSH near-duplicate pairs (SURVEY E3).
 
-    Signature: per doc, num_hashes minima of xxhash64(shingle, seed).
-    Banding: rows/band = num_hashes//bands; docs sharing any band
-    bucket become candidates; candidates are verified with the exact
-    rare-free Jaccard over full shingle sets.
+    Signature: per doc, ``num_hashes`` minima of affine rehashes of ONE
+    cross-engine polynomial base hash per shingle (xhash.seed_coeffs) —
+    the classic universal-family trick, and 32× cheaper than hashing
+    every shingle 32 times. Banding: rows/band = num_hashes//bands;
+    docs sharing any band bucket become candidates; candidates are
+    verified with exact Jaccard via ``_jaccard_verify`` (pair-explode
+    shape — no shingle-keyed self-join, so frequent shingles cannot
+    blow up the verification step).
 
     Scale: shuffle is bounded by (docs × bands) bucket rows + the
-    candidate verification join; no cross join anywhere.
+    candidate verification joins; no cross join anywhere.
     """
     rows_per_band = num_hashes // bands
+    coeffs = seed_coeffs(num_hashes)
     # Persist: the shingle index feeds the signature agg AND the
-    # verification join (twice).
-    sh = shingles(df, text_col, id_col, n).persist()
-    sig = sh.groupBy(id_col).agg(
-        F.array(
-            *[
-                F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
-                for seed in range(num_hashes)
-            ]
-        ).alias("sig")
+    # verification joins.
+    sh = track_cache(shingles(df, text_col, id_col, n))
+    hashed = sh.withColumn("h", poly_hash(F.col("shingle")))
+    sig = hashed.groupBy(id_col).agg(
+        *[
+            F.min(seeded(F.col("h"), a, c)).alias(f"m{s}")
+            for s, (a, c) in enumerate(coeffs)
+        ]
     )
     banded = sig.select(
         id_col,
@@ -152,14 +218,11 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                "_",
-                                *[
-                                    F.element_at("sig", band * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                        band_bucket(
+                            [
+                                F.col(f"m{band * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for band in range(bands)
@@ -168,7 +231,7 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
-    banded = banded.persist()
+    banded = track_cache(banded)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), on=["band", "bucket"])
@@ -178,35 +241,8 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .join(cand, on=["id_a", "id_b"], how="leftsemi")
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    return (
-        inter.join(
-            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a"),
-            on="id_a",
-        )
-        .join(
-            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("set_size", "size_b"),
-            on="id_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard")
+    return _jaccard_verify(cand, sh, id_col, min_jaccard).select(
+        "id_a", "id_b", "jaccard"
     )
 
 
@@ -214,17 +250,24 @@ def simhash_buckets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 64,
+    bits: int = 62,
 ) -> DataFrame:
-    """64-bit SimHash per document (SURVEY E4).
+    """62-bit SimHash per document (SURVEY E4).
 
-    Per token t with 64-bit hash h: each bit contributes +1/−1 to a
-    per-bit counter; the sign vector is the fingerprint. Expressed as
+    Two independent 31-bit polynomial channels (xhash B1/M1, B2/M2)
+    supply bits 0–30 and 31–61 of each token's hash — pure int64
+    arithmetic, so the fingerprint is reproducible in DuckDB (unlike
+    the r1 xxhash64 version). Per token, each bit contributes +1/−1 to
+    a per-bit counter; the sign vector is the fingerprint. Expressed as
     an explode + groupBy (bit, sign-sum) aggregation — fully
     distributed, no UDFs.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    hashed = tok.withColumn("h", F.xxhash64("tok"))
+    hashed = tok.select(
+        id_col,
+        poly_hash(F.col("tok"), base=B1, mod=M1).alias("h1"),
+        poly_hash(F.col("tok"), base=B2, mod=M2).alias("h2"),
+    )
     # Bit positions are compile-time constants — unroll to keep
     # shiftright on the fast literal path.
     bits_df = hashed.select(
@@ -235,7 +278,12 @@ def simhash_buckets(
                     F.struct(
                         F.lit(i).alias("bit"),
                         F.when(
-                            F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, F.lit(1)
+                            F.shiftright(
+                                F.col("h1") if i < 31 else F.col("h2"),
+                                i if i < 31 else i - 31,
+                            ).bitwiseAND(1)
+                            == 1,
+                            F.lit(1),
                         )
                         .otherwise(F.lit(-1))
                         .alias("delta"),

@@ -1,10 +1,17 @@
 """Similarity search over embedding columns (SURVEY §2.E5, E6, E11).
 
-Brute-force cosine top-k as the verifiable baseline, plus a
-random-hyperplane LSH-bucketed variant as the scale path. Vector math
-is pure `F.aggregate`/`F.zip_with` fold over double-cast arrays —
-JVM-side, deterministic left-to-right accumulation (matches DuckDB's
-sequential list_dot_product for oracle parity).
+Brute-force cosine top-k as the verifiable per-bucket kernel, plus
+random-hyperplane LSH variants as the scale path for both ANN top-k
+and embedding near-dup pairs. Vector math is unrolled arithmetic over
+double-cast arrays — JVM-side, deterministic left-to-right
+accumulation (matches DuckDB's sequential list_dot_product for oracle
+parity).
+
+Scale design (100 TB): candidate generation is always an equi-join on
+(band, band_val) sign-pattern buckets; the only cross join left is
+``cosine_topk``, whose contract is a BOUNDED query set broadcast
+against the corpus (a linear corpus scan, not a cartesian product) —
+it is also the within-bucket kernel of the LSH paths.
 """
 
 from __future__ import annotations
@@ -17,6 +24,22 @@ def as_double(vec: Column) -> Column:
     # Native array cast (codegen) — NOT transform(x -> cast(x)), which
     # drops to interpreted higher-order-function evaluation per row.
     return vec.cast("array<double>")
+
+
+def det_hyperplanes(n_planes: int = 3, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no RNG dependency).
+
+    Values are exact multiples of 1/500 so the decimal literals parse
+    to identical doubles in Spark and DuckDB — the sign patterns (and
+    therefore LSH buckets) are bit-identical across engines, which is
+    what upgrades the LSH operators to full value-hash oracle checks.
+    """
+    planes = []
+    for p in range(n_planes):
+        planes.append(
+            [(((i * 2654435761 + p * 40503) % 1000) / 500.0) - 1.0 for i in range(dim)]
+        )
+    return planes
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -41,6 +64,22 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
+def plane_dot(v: Column, plane: list[float]) -> Column:
+    """Unrolled v·plane with literal weights (left-assoc from 0.0)."""
+    out: Column = F.lit(0.0)
+    for i, w in enumerate(plane):
+        out = out + F.element_at(v, i + 1) * F.lit(w)
+    return out
+
+
+def sign_bits(v: Column, hyperplanes: list[list[float]]) -> list[Column]:
+    """One 0/1 column per hyperplane: 1 iff v·plane >= 0."""
+    return [
+        F.when(plane_dot(v, hp) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for hp in hyperplanes
+    ]
+
+
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """dot/(‖a‖·‖b‖) with norms as sqrt of self-dot (mirrors the oracle)."""
     return dot(a, b, dim) / (F.sqrt(dot(a, a, dim)) * F.sqrt(dot(b, b, dim)))
@@ -55,18 +94,20 @@ def cosine_topk(
     vec: str = "vec",
     dim: int | None = None,
 ) -> DataFrame:
-    """Brute-force cosine top-k: every query scored against the corpus.
+    """Brute-force cosine top-k for a BOUNDED query set.
 
-    The corpus side is broadcast when small; ranking is per-query
-    (row_number over the rounded similarity, ties broken by id) so the
-    result is deterministic and oracle-comparable.
-
-    Scale: for large corpora this is the per-bucket kernel of
-    ``lsh_topk`` — never run globally at 100 TB.
+    The query side is explicitly broadcast: the plan is a
+    BroadcastNestedLoopJoin that scans the corpus ONCE and scores each
+    row against the in-memory query vectors — linear in corpus size,
+    which is the correct shape for "score a handful of probes against
+    100 TB". It is NOT a corpus×corpus product; for all-pairs problems
+    use ``lsh_dup_pairs``, and for large query sets use ``lsh_topk``.
+    Ranking is per-query (row_number over the rounded similarity, ties
+    broken by id) so the result is deterministic and oracle-comparable.
     """
     q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("qv"))
     c = corpus.select(F.col(corpus_id), as_double(F.col(vec)).alias("cv"))
-    scored = q.crossJoin(c).withColumn(
+    scored = F.broadcast(q).crossJoin(c).withColumn(
         "cosine", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -87,11 +128,12 @@ def embedding_dup_pairs(
     min_cosine: float = 0.95,
     dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within blocks (SURVEY E11).
+    """Embedding-cosine near-duplicate pairs within explicit blocks.
 
-    Blocking (here: the label column; at scale an LSH bucket) keeps
-    the pair space linear-ish. Threshold applied to the rounded value
-    so both engines make identical keep/drop decisions.
+    Kept as the *pre-blocked* kernel (e.g. per-language, per-shard
+    dedup where a block key already exists and is high-cardinality).
+    For unblocked corpora use ``lsh_dup_pairs`` — a low-cardinality
+    block key here means O(Σ block²) pairs.
     """
     cols = [F.col(id_col), as_double(F.col(vec)).alias("v")]
     if block_col:
@@ -118,6 +160,60 @@ def embedding_dup_pairs(
     )
 
 
+def lsh_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 2,
+    min_cosine: float = 0.95,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by banded sign-pattern LSH
+    (SURVEY E11 — the scale path, r2 headline).
+
+    Candidate generation: ``n_planes`` fixed hyperplanes give each
+    vector a sign pattern, split into ``bands`` bands; two vectors are
+    candidates iff they share ANY full band (equi-join on
+    (band, band_val)). Pair space is O(Σ bucket²) with data-adaptive
+    buckets — never a label-cardinality artifact. Verification re-joins
+    the two vectors by id and thresholds the rounded cosine, so output
+    pairs are exact (recall < 1 by LSH construction; both engines
+    compute the identical candidate set, so the oracle matches).
+    """
+    hyperplanes = det_hyperplanes(n_planes, dim)
+    bits_per_band = n_planes // bands
+    base = df.select(F.col(id_col).alias("vid"), as_double(F.col(vec)).alias("v"))
+    bits = sign_bits(F.col("v"), hyperplanes)
+    band_structs = []
+    for bd in range(bands):
+        val: Column = F.lit(0)
+        for i in range(bits_per_band):
+            val = val + bits[bd * bits_per_band + i] * F.lit(2**i)
+        band_structs.append(
+            F.struct(F.lit(bd).alias("band"), val.alias("band_val"))
+        )
+    banded = base.select(
+        "vid", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vid", "bb.band", "bb.band_val")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "band_val"])
+        .filter(F.col("x.vid") < F.col("y.vid"))
+        .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb"), dim), 6))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -126,29 +222,23 @@ def lsh_topk(
     query_id: str = "query_id",
     corpus_id: str = "corpus_id",
     vec: str = "vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN (SURVEY E6): bucket by sign pattern,
     brute-force cosine within bucket only.
 
     ``hyperplanes`` is a small literal list (generated deterministically
     by the caller) — it compiles into the plan, no broadcast needed.
-    Recall < 1 by construction; this is the scale path, verified
-    rows-only against the brute-force baseline in tests.
+    Recall < 1 by construction, but DETERMINISTIC: with
+    ``det_hyperplanes`` both engines assign identical buckets, so the
+    result is fully oracle-checkable.
     """
 
     def bucket_expr(v: Column) -> Column:
-        bits = [
-            F.when(
-                sum((F.element_at(v, i + 1) * w for i, w in enumerate(hp)), F.lit(0.0))
-                >= 0,
-                F.lit(1),
-            ).otherwise(F.lit(0))
-            * (2**bi)
-            for bi, hp in enumerate(hyperplanes)
-        ]
-        out = F.lit(0)
-        for b in bits:
-            out = out + b
+        bits = sign_bits(v, hyperplanes)
+        out: Column = F.lit(0)
+        for bi, bit in enumerate(bits):
+            out = out + bit * F.lit(2**bi)
         return out
 
     q = queries.select(
@@ -158,7 +248,7 @@ def lsh_topk(
         F.col(corpus_id), as_double(F.col(vec)).alias("cv")
     ).withColumn("bucket", bucket_expr(F.col("cv")))
     scored = q.join(c, on="bucket").withColumn(
-        "cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+        "cosine", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc()

@@ -19,15 +19,38 @@ from gentropy_spark.functions.text import (
     token_count_bpe_ish,
     token_count_ws,
 )
+from gentropy_spark.functions.xhash import (
+    B2,
+    M2,
+    band_bucket_sql,
+    poly_hash_sql,
+    seed_coeffs,
+    seeded_sql,
+)
 from gentropy_spark.operators.dedup import (
     exact_dup_groups,
     minhash_lsh_pairs,
     rare_shingle_jaccard_pairs,
     simhash_buckets,
 )
-from gentropy_spark.operators.similarity import cosine_topk, embedding_dup_pairs, lsh_topk
+from gentropy_spark.operators.similarity import (
+    cosine_topk,
+    det_hyperplanes,
+    lsh_dup_pairs,
+    lsh_topk,
+)
 from gentropy_spark.plans.registry import QuerySpec
 from gentropy_spark.sources.readers import read_table
+
+
+def _plane_lit(plane: list[float]) -> str:
+    """Hyperplane as a DuckDB DOUBLE[] literal (scientific notation —
+    DuckDB parses plain decimal literals as DECIMAL, not DOUBLE)."""
+    return "[" + ", ".join(format(w, ".17e") for w in plane) + "]::DOUBLE[]"
+
+
+def _sign_bit_sql(vec_expr: str, plane: list[float]) -> str:
+    return f"(CASE WHEN list_dot_product({vec_expr}, {_plane_lit(plane)}) >= 0 THEN 1 ELSE 0 END)"
 
 TOKS_SQL = (
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -82,13 +105,115 @@ WHERE ROUND(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.2
 """
 
 
-# --- E3/E4: MinHash LSH + SimHash (rows-only: engine-specific hashes) ----
+# --- E3/E4: MinHash LSH + SimHash (oracle-exact since r2: the hashes
+# are the cross-engine polynomial family from functions/xhash.py) -----------
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_buckets(read_table(spark, sf_dir, "documents"))
+
+
+_SHINGLE_CTE = f"""
+toks AS (
+  SELECT doc_id, {TOKS_SQL} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, GREATEST(len(t) - 2, 0)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+)"""
+
+_MH_COEFFS = seed_coeffs(32)
+_MH_MINS = ",\n         ".join(
+    f"MIN({seeded_sql('h', a, c)}) AS m{s}" for s, (a, c) in enumerate(_MH_COEFFS)
+)
+_MH_BANDS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {band} AS band, "
+    f"{band_bucket_sql([f'm{band * 4 + r}' for r in range(4)])} AS bucket FROM sig"
+    for band in range(8)
+)
+
+# Same algorithm as minhash_lsh_pairs: one polynomial base hash per
+# shingle, 32 affine rehash minima, 8 bands × 4 rows, exact-Jaccard
+# verification over candidate pairs (pair-explode shape).
+MINHASH_SQL = f"""
+WITH {_SHINGLE_CTE},
+hashed AS (SELECT doc_id, {poly_hash_sql('shingle')} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+         {_MH_MINS}
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+{_MH_BANDS}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.2
+"""
+
+_SIMHASH_CORE = f"""
+tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+hashed AS (
+  SELECT doc_id,
+         {poly_hash_sql('tok')} AS h1,
+         {poly_hash_sql('tok', base=B2, mod=M2)} AS h2
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, CAST(b.bit AS INT) AS bit,
+         CASE WHEN ((CASE WHEN b.bit < 31 THEN (h1 >> CAST(b.bit AS INT))
+                          ELSE (h2 >> CAST(b.bit - 31 AS INT)) END) & 1) = 1
+              THEN 1 ELSE -1 END AS delta
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 62)) AS bit) b
+),
+votes AS (SELECT doc_id, bit, SUM(delta) AS s FROM bits GROUP BY 1, 2),
+fps AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)"""
+
+SIMHASH_SQL = f"""
+WITH {_SIMHASH_CORE}
+SELECT doc_id, simhash FROM fps
+"""
+
+SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_CORE},
+banded AS (
+  SELECT doc_id, simhash, CAST(b.band AS INT) AS band,
+         CAST((simhash >> CAST(b.band * 16 AS INT)) & 65535 AS INT) AS band_val
+  FROM fps CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 8
+"""
 
 
 # --- E5: brute-force cosine top-k ----------------------------------------
@@ -125,18 +250,53 @@ SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
-# --- E11: embedding-cosine near-dup pairs --------------------------------
+# --- E11: embedding-cosine near-dup pairs (LSH-blocked since r2) ---------
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_dup_pairs(
-        read_table(spark, sf_dir, "embeddings"), min_cosine=0.3, dim=64
+    """Near-dup pairs blocked by banded sign-pattern LSH — the scale
+    path (candidate space follows the data, not a label column)."""
+    return lsh_dup_pairs(
+        read_table(spark, sf_dir, "embeddings"),
+        n_planes=16,
+        bands=2,
+        min_cosine=0.3,
+        dim=64,
     )
 
 
+_EMB_PLANES = det_hyperplanes(16, 64)
+_EMB_BITS = ",\n         ".join(
+    f"{_sign_bit_sql('v', hp)} AS b{i}" for i, hp in enumerate(_EMB_PLANES)
+)
+_EMB_BANDS = "\n  UNION ALL\n".join(
+    "  SELECT vec_id, {band} AS band, ({val}) AS band_val FROM bits".format(
+        band=band,
+        val=" + ".join(f"b{band * 8 + i} * {2 ** i}" for i in range(8)),
+    )
+    for band in range(2)
+)
+
 DEDUP_EMB_SQL = f"""
-WITH vecs AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b, {COS_SQL} AS cosine
-FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {COS_SQL} >= 0.3
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bits AS (
+  SELECT vec_id,
+         {_EMB_BITS}
+  FROM vecs
+),
+banded AS (
+{_EMB_BANDS}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_val = y.band_val AND x.vec_id < y.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b, {COS_SQL} AS cosine
+  FROM cand
+  JOIN vecs a ON a.vec_id = id_a
+  JOIN vecs b ON b.vec_id = id_b
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
 """
 
 
@@ -235,17 +395,9 @@ FROM fp
 """
 
 
-# --- E6: LSH-bucketed ANN (rows-only: recall < 1 by design) --------------
-def _det_hyperplanes(n_planes: int = 3, dim: int = 64) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (no RNG dependency)."""
-    planes = []
-    for p in range(n_planes):
-        planes.append(
-            [(((i * 2654435761 + p * 40503) % 1000) / 500.0) - 1.0 for i in range(dim)]
-        )
-    return planes
-
-
+# --- E6: LSH-bucketed ANN (oracle-exact since r2: deterministic fixed
+# hyperplanes give bit-identical buckets in both engines; recall < 1 vs
+# brute force by LSH design, but the LSH result itself is exact) ----------
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -254,15 +406,41 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
     )
-    return lsh_topk(queries, corpus, _det_hyperplanes(), k=5)
+    return lsh_topk(queries, corpus, det_hyperplanes(3, 64), k=5, dim=64)
+
+
+_ANN_PLANES = det_hyperplanes(3, 64)
+_ANN_BUCKET = " + ".join(
+    f"{_sign_bit_sql('v', hp)} * {2 ** bi}" for bi, hp in enumerate(_ANN_PLANES)
+)
+_ANN_COS = (
+    "ROUND(list_dot_product(q.v, c.v) / "
+    "(SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))), 6)"
+)
+
+ANN_LSH_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bkt AS (SELECT vec_id, v, ({_ANN_BUCKET}) AS bucket FROM vecs),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, {_ANN_COS} AS cosine
+  FROM bkt q JOIN bkt c ON q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND c.vec_id >= 10
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
 
 
 REGISTRY: dict[str, QuerySpec] = {
-    "ann_lsh_bucketed": QuerySpec(q_ann_lsh, None),
+    "ann_lsh_bucketed": QuerySpec(q_ann_lsh, ANN_LSH_SQL),
     "dedup_exact": QuerySpec(q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_jaccard, DEDUP_JACCARD_SQL),
-    "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, None),
-    "dedup_simhash": QuerySpec(q_dedup_simhash, None),
+    "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, MINHASH_SQL),
+    "dedup_simhash": QuerySpec(q_dedup_simhash, SIMHASH_SQL),
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ANN_TOPK_SQL),
     "dedup_embedding_cosine": QuerySpec(q_dedup_embedding, DEDUP_EMB_SQL),
     "text_quality": QuerySpec(q_text_quality, TEXT_QUALITY_SQL),
@@ -366,7 +544,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash near-dup candidates: split the 64-bit fingerprint
     into four 16-bit bands, equi-join on any shared band, verify with
     bit_count(xor) <= 8 hamming distance."""
-    fps = simhash_buckets(read_table(spark, sf_dir, "documents")).persist()
+    from gentropy_spark.session import track_cache
+
+    fps = track_cache(simhash_buckets(read_table(spark, sf_dir, "documents")))
     banded = fps.select(
         "doc_id",
         "simhash",
@@ -402,6 +582,6 @@ REGISTRY.update(
     {
         "text_repetition": QuerySpec(q_text_repetition, TEXT_REPETITION_SQL),
         "text_logfreq": QuerySpec(q_text_logfreq, TEXT_LOGFREQ_SQL),
-        "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, None),
+        "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, SIMHASH_PAIRS_SQL),
     }
 )

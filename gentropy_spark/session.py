@@ -17,9 +17,32 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# --- cache lifecycle -------------------------------------------------------
+# Operators that persist() intermediates (shingle indexes, band tables)
+# register the handle here. A bounded FIFO keeps long sessions (bench
+# min-of-2, driver repeat probes) from accumulating storage memory, and
+# callers that fully materialise a result can release_caches() eagerly.
+_CACHED: list[DataFrame] = []
+_CACHE_CAP = 16
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for bounded-lifetime cleanup."""
+    df.persist()
+    _CACHED.append(df)
+    while len(_CACHED) > _CACHE_CAP:
+        _CACHED.pop(0).unpersist()
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every tracked intermediate (call after materialising)."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
 
 
 def get_session(
