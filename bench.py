@@ -17,7 +17,7 @@ import os
 import time
 
 from gentropy_spark.plans import full_registry
-from gentropy_spark.session import get_session
+from gentropy_spark.session import get_session, release_caches
 
 # Headline set: one per operator family (SURVEY §2 A/C/D/E).
 HEADLINE = [
@@ -64,6 +64,10 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+        # Evict intermediates persisted by this query's operators so
+        # storage memory stays bounded across the sweep (the min-of-2
+        # pair above still shares its cache, as intended).
+        release_caches()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

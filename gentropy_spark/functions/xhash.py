@@ -12,7 +12,9 @@ Design notes for 100 TB:
 - The Spark side is a fully unrolled Column expression (no UDF, no
   higher-order function): stays inside whole-stage codegen.
 - Horner with base 31/37 mod a ~2^31 prime: every intermediate fits
-  int64 (max ``(2^31)·31 + 127``), so no overflow on either engine.
+  int64 — max ``(2^31)·37 + 0x10FFFF``, since ``ascii()`` returns full
+  Unicode CODE POINTS (≤ 0x10FFFF, not bytes) in BOTH engines, which
+  is also what keeps every ``%`` operand non-negative for parity.
 - Truncation to the first ``nchars`` chars plus a length mix keeps the
   expression bounded; collisions only widen LSH candidate sets, which
   downstream exact verification filters — output quality is preserved.

@@ -16,8 +16,13 @@ it is also the within-bucket kernel of the LSH paths.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from gentropy_spark.session import track_cache
 
 
 def as_double(vec: Column) -> Column:
@@ -26,18 +31,32 @@ def as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
 
 
+def _mix32(x: int) -> int:
+    """32-bit integer finalizer (xor-shift-multiply, murmur-style)."""
+    x &= 0xFFFFFFFF
+    x = ((x ^ (x >> 16)) * 0x45D9F3B) & 0xFFFFFFFF
+    x = ((x ^ (x >> 16)) * 0x45D9F3B) & 0xFFFFFFFF
+    return x ^ (x >> 16)
+
+
 def det_hyperplanes(n_planes: int = 3, dim: int = 64) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no RNG dependency).
 
-    Values are exact multiples of 1/500 so the decimal literals parse
-    to identical doubles in Spark and DuckDB — the sign patterns (and
-    therefore LSH buckets) are bit-identical across engines, which is
-    what upgrades the LSH operators to full value-hash oracle checks.
+    Weights are a murmur-style integer mix of (plane, dim) quantized to
+    1/1000 steps in [-1, 1] — statistically independent across planes,
+    unlike the r2 linear-congruential pattern, whose planes p and p+2
+    were near-identical vectors (offset 6/500 mod wrap): that collapsed
+    16-bit bands to ~160 distinct buckets with quarter-corpus
+    mega-buckets, i.e. a quadratic candidate space in disguise. The
+    weights are plan-time Python floats embedded as literals on BOTH
+    engines (Spark ``F.lit``, DuckDB ``%.17e`` round-trip), so sign
+    patterns — and therefore LSH buckets — stay bit-identical across
+    engines regardless of the weight values chosen.
     """
     planes = []
     for p in range(n_planes):
         planes.append(
-            [(((i * 2654435761 + p * 40503) % 1000) / 500.0) - 1.0 for i in range(dim)]
+            [(_mix32(p * 100_003 + i * 7919 + 1) % 2001) / 1000.0 - 1.0 for i in range(dim)]
         )
     return planes
 
@@ -73,16 +92,98 @@ def plane_dot(v: Column, plane: list[float]) -> Column:
 
 
 def sign_bits(v: Column, hyperplanes: list[list[float]]) -> list[Column]:
-    """One 0/1 column per hyperplane: 1 iff v·plane >= 0."""
+    """One 0/1 column per hyperplane: 1 iff v·plane >= 0.
+
+    Unrolled-expression form — fine for a FEW planes (``lsh_topk`` uses
+    3). For many planes use ``packed_sign_bits``: n_planes × dim
+    unrolled terms overflow the JVM's 64KB method limit and whole-stage
+    codegen fails to compile (the r2 `dedup_embedding_cosine` 4×
+    regression), falling back to per-row interpreted evaluation.
+    """
     return [
         F.when(plane_dot(v, hp) >= 0, F.lit(1)).otherwise(F.lit(0))
         for hp in hyperplanes
     ]
 
 
+def packed_sign_bits(hyperplanes: list[list[float]]):
+    """All hyperplane sign bits of a vector packed into ONE int64, as a
+    single Arrow-batched ``pandas_udf``.
+
+    Why a UDF here when the rest of the engine is Column-expression
+    first: with 64 planes × 64 dims the unrolled JVM expression is
+    ~4,100 multiply-add terms — past the 64KB generated-method limit,
+    so codegen *fails to compile* and Spark silently drops to per-row
+    interpreted evaluation (measured 4× slower end-to-end in r2). The
+    UDF has CONSTANT generated-code size: the plane matrix is a numpy
+    constant in the closure, the per-batch work is ``dim`` fused
+    vectorized multiply-adds over the whole Arrow batch.
+
+    Oracle parity: accumulation is per-plane left-to-right over the
+    vector index (``acc += v[i] * w[i]`` in float64, seed 0.0) —
+    bit-identical to the unrolled JVM expression it replaces and to
+    DuckDB's sequential ``list_dot_product``, so sign bits (and hence
+    LSH buckets) stay cross-engine exact.
+    """
+    W = np.asarray(hyperplanes, dtype=np.float64)  # (n_planes, dim)
+    n_planes, dim = W.shape
+
+    @pandas_udf("long")
+    def _packed(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        acc = np.zeros((V.shape[0], n_planes), dtype=np.float64)
+        for i in range(dim):
+            # Sequential accumulation (index order) — IEEE-identical to
+            # the left-associated unrolled expression and the oracle.
+            acc += V[:, i : i + 1] * W[:, i]
+        bits = acc >= 0.0
+        packed = np.zeros(V.shape[0], dtype=np.uint64)
+        for p in range(n_planes):
+            packed |= bits[:, p].astype(np.uint64) << np.uint64(p)
+        return pd.Series(packed.view(np.int64))
+
+    return _packed
+
+
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """dot/(‖a‖·‖b‖) with norms as sqrt of self-dot (mirrors the oracle)."""
     return dot(a, b, dim) / (F.sqrt(dot(a, a, dim)) * F.sqrt(dot(b, b, dim)))
+
+
+def cosine_pairs_udf():
+    """Arrow-batched pairwise cosine — the verify-join kernel of
+    ``lsh_dup_pairs``.
+
+    The unrolled-expression ``cosine`` (3 × dim element_at terms) fused
+    into a generated method that ALSO contains two hash joins exceeds
+    the JVM's 64KB limit, killing whole-stage codegen for the verify
+    stage. This UDF is constant code size. Numeric parity with the
+    expression form and with DuckDB's ``list_dot_product``: all three
+    dot products accumulate left-to-right in float64 (IEEE add/mul),
+    and sqrt/division are correctly-rounded IEEE ops in numpy and the
+    JVM alike. Rounding stays OUTSIDE (JVM ``F.round``) — numpy rounds
+    half-to-even, which diverges from Spark/DuckDB half-up on ties.
+    """
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(va.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
+        n = A.shape[0]
+        ab = np.zeros(n)
+        aa = np.zeros(n)
+        bb = np.zeros(n)
+        for i in range(A.shape[1]):
+            ab += A[:, i] * B[:, i]
+            aa += A[:, i] * A[:, i]
+            bb += B[:, i] * B[:, i]
+        return pd.Series(ab / (np.sqrt(aa) * np.sqrt(bb)))
+
+    return _cos
 
 
 def cosine_topk(
@@ -93,6 +194,7 @@ def cosine_topk(
     corpus_id: str = "corpus_id",
     vec: str = "vec",
     dim: int | None = None,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Brute-force cosine top-k for a BOUNDED query set.
 
@@ -104,7 +206,19 @@ def cosine_topk(
     use ``lsh_dup_pairs``, and for large query sets use ``lsh_topk``.
     Ranking is per-query (row_number over the rounded similarity, ties
     broken by id) so the result is deterministic and oracle-comparable.
+
+    ``max_queries`` guards the contract: a large query set would make
+    the broadcast build side OOM (or hit the 8GB broadcast cap) rather
+    than degrade gracefully, so it is rejected up front with a pointer
+    to the scale path.
     """
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"cosine_topk is a bounded-query broadcast kernel "
+                f"(> {max_queries} queries); use lsh_topk for large query sets"
+            )
     q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("qv"))
     c = corpus.select(F.col(corpus_id), as_double(F.col(vec)).alias("cv"))
     scored = F.broadcast(q).crossJoin(c).withColumn(
@@ -164,37 +278,51 @@ def lsh_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec: str = "embedding",
-    n_planes: int = 16,
-    bands: int = 2,
+    n_planes: int = 64,
+    bands: int = 4,
     min_cosine: float = 0.95,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs blocked by banded sign-pattern LSH
-    (SURVEY E11 — the scale path, r2 headline).
+    (SURVEY E11 — the scale path).
 
     Candidate generation: ``n_planes`` fixed hyperplanes give each
-    vector a sign pattern, split into ``bands`` bands; two vectors are
-    candidates iff they share ANY full band (equi-join on
-    (band, band_val)). Pair space is O(Σ bucket²) with data-adaptive
-    buckets — never a label-cardinality artifact. Verification re-joins
-    the two vectors by id and thresholds the rounded cosine, so output
-    pairs are exact (recall < 1 by LSH construction; both engines
-    compute the identical candidate set, so the oracle matches).
+    vector a sign pattern (packed into one int64 by a single
+    Arrow-batched ``packed_sign_bits`` UDF — constant codegen size; see
+    that docstring for why the unrolled-expression form is wrong here),
+    split into ``bands`` bands of ``n_planes // bands`` bits; two
+    vectors are candidates iff they share ANY full band (equi-join on
+    (band, band_val)). With the r3 defaults (64 planes, 4 × 16-bit
+    bands) the random-collision candidate space is n²/65536 per band —
+    the 8-bit r2 default left it at n²/256, still quadratic at 100×.
+    Verification re-joins the two vectors by id (from the CACHED packed
+    projection, so the UDF and the cast run once, not once per join
+    branch) and thresholds the rounded cosine, so output pairs are
+    exact (recall < 1 by LSH construction; both engines compute the
+    identical candidate set, so the oracle matches).
     """
     hyperplanes = det_hyperplanes(n_planes, dim)
     bits_per_band = n_planes // bands
-    base = df.select(F.col(id_col).alias("vid"), as_double(F.col(vec)).alias("v"))
-    bits = sign_bits(F.col("v"), hyperplanes)
-    band_structs = []
-    for bd in range(bands):
-        val: Column = F.lit(0)
-        for i in range(bits_per_band):
-            val = val + bits[bd * bits_per_band + i] * F.lit(2**i)
-        band_structs.append(
-            F.struct(F.lit(bd).alias("band"), val.alias("band_val"))
-        )
+    mask = (1 << bits_per_band) - 1
+    base = track_cache(
+        df.select(F.col(id_col).alias("vid"), as_double(F.col(vec)).alias("v"))
+        .withColumn("packed", packed_sign_bits(hyperplanes)(F.col("v")))
+    )
     banded = base.select(
-        "vid", F.explode(F.array(*band_structs)).alias("bb")
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bd).alias("band"),
+                        F.shiftright(F.col("packed"), bd * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for bd in range(bands)
+                ]
+            )
+        ).alias("bb"),
     ).select("vid", "bb.band", "bb.band_val")
     cand = (
         banded.alias("x")
@@ -208,7 +336,9 @@ def lsh_dup_pairs(
     return (
         cand.join(va, on="id_a")
         .join(vb, on="id_b")
-        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb"), dim), 6))
+        .withColumn(
+            "cosine", F.round(cosine_pairs_udf()(F.col("va"), F.col("vb")), 6)
+        )
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )

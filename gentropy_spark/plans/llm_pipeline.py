@@ -43,6 +43,29 @@ from gentropy_spark.plans.registry import QuerySpec
 from gentropy_spark.sources.readers import read_table
 
 
+# Shared algorithm parameters — BOTH the Spark operator calls and the
+# generated DuckDB oracle SQL derive from these, so the two sides can
+# never silently test different algorithms (ADVICE r2).
+SHINGLE_N = 3
+JACCARD_MAX_DF = 10
+MIN_JACCARD = 0.2
+MINHASH_NUM_HASHES = 32
+MINHASH_BANDS = 8
+MINHASH_ROWS_PER_BAND = MINHASH_NUM_HASHES // MINHASH_BANDS
+SIMHASH_BAND_BITS = 16
+SIMHASH_N_BANDS = 4
+SIMHASH_MAX_HAMMING = 8
+ANN_N_PLANES = 3
+EMB_DIM = 64
+EMB_N_PLANES = 64
+EMB_BANDS = 4
+EMB_BITS_PER_BAND = EMB_N_PLANES // EMB_BANDS
+# The synthetic embeddings have no true near-dups (max pairwise cosine
+# ≈0.51), so the query thresholds at 0.0: the output is the full LSH
+# candidate set with exact cosines — non-trivial in both engines.
+EMB_MIN_COSINE = 0.0
+
+
 def _plane_lit(plane: list[float]) -> str:
     """Hyperplane as a DuckDB DOUBLE[] literal (scientific notation —
     DuckDB parses plain decimal literals as DECIMAL, not DOUBLE)."""
@@ -74,9 +97,16 @@ FROM documents
 # --- E2: rare-shingle Jaccard near-dup -----------------------------------
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rare_shingle_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"), n=3, max_df=10, min_jaccard=0.2
+        read_table(spark, sf_dir, "documents"),
+        n=SHINGLE_N,
+        max_df=JACCARD_MAX_DF,
+        min_jaccard=MIN_JACCARD,
     )
 
+
+_SHINGLE_CAT = " || ' ' || ".join(
+    "t[i]" if k == 0 else f"t[i+{k}]" for k in range(SHINGLE_N)
+)
 
 DEDUP_JACCARD_SQL = f"""
 WITH toks AS (
@@ -84,11 +114,11 @@ WITH toks AS (
 ),
 sh AS (
   SELECT DISTINCT doc_id,
-         unnest(list_transform(generate_series(1, GREATEST(len(t) - 2, 0)),
-                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         unnest(list_transform(generate_series(1, GREATEST(len(t) - {SHINGLE_N - 1}, 0)),
+                               i -> {_SHINGLE_CAT})) AS shingle
   FROM toks
 ),
-rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {JACCARD_MAX_DF}),
 rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
 sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM rsh GROUP BY doc_id),
 inter AS (
@@ -101,14 +131,20 @@ SELECT id_a, id_b, n_common, sa.set_size AS size_a, sb.set_size AS size_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE ROUND(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.2
+WHERE ROUND(n_common / (sa.set_size + sb.set_size - n_common), 6) >= {MIN_JACCARD}
 """
 
 
 # --- E3/E4: MinHash LSH + SimHash (oracle-exact since r2: the hashes
 # are the cross-engine polynomial family from functions/xhash.py) -----------
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(
+        read_table(spark, sf_dir, "documents"),
+        n=SHINGLE_N,
+        num_hashes=MINHASH_NUM_HASHES,
+        bands=MINHASH_BANDS,
+        min_jaccard=MIN_JACCARD,
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,19 +157,22 @@ toks AS (
 ),
 sh AS (
   SELECT DISTINCT doc_id,
-         unnest(list_transform(generate_series(1, GREATEST(len(t) - 2, 0)),
-                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         unnest(list_transform(generate_series(1, GREATEST(len(t) - {SHINGLE_N - 1}, 0)),
+                               i -> {_SHINGLE_CAT})) AS shingle
   FROM toks
 )"""
 
-_MH_COEFFS = seed_coeffs(32)
+_MH_COEFFS = seed_coeffs(MINHASH_NUM_HASHES)
 _MH_MINS = ",\n         ".join(
     f"MIN({seeded_sql('h', a, c)}) AS m{s}" for s, (a, c) in enumerate(_MH_COEFFS)
 )
 _MH_BANDS = "\n  UNION ALL\n".join(
     f"  SELECT doc_id, {band} AS band, "
-    f"{band_bucket_sql([f'm{band * 4 + r}' for r in range(4)])} AS bucket FROM sig"
-    for band in range(8)
+    + band_bucket_sql(
+        [f"m{band * MINHASH_ROWS_PER_BAND + r}" for r in range(MINHASH_ROWS_PER_BAND)]
+    )
+    + " AS bucket FROM sig"
+    for band in range(MINHASH_BANDS)
 )
 
 # Same algorithm as minhash_lsh_pairs: one polynomial base hash per
@@ -168,7 +207,7 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE ROUND(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.2
+WHERE ROUND(n_common / (sa.set_size + sb.set_size - n_common), 6) >= {MIN_JACCARD}
 """
 
 _SIMHASH_CORE = f"""
@@ -203,8 +242,9 @@ SIMHASH_PAIRS_SQL = f"""
 WITH {_SIMHASH_CORE},
 banded AS (
   SELECT doc_id, simhash, CAST(b.band AS INT) AS band,
-         CAST((simhash >> CAST(b.band * 16 AS INT)) & 65535 AS INT) AS band_val
-  FROM fps CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+         CAST((simhash >> CAST(b.band * {SIMHASH_BAND_BITS} AS INT))
+              & {(1 << SIMHASH_BAND_BITS) - 1} AS INT) AS band_val
+  FROM fps CROSS JOIN (SELECT unnest(range(0, {SIMHASH_N_BANDS})) AS band) b
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
@@ -212,7 +252,7 @@ cand AS (
   FROM banded x JOIN banded y
     ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
 )
-SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 8
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {SIMHASH_MAX_HAMMING}
 """
 
 
@@ -250,29 +290,33 @@ SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
-# --- E11: embedding-cosine near-dup pairs (LSH-blocked since r2) ---------
+# --- E11: embedding-cosine near-dup pairs (LSH-blocked since r2;
+# r3: vectorized packed-sign-bit UDF + 16-bit bands) ----------------------
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs blocked by banded sign-pattern LSH — the scale
     path (candidate space follows the data, not a label column)."""
     return lsh_dup_pairs(
         read_table(spark, sf_dir, "embeddings"),
-        n_planes=16,
-        bands=2,
-        min_cosine=0.3,
-        dim=64,
+        n_planes=EMB_N_PLANES,
+        bands=EMB_BANDS,
+        min_cosine=EMB_MIN_COSINE,
+        dim=EMB_DIM,
     )
 
 
-_EMB_PLANES = det_hyperplanes(16, 64)
+_EMB_PLANES = det_hyperplanes(EMB_N_PLANES, EMB_DIM)
 _EMB_BITS = ",\n         ".join(
     f"{_sign_bit_sql('v', hp)} AS b{i}" for i, hp in enumerate(_EMB_PLANES)
 )
-_EMB_BANDS = "\n  UNION ALL\n".join(
+_EMB_BANDS_SQL = "\n  UNION ALL\n".join(
     "  SELECT vec_id, {band} AS band, ({val}) AS band_val FROM bits".format(
         band=band,
-        val=" + ".join(f"b{band * 8 + i} * {2 ** i}" for i in range(8)),
+        val=" + ".join(
+            f"b{band * EMB_BITS_PER_BAND + i} * {2 ** i}"
+            for i in range(EMB_BITS_PER_BAND)
+        ),
     )
-    for band in range(2)
+    for band in range(EMB_BANDS)
 )
 
 DEDUP_EMB_SQL = f"""
@@ -283,7 +327,7 @@ bits AS (
   FROM vecs
 ),
 banded AS (
-{_EMB_BANDS}
+{_EMB_BANDS_SQL}
 ),
 cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
@@ -296,7 +340,8 @@ pairs AS (
   JOIN vecs a ON a.vec_id = id_a
   JOIN vecs b ON b.vec_id = id_b
 )
-SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+SELECT id_a, id_b, cosine FROM pairs
+WHERE cosine >= {format(EMB_MIN_COSINE, ".17e")}
 """
 
 
@@ -406,10 +451,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
     )
-    return lsh_topk(queries, corpus, det_hyperplanes(3, 64), k=5, dim=64)
+    return lsh_topk(
+        queries, corpus, det_hyperplanes(ANN_N_PLANES, EMB_DIM), k=5, dim=EMB_DIM
+    )
 
 
-_ANN_PLANES = det_hyperplanes(3, 64)
+_ANN_PLANES = det_hyperplanes(ANN_N_PLANES, EMB_DIM)
 _ANN_BUCKET = " + ".join(
     f"{_sign_bit_sql('v', hp)} * {2 ** bi}" for bi, hp in enumerate(_ANN_PLANES)
 )
@@ -547,6 +594,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gentropy_spark.session import track_cache
 
     fps = track_cache(simhash_buckets(read_table(spark, sf_dir, "documents")))
+    _mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = fps.select(
         "doc_id",
         "simhash",
@@ -556,10 +604,11 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(band).alias("band"),
                         F.expr(
-                            f"CAST(shiftright(simhash, {band * 16}) & 65535 AS INT)"
+                            f"CAST(shiftright(simhash, {band * SIMHASH_BAND_BITS})"
+                            f" & {_mask} AS INT)"
                         ).alias("band_val"),
                     )
-                    for band in range(4)
+                    for band in range(SIMHASH_N_BANDS)
                 ]
             )
         ).alias("bb"),
@@ -575,7 +624,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= 8)
+    return cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
 
 
 REGISTRY.update(

@@ -43,3 +43,41 @@ def test_q1_aggregation_is_partial(spark, sf_dir):
     """Sums must map-side combine (partial_ functions in HashAggregate)."""
     plan = _formatted(q1_pricing_summary(spark, sf_dir))
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_lsh_dedup_survives_codegen_hard_fail(spark, sf_dir):
+    """r2 regression: the unrolled 16×64 sign-bit expressions exceeded
+    the JVM's 64KB generated-method limit — codegen failed to COMPILE
+    and Spark silently fell back to per-row interpreted evaluation (4×
+    slower). With fallback disabled a compile failure is a hard error,
+    so this test proves every stage of the LSH dedup plan either
+    compiles or legitimately runs outside codegen (Arrow UDF stages)."""
+    from gentropy_spark.plans.llm_pipeline import q_dedup_embedding
+
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        q_dedup_embedding(spark, sf_dir).count()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
+def test_lsh_candidate_buckets_are_balanced(spark, sf_dir):
+    """The r2 hyperplane family collapsed 16-bit bands to ~160 distinct
+    buckets with quarter-corpus mega-buckets (quadratic candidates in
+    disguise). Guard: no bucket may hold more than 5% of the corpus."""
+    import numpy as np
+
+    from gentropy_spark.operators.similarity import det_hyperplanes
+    from gentropy_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(500).collect()
+    V = np.stack([np.array(r.embedding, dtype=np.float64) for r in emb])
+    W = np.array(det_hyperplanes(64, 64))
+    bits = V @ W.T >= 0
+    for bd in range(4):
+        vals = (bits[:, bd * 16 : (bd + 1) * 16] * (1 << np.arange(16))).sum(axis=1)
+        _, counts = np.unique(vals, return_counts=True)
+        assert counts.max() <= max(len(V) // 20, 4), (
+            f"band {bd}: mega-bucket of {counts.max()}/{len(V)}"
+        )
