@@ -123,13 +123,17 @@ class StudyLocus:
         self, other: "StudyLocus", tile_width: int | None = None
     ) -> DataFrame:
         """Interval-overlap pairs against another loci set
-        (study_locus.py:845 find_overlaps)."""
+        (study_locus.py:845 find_overlaps). Each side contributes its
+        OWN span column names — overlapping two differently-named span
+        tables is valid."""
         return _overlaps.overlap_join(
             self.df,
             other.df,
             start=self.start_col,
             end=self.end_col,
             tile_width=tile_width,
+            right_start=other.start_col,
+            right_end=other.end_col,
         )
 
     def pics_finemap(self, tau: int = 10_800_000_000) -> DataFrame:

@@ -36,17 +36,24 @@ def grouped_logsumexp(df: DataFrame, group_cols: Sequence[str], value_col: str) 
     """logsumexp(value) per group (SURVEY §2.G2).
 
     Reference: common/stats.py:23 ``get_logsum`` (numpy UDF) — here a
-    max-shifted two-aggregate composition over a single shuffle.
+    max-shifted two-aggregate composition expressed as AGGREGATE-JOIN
+    (r3, replacing window-max): the max pass and the sum pass are both
+    partial-aggregation friendly, so only per-partition partials ever
+    shuffle and the raw rows are never exchanged — the window form
+    shuffled + sorted the full input by the group keys. The tiny max
+    table joins back by group key (AQE broadcasts it when small).
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*group_cols)
-    shifted = df.withColumn("_mx", F.max(value_col).over(w))
-    return shifted.groupBy(*group_cols, "_mx").agg(
-        (F.log(F.sum(F.exp(F.col(value_col) - F.col("_mx")))) + F.col("_mx")).alias(
-            "logsum"
+    mx = df.groupBy(*group_cols).agg(F.max(value_col).alias("_mx"))
+    return (
+        df.join(mx, on=list(group_cols))
+        .groupBy(*group_cols, "_mx")
+        .agg(
+            (
+                F.log(F.sum(F.exp(F.col(value_col) - F.col("_mx")))) + F.col("_mx")
+            ).alias("logsum")
         )
-    ).drop("_mx")
+        .drop("_mx")
+    )
 
 
 def coloc(
@@ -61,18 +68,32 @@ def coloc(
     """COLOC H0..H4 posterior probabilities per overlap group.
 
     Returns one row per group with (n_overlapping, h0..h4).
-    """
-    from pyspark.sql import Window
 
-    w = Window.partitionBy(*group_cols)
+    Scale shape (r3 — aggregate-join, replacing window-max): the group
+    maxima come from a partial-agg-friendly groupBy whose output is one
+    tiny row per group, joined back by group key (AQE broadcasts it
+    when small); the logsumexp sums then combine map-side too. Nothing
+    but per-partition partials ever shuffles — the window form
+    exchanged and sorted every raw overlap row by the group keys, which
+    is the dominant cost at 100 TB.
+    """
     lp1, lp2, lp12 = math.log(prior_c1), math.log(prior_c2), math.log(prior_c12)
 
-    enriched = (
+    from gentropy_spark.session import track_cache
+
+    # Both the max pass and the sum pass scan the overlaps; persist so
+    # a derived input pipeline (e.g. the tag-overlap join) runs once.
+    # On a cluster this is the materialised overlap table a real coloc
+    # step reads anyway.
+    base = track_cache(
         overlaps.withColumn("_sum_bf", F.col(left_logbf) + F.col(right_logbf))
-        .withColumn("_mx_l", F.max(left_logbf).over(w))
-        .withColumn("_mx_r", F.max(right_logbf).over(w))
-        .withColumn("_mx_s", F.max("_sum_bf").over(w))
     )
+    mx = base.groupBy(*group_cols).agg(
+        F.max(left_logbf).alias("_mx_l"),
+        F.max(right_logbf).alias("_mx_r"),
+        F.max("_sum_bf").alias("_mx_s"),
+    )
+    enriched = base.join(mx, on=list(group_cols))
     grouped = enriched.groupBy(*group_cols, "_mx_l", "_mx_r", "_mx_s").agg(
         F.count("*").alias("n_overlapping"),
         _logsumexp_agg(F.col(left_logbf), F.col("_mx_l")).alias("logsum1"),

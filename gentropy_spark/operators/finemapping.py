@@ -58,9 +58,13 @@ def pics(
     r2 = F.exp(-F.abs(F.col(pos) - lead_pos) / F.lit(float(tau)))
     mu = nlp_lead * r2
     std = F.sqrt(1.0 - F.pow(F.sqrt(r2), PICS_K)) * F.sqrt(nlp_lead) / 2.0
+    # Zero-signal guard: nlp_lead == 0 makes std == 0 and (nlp-mu)/std a
+    # 0/0 NaN that would poison the whole cluster's prob_sum. The limit
+    # of 2·sf((nlp−mu)/std) as nlp_lead → 0⁺ is 2·sf(0) = 1, so emit
+    # that directly.
     prob = F.when(F.col(pos) == lead_pos, F.lit(1.0)).when(
-        r2 >= 0.5, 2.0 * norm_sf_col((nlp_lead - mu) / std)
-    )
+        (r2 >= 0.5) & (nlp_lead > 0.0), 2.0 * norm_sf_col((nlp_lead - mu) / std)
+    ).when(r2 >= 0.5, F.lit(1.0))
 
     with_prob = (
         clustered.withColumn("nlp_lead", nlp_lead)

@@ -25,14 +25,27 @@ def transitive_closure(
     """All (child, ancestor, depth) pairs reachable through the edges.
 
     ``edges`` must be acyclic (ontologies are). The edge table is
-    reused every iteration — persist it once.
+    persisted once (reused every iteration); each frontier is
+    ``localCheckpoint``-ed so (a) the per-iteration ``isEmpty`` probe
+    and the final union read materialised partitions instead of
+    re-deriving every prior join — the naive lineage makes iteration k
+    cost O(k) joins, O(depth²) overall — and (b) the result's lineage
+    is bounded regardless of depth. On a long-lived cluster job,
+    swap ``localCheckpoint`` (executor-local storage) for a reliable
+    ``checkpoint`` directory to keep fault tolerance.
+
+    Raises RuntimeError if reachability extends beyond ``max_depth``
+    instead of silently truncating (the r2 behavior — a closure that
+    quietly misses deep ancestors corrupts every downstream
+    enrichment): callers with deeper graphs must raise ``max_depth``.
     """
     edges = edges.select(child, parent).persist()
-    closure = edges.select(
+    frontier = edges.select(
         F.col(child), F.col(parent).alias("ancestor"), F.lit(1).alias("depth")
-    )
-    frontier = closure
-    for _ in range(max_depth):
+    ).localCheckpoint(eager=True)
+    parts = [frontier]
+    exhausted = True
+    for _ in range(max_depth - 1):
         nxt = (
             frontier.alias("f")
             .join(edges.alias("e"), F.col("f.ancestor") == F.col(f"e.{child}"))
@@ -41,9 +54,26 @@ def transitive_closure(
                 F.col(f"e.{parent}").alias("ancestor"),
                 (F.col("f.depth") + 1).alias("depth"),
             )
+            .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
+            exhausted = False
             break
-        closure = closure.unionByName(nxt)
+        parts.append(nxt)
         frontier = nxt
+    if exhausted:
+        probe = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.ancestor") == F.col(f"e.{child}"))
+        )
+        if not probe.isEmpty():
+            edges.unpersist()
+            raise RuntimeError(
+                f"transitive_closure: reachability exceeds max_depth={max_depth}; "
+                f"raise max_depth (result would silently miss deep ancestors)"
+            )
+    edges.unpersist()
+    closure = parts[0]
+    for p in parts[1:]:
+        closure = closure.unionByName(p)
     return closure

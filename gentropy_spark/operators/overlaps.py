@@ -28,6 +28,9 @@ def overlap_join(
     start: str = "locus_start",
     end: str = "locus_end",
     tile_width: int | None = None,
+    right_contig: str | None = None,
+    right_start: str | None = None,
+    right_end: str | None = None,
 ) -> DataFrame:
     """Pairs of (left, right) loci on the same contig with overlapping spans.
 
@@ -39,17 +42,27 @@ def overlap_join(
         tile_width: if set, use the tiled equi-join strategy (scale
             path); if None, plain contig equi-join + range predicate
             (correct and AQE-friendly when either side is small).
+        right_contig / right_start / right_end: the right side's column
+            names when they differ from the left's (default: same names
+            both sides).
     """
+    r_contig_name = right_contig or contig
+    r_start_name = right_start or start
+    r_end_name = right_end or end
     lhs = left.select(
         F.col(contig).alias("contig"),
         *[F.col(c).alias(f"left_{c}") for c in left.columns if c != contig],
     )
     rhs = right.select(
-        F.col(contig).alias("contig"),
-        *[F.col(c).alias(f"right_{c}") for c in right.columns if c != contig],
+        F.col(r_contig_name).alias("contig"),
+        *[
+            F.col(c).alias(f"right_{c}")
+            for c in right.columns
+            if c != r_contig_name
+        ],
     )
     l_start, l_end = F.col(f"left_{start}"), F.col(f"left_{end}")
-    r_start, r_end = F.col(f"right_{start}"), F.col(f"right_{end}")
+    r_start, r_end = F.col(f"right_{r_start_name}"), F.col(f"right_{r_end_name}")
     overlap_pred = (l_start <= r_end) & (r_start <= l_end)
 
     if tile_width is None:

@@ -434,7 +434,8 @@ def _pics_sql() -> str:
     z = f"(({nlp_lead}) - ({nlp_lead}) * r2) / (SQRT(1.0 - POW(SQRT(r2), 6.4)) * SQRT({nlp_lead}) / 2.0)"
     prob = (
         f"CASE WHEN pos = lead_pos THEN 1.0 "
-        f"WHEN r2 >= 0.5 THEN 2.0 * {norm_sf_sql(z)} END"
+        f"WHEN r2 >= 0.5 AND {nlp_lead} > 0 THEN 2.0 * {norm_sf_sql(z)} "
+        f"WHEN r2 >= 0.5 THEN 1.0 END"
     )
     return f"""
 WITH clustered AS ({clustered}),

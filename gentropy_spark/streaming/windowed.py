@@ -104,10 +104,20 @@ def sessionize_stateful(stream: DataFrame, gap_us: int = 43_200_000_000) -> Data
 
     The streaming counterpart of the locus-breaker operator: per
     (user, type) key, contiguous runs of events separated by more than
-    ``gap_us`` become sessions. State carries the open session across
-    micro-batches; completed sessions are appended, and the still-open
-    session is emitted when the group times out (or, under an
-    availableNow drain, flushed by the final batch walk).
+    ``gap_us`` become sessions.
+
+    Cross-batch contract (r3 — replaces the r2 single-batch
+    simplification that flushed open state every micro-batch, splitting
+    sessions at batch boundaries): state carries the open session
+    across micro-batches; a session is emitted either when a LATER
+    event in the data closes it (gap exceeded) or when the event-time
+    watermark passes its quiet period (``EventTimeTimeout`` at
+    session_end + gap). Sessions still open at the final watermark are
+    deliberately NOT emitted — they are not finished; a longer-running
+    stream could still extend them. Mild out-of-order arrivals merge
+    via min/max; events older than the open session's window are
+    watermark-late by construction and fold into the open session
+    rather than resurrecting an emitted one.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -129,45 +139,50 @@ def sessionize_stateful(stream: DataFrame, gap_us: int = 43_200_000_000) -> Data
             T.StructField("n", T.LongType()),
         ]
     )
+    cols = ["user_id", "event_type", "session_start", "session_end", "n_events"]
+    gap_ms = gap_us // 1000
 
     def fn(key, pdf_iter, state: GroupState):
-        rows = []
-        cur = state.get if state.exists else None
-        cur = list(cur) if cur else None
-        for pdf in pdf_iter:
-            for pos in sorted(pdf["pos"]):
-                pos = int(pos)
-                if cur is None:
-                    cur = [pos, pos, 1]
-                elif pos - cur[1] > gap_us:
-                    rows.append((key[0], key[1], cur[0], cur[1], cur[2]))
-                    cur = [pos, pos, 1]
-                else:
-                    cur[1] = pos
-                    cur[2] += 1
-        if cur is not None:
-            # availableNow drain: flush the open session too (documented
-            # simplification; a continuous run would rely on timeout).
-            rows.append((key[0], key[1], cur[0], cur[1], cur[2]))
+        if state.hasTimedOut:
+            s, e, n = state.get
             state.remove()
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "user_id",
-                "event_type",
-                "session_start",
-                "session_end",
-                "n_events",
-            ],
-        )
+            yield pd.DataFrame([(key[0], key[1], s, e, n)], columns=cols)
+            return
+        rows = []
+        cur = list(state.get) if state.exists else None
+        poses: list[int] = []
+        for pdf in pdf_iter:
+            poses.extend(int(p) for p in pdf["pos"])
+        for pos in sorted(poses):
+            if cur is None:
+                cur = [pos, pos, 1]
+            elif pos - cur[1] > gap_us:
+                rows.append((key[0], key[1], cur[0], cur[1], cur[2]))
+                cur = [pos, pos, 1]
+            else:
+                cur[0] = min(cur[0], pos)
+                cur[1] = max(cur[1], pos)
+                cur[2] += 1
+        if cur is not None:
+            state.update((cur[0], cur[1], cur[2]))
+            # Close when the watermark passes the session's quiet
+            # period (timeout timestamp is in epoch milliseconds).
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
+        yield pd.DataFrame(rows, columns=cols)
 
-    with_pos = stream.withColumn("pos", F.expr("ts div 1000"))
-    return with_pos.groupBy("user_id", "event_type").applyInPandasWithState(
-        fn,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    with_pos = stream.withColumn("pos", F.expr("ts div 1000")).withColumn(
+        "event_time", F.timestamp_micros(F.col("pos"))
+    )
+    return (
+        with_pos.withWatermark("event_time", "0 seconds")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

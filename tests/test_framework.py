@@ -215,3 +215,76 @@ def test_cli_list_and_run(capsys):
     out = capsys.readouterr().out
     assert "window_clump_leads\toracle" in out
     assert main(["run", "nonexistent_query"]) == 2
+
+
+def test_sessionize_multibatch_no_split(spark, sf_dir, tmp_path):
+    """r2 defect: the sessionizer flushed open state every micro-batch,
+    splitting sessions at batch boundaries. Split the events table into
+    three time-ordered files and drain one file per trigger: sessions
+    spanning batch boundaries must come out whole, matching the
+    watermark-aware single-batch result."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.sources.readers import read_table
+    from gentropy_spark.streaming.windowed import sessionize_stateful
+
+    events = read_table(spark, sf_dir, "events")
+    # Three chronological chunks as separate files (lexicographic file
+    # order == time order, which is how the file source picks batches).
+    qs = events.approxQuantile("ts", [0.33, 0.66], 0.001)
+    src = tmp_path / "events_split"
+    for i, (lo, hi) in enumerate(
+        [(None, qs[0]), (qs[0], qs[1]), (qs[1], None)]
+    ):
+        part = events
+        if lo is not None:
+            part = part.filter(F.col("ts") > lo)
+        if hi is not None:
+            part = part.filter(F.col("ts") <= hi)
+        part.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+    paths = sorted(str(p) for p in src.glob("b*/part-*.parquet"))
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, p in enumerate(paths):
+        import os
+        import shutil
+        import time
+
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(p, dst)
+        # The file source orders batches by MODIFICATION TIME; quick
+        # successive copies tie on mtime and can reorder, making every
+        # chronologically-earlier file watermark-late. Space them out.
+        t = time.time() + i * 60
+        os.utime(dst, (t, t))
+
+    schema = spark.read.parquet(str(flat)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    out = sessionize_stateful(stream)
+    ckpt = tempfile.mkdtemp(prefix="gentropy_spark_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_multibatch")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    multi = {tuple(r) for r in spark.table("sess_multibatch").collect()}
+
+    from gentropy_spark.streaming.windowed import run_sessionize_available_now
+
+    single = {
+        tuple(r)
+        for r in run_sessionize_available_now(
+            spark, sf_dir, "sess_singlebatch"
+        ).collect()
+    }
+    assert multi == single

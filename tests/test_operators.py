@@ -181,3 +181,63 @@ def test_lsh_topk_subset_of_bruteforce(spark):
     assert len(approx) > 0
     for r in approx:
         assert brute[(r.query_id, r.corpus_id)] == pytest.approx(r.cosine, abs=1e-9)
+
+
+def test_overlap_join_differently_named_sides(spark):
+    """r2 defect: find_overlaps applied the LEFT side's span column
+    names to BOTH sides, so overlapping two differently-named span
+    tables raised AnalysisException."""
+    from gentropy_spark.api import StudyLocus
+
+    left = spark.createDataFrame(
+        [("c1", 10, 20, "L1"), ("c1", 100, 110, "L2")],
+        "contig string, locus_start long, locus_end long, lid string",
+    )
+    right = spark.createDataFrame(
+        [("c1", 15, 30, "R1"), ("c1", 200, 210, "R2")],
+        "contig string, span_from long, span_to long, rid string",
+    )
+    pairs = StudyLocus(left).find_overlaps(
+        StudyLocus(right, start_col="span_from", end_col="span_to")
+    )
+    rows = [(r.left_lid, r.right_rid) for r in pairs.collect()]
+    assert rows == [("L1", "R1")]
+
+
+def test_transitive_closure_depth_error_and_chain(spark):
+    """r2 defect: silent truncation at max_depth corrupted deep
+    closures; now it raises. Also checks the closure itself."""
+    import pytest
+
+    from gentropy_spark.operators.graph import transitive_closure
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)], "child string, parent string"
+    )
+    full = transitive_closure(chain, max_depth=10)
+    # n0 reaches n1..n6 -> 6 ancestors; total pairs = 6+5+4+3+2+1.
+    assert full.count() == 21
+    assert full.filter("child = 'n0'").count() == 6
+    with pytest.raises(RuntimeError, match="max_depth"):
+        transitive_closure(chain, max_depth=3).count()
+
+
+def test_pics_zero_signal_lead_no_nan(spark):
+    """r2 defect: a cluster whose lead has signif=0 produced 0/0 NaN
+    posteriors; the limit value (prob=1, uniform posterior) applies."""
+    import math
+
+    from gentropy_spark.operators.finemapping import pics
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "c1", 1, 1000, 0.0, "p1"),
+            ("s1", "c1", 1, 2000, 0.0, "p2"),
+        ],
+        "study_id string, contig string, cluster_seq int, pos long, signif double, point_id string",
+    )
+    rows = pics(df).collect()
+    assert rows, "no output"
+    for r in rows:
+        assert r.pics_pp is not None and not math.isnan(r.pics_pp)
+    assert abs(sum(r.pics_pp for r in rows) - 1.0) < 1e-6
