@@ -540,6 +540,25 @@ def q_susie_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- G1b: faithful SuSiE-inf fine-mapping (rows-only: iterative
+# eigendecomposition + per-effect Bayesian updates; kernel validated
+# against the reference's own fixtures to 1e-8 for method-of-moments) ----
+def q_susie_inf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gentropy_spark.operators.susie import susie_inf_finemap
+
+    ss = sumstats(spark, sf_dir).filter(F.col("signif") >= SIGNIF_MIN)
+    clustered = _cluster_seq(
+        ss, "study_id", "contig", "pos", "point_id", CLUMP_WINDOW_US
+    )
+    return susie_inf_finemap(
+        clustered.withColumn("z", F.col("signif") / 10.0),
+        tau=float(PICS_TAU),
+        L=5,
+        method="moments",
+        est_tausq=True,
+    )
+
+
 def q_carma_finemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy CARMA-style configuration search per locus (rows-only:
     iterative linear algebra)."""
@@ -554,6 +573,7 @@ REGISTRY.update(
         "ld_clump": QuerySpec(q_ld_clump, LD_CLUMP_SQL),
         "window_clump_semi": QuerySpec(q_window_clump_semi, None),
         "susie_like_finemap": QuerySpec(q_susie_like, None),
+        "susie_inf_finemap": QuerySpec(q_susie_inf, None),
     }
 )
 

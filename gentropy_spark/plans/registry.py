@@ -33,6 +33,7 @@ class QuerySpec:
 # Keys checked in earlier snapshots (r1/r2 artifacts) rotate to the
 # tail — their evidence already exists.
 _SNAPSHOT_PRIORITY = [
+    "susie_inf_finemap",
     "text_langid",
     "token_count",
     "doc_fingerprint",
