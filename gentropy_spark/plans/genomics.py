@@ -727,7 +727,7 @@ def q_trans_qtl_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the study's target gene; gene = study_id-keyed interval).
     """
     ss = sumstats(spark, sf_dir)
-    from gentropy_spark.plans.l2g import BASE_US, GENE_SPACING_US
+    from gentropy_spark.plans.synthmap import BASE_US, GENE_SPACING_US
 
     gene_start = BASE_US + (F.col("study_id") % 100) * GENE_SPACING_US
     dist = F.abs(F.col("pos") - gene_start)
@@ -743,7 +743,7 @@ def q_trans_qtl_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _trans_sql() -> str:
-    from gentropy_spark.plans.l2g import BASE_US, GENE_SPACING_US
+    from gentropy_spark.plans.synthmap import BASE_US, GENE_SPACING_US
 
     gene_start = f"({BASE_US} + (study_id % 100) * {GENE_SPACING_US})"
     return f"""

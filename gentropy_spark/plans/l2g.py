@@ -31,11 +31,13 @@ from gentropy_spark.plans.genomics import SUMSTATS_SQL, sumstats
 from gentropy_spark.plans.registry import QuerySpec
 from gentropy_spark.sources.readers import read_table
 
-EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
-BASE_US = 1_704_067_200_000_000  # 2024-01-01 UTC in µs
-GENE_SPACING_US = 21_600_000_000  # 6 h
-GENE_WIDTH_US = 14_400_000_000  # 4 h
-V2G_FLANK_US = 3_600_000_000  # 1 h
+from gentropy_spark.plans.synthmap import (
+    BASE_US,
+    EVENT_TYPES,
+    GENE_SPACING_US,
+    GENE_WIDTH_US,
+    V2G_FLANK_US,
+)
 
 
 def gene_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,8 +81,11 @@ def q_v2g_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Tile equi-join: a contig-only join would build |variants|x|genes/contig|
     # rows before the range filter. Genes sit on a regular grid, so each
-    # variant can only reach tiles k_lo..k_hi (≤2 of them) — explode those
-    # and equi-join on (contig, tile); the exact range predicate stays.
+    # variant can only reach tiles k_lo..k_hi (≤3 of them — the full
+    # inclusive range, NOT just the endpoints: with reach wider than the
+    # grid spacing the middle tile holds a real candidate) — explode
+    # those and equi-join on (contig, tile); the exact range predicate
+    # stays.
     genes_k = genes.withColumn(
         "gk", F.expr(f"(gene_start - {BASE_US}) div {GENE_SPACING_US}")
     )
@@ -88,9 +93,7 @@ def q_v2g_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_lo = F.expr(
         f"(pos - {BASE_US} - {GENE_WIDTH_US} - {V2G_FLANK_US}) div {GENE_SPACING_US}"
     )
-    vars_k = variants.withColumn(
-        "gk", F.explode(F.array_distinct(F.array(k_lo, k_hi)))
-    )
+    vars_k = variants.withColumn("gk", F.explode(F.sequence(k_lo, k_hi)))
     joined = vars_k.join(F.broadcast(genes_k), on=["contig", "gk"], how="inner").filter(
         (F.col("pos") >= F.col("gene_start") - V2G_FLANK_US)
         & (F.col("pos") <= F.col("gene_end") + V2G_FLANK_US)
@@ -118,18 +121,165 @@ WHERE pos >= gene_start - {V2G_FLANK_US} AND pos <= gene_end + {V2G_FLANK_US}
 """
 
 
+# --- L2G colocalisation feature family ------------------------------------
+# Reference: dataset/l2g_features/colocalisation.py — 12 feature classes
+# = {e,p,s}QTL × {CLPP (eCAVIAR), H4 (COLOC)} × {local max,
+# neighbourhood-normalized}. The synthetic QTL study metadata maps each
+# right-side (odd) study to a QTL class by id and to a measured gene on
+# its contig by modular rank — the deterministic stand-in for the
+# study-index gene annotation the reference reads.
+QTL_TYPES = ("eqtl", "pqtl", "sqtl")
+
+
+def _qtl_type_col() -> F.Column:
+    m = (F.col("right_study_id") % 6).cast("int")
+    return (
+        F.when(m == 1, F.lit("eqtl"))
+        .when(m == 3, F.lit("pqtl"))
+        .otherwise(F.lit("sqtl"))
+    )
+
+
+_QTL_TYPE_SQL = (
+    "CASE CAST(right_study_id % 6 AS INT) WHEN 1 THEN 'eqtl' "
+    "WHEN 3 THEN 'pqtl' ELSE 'sqtl' END"
+)
+
+
+def q_l2g_coloc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-CLPP / max-H4 per (GWAS study, contig, gene) across QTL
+    classes, plus neighbourhood-normalized variants (feature value
+    divided by the regional max over genes at the locus — the
+    reference's common_neighbourhood_colocalisation_feature_logic)."""
+    from gentropy_spark.plans.genomics import q_coloc, q_ecaviar
+
+    h4 = q_coloc(spark, sf_dir).select(
+        "left_study_id", "right_study_id", "contig", "h4"
+    )
+    clpp = q_ecaviar(spark, sf_dir).select(
+        "left_study_id", "right_study_id", "contig", "clpp"
+    )
+    both = h4.join(clpp, on=["left_study_id", "right_study_id", "contig"])
+    # Measured-gene lookup: rank genes within each contig, pick
+    # rank = right_study % K + 1 (K = genes on that contig). Tiny →
+    # broadcast.
+    genes = gene_index(spark, sf_dir)
+    wg = Window.partitionBy("contig").orderBy("gene_id")
+    wc = Window.partitionBy("contig")
+    ranked = genes.select(
+        "contig",
+        "gene_id",
+        F.row_number().over(wg).alias("grank"),
+        F.count("*").over(wc).alias("gn"),
+    )
+    annotated = both.join(F.broadcast(ranked), on="contig").filter(
+        F.col("grank") == (F.col("right_study_id") % F.col("gn") + 1).cast("int")
+    ).withColumn("qtl_type", _qtl_type_col())
+
+    aggs = []
+    for t in QTL_TYPES:
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("qtl_type") == t, F.col("h4"))), F.lit(0.0)
+            ).alias(f"{t}_h4_max")
+        )
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("qtl_type") == t, F.col("clpp"))), F.lit(0.0)
+            ).alias(f"{t}_clpp_max")
+        )
+    local = annotated.groupBy("left_study_id", "contig", "gene_id").agg(*aggs)
+
+    wl = Window.partitionBy("left_study_id", "contig")
+    out_cols = [F.col("left_study_id"), F.col("contig"), F.col("gene_id")]
+    for t in QTL_TYPES:
+        for m in ("h4", "clpp"):
+            c = F.col(f"{t}_{m}_max")
+            reg = F.max(c).over(wl)
+            out_cols.append(F.round(c, 6).alias(f"{t}_{m}_max"))
+            out_cols.append(
+                F.round(
+                    F.when(reg > 0.0, c / reg).otherwise(F.lit(0.0)), 6
+                ).alias(f"{t}_{m}_nbh")
+            )
+    return local.select(*out_cols)
+
+
+def _coloc_feat_sql() -> str:
+    from gentropy_spark.plans.genomics import COLOC_SQL, ECAVIAR_SQL
+
+    local_cols = ",\n         ".join(
+        f"COALESCE(MAX(CASE WHEN qtl_type = '{t}' THEN {m} END), 0.0) AS {t}_{m}_max"
+        for t in QTL_TYPES
+        for m in ("h4", "clpp")
+    )
+    out_cols = ",\n       ".join(
+        f"ROUND({t}_{m}_max, 6) AS {t}_{m}_max,\n       "
+        f"ROUND(CASE WHEN MAX({t}_{m}_max) OVER "
+        f"(PARTITION BY left_study_id, contig) > 0.0 THEN {t}_{m}_max / "
+        f"MAX({t}_{m}_max) OVER (PARTITION BY left_study_id, contig) "
+        f"ELSE 0.0 END, 6) AS {t}_{m}_nbh"
+        for t in QTL_TYPES
+        for m in ("h4", "clpp")
+    )
+    return f"""
+WITH coloc AS ({COLOC_SQL}),
+ecav AS ({ECAVIAR_SQL}),
+both_m AS (
+  SELECT c.left_study_id, c.right_study_id, c.contig, c.h4, e.clpp
+  FROM coloc c
+  JOIN ecav e USING (left_study_id, right_study_id, contig)
+),
+ranked AS (
+  SELECT contig, gene_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY contig ORDER BY gene_id) AS INT) AS grank,
+         COUNT(*) OVER (PARTITION BY contig) AS gn
+  FROM ({GENE_INDEX_SQL})
+),
+annotated AS (
+  SELECT b.*, r.gene_id, {_QTL_TYPE_SQL} AS qtl_type
+  FROM both_m b
+  JOIN ranked r ON b.contig = r.contig
+   AND r.grank = CAST(b.right_study_id % r.gn + 1 AS INT)
+),
+local AS (
+  SELECT left_study_id, contig, gene_id,
+         {local_cols}
+  FROM annotated GROUP BY 1, 2, 3
+)
+SELECT left_study_id, contig, gene_id,
+       {out_cols}
+FROM local
+"""
+
+
+COLOC_FEAT_SQL = _coloc_feat_sql()
+
+
 # --- L2G feature matrix ---------------------------------------------------
+# The coloc-feature columns joined into the matrix (defined below).
+_COLOC_FEAT_COLS = [
+    f"{t}_{m}_{s}"
+    for t in ("eqtl", "pqtl", "sqtl")
+    for m in ("h4", "clpp")
+    for s in ("max", "nbh")
+]
+
+
 def q_l2g_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (lead variant, gene): nearest-distance weight, in-body signal
-    mass, and per-lead gene count — the distance-feature family of
-    dataset/l2g_features/distance.py re-shaped."""
+    mass, per-lead gene count (the distance-feature family of
+    dataset/l2g_features/distance.py re-shaped) — extended r3 with the
+    12-column colocalisation feature family (l2g_features/
+    colocalisation.py), left-joined on (study, contig, gene) and
+    0-filled where the locus has no colocalising QTL."""
     v2g = q_v2g_distance(spark, sf_dir)
     per_pair = v2g.groupBy("point_id", "study_id", "contig", "gene_id").agg(
         F.max("v2g_weight").alias("max_weight"),
         F.count("*").alias("n_hits"),
     )
     w = Window.partitionBy("point_id", "study_id")
-    return per_pair.select(
+    base = per_pair.select(
         "point_id",
         "study_id",
         "contig",
@@ -143,21 +293,48 @@ def q_l2g_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_weight"),
     )
+    cf = q_l2g_coloc_features(spark, sf_dir).withColumnRenamed(
+        "left_study_id", "study_id"
+    )
+    joined = base.join(cf, on=["study_id", "contig", "gene_id"], how="left")
+    return joined.select(
+        *base.columns,
+        *[
+            F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+            for c in _COLOC_FEAT_COLS
+        ],
+    )
 
 
-L2G_FEAT_SQL = f"""
+def _l2g_feat_sql() -> str:
+    cf_cols = ",\n       ".join(
+        f"COALESCE(cf.{c}, 0.0) AS {c}" for c in _COLOC_FEAT_COLS
+    )
+    return f"""
 WITH v2g AS ({V2G_SQL}),
 per_pair AS (
   SELECT point_id, study_id, contig, gene_id,
          MAX(v2g_weight) AS max_weight, COUNT(*) AS n_hits
   FROM v2g GROUP BY 1, 2, 3, 4
-)
-SELECT point_id, study_id, contig, gene_id, max_weight, n_hits,
-       COUNT(*) OVER (PARTITION BY point_id, study_id) AS genes_in_flank,
-       ROUND(max_weight / CAST(SUM(CAST(max_weight AS DECIMAL(38,6)))
-             OVER (PARTITION BY point_id, study_id) AS DOUBLE), 6) AS rel_weight
-FROM per_pair
+),
+base AS (
+  SELECT point_id, study_id, contig, gene_id, max_weight, n_hits,
+         COUNT(*) OVER (PARTITION BY point_id, study_id) AS genes_in_flank,
+         ROUND(max_weight / CAST(SUM(CAST(max_weight AS DECIMAL(38,6)))
+               OVER (PARTITION BY point_id, study_id) AS DOUBLE), 6) AS rel_weight
+  FROM per_pair
+),
+cfeat AS ({{COLOC_FEAT_SQL}})
+SELECT base.*,
+       {cf_cols}
+FROM base
+LEFT JOIN cfeat cf
+  ON base.study_id = cf.left_study_id AND base.contig = cf.contig
+ AND base.gene_id = cf.gene_id
 """
+
+
+L2G_FEAT_SQL = _l2g_feat_sql().replace("{COLOC_FEAT_SQL}", COLOC_FEAT_SQL)
 
 
 # --- L2G scorer -----------------------------------------------------------
@@ -389,3 +566,47 @@ WHERE n_at_top = 1
 
 
 REGISTRY["l2g_gold_standard"] = QuerySpec(q_l2g_gold_standard, L2G_GOLD_SQL)
+
+
+REGISTRY["l2g_coloc_features"] = QuerySpec(q_l2g_coloc_features, COLOC_FEAT_SQL)
+
+# --- GBM L2G scorer (frozen boosted ensemble; method/l2g upgrade) ---------
+def q_l2g_score_gbm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2G scoring with the frozen gradient-boosted ensemble
+    (operators/l2g_model.py): Arrow-batched margin predict + JVM
+    sigmoid, ranked per lead. The feature->score contract matches the
+    reference's dataset/l2g_prediction.py."""
+    from gentropy_spark.operators.l2g_model import FEATURES, margin_udf
+
+    feats = q_l2g_features(spark, sf_dir)
+    margin = margin_udf()(*[F.col(c) for c in FEATURES])
+    scored = feats.withColumn(
+        "l2g_score", F.round(1.0 / (1.0 + F.exp(-margin)), 6)
+    )
+    w = Window.partitionBy("point_id", "study_id").orderBy(
+        F.col("l2g_score").desc(), F.col("gene_id").asc()
+    )
+    return (
+        scored.withColumn("gene_rank", F.row_number().over(w))
+        .select("point_id", "study_id", "gene_id", "l2g_score", "gene_rank")
+    )
+
+
+def _l2g_gbm_sql() -> str:
+    from gentropy_spark.operators.l2g_model import margin_sql
+
+    return f"""
+WITH feats AS ({L2G_FEAT_SQL}),
+scored AS (
+  SELECT point_id, study_id, gene_id,
+         ROUND(1.0 / (1.0 + EXP(-({margin_sql()}))), 6) AS l2g_score
+  FROM feats
+)
+SELECT point_id, study_id, gene_id, l2g_score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY point_id, study_id
+                          ORDER BY l2g_score DESC, gene_id) AS INT) AS gene_rank
+FROM scored
+"""
+
+
+REGISTRY["l2g_score_gbm"] = QuerySpec(q_l2g_score_gbm, _l2g_gbm_sql())

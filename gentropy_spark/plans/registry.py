@@ -34,6 +34,8 @@ class QuerySpec:
 # tail — their evidence already exists.
 _SNAPSHOT_PRIORITY = [
     "susie_inf_finemap",
+    "l2g_coloc_features",
+    "l2g_score_gbm",
     "text_langid",
     "token_count",
     "doc_fingerprint",
