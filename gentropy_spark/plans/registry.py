@@ -34,6 +34,7 @@ class QuerySpec:
 # tail — their evidence already exists.
 _SNAPSHOT_PRIORITY = [
     "susie_inf_finemap",
+    "carma_shotgun_finemap",
     "l2g_coloc_features",
     "l2g_score_gbm",
     "text_langid",
