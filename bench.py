@@ -3,7 +3,10 @@
 Runs the engine's flagship queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...} — plus, for every headline query
+with a DuckDB oracle, the single-node DuckDB wall time for the SAME
+computation ("duckdb" section and "spark_vs_duckdb" ratio), so
+"within 2x of baseline" is a measured ratio rather than a guess.
 
 Each query is fully materialised via a count-ish action
 (collect on aggregates, count on row-level outputs) so the measured
@@ -69,7 +72,37 @@ def main() -> None:
         # pair above still shares its cache, as intended).
         release_caches()
 
+    # DuckDB denominator: run each headline query's oracle SQL on the
+    # same parquet (single node, all cores) with the same min-of-2.
+    duck_timings: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        for name in HEADLINE:
+            sql = registry[name].oracle
+            if sql is None:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - start)
+            duck_timings[name] = round(best, 3)
+        con.close()
+    except Exception:
+        duck_timings = {}
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark_on_common = sum(timings[k] for k in duck_timings)
+    duck_total = sum(duck_timings.values())
     print(
         json.dumps(
             {
@@ -77,6 +110,11 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "duckdb": duck_timings,
+                "duckdb_total": round(duck_total, 3),
+                "spark_vs_duckdb": (
+                    round(spark_on_common / duck_total, 3) if duck_total else None
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

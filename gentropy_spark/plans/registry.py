@@ -35,6 +35,7 @@ class QuerySpec:
 _SNAPSHOT_PRIORITY = [
     "susie_inf_finemap",
     "carma_shotgun_finemap",
+    "sumstat_harmonise_full",
     "l2g_coloc_features",
     "l2g_score_gbm",
     "text_langid",

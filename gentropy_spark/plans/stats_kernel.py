@@ -235,3 +235,138 @@ FROM events
 REGISTRY["sumstat_harmonise_ingest"] = QuerySpec(
     q_sumstat_harmonise_ingest, HARMONISE_INGEST_SQL
 )
+
+
+# --- composed effect harmonisation (allele flip + palindromic drop) ------
+# Reference: datasource/gwas_catalog/associations.py:959
+# harmonise_association_effect_to_beta — extract the risk allele, drop
+# palindromic-ambiguous variants, decide the flip from risk-vs-alt
+# allele identity (incl. reverse complement), parse the CI text, and
+# emit a harmonised beta + standard error for BOTH effect encodings
+# (beta "unit increase" and odds ratio → ln OR). One composed flow, not
+# the column kernels in isolation.
+def q_sumstat_harmonise_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gentropy_spark.functions.alleles import (
+        complement_allele,
+        is_strand_ambiguous,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    alleles = F.array(*[F.lit(a) for a in ("A", "C", "G", "T", "AT", "GCC")])
+    ref = F.element_at(alleles, (F.col("event_id") % 6 + 1).cast("int"))
+    alt = F.element_at(alleles, (F.expr("event_id div 7") % 6 + 1).cast("int"))
+    revcomp_ref = F.reverse(complement_allele(ref))
+    # Synthetic risk-allele report: cycles through alt (no flip),
+    # ref (flip) and revcomp(ref) (flip) like real GWAS catalog rows.
+    risk = (
+        F.when(F.col("event_id") % 3 == 0, alt)
+        .when(F.col("event_id") % 3 == 1, ref)
+        .otherwise(revcomp_ref)
+    )
+    effect = F.round(F.abs(F.col("value")) / 100.0 + 0.01, 6)
+    is_beta = (F.col("event_id") % 2 == 0)
+    lo = F.round(effect * 0.8, 6).cast("decimal(12,6)")
+    hi = F.round(effect * 1.2, 6).cast("decimal(12,6)")
+    ci_text = F.concat(
+        F.lit("["),
+        lo.cast("string"),
+        F.lit("-"),
+        hi.cast("string"),
+        F.lit("]"),
+        F.when(is_beta, F.lit(" unit increase")).otherwise(F.lit("")),
+    )
+
+    base = ev.select(
+        F.col("event_id").alias("variant_key"),
+        ref.alias("ref"),
+        alt.alias("alt"),
+        risk.alias("risk_allele"),
+        effect.alias("reported_effect"),
+        ci_text.alias("ci_text"),
+    )
+    # Palindromic-ambiguous variants cannot be strand-resolved: drop.
+    kept = base.filter(~is_strand_ambiguous(F.col("ref"), F.col("alt")))
+    needs_flip = (F.col("risk_allele") == F.col("ref")) | (
+        F.col("risk_allele")
+        == F.reverse(complement_allele(F.col("ref")))
+    )
+    has_unit = F.col("ci_text").contains("unit")
+    ci_lo = F.regexp_extract(F.col("ci_text"), r"\[([0-9.]+)-", 1).cast("double")
+    ci_hi = F.regexp_extract(F.col("ci_text"), r"-([0-9.]+)\]", 1).cast("double")
+    beta_raw = F.when(
+        has_unit,
+        F.when(needs_flip, -F.col("reported_effect")).otherwise(
+            F.col("reported_effect")
+        ),
+    ).otherwise(
+        F.when(needs_flip, -F.log(F.col("reported_effect"))).otherwise(
+            F.log(F.col("reported_effect"))
+        )
+    )
+    se_raw = F.when(has_unit, (ci_hi - ci_lo) / 3.92).otherwise(
+        (F.log(ci_hi) - F.log(ci_lo)) / 3.92
+    )
+    return kept.select(
+        "variant_key",
+        "ref",
+        "alt",
+        "risk_allele",
+        needs_flip.alias("direction_flipped"),
+        has_unit.alias("effect_is_beta"),
+        F.round(beta_raw, 6).alias("beta"),
+        F.round(se_raw, 6).alias("standard_error"),
+    )
+
+
+HARMONISE_FULL_SQL = """
+WITH built AS (
+  SELECT event_id AS variant_key,
+    (['A','C','G','T','AT','GCC'])[(event_id % 6) + 1] AS ref,
+    (['A','C','G','T','AT','GCC'])[((event_id // 7) % 6) + 1] AS alt,
+    CASE CAST(event_id % 3 AS INT)
+      WHEN 0 THEN (['A','C','G','T','AT','GCC'])[((event_id // 7) % 6) + 1]
+      WHEN 1 THEN (['A','C','G','T','AT','GCC'])[(event_id % 6) + 1]
+      ELSE reverse(translate(upper((['A','C','G','T','AT','GCC'])[(event_id % 6) + 1]),
+                             'ACGT', 'TGCA'))
+    END AS risk_allele,
+    ROUND(ABS(value) / 100.0 + 0.01, 6) AS reported_effect,
+    '[' || CAST(CAST(ROUND(ROUND(ABS(value) / 100.0 + 0.01, 6) * 0.8, 6)
+                AS DECIMAL(12,6)) AS VARCHAR)
+        || '-'
+        || CAST(CAST(ROUND(ROUND(ABS(value) / 100.0 + 0.01, 6) * 1.2, 6)
+                AS DECIMAL(12,6)) AS VARCHAR)
+        || ']'
+        || CASE WHEN event_id % 2 = 0 THEN ' unit increase' ELSE '' END AS ci_text
+  FROM events
+),
+kept AS (
+  SELECT * FROM built
+  WHERE NOT (LENGTH(ref) = LENGTH(alt)
+             AND reverse(translate(upper(alt), 'ACGT', 'TGCA')) = upper(ref))
+),
+flagged AS (
+  SELECT *,
+    (risk_allele = ref
+     OR risk_allele = reverse(translate(upper(ref), 'ACGT', 'TGCA')))
+      AS direction_flipped,
+    ci_text LIKE '%unit%' AS effect_is_beta,
+    CAST(regexp_extract(ci_text, '\\[([0-9.]+)-', 1) AS DOUBLE) AS ci_lo,
+    CAST(regexp_extract(ci_text, '-([0-9.]+)\\]', 1) AS DOUBLE) AS ci_hi
+  FROM kept
+)
+SELECT variant_key, ref, alt, risk_allele, direction_flipped, effect_is_beta,
+  ROUND(CASE WHEN effect_is_beta
+             THEN CASE WHEN direction_flipped THEN -reported_effect
+                       ELSE reported_effect END
+             ELSE CASE WHEN direction_flipped THEN -LN(reported_effect)
+                       ELSE LN(reported_effect) END
+        END, 6) AS beta,
+  ROUND(CASE WHEN effect_is_beta THEN (ci_hi - ci_lo) / 3.92
+             ELSE (LN(ci_hi) - LN(ci_lo)) / 3.92 END, 6) AS standard_error
+FROM flagged
+"""
+
+
+REGISTRY["sumstat_harmonise_full"] = QuerySpec(
+    q_sumstat_harmonise_full, HARMONISE_FULL_SQL
+)
