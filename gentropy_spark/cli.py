@@ -1,22 +1,37 @@
 """CLI step runner — the engine's counterpart of gentropy's step CLI.
 
 Re-expresses the reference's Hydra-driven step execution
-(/root/reference/src/gentropy/cli.py + per-step modules) as a plain
-argparse interface over the query registry:
+(/root/reference/src/gentropy/cli.py + config.py step registry) as a
+plain argparse interface over the query registry:
 
     python -m gentropy_spark.cli list
     python -m gentropy_spark.cli run window_clump_leads \
         --sf-dir /root/testdata/sf0.01 --out /tmp/out.parquet
+    python -m gentropy_spark.cli dag --config pipeline.json [--dry-run]
 
 ``run`` executes one registry query and writes parquet (or prints a
-sample with --show). Chained steps are just repeated invocations —
-each step is pure (reads tables, writes one output), exactly the
-reference's step contract.
+sample with --show). ``dag`` executes a CONFIGURED PIPELINE: the JSON
+config declares steps with dependencies; steps run in deterministic
+topological order (alphabetical among ready steps), each writing one
+parquet output — the role of the reference's config.py:1-893 step DAG
+without the Hydra dependency:
+
+    {"sf_dir": "/root/testdata/sf0.01",
+     "out_dir": "/tmp/pipeline_out",
+     "steps": {
+       "clump":  {"query": "window_clump_leads"},
+       "pics":   {"query": "pics_finemap", "after": ["clump"]},
+       "scored": {"query": "l2g_score_gbm", "after": ["clump"]}}}
+
+Each step is pure (reads tables, writes one output), exactly the
+reference's step contract; re-running a completed DAG is idempotent
+(overwrite mode).
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -35,7 +50,71 @@ def build_parser() -> argparse.ArgumentParser:
     )
     run.add_argument("--out", help="parquet output path")
     run.add_argument("--show", type=int, default=0, help="print first N rows")
+
+    dag = sub.add_parser("dag", help="run a configured step DAG")
+    dag.add_argument("--config", required=True, help="pipeline JSON path")
+    dag.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="print the execution order without running",
+    )
     return p
+
+
+def topo_order(steps: dict[str, dict]) -> list[str]:
+    """Deterministic topological order (alphabetical among ready steps).
+
+    Raises ValueError on unknown dependencies or cycles.
+    """
+    deps = {name: set(cfg.get("after", [])) for name, cfg in steps.items()}
+    for name, ds in deps.items():
+        unknown = ds - deps.keys()
+        if unknown:
+            raise ValueError(f"step {name!r} depends on unknown {sorted(unknown)}")
+    order: list[str] = []
+    done: set[str] = set()
+    while len(order) < len(deps):
+        ready = sorted(
+            n for n in deps if n not in done and deps[n] <= done
+        )
+        if not ready:
+            remaining = sorted(set(deps) - done)
+            raise ValueError(f"dependency cycle among {remaining}")
+        order.append(ready[0])
+        done.add(ready[0])
+    return order
+
+
+def run_dag(config_path: str, dry_run: bool = False) -> list[str]:
+    """Execute (or plan) the configured pipeline; returns step order."""
+    with open(config_path) as fh:
+        cfg = json.load(fh)
+    steps = cfg["steps"]
+    order = topo_order(steps)
+    from gentropy_spark.plans import full_registry
+
+    registry = full_registry()
+    for name in order:
+        q = steps[name]["query"]
+        if q not in registry:
+            raise ValueError(f"step {name!r}: unknown query {q!r}")
+    if dry_run:
+        return order
+
+    from gentropy_spark.session import get_session, release_caches
+
+    spark = get_session(app_name="gentropy_spark.dag")
+    sf_dir = cfg.get(
+        "sf_dir", os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    )
+    out_dir = cfg["out_dir"]
+    for name in order:
+        q = steps[name]["query"]
+        out = os.path.join(out_dir, name)
+        registry[q].fn(spark, sf_dir).write.mode("overwrite").parquet(out)
+        release_caches()
+        print(f"step {name} ({q}) -> {out}")
+    return order
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -48,6 +127,16 @@ def main(argv: list[str] | None = None) -> int:
         for name, spec in sorted(registry.items()):
             kind = "oracle" if spec.oracle else "rows-only"
             print(f"{name}\t{kind}")
+        return 0
+
+    if args.cmd == "dag":
+        try:
+            order = run_dag(args.config, dry_run=args.dry_run)
+        except (ValueError, KeyError, OSError) as exc:
+            print(f"dag error: {exc}", file=sys.stderr)
+            return 2
+        if args.dry_run:
+            print(" -> ".join(order))
         return 0
 
     if args.query not in registry:

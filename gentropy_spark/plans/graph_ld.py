@@ -99,3 +99,91 @@ REGISTRY: dict[str, QuerySpec] = {
     "ontology_closure": QuerySpec(q_ontology_closure, ONTOLOGY_SQL),
     "pairwise_ld": QuerySpec(q_pairwise_ld, PAIRWISE_LD_SQL),
 }
+
+
+# --- LD block-matrix slice (gnomAD LD posture) ----------------------------
+LD_BLOCK_BAND = 5  # banded synthetic entries: |i-j| <= band
+LD_BLOCK_LO, LD_BLOCK_HI = 10, 60  # slice window [lo, hi]
+
+
+def q_ld_block_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-matrix pipeline: banded upper-triangular entries →
+    symmetric transpose → square index-window slice → variant-id
+    resolution (gnomad/ld.py:101/:223/:364/:200 composed).
+
+    The locus index is the ranked variant list of one contig; entries
+    are a banded synthetic r decay — the pipeline shape (not the r
+    values) is what the reference computes over Hail block matrices.
+    """
+    from pyspark.sql import Window
+
+    from gentropy_spark.operators.ld_matrix import (
+        ld_block_slice,
+        resolve_variant_indices,
+        transpose_ld_triangular,
+    )
+
+    ss = sumstats(spark, sf_dir).filter(
+        (F.col("contig") == "click") & (F.col("signif") >= 150.0)
+    )
+    w = Window.partitionBy("contig").orderBy("pos", "point_id")
+    idx = ss.select(
+        F.col("point_id").alias("variant_id"),
+        (F.row_number().over(w) - 1).alias("idx"),
+    )
+    a = idx.select(F.col("idx").alias("idx_i"))
+    b = idx.select(F.col("idx").alias("idx_j"))
+    tri = (
+        a.join(
+            b,
+            (F.col("idx_j") >= F.col("idx_i"))
+            & (F.col("idx_j") - F.col("idx_i") <= LD_BLOCK_BAND),
+        )
+        .withColumn(
+            "r",
+            F.round(
+                F.exp(-(F.col("idx_j") - F.col("idx_i")) / F.lit(float(LD_BLOCK_BAND))),
+                6,
+            ),
+        )
+    )
+    sym = transpose_ld_triangular(tri)
+    sliced = ld_block_slice(sym, LD_BLOCK_LO, LD_BLOCK_HI)
+    return resolve_variant_indices(sliced, idx).select(
+        "idx_i", "idx_j", "variant_id_a", "variant_id_b", "r"
+    )
+
+
+LD_BLOCK_SQL = f"""
+WITH ranked AS (
+  SELECT point_id AS variant_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY contig ORDER BY pos, point_id) - 1
+              AS INT) AS idx
+  FROM ({SUMSTATS_SQL})
+  WHERE contig = 'click' AND signif >= 150.0
+),
+tri AS (
+  SELECT a.idx AS idx_i, b.idx AS idx_j,
+         ROUND(EXP(-(b.idx - a.idx) / {float(LD_BLOCK_BAND)!r}), 6) AS r
+  FROM ranked a JOIN ranked b
+    ON b.idx >= a.idx AND b.idx - a.idx <= {LD_BLOCK_BAND}
+),
+sym AS (
+  SELECT idx_i, idx_j, r FROM tri
+  UNION ALL
+  SELECT idx_j AS idx_i, idx_i AS idx_j, r FROM tri WHERE idx_i <> idx_j
+),
+sliced AS (
+  SELECT * FROM sym
+  WHERE idx_i BETWEEN {LD_BLOCK_LO} AND {LD_BLOCK_HI}
+    AND idx_j BETWEEN {LD_BLOCK_LO} AND {LD_BLOCK_HI}
+)
+SELECT idx_i, idx_j,
+       ia.variant_id AS variant_id_a, ib.variant_id AS variant_id_b, r
+FROM sliced
+JOIN ranked ia ON ia.idx = idx_i
+JOIN ranked ib ON ib.idx = idx_j
+"""
+
+
+REGISTRY["ld_block_slice"] = QuerySpec(q_ld_block_slice, LD_BLOCK_SQL)

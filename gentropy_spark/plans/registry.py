@@ -36,6 +36,8 @@ _SNAPSHOT_PRIORITY = [
     "susie_inf_finemap",
     "carma_shotgun_finemap",
     "sumstat_harmonise_full",
+    "vep_consequence_annotate",
+    "ld_block_slice",
     "l2g_coloc_features",
     "l2g_score_gbm",
     "text_langid",

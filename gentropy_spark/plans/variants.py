@@ -296,3 +296,125 @@ FROM ({SUMSTATS_SQL})
 
 
 REGISTRY["contig_validation"] = QuerySpec(q_contig_validation, CONTIG_VALIDATION_SQL)
+
+
+# --- VEP-style consequence annotation ------------------------------------
+# Reference: datasource/ensembl/vep_parser.py — per-variant transcript
+# consequences with a severity-score map (:341 _get_vep_prediction),
+# most-severe-transcript selection (:291 _get_most_severe_transcript)
+# and distance/biotype processing (:945 _process_overlap). Re-expressed
+# flat (one row per variant×gene consequence + an is_most_severe pick)
+# over the synthetic gene grid: nested-array outputs hash poorly across
+# engines, and the flat form is the same information with exact oracle
+# comparability.
+CONSEQUENCE_SEVERITY = [
+    ("exon_variant", 0.66),
+    ("intron_variant", 0.4),
+    ("upstream_gene_variant", 0.25),
+    ("downstream_gene_variant", 0.2),
+]
+EXON_GRID_US = 1_800_000_000  # 30 min alternating exon/intron blocks
+
+
+def q_vep_consequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gentropy_spark.plans.genomics import sumstats as _sumstats
+    from gentropy_spark.plans.l2g import gene_index
+    from gentropy_spark.plans.synthmap import (
+        BASE_US,
+        GENE_SPACING_US,
+        GENE_WIDTH_US,
+        V2G_FLANK_US,
+    )
+
+    variants = _sumstats(spark, sf_dir).filter(F.col("signif") >= 50.0)
+    genes = gene_index(spark, sf_dir).withColumn(
+        "gk", F.expr(f"(gene_start - {BASE_US}) div {GENE_SPACING_US}")
+    )
+    k_hi = F.expr(f"(pos - {BASE_US} + {V2G_FLANK_US}) div {GENE_SPACING_US}")
+    k_lo = F.expr(
+        f"(pos - {BASE_US} - {GENE_WIDTH_US} - {V2G_FLANK_US}) div {GENE_SPACING_US}"
+    )
+    vars_k = variants.withColumn("gk", F.explode(F.sequence(k_lo, k_hi)))
+    joined = vars_k.join(F.broadcast(genes), on=["contig", "gk"]).filter(
+        (F.col("pos") >= F.col("gene_start") - V2G_FLANK_US)
+        & (F.col("pos") <= F.col("gene_end") + V2G_FLANK_US)
+    )
+    in_body = (F.col("pos") >= F.col("gene_start")) & (
+        F.col("pos") <= F.col("gene_end")
+    )
+    in_exon = (
+        F.expr(f"((pos - gene_start) div {EXON_GRID_US}) % 2") == 0
+    )
+    term = (
+        F.when(in_body & in_exon, F.lit("exon_variant"))
+        .when(in_body, F.lit("intron_variant"))
+        .when(F.col("pos") < F.col("gene_start"), F.lit("upstream_gene_variant"))
+        .otherwise(F.lit("downstream_gene_variant"))
+    )
+    sev: F.Column = F.lit(None).cast("double")
+    for name, score in reversed(CONSEQUENCE_SEVERITY):
+        sev = F.when(F.col("consequence_term") == name, F.lit(score)).otherwise(sev)
+    dist = F.greatest(
+        F.col("gene_start") - F.col("pos"),
+        F.col("pos") - F.col("gene_end"),
+        F.lit(0),
+    )
+    annotated = joined.withColumn("consequence_term", term).select(
+        "point_id",
+        "study_id",
+        "contig",
+        "gene_id",
+        "consequence_term",
+        sev.alias("severity"),
+        dist.alias("distance_us"),
+    )
+    w = Window.partitionBy("point_id", "study_id").orderBy(
+        F.col("severity").desc(), F.col("distance_us").asc(), F.col("gene_id").asc()
+    )
+    return annotated.withColumn(
+        "is_most_severe", F.row_number().over(w) == 1
+    )
+
+
+def _vep_sql() -> str:
+    from gentropy_spark.plans.l2g import GENE_INDEX_SQL
+    from gentropy_spark.plans.synthmap import V2G_FLANK_US
+
+    # Scientific notation: DuckDB parses plain decimal literals as
+    # DECIMAL, which would hash-mismatch the Spark DOUBLE column.
+    sev_case = "CASE consequence_term " + " ".join(
+        f"WHEN '{n}' THEN {format(s, '.17e')}" for n, s in CONSEQUENCE_SEVERITY
+    ) + " END"
+    return f"""
+WITH variants AS (SELECT * FROM ({SUMSTATS_SQL}) WHERE signif >= 50.0),
+genes AS ({GENE_INDEX_SQL}),
+joined AS (
+  SELECT point_id, study_id, v.contig, gene_id, pos, gene_start, gene_end
+  FROM variants v JOIN genes g ON v.contig = g.contig
+  WHERE pos >= gene_start - {V2G_FLANK_US} AND pos <= gene_end + {V2G_FLANK_US}
+),
+termed AS (
+  SELECT point_id, study_id, contig, gene_id,
+    CASE
+      WHEN pos >= gene_start AND pos <= gene_end
+           AND ((pos - gene_start) // {EXON_GRID_US}) % 2 = 0 THEN 'exon_variant'
+      WHEN pos >= gene_start AND pos <= gene_end THEN 'intron_variant'
+      WHEN pos < gene_start THEN 'upstream_gene_variant'
+      ELSE 'downstream_gene_variant'
+    END AS consequence_term,
+    GREATEST(gene_start - pos, pos - gene_end, 0) AS distance_us
+  FROM joined
+)
+SELECT point_id, study_id, contig, gene_id, consequence_term,
+       {sev_case} AS severity,
+       distance_us,
+       ROW_NUMBER() OVER (PARTITION BY point_id, study_id
+                          ORDER BY {sev_case} DESC, distance_us, gene_id) = 1
+         AS is_most_severe
+FROM termed
+"""
+
+
+REGISTRY["vep_consequence_annotate"] = QuerySpec(q_vep_consequence, _vep_sql())

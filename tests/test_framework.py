@@ -288,3 +288,126 @@ def test_sessionize_multibatch_no_split(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert multi == single
+
+
+def test_canonical_schema_validation(spark):
+    """Recursive schema comparison with the reference's issue taxonomy
+    (duplicates / missing-mandatory / unexpected / type-mismatch,
+    nested struct+array recursion) against the canonical registry."""
+    from pyspark.sql import types as T
+
+    from gentropy_spark.datasets.schemas import (
+        CANONICAL,
+        compare_structs,
+        is_fatal,
+        validate_against,
+    )
+
+    good = CANONICAL["sumstats"][1]
+    assert validate_against(good, "sumstats") == {}
+
+    # drop a mandatory column, retype another, add an extra
+    observed = T.StructType(
+        [
+            T.StructField("point_id", T.LongType()),
+            T.StructField("study_id", T.StringType()),  # wrong type
+            T.StructField("contig", T.StringType()),
+            T.StructField("pos", T.LongType()),
+            T.StructField("extra", T.DoubleType()),  # unexpected
+        ]
+    )  # signif missing
+    issues = validate_against(observed, "sumstats")
+    assert issues["missing_mandatory_columns"] == ["signif"]
+    assert any("study_id" in s for s in issues["columns_with_non_matching_type"])
+    assert issues["unexpected_columns"] == ["extra"]
+    assert is_fatal(issues)
+    assert not is_fatal({"unexpected_columns": ["x"]})
+
+    # nested recursion: array<struct> element mismatch is located
+    exp = T.StructType(
+        [
+            T.StructField(
+                "loci",
+                T.ArrayType(
+                    T.StructType([T.StructField("pp", T.DoubleType(), False)])
+                ),
+                False,
+            )
+        ]
+    )
+    obs = T.StructType(
+        [
+            T.StructField(
+                "loci",
+                T.ArrayType(
+                    T.StructType([T.StructField("pp", T.StringType(), False)])
+                ),
+            )
+        ]
+    )
+    nested = dict(compare_structs(obs, exp))
+    assert any("loci[].pp" in s for s in nested["columns_with_non_matching_type"])
+
+
+def test_cli_dag_topo_and_dry_run(tmp_path, capsys):
+    """Step DAG: deterministic topological order, cycle and
+    unknown-dependency errors, dry-run planning."""
+    import json
+
+    import pytest
+
+    from gentropy_spark.cli import main, topo_order
+
+    assert topo_order(
+        {
+            "c": {"after": ["a", "b"]},
+            "b": {"after": ["a"]},
+            "a": {},
+            "d": {},
+        }
+    ) == ["a", "b", "c", "d"]
+    with pytest.raises(ValueError, match="cycle"):
+        topo_order({"a": {"after": ["b"]}, "b": {"after": ["a"]}})
+    with pytest.raises(ValueError, match="unknown"):
+        topo_order({"a": {"after": ["ghost"]}})
+
+    cfg = {
+        "sf_dir": "/root/testdata/sf0.001",
+        "out_dir": str(tmp_path / "out"),
+        "steps": {
+            "clump": {"query": "window_clump_leads"},
+            "pics": {"query": "pics_finemap", "after": ["clump"]},
+        },
+    }
+    cfg_path = tmp_path / "pipeline.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main(["dag", "--config", str(cfg_path), "--dry-run"]) == 0
+    assert capsys.readouterr().out.strip() == "clump -> pics"
+    # bad query name is rejected up front
+    cfg["steps"]["pics"]["query"] = "nope"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main(["dag", "--config", str(cfg_path), "--dry-run"]) == 2
+
+
+def test_cli_dag_executes(tmp_path, spark):
+    """The DAG runner writes one parquet per step in dependency order."""
+    import json
+
+    from gentropy_spark.cli import run_dag
+
+    out_dir = tmp_path / "pipe"
+    cfg = {
+        "sf_dir": "/root/testdata/sf0.001",
+        "out_dir": str(out_dir),
+        "steps": {
+            "clump": {"query": "window_clump_leads"},
+            "qc": {"query": "qc_gc_lambda", "after": ["clump"]},
+        },
+    }
+    cfg_path = tmp_path / "pipeline.json"
+    cfg_path.write_text(json.dumps(cfg))
+    order = run_dag(str(cfg_path))
+    assert order == ["clump", "qc"]
+    for step in order:
+        files = list((out_dir / step).glob("*.parquet"))
+        assert files, f"no parquet written for {step}"

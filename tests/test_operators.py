@@ -241,3 +241,27 @@ def test_pics_zero_signal_lead_no_nan(spark):
     for r in rows:
         assert r.pics_pp is not None and not math.isnan(r.pics_pp)
     assert abs(sum(r.pics_pp for r in rows) - 1.0) < 1e-6
+
+
+def test_ld_dense_matrix_densification(spark):
+    """Per-locus dense-matrix hand-off: symmetric fill, unit diagonal,
+    index ordering."""
+    from gentropy_spark.operators.ld_matrix import locus_dense_matrices
+
+    entries = spark.createDataFrame(
+        [
+            (1, 10, 11, 0.9),
+            (1, 10, 12, 0.5),
+            (1, 11, 12, 0.7),
+            (2, 3, 4, 0.2),
+        ],
+        "locus_id long, idx_i long, idx_j long, r double",
+    )
+    rows = {r.locus_id: r for r in locus_dense_matrices(entries).collect()}
+    m1 = rows[1]
+    assert m1.n == 3 and m1.indices == [10, 11, 12]
+    M = m1.matrix
+    assert M[0][0] == 1.0 and M[1][1] == 1.0
+    assert M[0][1] == 0.9 and M[1][0] == 0.9
+    assert M[0][2] == 0.5 and M[2][1] == 0.7
+    assert rows[2].n == 2 and rows[2].matrix[0][1] == 0.2
