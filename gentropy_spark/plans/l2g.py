@@ -197,10 +197,13 @@ def q_l2g_coloc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             c = F.col(f"{t}_{m}_max")
             reg = F.max(c).over(wl)
             out_cols.append(F.round(c, 6).alias(f"{t}_{m}_max"))
+            # Truncate (not ROUND) the ratio: a quotient of two 6-dp
+            # doubles can land exactly on a half-tie where the engines'
+            # ROUND implementations disagree; multiply+floor is
+            # IEEE-exact in both (observed at sf0.1).
+            ratio = F.when(reg > 0.0, c / reg).otherwise(F.lit(0.0))
             out_cols.append(
-                F.round(
-                    F.when(reg > 0.0, c / reg).otherwise(F.lit(0.0)), 6
-                ).alias(f"{t}_{m}_nbh")
+                (F.floor(ratio * 1e6) / 1e6).alias(f"{t}_{m}_nbh")
             )
     return local.select(*out_cols)
 
@@ -215,10 +218,10 @@ def _coloc_feat_sql() -> str:
     )
     out_cols = ",\n       ".join(
         f"ROUND({t}_{m}_max, 6) AS {t}_{m}_max,\n       "
-        f"ROUND(CASE WHEN MAX({t}_{m}_max) OVER "
+        f"FLOOR((CASE WHEN MAX({t}_{m}_max) OVER "
         f"(PARTITION BY left_study_id, contig) > 0.0 THEN {t}_{m}_max / "
         f"MAX({t}_{m}_max) OVER (PARTITION BY left_study_id, contig) "
-        f"ELSE 0.0 END, 6) AS {t}_{m}_nbh"
+        f"ELSE 0.0 END) * 1000000.0) / 1000000.0 AS {t}_{m}_nbh"
         for t in QTL_TYPES
         for m in ("h4", "clpp")
     )

@@ -313,7 +313,9 @@ def q_sumstat_harmonise_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "risk_allele",
         needs_flip.alias("direction_flipped"),
         has_unit.alias("effect_is_beta"),
-        F.round(beta_raw, 6).alias("beta"),
+        # + 0.0 maps IEEE -0.0 to +0.0 (a flipped ln(1.0) effect is
+        # exactly -0.0; the engines disagree on preserving the sign).
+        (F.round(beta_raw, 6) + 0.0).alias("beta"),
         F.round(se_raw, 6).alias("standard_error"),
     )
 
@@ -360,7 +362,7 @@ SELECT variant_key, ref, alt, risk_allele, direction_flipped, effect_is_beta,
                        ELSE reported_effect END
              ELSE CASE WHEN direction_flipped THEN -LN(reported_effect)
                        ELSE LN(reported_effect) END
-        END, 6) AS beta,
+        END, 6) + 0.0 AS beta,
   ROUND(CASE WHEN effect_is_beta THEN (ci_hi - ci_lo) / 3.92
              ELSE (LN(ci_hi) - LN(ci_lo)) / 3.92 END, 6) AS standard_error
 FROM flagged
