@@ -388,3 +388,78 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "vec",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-Flat approximate nearest neighbours (SURVEY E6 scale path #2).
+
+    Classic inverted-file search: a small coarse quantizer partitions
+    the corpus into ``n_centroids`` lists; each query probes only its
+    ``n_probe`` closest lists and brute-forces cosine inside them —
+    corpus scan cost drops by ~n_probe/n_centroids versus flat search.
+
+    Deterministic, engine-portable quantizer: the centroids are the
+    ``n_centroids`` corpus vectors with the smallest ids (a fixed
+    sample in id order — no k-means RNG), so both engines assign
+    identical lists and the result is fully value-hash oracle-checkable.
+    At cluster scale the assignment is one broadcast join (centroids
+    are tiny) + a shuffle on centroid id; the probed search is an
+    equi-join on centroid id — never a cross join against the corpus.
+    Ties (equal cosine to two centroids) break toward the lower
+    centroid id, identically in both engines.
+    """
+    w_cent = Window.orderBy(F.col(corpus_id).asc())
+    centroids = (
+        corpus.select(F.col(corpus_id), as_double(F.col(vec)).alias("cv"))
+        .withColumn("_rn", F.row_number().over(w_cent))
+        .filter(F.col("_rn") <= n_centroids)
+        .select(F.col(corpus_id).alias("centroid_id"), F.col("cv").alias("centv"))
+    )
+    c = corpus.select(F.col(corpus_id), as_double(F.col(vec)).alias("cv"))
+    # Assign each corpus vector to its best centroid (argmax cosine,
+    # ties toward the lower centroid id).
+    assign_scored = c.crossJoin(F.broadcast(centroids)).withColumn(
+        "csim", F.round(cosine(F.col("cv"), F.col("centv"), dim), 6)
+    )
+    w_assign = Window.partitionBy(corpus_id).orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        assign_scored.withColumn("_r", F.row_number().over(w_assign))
+        .filter(F.col("_r") == 1)
+        .select(corpus_id, "centroid_id", "cv")
+    )
+    # Each query probes its n_probe closest centroids.
+    q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("qv"))
+    probe_scored = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "csim", F.round(cosine(F.col("qv"), F.col("centv"), dim), 6)
+    )
+    w_probe = Window.partitionBy(query_id).orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("_r", F.row_number().over(w_probe))
+        .filter(F.col("_r") <= n_probe)
+        .select(query_id, "centroid_id", "qv")
+    )
+    scored = probes.join(assigned, on="centroid_id").withColumn(
+        "cosine", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
+    )
+    w_rank = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

@@ -634,3 +634,83 @@ REGISTRY.update(
         "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, SIMHASH_PAIRS_SQL),
     }
 )
+
+
+# --- E6b: IVF-Flat ANN (deterministic coarse quantizer) -------------------
+IVF_N_CENTROIDS = 16
+IVF_N_PROBE = 4
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gentropy_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
+    )
+    return ivf_topk(
+        queries,
+        corpus,
+        n_centroids=IVF_N_CENTROIDS,
+        n_probe=IVF_N_PROBE,
+        k=5,
+        dim=EMB_DIM,
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (SELECT vec_id AS corpus_id, v FROM vecs WHERE vec_id >= 10),
+queries AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < 10),
+centroids AS (
+  SELECT corpus_id AS centroid_id, v AS centv
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY corpus_id) AS rn FROM corpus)
+  WHERE rn <= {IVF_N_CENTROIDS}
+),
+assign_scored AS (
+  SELECT c.corpus_id, c.v, ct.centroid_id,
+         ROUND(list_dot_product(c.v, ct.centv)
+               / (SQRT(list_dot_product(c.v, c.v))
+                  * SQRT(list_dot_product(ct.centv, ct.centv))), 6) AS csim
+  FROM corpus c, centroids ct
+),
+assigned AS (
+  SELECT corpus_id, v, centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY corpus_id
+                                     ORDER BY csim DESC, centroid_id) AS r
+        FROM assign_scored)
+  WHERE r = 1
+),
+probe_scored AS (
+  SELECT q.query_id, q.v AS qv, ct.centroid_id,
+         ROUND(list_dot_product(q.v, ct.centv)
+               / (SQRT(list_dot_product(q.v, q.v))
+                  * SQRT(list_dot_product(ct.centv, ct.centv))), 6) AS csim
+  FROM queries q, centroids ct
+),
+probes AS (
+  SELECT query_id, qv, centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY csim DESC, centroid_id) AS r
+        FROM probe_scored)
+  WHERE r <= {IVF_N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.corpus_id,
+         ROUND(list_dot_product(p.qv, a.v)
+               / (SQRT(list_dot_product(p.qv, p.qv))
+                  * SQRT(list_dot_product(a.v, a.v))), 6) AS cosine
+  FROM probes p JOIN assigned a USING (centroid_id)
+)
+SELECT query_id, corpus_id, cosine, rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, corpus_id) AS INT) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+REGISTRY["ann_ivf_topk"] = QuerySpec(q_ann_ivf, ANN_IVF_SQL)

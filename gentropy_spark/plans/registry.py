@@ -38,6 +38,7 @@ _SNAPSHOT_PRIORITY = [
     "sumstat_harmonise_full",
     "vep_consequence_annotate",
     "ld_block_slice",
+    "ann_ivf_topk",
     "l2g_coloc_features",
     "l2g_score_gbm",
     "text_langid",

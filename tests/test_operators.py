@@ -265,3 +265,40 @@ def test_ld_dense_matrix_densification(spark):
     assert M[0][1] == 0.9 and M[1][0] == 0.9
     assert M[0][2] == 0.5 and M[2][1] == 0.7
     assert rows[2].n == 2 and rows[2].matrix[0][1] == 0.2
+
+
+def test_ivf_topk_subset_of_bruteforce(spark, sf_dir):
+    """IVF results are a subset of the probed lists: every returned hit
+    must equal the brute-force cosine for that (query, corpus) pair,
+    and with full probing (n_probe == n_centroids) recall is exact."""
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.operators.similarity import cosine_topk, ivf_topk
+    from gentropy_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
+    )
+    flat = {
+        (r.query_id, r.corpus_id): r.cosine
+        for r in cosine_topk(queries, corpus, k=100, dim=64).collect()
+    }
+    ivf = ivf_topk(
+        queries, corpus, n_centroids=8, n_probe=8, k=5, dim=64
+    ).collect()
+    # full probing == flat top-k (exactness when every list is searched)
+    flat_top5 = {}
+    for (q, c), cos in flat.items():
+        flat_top5.setdefault(q, []).append((cos, c))
+    for q in flat_top5:
+        flat_top5[q] = sorted(flat_top5[q], key=lambda t: (-t[0], t[1]))[:5]
+    got = {}
+    for r in ivf:
+        got.setdefault(r.query_id, []).append((r.cosine, r.corpus_id))
+    for q in got:
+        got[q] = sorted(got[q], key=lambda t: (-t[0], t[1]))
+        assert got[q] == flat_top5[q], f"query {q}: IVF full-probe != flat"
