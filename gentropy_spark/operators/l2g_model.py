@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
 
 FEATURES = ['max_weight', 'rel_weight', 'n_hits', 'genes_in_flank', 'eqtl_h4_max', 'eqtl_h4_nbh', 'eqtl_clpp_max', 'eqtl_clpp_nbh', 'pqtl_h4_max', 'pqtl_h4_nbh', 'pqtl_clpp_max', 'pqtl_clpp_nbh', 'sqtl_h4_max', 'sqtl_h4_nbh', 'sqtl_clpp_max', 'sqtl_clpp_nbh']

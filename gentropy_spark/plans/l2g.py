@@ -613,3 +613,138 @@ FROM scored
 
 
 REGISTRY["l2g_score_gbm"] = QuerySpec(q_l2g_score_gbm, _l2g_gbm_sql())
+
+
+# --- interval evidence (PCHiC/E2G-style datasource) -----------------------
+# Reference: dataset/intervals.py — typed genomic intervals linking a
+# region to a gene with a score: distance_to_tss (:120 — promoter and
+# tss-inside-interval are distance 0), interval-range validation
+# (:207), supported-type validation (:392), multiple-types-per-
+# (region, gene) flag. Composed as one flagged evidence table (flags
+# accumulate, rows are never dropped — the reference's qc_test
+# contract).
+INTERVAL_TYPES = ("promoter", "enhancer", "intragenic", "intergenic")
+
+
+def q_interval_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    genes = gene_index(spark, sf_dir)
+    n_genes = F.col("gn")
+    gcount = genes.groupBy().agg(F.count("*").alias("gn"))
+    base = orders.crossJoin(F.broadcast(gcount)).select(
+        F.col("o_orderkey").alias("interval_id"),
+        # deterministic gene link: order key modulo gene count (+1)
+        (F.col("o_orderkey") % n_genes + 1).alias("gene_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in INTERVAL_TYPES], F.lit("other")),
+            (F.col("o_orderkey") % 5 + 1).cast("int"),
+        ).alias("interval_type"),
+        # truncate, not ROUND: the price/constant quotient lands on
+        # half-ties where the engines' rounding diverges (seen sf0.1)
+        (F.floor(F.col("o_totalprice") / 600_000.0 * 1e6) / 1e6).alias("score"),
+    )
+    joined = base.join(F.broadcast(genes), on="gene_id")
+    # synthetic interval geometry around the gene TSS (gene_start):
+    # enhancers upstream, promoters at the TSS, some inverted (invalid).
+    istart = F.when(
+        F.col("interval_id") % 11 == 0,
+        F.col("gene_start") + 1_000_000_000,  # inverted range (invalid)
+    ).otherwise(F.col("gene_start") - (F.col("interval_id") % 4 + 1) * 600_000_000)
+    iend = F.when(
+        F.col("interval_id") % 11 == 0, F.col("gene_start")
+    ).otherwise(istart + 900_000_000)
+    shaped = joined.select(
+        "interval_id",
+        "gene_id",
+        "contig",
+        "interval_type",
+        "score",
+        istart.alias("istart"),
+        iend.alias("iend"),
+        F.col("gene_start").alias("tss"),
+    )
+    bad_range = F.col("istart") > F.col("iend")
+    bad_type = ~F.col("interval_type").isin(*INTERVAL_TYPES)
+    from pyspark.sql import Window
+
+    w_pair = Window.partitionBy("contig", "istart", "iend", "gene_id")
+    multi_type = F.size(F.collect_set("interval_type").over(w_pair)) > 1
+    is_promoter = F.col("interval_type") == "promoter"
+    tss_inside = (F.col("tss") >= F.col("istart")) & (F.col("tss") <= F.col("iend"))
+    dist = (
+        F.when(is_promoter | tss_inside, F.lit(0))
+        .otherwise(
+            F.least(
+                F.abs(F.col("tss") - F.col("istart")),
+                F.abs(F.col("tss") - F.col("iend")),
+            )
+        )
+        .cast("long")
+    )
+    flags = F.concat_ws(
+        ";",
+        F.when(bad_range, F.lit("INVALID_RANGE")),
+        F.when(bad_type, F.lit("UNSUPPORTED_TYPE")),
+        F.when(multi_type, F.lit("MULTIPLE_TYPES")),
+    )
+    return shaped.select(
+        "interval_id",
+        "gene_id",
+        "contig",
+        "interval_type",
+        "score",
+        "istart",
+        "iend",
+        dist.alias("distance_to_tss"),
+        flags.alias("qc_flags"),
+        (flags == "").alias("is_valid"),
+    )
+
+
+INTERVAL_EVIDENCE_SQL = f"""
+WITH gcount AS (SELECT COUNT(*) AS gn FROM part),
+genes AS ({GENE_INDEX_SQL}),
+base AS (
+  SELECT o_orderkey AS interval_id,
+         o_orderkey % gn + 1 AS gene_id,
+         (['promoter','enhancer','intragenic','intergenic','other'])
+           [CAST(o_orderkey % 5 AS INT) + 1] AS interval_type,
+         FLOOR(o_totalprice / 600000.0 * 1000000.0) / 1000000.0 AS score
+  FROM orders, gcount
+),
+joined AS (
+  SELECT b.*, g.contig, g.gene_start AS tss,
+    CASE WHEN interval_id % 11 = 0 THEN g.gene_start + 1000000000
+         ELSE g.gene_start - (interval_id % 4 + 1) * 600000000 END AS istart,
+    CASE WHEN interval_id % 11 = 0 THEN g.gene_start
+         ELSE g.gene_start - (interval_id % 4 + 1) * 600000000 + 900000000
+    END AS iend
+  FROM base b JOIN genes g USING (gene_id)
+),
+flagged AS (
+  SELECT *,
+    istart > iend AS bad_range,
+    interval_type NOT IN ('promoter','enhancer','intragenic','intergenic')
+      AS bad_type,
+    COUNT(DISTINCT interval_type)
+      OVER (PARTITION BY contig, istart, iend, gene_id) > 1 AS multi_type
+  FROM joined
+)
+SELECT interval_id, gene_id, contig, interval_type, score, istart, iend,
+  CAST(CASE WHEN interval_type = 'promoter'
+                 OR (tss >= istart AND tss <= iend) THEN 0
+            ELSE LEAST(ABS(tss - istart), ABS(tss - iend)) END AS BIGINT)
+    AS distance_to_tss,
+  concat_ws(';',
+    CASE WHEN bad_range THEN 'INVALID_RANGE' END,
+    CASE WHEN bad_type THEN 'UNSUPPORTED_TYPE' END,
+    CASE WHEN multi_type THEN 'MULTIPLE_TYPES' END) AS qc_flags,
+  (concat_ws(';',
+    CASE WHEN bad_range THEN 'INVALID_RANGE' END,
+    CASE WHEN bad_type THEN 'UNSUPPORTED_TYPE' END,
+    CASE WHEN multi_type THEN 'MULTIPLE_TYPES' END) = '') AS is_valid
+FROM flagged
+"""
+
+
+REGISTRY["interval_evidence"] = QuerySpec(q_interval_evidence, INTERVAL_EVIDENCE_SQL)

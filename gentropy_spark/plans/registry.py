@@ -39,6 +39,7 @@ _SNAPSHOT_PRIORITY = [
     "vep_consequence_annotate",
     "ld_block_slice",
     "ann_ivf_topk",
+    "interval_evidence",
     "l2g_coloc_features",
     "l2g_score_gbm",
     "text_langid",

@@ -16,3 +16,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_tracked_caches():
+    """Unpersist operator-tracked intermediates between test modules so
+    a long pytest session cannot accumulate storage memory (ADVICE r2:
+    release_caches was defined but never invoked in teardown)."""
+    yield
+    from gentropy_spark.session import release_caches
+
+    release_caches()

@@ -81,3 +81,15 @@ def test_lsh_candidate_buckets_are_balanced(spark, sf_dir):
         assert counts.max() <= max(len(V) // 20, 4), (
             f"band {bd}: mega-bucket of {counts.max()}/{len(V)}"
         )
+
+
+def test_susie_stage_parallelism_pinned(spark, sf_dir):
+    """r3 regression guard: AQE's byte-based coalescing collapsed the
+    tiny shuffle feeding the Python fine-mapping stage to one partition
+    (serializing all loci on one worker). The operator pins parallelism
+    with a range repartition, which must survive optimization."""
+    from gentropy_spark.plans.genomics import q_susie_inf
+
+    df = q_susie_inf(spark, sf_dir)
+    plan = _formatted(df)
+    assert "rangepartitioning" in plan.lower(), plan
