@@ -221,8 +221,12 @@ def cosine_topk(
             )
     q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("qv"))
     c = corpus.select(F.col(corpus_id), as_double(F.col(vec)).alias("cv"))
+    # Arrow-batched cosine: the unrolled 3×dim expression is correct
+    # but its ~600-term tree costs seconds of driver-side analysis and
+    # codegen PER QUERY BUILD; the UDF plan is constant-size (same
+    # left-to-right parity — see cosine_pairs_udf).
     scored = F.broadcast(q).crossJoin(c).withColumn(
-        "cosine", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
+        "cosine", F.round(cosine_pairs_udf()(F.col("qv"), F.col("cv")), 6)
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc()
@@ -378,7 +382,7 @@ def lsh_topk(
         F.col(corpus_id), as_double(F.col(vec)).alias("cv")
     ).withColumn("bucket", bucket_expr(F.col("cv")))
     scored = q.join(c, on="bucket").withColumn(
-        "cosine", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
+        "cosine", F.round(cosine_pairs_udf()(F.col("qv"), F.col("cv")), 6)
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc()
@@ -429,7 +433,7 @@ def ivf_topk(
     # Assign each corpus vector to its best centroid (argmax cosine,
     # ties toward the lower centroid id).
     assign_scored = c.crossJoin(F.broadcast(centroids)).withColumn(
-        "csim", F.round(cosine(F.col("cv"), F.col("centv"), dim), 6)
+        "csim", F.round(cosine_pairs_udf()(F.col("cv"), F.col("centv")), 6)
     )
     w_assign = Window.partitionBy(corpus_id).orderBy(
         F.col("csim").desc(), F.col("centroid_id").asc()
@@ -442,7 +446,7 @@ def ivf_topk(
     # Each query probes its n_probe closest centroids.
     q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("qv"))
     probe_scored = q.crossJoin(F.broadcast(centroids)).withColumn(
-        "csim", F.round(cosine(F.col("qv"), F.col("centv"), dim), 6)
+        "csim", F.round(cosine_pairs_udf()(F.col("qv"), F.col("centv")), 6)
     )
     w_probe = Window.partitionBy(query_id).orderBy(
         F.col("csim").desc(), F.col("centroid_id").asc()
@@ -453,7 +457,7 @@ def ivf_topk(
         .select(query_id, "centroid_id", "qv")
     )
     scored = probes.join(assigned, on="centroid_id").withColumn(
-        "cosine", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
+        "cosine", F.round(cosine_pairs_udf()(F.col("qv"), F.col("cv")), 6)
     )
     w_rank = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc()
