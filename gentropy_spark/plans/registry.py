@@ -40,6 +40,7 @@ _SNAPSHOT_PRIORITY = [
     "ld_block_slice",
     "ann_ivf_topk",
     "interval_evidence",
+    "study_index_validate",
     "l2g_coloc_features",
     "l2g_score_gbm",
     "text_langid",

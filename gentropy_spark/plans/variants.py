@@ -418,3 +418,102 @@ FROM termed
 
 
 REGISTRY["vep_consequence_annotate"] = QuerySpec(q_vep_consequence, _vep_sql())
+
+
+# --- study-index validation ----------------------------------------------
+# Reference: dataset/study_index.py — :279 validate_unique_study_id
+# (duplicate flag, never drop), :436 validate_study_type against
+# VALID_TYPES, :298 validate_project_id (deprecated projects), plus
+# the target/gene resolution check (:461). The synthetic study index
+# derives from customer: study_id, a type label (with some invalid),
+# a project and a linked gene id (some unresolvable). Flags accumulate
+# as a ';'-joined string for exact cross-engine hashing.
+STUDY_TYPES = ("gwas", "eqtl", "pqtl", "sqtl", "tuqtl")
+DEPRECATED_PROJECTS = ("proj_legacy",)
+
+
+def q_study_index_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = read_table(spark, sf_dir, "customer")
+    part = read_table(spark, sf_dir, "part")
+    n_genes = part.groupBy().agg(F.count("*").alias("gn"))
+    types = F.array(
+        *[F.lit(t) for t in STUDY_TYPES], F.lit("bulk_rna"), F.lit("")
+    )
+    base = cust.crossJoin(F.broadcast(n_genes)).select(
+        # duplicate ids on purpose: key div 50 collides within nations
+        F.expr("c_custkey div 50").alias("study_id"),
+        F.col("c_custkey").alias("row_id"),
+        F.element_at(types, (F.col("c_custkey") % 7 + 1).cast("int")).alias(
+            "study_type"
+        ),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("proj_legacy"))
+        .otherwise(F.concat(F.lit("proj_"), (F.col("c_nationkey") % 5).cast("string")))
+        .alias("project_id"),
+        # some gene links point past the gene index (unresolvable)
+        (F.col("c_custkey") % (F.col("gn") + F.lit(500)) + 1).alias("gene_id"),
+        F.col("gn"),
+    )
+    w_id = Window.partitionBy("study_id")
+    dup = F.count("*").over(w_id) > 1
+    bad_type = ~F.col("study_type").isin(*STUDY_TYPES)
+    deprecated = F.col("project_id").isin(*DEPRECATED_PROJECTS)
+    unresolved = F.col("gene_id") > F.col("gn")
+    flags = F.concat_ws(
+        ";",
+        F.when(dup, F.lit("DUPLICATED_STUDY")),
+        F.when(bad_type, F.lit("UNKNOWN_STUDY_TYPE")),
+        F.when(deprecated, F.lit("DEPRECATED_PROJECT")),
+        F.when(unresolved, F.lit("UNRESOLVED_TARGET")),
+    )
+    return base.select(
+        "study_id",
+        "row_id",
+        "study_type",
+        "project_id",
+        "gene_id",
+        flags.alias("qc_flags"),
+        (flags == "").alias("is_valid"),
+    )
+
+
+STUDY_INDEX_VALIDATE_SQL = """
+WITH gc AS (SELECT COUNT(*) AS gn FROM part),
+base AS (
+  SELECT c_custkey // 50 AS study_id,
+         c_custkey AS row_id,
+         (['gwas','eqtl','pqtl','sqtl','tuqtl','bulk_rna',''])
+           [CAST(c_custkey % 7 AS INT) + 1] AS study_type,
+         CASE WHEN c_custkey % 13 = 0 THEN 'proj_legacy'
+              ELSE 'proj_' || CAST(c_nationkey % 5 AS VARCHAR) END AS project_id,
+         c_custkey % (gn + 500) + 1 AS gene_id,
+         gn
+  FROM customer, gc
+),
+flagged AS (
+  SELECT *,
+    COUNT(*) OVER (PARTITION BY study_id) > 1 AS dup,
+    study_type NOT IN ('gwas','eqtl','pqtl','sqtl','tuqtl') AS bad_type,
+    project_id IN ('proj_legacy') AS deprecated,
+    gene_id > gn AS unresolved
+  FROM base
+)
+SELECT study_id, row_id, study_type, project_id, gene_id,
+  concat_ws(';',
+    CASE WHEN dup THEN 'DUPLICATED_STUDY' END,
+    CASE WHEN bad_type THEN 'UNKNOWN_STUDY_TYPE' END,
+    CASE WHEN deprecated THEN 'DEPRECATED_PROJECT' END,
+    CASE WHEN unresolved THEN 'UNRESOLVED_TARGET' END) AS qc_flags,
+  (concat_ws(';',
+    CASE WHEN dup THEN 'DUPLICATED_STUDY' END,
+    CASE WHEN bad_type THEN 'UNKNOWN_STUDY_TYPE' END,
+    CASE WHEN deprecated THEN 'DEPRECATED_PROJECT' END,
+    CASE WHEN unresolved THEN 'UNRESOLVED_TARGET' END) = '') AS is_valid
+FROM flagged
+"""
+
+
+REGISTRY["study_index_validate"] = QuerySpec(
+    q_study_index_validate, STUDY_INDEX_VALIDATE_SQL
+)
