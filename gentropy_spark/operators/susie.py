@@ -471,3 +471,121 @@ def susie_inf_finemap(
         .groupBy(study, contig)
         .applyInPandas(fit_partition, schema=out_schema)
     )
+
+
+def susie_finemapper_step(
+    df: DataFrame,
+    study: str = "study_id",
+    contig: str = "contig",
+    cluster: str = "cluster_seq",
+    pos: str = "pos",
+    z_col: str = "z",
+    point_id: str = "point_id",
+    L: int = 5,
+    n: int = 100_000,
+    tau: float = 10_800_000_000.0,
+    coverage: float = 0.95,
+    purity_min_r2_threshold: float = 0.25,
+    purity_mean_r2_threshold: float = 0.0,
+    max_variants: int = 1_000,
+) -> DataFrame:
+    """Per-credible-set StudyLocus rows — the reference's flagship
+    fine-mapping STEP (susie_finemapper.py:193 susie_inf_to_studylocus)
+    composed around the SuSiE-inf kernel.
+
+    Emits one row per surviving credible set: the set index, its
+    log10 Bayes factor (lbf_cs × log10 e, :312), the lead variant
+    (highest single-effect PIP in the set), set size, and the purity
+    metrics (mean/min r² over the set, :358-:379) with the step's
+    purity filters applied. Same per-locus applyInPandas shape and
+    synthetic distance-decay LD as ``susie_inf_finemap``.
+    """
+    keys = [study, contig, cluster]
+    out_schema = T.StructType(
+        [
+            df.schema[study],
+            df.schema[contig],
+            df.schema[cluster],
+            T.StructField("credible_set_index", T.IntegerType()),
+            T.StructField("lead_point_id", df.schema[point_id].dataType),
+            T.StructField("lead_pip", T.DoubleType()),
+            T.StructField("cs_log10_bf", T.DoubleType()),
+            T.StructField("n_in_set", T.IntegerType()),
+            T.StructField("purity_mean_r2", T.DoubleType()),
+            T.StructField("purity_min_r2", T.DoubleType()),
+        ]
+    )
+    log10_e = 0.4342944819032518
+
+    def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(point_id).reset_index(drop=True)
+        if len(pdf) > max_variants:
+            keep = (
+                pdf.assign(_az=pdf[z_col].abs())
+                .nlargest(max_variants, ["_az", point_id])
+                .index
+            )
+            pdf = pdf.loc[sorted(keep)].reset_index(drop=True)
+        z = pdf[z_col].to_numpy(dtype=np.float64)
+        p_arr = pdf[pos].to_numpy(dtype=np.float64)
+        R = np.exp(-np.abs(p_arr[:, None] - p_arr[None, :]) / tau)
+        eff = min(L, len(z))
+        fit = susie_inf_fit(z, R=R, n=n, L=eff, method="moments", est_tausq=True)
+        rows = []
+        for ci, cs in enumerate(
+            credible_sets(fit["PIP"], R, coverage=coverage)
+        ):
+            idx = np.asarray(cs, dtype=int)
+            # the effect whose PIPs define this set = highest total mass
+            eff_scores = fit["PIP"][idx, :].sum(axis=0)
+            ell = int(np.argmax(eff_scores))
+            lead_local = int(idx[np.argmax(fit["PIP"][idx, ell])])
+            r2 = R[np.ix_(idx, idx)] ** 2
+            m = pdf.iloc[0]
+            rows.append(
+                (
+                    m[study],
+                    m[contig],
+                    m[cluster],
+                    ci,
+                    pdf[point_id].iloc[lead_local],
+                    round(float(fit["PIP"][lead_local, ell]), 6),
+                    round(float(fit["lbf"][ell] * log10_e), 6),
+                    int(len(idx)),
+                    round(float(np.mean(r2)), 6),
+                    round(float(np.min(r2)), 6),
+                )
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                study,
+                contig,
+                cluster,
+                "credible_set_index",
+                "lead_point_id",
+                "lead_pip",
+                "cs_log10_bf",
+                "n_in_set",
+                "purity_mean_r2",
+                "purity_min_r2",
+            ],
+        )
+        if len(out):
+            out = out[
+                (out["purity_min_r2"] >= purity_min_r2_threshold)
+                & (out["purity_mean_r2"] >= purity_mean_r2_threshold)
+            ]
+        return out
+
+    def fit_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = [fit_one(g) for _, g in pdf.groupby(cluster, sort=True)]
+        return pd.concat(outs, ignore_index=True)
+
+    sel = df.select(*keys, point_id, pos, z_col)
+    nparts = sel.sparkSession.sparkContext.defaultParallelism
+    return (
+        sel.repartitionByRange(nparts, study, contig)
+        .groupBy(study, contig)
+        .applyInPandas(fit_partition, schema=out_schema)
+    )

@@ -566,6 +566,23 @@ def q_carma_finemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carma_like(ss.withColumn("z", F.col("signif") / 10.0))
 
 
+def q_susie_finemapper_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship fine-mapping step: per-credible-set StudyLocus rows
+    (lead variant, log10 BF, purity metrics, purity filters) — the
+    susie_finemapper.py orchestration composed around the faithful
+    SuSiE-inf kernel (rows-only: iterative)."""
+    from gentropy_spark.operators.susie import susie_finemapper_step
+
+    ss = sumstats(spark, sf_dir).filter(F.col("signif") >= SIGNIF_MIN)
+    clustered = _cluster_seq(
+        ss, "study_id", "contig", "pos", "point_id", CLUMP_WINDOW_US
+    )
+    return susie_finemapper_step(
+        clustered.withColumn("z", F.col("signif") / 10.0),
+        tau=float(PICS_TAU),
+    )
+
+
 def q_carma_shotgun(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faithful CARMA: deterministic shotgun configuration search with
     spike-slab BF model averaging and ridge-BF outlier detection
@@ -591,6 +608,7 @@ REGISTRY.update(
         "window_clump_semi": QuerySpec(q_window_clump_semi, None),
         "susie_like_finemap": QuerySpec(q_susie_like, None),
         "susie_inf_finemap": QuerySpec(q_susie_inf, None),
+        "susie_finemapper_step": QuerySpec(q_susie_finemapper_step, None),
         "carma_shotgun_finemap": QuerySpec(q_carma_shotgun, None),
     }
 )

@@ -35,6 +35,7 @@ class QuerySpec:
 _SNAPSHOT_PRIORITY = [
     "susie_inf_finemap",
     "carma_shotgun_finemap",
+    "susie_finemapper_step",
     "sumstat_harmonise_full",
     "vep_consequence_annotate",
     "ld_block_slice",

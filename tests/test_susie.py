@@ -114,3 +114,18 @@ def test_susie_inf_finemap_operator(spark, sf_dir):
         1 for vs in by_locus.values() if any(v.credible_set >= 0 for v in vs)
     )
     assert with_cs > 0
+
+
+def test_susie_finemapper_step(spark, sf_dir):
+    """Step contract: one row per surviving credible set with a lead
+    variant, log10 BF, and purity metrics within bounds."""
+    from gentropy_spark.plans.genomics import q_susie_finemapper_step
+
+    rows = q_susie_finemapper_step(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_in_set >= 1
+        assert 0.0 <= r.lead_pip <= 1.0
+        assert 0.0 <= r.purity_min_r2 <= r.purity_mean_r2 <= 1.0
+        assert r.purity_min_r2 >= 0.25  # step filter applied
+        assert r.credible_set_index >= 0
