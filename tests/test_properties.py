@@ -100,3 +100,86 @@ def test_window_clump_invariants(spark, points, window):
                 )
     for r in leads:
         assert r.lead_signif == max_by_cluster[r.cluster_seq]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_susie_pip_invariants(p, seed):
+    """SuSiE-inf on arbitrary well-conditioned inputs: per-effect PIPs
+    are a probability distribution over SNPs; posterior precision is
+    positive; the fit is deterministic."""
+    import numpy as np
+
+    from gentropy_spark.operators.susie import susie_inf_fit
+
+    rng = np.random.RandomState(seed % (2**31))
+    A = rng.randn(p, p + 3)
+    R = A @ A.T
+    d = np.sqrt(np.diag(R))
+    R = R / np.outer(d, d)
+    z = rng.randn(p) * 3
+    fit = susie_inf_fit(z, R=R, L=min(3, p), est_tausq=True)
+    assert np.all(fit["PIP"] >= 0) and np.all(fit["PIP"] <= 1 + 1e-12)
+    col_sums = fit["PIP"].sum(axis=0)
+    assert np.allclose(col_sums, 1.0, atol=1e-6)
+    assert np.all(fit["omega"] > 0)
+    fit2 = susie_inf_fit(z, R=R, L=min(3, p), est_tausq=True)
+    assert np.array_equal(fit["PIP"], fit2["PIP"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=10),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_carma_pip_invariants(p, seed):
+    """CARMA shotgun: PIPs in [0,1]; outliers never inside the best
+    model; deterministic across calls."""
+    import numpy as np
+
+    from gentropy_spark.operators.carma_full import carma_shotgun
+
+    rng = np.random.RandomState(seed % (2**31))
+    A = rng.randn(p, p + 3)
+    R = A @ A.T
+    d = np.sqrt(np.diag(R))
+    R = R / np.outer(d, d)
+    z = rng.randn(p) * 2
+    res = carma_shotgun(z, R, num_causal=min(3, p))
+    assert np.all(res["pip"] >= 0) and np.all(res["pip"] <= 1 + 1e-12)
+    assert not (set(res["outliers"]) & set(res["best_model"]))
+    res2 = carma_shotgun(z, R, num_causal=min(3, p))
+    assert np.array_equal(res["pip"], res2["pip"])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_schema_comparison_properties(data):
+    """Schema comparison: reflexive (no issues vs itself) and the
+    issue taxonomy is stable under field-order permutation."""
+    from pyspark.sql import types as T
+
+    from gentropy_spark.datasets.schemas import compare_structs
+
+    names = data.draw(
+        st.lists(
+            st.text(alphabet="abcdef", min_size=1, max_size=4),
+            min_size=1,
+            max_size=5,
+            unique=True,
+        )
+    )
+    dtypes = [T.LongType(), T.DoubleType(), T.StringType()]
+    fields = [
+        T.StructField(n, dtypes[i % 3], nullable=bool(i % 2))
+        for i, n in enumerate(names)
+    ]
+    schema = T.StructType(fields)
+    assert dict(compare_structs(schema, schema)) == {}
+    perm = data.draw(st.permutations(fields))
+    shuffled = T.StructType(list(perm))
+    issues = dict(compare_structs(shuffled, schema))
+    assert issues == {}  # order never matters
