@@ -153,6 +153,16 @@ def sessionize_stateful(stream: DataFrame, gap_us: int = 43_200_000_000) -> Data
         poses: list[int] = []
         for pdf in pdf_iter:
             poses.extend(int(p) for p in pdf["pos"])
+        # A group can be invoked with ZERO surviving rows when all its
+        # batch data was watermark-late (dropped before the function).
+        # Leave the state and its ALREADY-ARMED timeout untouched:
+        # re-arming with the stale session end would set a timestamp
+        # behind the watermark, which is rejected.
+        if not poses:
+            yield pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in cols}
+            )
+            return
         for pos in sorted(poses):
             if cur is None:
                 cur = [pos, pos, 1]
@@ -166,8 +176,15 @@ def sessionize_stateful(stream: DataFrame, gap_us: int = 43_200_000_000) -> Data
         if cur is not None:
             state.update((cur[0], cur[1], cur[2]))
             # Close when the watermark passes the session's quiet
-            # period (timeout timestamp is in epoch milliseconds).
-            state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
+            # period (timeout timestamp is in epoch milliseconds; a
+            # merged-in stale session could still sit behind the
+            # watermark, so never arm earlier than the present).
+            state.setTimeoutTimestamp(
+                max(
+                    cur[1] // 1000 + gap_ms,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
         yield pd.DataFrame(rows, columns=cols)
 
     with_pos = stream.withColumn("pos", F.expr("ts div 1000")).withColumn(

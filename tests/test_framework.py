@@ -411,3 +411,129 @@ def test_cli_dag_executes(tmp_path, spark):
     for step in order:
         files = list((out_dir / step).glob("*.parquet"))
         assert files, f"no parquet written for {step}"
+
+
+def test_stream_watermark_drops_late_file(spark, sf_dir, tmp_path):
+    """Watermark semantics demonstrated end-to-end: a file whose events
+    are entirely older than the advanced watermark arrives late and is
+    DROPPED by the stateful sessionizer (counted in the progress
+    metrics). Spark's late-event filter uses the watermark as of one
+    batch earlier, so the scenario needs THREE chronological batches:
+    two fresh files (the second commits the first's watermark for
+    filtering), then the stale file."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.sources.readers import read_table
+    from gentropy_spark.streaming.windowed import sessionize_stateful
+
+    events = read_table(spark, sf_dir, "events")
+    mid, q90 = events.approxQuantile("ts", [0.5, 0.9], 0.001)
+    new_a = events.filter((F.col("ts") > mid) & (F.col("ts") <= q90))
+    new_b = events.filter(F.col("ts") > q90)
+    old_part = events.filter(F.col("ts") <= mid)
+    src = tmp_path / "late_src"
+    src.mkdir()
+    t0 = time.time()
+    for i, part in enumerate([new_a, new_b, old_part]):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"chunk{i}")
+        )
+        f = next((tmp_path / f"chunk{i}").glob("part-*.parquet"))
+        dst = src / f"{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i * 60, t0 + i * 60))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    ckpt = tempfile.mkdtemp(prefix="gentropy_spark_ckpt_")
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("sess_late")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    n_old = old_part.count()
+    assert dropped == n_old, f"expected all {n_old} late rows dropped, got {dropped}"
+
+
+def test_stream_incremental_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once incremental processing: drain once, add a new file,
+    drain again over the SAME checkpoint — the second drain processes
+    only the new file and the union equals a batch over both."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.sources.readers import read_table
+    from gentropy_spark.streaming.windowed import dedup_keys
+
+    events = read_table(spark, sf_dir, "events")
+    mid = events.approxQuantile("ts", [0.5], 0.001)[0]
+    first = events.filter(F.col("ts") <= mid)
+    second = events.filter(F.col("ts") > mid)
+    src = tmp_path / "incr_src"
+    src.mkdir()
+    first.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "f1"))
+    f1 = next((tmp_path / "f1").glob("part-*.parquet"))
+    t0 = time.time()
+    shutil.copy(f1, src / "000.parquet")
+    os.utime(src / "000.parquet", (t0, t0))
+
+    ckpt = tempfile.mkdtemp(prefix="gentropy_spark_ckpt_")
+    schema = spark.read.parquet(str(src)).schema
+
+    def drain(name):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            dedup_keys(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    drain("incr_1")
+    n1 = spark.table("incr_1").count()
+    second.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "f2"))
+    f2 = next((tmp_path / "f2").glob("part-*.parquet"))
+    shutil.copy(f2, src / "001.parquet")
+    os.utime(src / "001.parquet", (t0 + 60, t0 + 60))
+    q2 = drain("incr_2")
+    # second drain reads ONLY the new file
+    new_in = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert new_in <= second.count(), "second drain reprocessed old data"
+    batch = (
+        events.withColumn("pos", F.expr("ts div 1000"))
+        .groupBy("user_id", "event_type", "pos")
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+    assert spark.table("incr_2").count() == batch.count()
+    assert n1 <= batch.count()
