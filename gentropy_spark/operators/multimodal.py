@@ -71,3 +71,56 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
             yield out
 
     return binary_df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_feature", T.DoubleType()),
+    ]
+)
+MAX_SAMPLED_FRAMES = 4
+
+
+def sample_frames(binary_df: DataFrame) -> DataFrame:
+    """Uniform-stride frame sampling — the N:M mapInPandas shape (one
+    input media row fans out to up to ``MAX_SAMPLED_FRAMES`` frame
+    rows; batch sizes in and out differ, which is exactly what a real
+    video sampler produces).
+
+    The frame DECODE is the deterministic stub (pure int64 arithmetic
+    on (doc_id, frame_index)), so the fan-out plumbing is fully
+    oracle-checkable; a real ffmpeg-style sampler replaces the feature
+    line without touching schema or partitioning.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, nfs, feats = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) % 16 + 1
+                k = min(MAX_SAMPLED_FRAMES, n_frames)
+                stride = max(n_frames // k, 1)
+                for i in range(k):
+                    idx = i * stride
+                    if idx >= n_frames:
+                        break
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    nfs.append(n_frames)
+                    feats.append(
+                        ((doc_id * 31 + idx) * 2654435761) % 1000003
+                        / 1000003.0
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "frame_feature": pd.Series(feats, dtype="float64"),
+                }
+            )
+
+    return binary_df.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)

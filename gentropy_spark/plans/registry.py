@@ -54,6 +54,7 @@ _SNAPSHOT_PRIORITY = [
     "stream_dedup",
     "stream_window_agg",
     "multimodal_decode",
+    "multimodal_frame_sample",
     "v2g_distance",
     "l2g_feature_matrix",
     "l2g_score",

@@ -113,3 +113,38 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_window_agg": QuerySpec(q_stream_window_agg, STREAM_SQL),
     "multimodal_decode": QuerySpec(q_multimodal_decode, MULTIMODAL_SQL),
 }
+
+
+# --- E12b: multimodal frame sampling (N:M mapInPandas fan-out) -----------
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gentropy_spark.operators.multimodal import sample_frames
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs))
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH media AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS n_frames
+  FROM documents
+),
+sampled AS (
+  SELECT doc_id, n_frames,
+         CAST(unnest(generate_series(0, LEAST(4, n_frames) - 1)) AS INT) AS i,
+         GREATEST(n_frames // LEAST(4, n_frames), 1) AS stride
+  FROM media
+)
+SELECT doc_id,
+       CAST(i * stride AS INT) AS frame_index,
+       n_frames,
+       ((doc_id * 31 + i * stride) * 2654435761) % 1000003 / 1000003.0
+         AS frame_feature
+FROM sampled
+WHERE i * stride < n_frames
+"""
+
+
+REGISTRY["multimodal_frame_sample"] = QuerySpec(
+    q_multimodal_frames, MULTIMODAL_FRAMES_SQL
+)
