@@ -185,10 +185,13 @@ def margin_udf() -> "callable":
 
 
 def _tree_sql(tree: dict) -> str:
+    # Scientific notation: DuckDB parses plain decimal literals as
+    # DECIMAL, which would make the oracle margin exact-decimal while
+    # the Spark UDF sums float64 — '.17e' keeps both engines in DOUBLE.
     if "leaf" in tree:
-        return repr(tree["leaf"])
+        return format(tree["leaf"], ".17e")
     return (
-        f"CASE WHEN {tree['feat']} <= {repr(tree['thr'])} "
+        f"CASE WHEN {tree['feat']} <= {format(tree['thr'], '.17e')} "
         f"THEN {_tree_sql(tree['left'])} ELSE {_tree_sql(tree['right'])} END"
     )
 

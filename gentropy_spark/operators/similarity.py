@@ -213,7 +213,9 @@ def cosine_topk(
     to the scale path.
     """
     if max_queries is not None:
-        n_q = queries.limit(max_queries + 1).count()
+        # Guard job scans only the id column and stops at max_queries+1
+        # rows — the action is O(max_queries), not a corpus pass.
+        n_q = queries.select(query_id).limit(max_queries + 1).count()
         if n_q > max_queries:
             raise ValueError(
                 f"cosine_topk is a bounded-query broadcast kernel "
@@ -422,11 +424,12 @@ def ivf_topk(
     Ties (equal cosine to two centroids) break toward the lower
     centroid id, identically in both engines.
     """
-    w_cent = Window.orderBy(F.col(corpus_id).asc())
+    # Distributed TakeOrdered — per-partition top-N then a driver merge
+    # of N*parts candidate ids, never a single-partition global window.
     centroids = (
         corpus.select(F.col(corpus_id), as_double(F.col(vec)).alias("cv"))
-        .withColumn("_rn", F.row_number().over(w_cent))
-        .filter(F.col("_rn") <= n_centroids)
+        .orderBy(F.col(corpus_id).asc())
+        .limit(n_centroids)
         .select(F.col(corpus_id).alias("centroid_id"), F.col("cv").alias("centv"))
     )
     c = corpus.select(F.col(corpus_id), as_double(F.col(vec)).alias("cv"))

@@ -155,10 +155,16 @@ def sessionize_stateful(stream: DataFrame, gap_us: int = 43_200_000_000) -> Data
             poses.extend(int(p) for p in pdf["pos"])
         # A group can be invoked with ZERO surviving rows when all its
         # batch data was watermark-late (dropped before the function).
-        # Leave the state and its ALREADY-ARMED timeout untouched:
-        # re-arming with the stale session end would set a timestamp
-        # behind the watermark, which is rejected.
+        # Per the GroupState contract the previously-armed timeout is
+        # CANCELLED by this very invocation, so it must be re-armed or
+        # the open session would never be emitted. Clamp above the
+        # current watermark (a stale session end could sit behind it,
+        # and timestamps <= watermark are rejected).
         if not poses:
+            if cur is not None:
+                state.setTimeoutTimestamp(
+                    max(cur[1] // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+                )
             yield pd.DataFrame(
                 {c: pd.Series(dtype="object") for c in cols}
             )
