@@ -139,6 +139,24 @@ def main(argv: list[str] | None = None) -> int:
             print(" -> ".join(order))
         return 0
 
+    if args.query == "l2g_train":
+        # Training step (not a registry query): fits the deterministic
+        # GBM on the extended feature matrix and writes the frozen-model
+        # artifact as JSON (reference: method/l2g/trainer.py).
+        from gentropy_spark.operators.l2g_trainer import train_l2g
+        from gentropy_spark.session import get_session
+
+        spark = get_session(app_name="gentropy_spark.l2g_train")
+        artifact = train_l2g(spark, args.sf_dir)
+        payload = json.dumps(artifact, indent=1, sort_keys=True)
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write(payload)
+            print(f"wrote {args.out}")
+        else:
+            print(payload)
+        return 0
+
     if args.query not in registry:
         print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
         return 2

@@ -26,8 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
-FEATURES = ['max_weight', 'rel_weight', 'n_hits', 'genes_in_flank', 'eqtl_h4_max', 'eqtl_h4_nbh', 'eqtl_clpp_max', 'eqtl_clpp_nbh', 'pqtl_h4_max', 'pqtl_h4_nbh', 'pqtl_clpp_max', 'pqtl_clpp_nbh', 'sqtl_h4_max', 'sqtl_h4_nbh', 'sqtl_clpp_max', 'sqtl_clpp_nbh']
-
+FEATURES = ['max_weight', 'rel_weight', 'n_hits', 'genes_in_flank', 'eqtl_h4_max', 'eqtl_h4_nbh', 'eqtl_clpp_max', 'eqtl_clpp_nbh', 'pqtl_h4_max', 'pqtl_h4_nbh', 'pqtl_clpp_max', 'pqtl_clpp_nbh', 'sqtl_h4_max', 'sqtl_h4_nbh', 'sqtl_clpp_max', 'sqtl_clpp_nbh', 'vep_max', 'vep_mean', 'vep_max_nbh', 'vep_mean_nbh', 'gene_count_w', 'protein_gene_count_w', 'is_protein_coding', 'credset_confidence', 'e2g_mean', 'e2g_mean_nbh']
 TREES = [{'feat': 'max_weight',
   'left': {'feat': 'max_weight',
            'left': {'leaf': -0.12},
@@ -89,64 +88,64 @@ TREES = [{'feat': 'max_weight',
             'thr': 0.9999175},
   'thr': 0.5},
  {'feat': 'max_weight',
-  'left': {'feat': 'sqtl_clpp_max',
-           'left': {'leaf': -0.320720044},
-           'right': {'leaf': -0.027346293},
-           'thr': 0.0188325},
+  'left': {'feat': 'vep_max',
+           'left': {'leaf': -0.320729877},
+           'right': {'leaf': -0.021117674},
+           'thr': 0.455},
   'right': {'feat': 'eqtl_h4_max',
             'left': {'leaf': 0.323007029},
             'right': {'leaf': 0.028922774},
             'thr': 0.99978},
   'thr': 0.5},
  {'feat': 'max_weight',
-  'left': {'feat': 'sqtl_h4_max',
-           'left': {'leaf': -0.312925582},
-           'right': {'leaf': -0.020899113},
-           'thr': 0.7953455},
+  'left': {'feat': 'vep_max',
+           'left': {'leaf': -0.312919169},
+           'right': {'leaf': -0.020733009},
+           'thr': 0.455},
   'right': {'feat': 'max_weight',
             'left': {'leaf': 0.024015307},
             'right': {'leaf': 0.315932689},
             'thr': 0.501422},
   'thr': 0.5},
  {'feat': 'max_weight',
-  'left': {'feat': 'pqtl_h4_max',
-           'left': {'leaf': -0.306701682},
-           'right': {'leaf': -0.015980678},
-           'thr': 0.994302},
+  'left': {'feat': 'sqtl_clpp_max',
+           'left': {'leaf': -0.306696707},
+           'right': {'leaf': -0.015759303},
+           'thr': 0.0188325},
   'right': {'feat': 'sqtl_h4_max',
             'left': {'leaf': 0.310664192},
             'right': {'leaf': 0.020641193},
             'thr': 0.9979715},
   'thr': 0.5},
  {'feat': 'max_weight',
-  'left': {'feat': 'eqtl_h4_max',
-           'left': {'leaf': -0.301342541},
-           'right': {'leaf': -0.012294573},
-           'thr': 0.970348},
+  'left': {'feat': 'sqtl_h4_max',
+           'left': {'leaf': -0.301338697},
+           'right': {'leaf': -0.011973786},
+           'thr': 0.7953455},
   'right': {'feat': 'pqtl_h4_max',
             'left': {'leaf': 0.306561067},
             'right': {'leaf': 0.015879137},
             'thr': 0.9999175},
   'thr': 0.5},
  {'feat': 'max_weight',
-  'left': {'feat': 'max_weight',
-           'left': {'leaf': -0.296320662},
-           'right': {'leaf': -0.009636261},
-           'thr': 0.498578},
+  'left': {'feat': 'pqtl_h4_max',
+           'left': {'leaf': -0.296317909},
+           'right': {'leaf': -0.009124044},
+           'thr': 0.994302},
   'right': {'feat': 'eqtl_h4_max',
             'left': {'leaf': 0.303166625},
             'right': {'leaf': 0.012425013},
             'thr': 0.99978},
   'thr': 0.5},
  {'feat': 'max_weight',
-  'left': {'feat': 'max_weight',
-           'left': {'leaf': -0.008017066},
-           'right': {'leaf': -0.291209533},
-           'thr': 0.0004905},
-  'right': {'feat': 'max_weight',
-            'left': {'leaf': 0.010286422},
-            'right': {'leaf': 0.300138103},
-            'thr': 0.501422},
+  'left': {'feat': 'eqtl_h4_max',
+           'left': {'leaf': -0.291208932},
+           'right': {'leaf': -0.007013391},
+           'thr': 0.970348},
+  'right': {'feat': 'e2g_mean',
+            'left': {'leaf': 0.300141519},
+            'right': {'leaf': 0.009710825},
+            'thr': 0.8275},
   'thr': 0.5}]
 
 

@@ -187,3 +187,327 @@ JOIN ranked ib ON ib.idx = idx_j
 
 
 REGISTRY["ld_block_slice"] = QuerySpec(q_ld_block_slice, LD_BLOCK_SQL)
+
+
+# --- LDIndex construction (gnomad/ld.py:200-364 + dataset/ld_index.py) ----
+# The reference aggregates per-population triangular block matrices
+# into a per-variant LD set: triangular → symmetric (:223), indices →
+# variant ids (:200), union across populations, r² filter, then the
+# two-level collect into ldSet[tag → rValues[(population, r)]] (:55
+# _aggregate_ld_index_across_populations). Re-expressed with the
+# population axis PIVOTED WIDE (r_afr/r_fin/r_nfe columns): nested
+# array-of-struct outputs hash poorly across engines, and the wide form
+# carries identical information for a fixed population list (the
+# reference's ld_populations is a fixed config list too).
+LD_POPS = (("afr", 1.0), ("fin", 0.8), ("nfe", 1.25))
+LD_INDEX_BAND = 5  # banded entries: |i-j| <= band (block sparsity)
+LD_INDEX_MIN_R2 = 0.25
+LD_INDEX_SIGNIF = 100.0
+
+
+def q_ld_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded per-population triangular matrices → per-variant LD sets.
+
+    One row per (contig, variant, tag): the population r values wide,
+    how many populations support the pair, and the variant's total tag
+    count (the size of its ldSet).
+    """
+    from pyspark.sql import Window
+
+    from gentropy_spark.operators.ld_matrix import transpose_ld_triangular
+
+    ss = sumstats(spark, sf_dir).filter(F.col("signif") >= LD_INDEX_SIGNIF)
+    w = Window.partitionBy("contig").orderBy("pos", "point_id")
+    ranked = ss.select(
+        "contig",
+        F.col("point_id").alias("variant_id"),
+        (F.row_number().over(w) - 1).alias("idx"),
+    )
+    a = ranked.select("contig", F.col("variant_id").alias("vid_i"), F.col("idx").alias("idx_i"))
+    b = ranked.select(F.col("contig").alias("b_contig"), F.col("variant_id").alias("vid_j"), F.col("idx").alias("idx_j"))
+    tri = a.join(
+        b,
+        (F.col("contig") == F.col("b_contig"))
+        & (F.col("idx_j") >= F.col("idx_i"))
+        & (F.col("idx_j") - F.col("idx_i") <= LD_INDEX_BAND),
+    ).select("contig", "idx_i", "idx_j", "vid_i", "vid_j")
+    # population axis: one entry per (pair, population) with its own
+    # decay scale — the per-population block matrices of the reference.
+    pop_scale = F.create_map(
+        *[x for p, s in LD_POPS for x in (F.lit(p), F.lit(s))]
+    )
+    per_pop = tri.withColumn(
+        "population", F.explode(F.array(*[F.lit(p) for p, _ in LD_POPS]))
+    ).withColumn(
+        "r",
+        F.round(
+            F.exp(
+                -(F.col("idx_j") - F.col("idx_i"))
+                / (F.lit(float(LD_INDEX_BAND)) * pop_scale[F.col("population")])
+            ),
+            6,
+        ),
+    )
+    sym = transpose_ld_triangular(
+        per_pop.select("contig", "population", "idx_i", "idx_j", "vid_i", "vid_j", "r"),
+        i="idx_i",
+        j="idx_j",
+    )
+    # The transpose swaps idx only; (vid_i, vid_j) still label the
+    # original triangular pair. Rebind row-wise: the row's variant is
+    # whichever id sits at idx_i (idx_i <= idx_j ⟺ unswapped row).
+    oriented = sym.select(
+        "contig",
+        "population",
+        F.when(F.col("idx_i") <= F.col("idx_j"), F.col("vid_i"))
+        .otherwise(F.col("vid_j"))
+        .alias("variant_id"),
+        F.when(F.col("idx_i") <= F.col("idx_j"), F.col("vid_j"))
+        .otherwise(F.col("vid_i"))
+        .alias("tag_variant_id"),
+        "r",
+    )
+    filtered = oriented.filter(F.col("r") * F.col("r") >= LD_INDEX_MIN_R2)
+    wide = filtered.groupBy("contig", "variant_id", "tag_variant_id").agg(
+        *[
+            F.max(F.when(F.col("population") == p, F.col("r"))).alias(f"r_{p}")
+            for p, _ in LD_POPS
+        ],
+        F.count("*").alias("n_pops"),
+    )
+    wv = Window.partitionBy("contig", "variant_id")
+    return wide.withColumn("n_tags", F.count("*").over(wv))
+
+
+def _ld_index_sql() -> str:
+    pop_values = ", ".join(f"('{p}', {s!r})" for p, s in LD_POPS)
+    r_cols = ",\n         ".join(
+        f"MAX(CASE WHEN population = '{p}' THEN r END) AS r_{p}"
+        for p, _ in LD_POPS
+    )
+    return f"""
+WITH ranked AS (
+  SELECT contig, point_id AS variant_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY contig ORDER BY pos, point_id) - 1
+              AS INT) AS idx
+  FROM ({SUMSTATS_SQL}) WHERE signif >= {LD_INDEX_SIGNIF!r}
+),
+tri AS (
+  SELECT a.contig, a.idx AS idx_i, b.idx AS idx_j,
+         a.variant_id AS vid_i, b.variant_id AS vid_j
+  FROM ranked a JOIN ranked b
+    ON a.contig = b.contig AND b.idx >= a.idx
+   AND b.idx - a.idx <= {LD_INDEX_BAND}
+),
+per_pop AS (
+  SELECT t.*, p.population,
+         ROUND(EXP(-(t.idx_j - t.idx_i)
+                   / ({float(LD_INDEX_BAND)!r} * p.scale)), 6) AS r
+  FROM tri t CROSS JOIN (VALUES {pop_values}) AS p(population, scale)
+),
+sym AS (
+  SELECT contig, population, vid_i AS variant_id, vid_j AS tag_variant_id, r
+  FROM per_pop
+  UNION ALL
+  SELECT contig, population, vid_j AS variant_id, vid_i AS tag_variant_id, r
+  FROM per_pop WHERE idx_i <> idx_j
+),
+filtered AS (SELECT * FROM sym WHERE r * r >= {LD_INDEX_MIN_R2!r}),
+wide AS (
+  SELECT contig, variant_id, tag_variant_id,
+         {r_cols},
+         COUNT(*) AS n_pops
+  FROM filtered GROUP BY 1, 2, 3
+)
+SELECT *, COUNT(*) OVER (PARTITION BY contig, variant_id) AS n_tags
+FROM wide
+"""
+
+
+LD_INDEX_SQL = _ld_index_sql()
+REGISTRY["ld_index_build"] = QuerySpec(q_ld_index_build, LD_INDEX_SQL)
+
+
+# --- LD clumping fed from the built index ---------------------------------
+LD_CLUMP_IDX_R2 = 0.5
+
+
+def q_ld_clump_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_is_lead_linked`` (method/clump.py:20) against the REAL LDIndex:
+    a lead is dominated when a more significant same-study lead appears
+    among its LD tags with max-population r² over threshold — the
+    production wiring (clump reads LDIndex), replacing the synthetic
+    distance-decay r of ``ld_clump``."""
+    ss = sumstats(spark, sf_dir).filter(F.col("signif") >= LD_INDEX_SIGNIF)
+    idx = q_ld_index_build(spark, sf_dir)
+    r_best = F.greatest(*[F.col(f"r_{p}") for p, _ in LD_POPS])
+    tags = idx.filter(
+        (r_best * r_best >= LD_CLUMP_IDX_R2)
+        & (F.col("variant_id") != F.col("tag_variant_id"))
+    ).select("variant_id", "tag_variant_id")
+    b = ss.select(
+        F.col("point_id").alias("tag_variant_id"),
+        F.col("study_id").alias("b_study"),
+        F.col("signif").alias("b_signif"),
+        F.col("point_id").alias("b_id"),
+    )
+    linked = (
+        ss.join(tags, ss.point_id == tags.variant_id)
+        .join(b, on="tag_variant_id")
+        .filter(
+            (F.col("b_study") == F.col("study_id"))
+            & (
+                (F.col("b_signif") > F.col("signif"))
+                | (
+                    (F.col("b_signif") == F.col("signif"))
+                    & (F.col("b_id") < F.col("point_id"))
+                )
+            )
+        )
+        .select("point_id")
+        .distinct()
+    )
+    return ss.join(linked, on="point_id", how="left_anti").select(
+        "point_id", "study_id", "contig", "pos", "signif"
+    )
+
+
+def _ld_clump_indexed_sql() -> str:
+    r_best = "GREATEST(" + ", ".join(f"r_{p}" for p, _ in LD_POPS) + ")"
+    return f"""
+WITH ss AS (SELECT * FROM ({SUMSTATS_SQL}) WHERE signif >= {LD_INDEX_SIGNIF!r}),
+ldx AS ({LD_INDEX_SQL}),
+tags AS (
+  SELECT variant_id, tag_variant_id FROM ldx
+  WHERE {r_best} * {r_best} >= {LD_CLUMP_IDX_R2!r}
+    AND variant_id <> tag_variant_id
+)
+SELECT point_id, study_id, contig, pos, signif
+FROM ss a
+WHERE NOT EXISTS (
+  SELECT 1 FROM tags t JOIN ss b ON b.point_id = t.tag_variant_id
+  WHERE t.variant_id = a.point_id AND b.study_id = a.study_id
+    AND (b.signif > a.signif
+         OR (b.signif = a.signif AND b.point_id < a.point_id))
+)
+"""
+
+
+REGISTRY["ld_clump_indexed"] = QuerySpec(q_ld_clump_indexed, _ld_clump_indexed_sql())
+
+
+# --- PICS fed from the built index ----------------------------------------
+def q_pics_finemap_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PICS posteriors with r² read from the LDIndex (method/pics.py
+    wired to dataset/ld_index.py — the production configuration),
+    replacing the distance-decay r² of ``pics_finemap``. Tags absent
+    from the lead's LD set get a null posterior, exactly as the
+    reference drops non-ldSet tags from the credible set."""
+    import math as _math
+
+    from pyspark.sql import Window
+
+    from gentropy_spark.functions.distributions import norm_sf_col
+    from gentropy_spark.operators.clumping import _cluster_seq
+    from gentropy_spark.plans.genomics import CLUMP_WINDOW_US, SIGNIF_MIN
+
+    ss = sumstats(spark, sf_dir).filter(F.col("signif") >= LD_INDEX_SIGNIF)
+    clustered = _cluster_seq(
+        ss, "study_id", "contig", "pos", "point_id", CLUMP_WINDOW_US
+    )
+    keys = ["study_id", "contig", "cluster_seq"]
+    ordered = Window.partitionBy(*keys).orderBy(
+        F.col("signif").desc(), F.col("pos").asc(), F.col("point_id").asc()
+    )
+    ann = (
+        clustered.withColumn("nlp_lead", F.first(F.col("signif") / 10.0).over(ordered))
+        .withColumn("lead_pos", F.first("pos").over(ordered))
+        .withColumn("lead_id", F.first("point_id").over(ordered))
+    )
+    idx = q_ld_index_build(spark, sf_dir)
+    r_best = F.greatest(*[F.col(f"r_{p}") for p, _ in LD_POPS])
+    tags = idx.select(
+        F.col("variant_id").alias("lead_id"),
+        F.col("tag_variant_id").alias("point_id"),
+        (F.round(r_best, 6) * F.round(r_best, 6)).alias("r2"),
+    )
+    withr = ann.join(tags, on=["lead_id", "point_id"], how="left")
+    mu = F.col("nlp_lead") * F.col("r2")
+    std = (
+        F.sqrt(1.0 - F.pow(F.sqrt(F.col("r2")), 6.4))
+        * F.sqrt(F.col("nlp_lead"))
+        / 2.0
+    )
+    prob = (
+        F.when(F.col("point_id") == F.col("lead_id"), F.lit(1.0))
+        .when(
+            (F.col("r2") >= 0.5) & (F.col("nlp_lead") > 0.0),
+            2.0 * norm_sf_col((F.col("nlp_lead") - mu) / std),
+        )
+        .when(F.col("r2") >= 0.5, F.lit(1.0))
+    )
+    grp = Window.partitionBy(*keys)
+    return (
+        withr.withColumn("prob", prob)
+        .withColumn("prob_sum", F.sum("prob").over(grp))
+        .select(
+            *keys,
+            "point_id",
+            "pos",
+            F.round("r2", 6).alias("r2"),
+            F.round(F.col("prob") / F.col("prob_sum"), 6).alias("pics_pp"),
+        )
+    )
+
+
+def _pics_indexed_sql() -> str:
+    from gentropy_spark.functions.distributions import norm_sf_sql
+    from gentropy_spark.plans.genomics import CLUMP_WINDOW_US, _clustered_sql
+
+    r_best = "GREATEST(" + ", ".join(f"r_{p}" for p, _ in LD_POPS) + ")"
+    clustered = _clustered_sql(LD_INDEX_SIGNIF, CLUMP_WINDOW_US)
+    z = (
+        "((nlp_lead) - (nlp_lead) * r2)"
+        " / (SQRT(1.0 - POW(SQRT(r2), 6.4)) * SQRT(nlp_lead) / 2.0)"
+    )
+    prob = (
+        f"CASE WHEN point_id = lead_id THEN 1.0 "
+        f"WHEN r2 >= 0.5 AND nlp_lead > 0 THEN 2.0 * {norm_sf_sql(z)} "
+        f"WHEN r2 >= 0.5 THEN 1.0 END"
+    )
+    return f"""
+WITH clustered AS ({clustered}),
+ann AS (
+  SELECT *,
+    FIRST_VALUE(signif / 10.0) OVER w AS nlp_lead,
+    FIRST_VALUE(pos) OVER w AS lead_pos,
+    FIRST_VALUE(point_id) OVER w AS lead_id
+  FROM clustered
+  WINDOW w AS (PARTITION BY study_id, contig, cluster_seq
+               ORDER BY signif DESC, pos, point_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+ldx AS ({LD_INDEX_SQL}),
+tags AS (
+  SELECT variant_id AS lead_id, tag_variant_id AS point_id,
+         ROUND({r_best}, 6) * ROUND({r_best}, 6) AS r2
+  FROM ldx
+),
+withr AS (
+  SELECT a.*, t.r2 FROM ann a
+  LEFT JOIN tags t ON t.lead_id = a.lead_id AND t.point_id = a.point_id
+),
+with_prob AS (
+  SELECT *, {prob} AS prob FROM withr
+)
+SELECT study_id, contig, cluster_seq, point_id, pos,
+       ROUND(r2, 6) AS r2,
+       ROUND(prob / SUM(prob) OVER (PARTITION BY study_id, contig, cluster_seq), 6)
+         AS pics_pp
+FROM with_prob
+"""
+
+
+REGISTRY["pics_finemap_indexed"] = QuerySpec(
+    q_pics_finemap_indexed, _pics_indexed_sql()
+)

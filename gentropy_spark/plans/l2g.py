@@ -269,7 +269,7 @@ _COLOC_FEAT_COLS = [
 ]
 
 
-def q_l2g_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _l2g_features_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (lead variant, gene): nearest-distance weight, in-body signal
     mass, per-lead gene count (the distance-feature family of
     dataset/l2g_features/distance.py re-shaped) — extended r3 with the
@@ -337,7 +337,7 @@ LEFT JOIN cfeat cf
 """
 
 
-L2G_FEAT_SQL = _l2g_feat_sql().replace("{COLOC_FEAT_SQL}", COLOC_FEAT_SQL)
+L2G_BASE_SQL = _l2g_feat_sql().replace("{COLOC_FEAT_SQL}", COLOC_FEAT_SQL)
 
 
 # --- L2G scorer -----------------------------------------------------------
@@ -346,7 +346,7 @@ L2G_B = -1.0
 
 
 def q_l2g_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = q_l2g_features(spark, sf_dir)
+    feats = _l2g_features_base(spark, sf_dir)
     logit = (
         F.lit(L2G_B)
         + L2G_W["max_weight"] * F.col("max_weight")
@@ -365,7 +365,7 @@ def q_l2g_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 L2G_SCORE_SQL = f"""
-WITH feats AS ({L2G_FEAT_SQL}),
+WITH feats AS ({L2G_BASE_SQL}),
 scored AS (
   SELECT point_id, study_id, gene_id,
     ROUND(1.0 / (1.0 + EXP(-({L2G_B!r} + {L2G_W['max_weight']!r} * max_weight
@@ -507,7 +507,6 @@ FROM (SELECT *, CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
 
 REGISTRY: dict[str, QuerySpec] = {
     "v2g_distance": QuerySpec(q_v2g_distance, V2G_SQL),
-    "l2g_feature_matrix": QuerySpec(q_l2g_features, L2G_FEAT_SQL),
     "l2g_score": QuerySpec(q_l2g_score, L2G_SCORE_SQL),
     "study_validation": QuerySpec(q_study_validation, STUDY_VALIDATION_SQL),
     "props_json_parse": QuerySpec(q_props_json_parse, PROPS_JSON_SQL),
@@ -599,7 +598,7 @@ def _l2g_gbm_sql() -> str:
     from gentropy_spark.operators.l2g_model import margin_sql
 
     return f"""
-WITH feats AS ({L2G_FEAT_SQL}),
+WITH feats AS ({{L2G_FEAT_SQL}}),
 scored AS (
   SELECT point_id, study_id, gene_id,
          ROUND(1.0 / (1.0 + EXP(-({margin_sql()}))), 6) AS l2g_score
@@ -610,9 +609,7 @@ SELECT point_id, study_id, gene_id, l2g_score,
                           ORDER BY l2g_score DESC, gene_id) AS INT) AS gene_rank
 FROM scored
 """
-
-
-REGISTRY["l2g_score_gbm"] = QuerySpec(q_l2g_score_gbm, _l2g_gbm_sql())
+# (registered at the end of the module, once L2G_FEAT_SQL exists)
 
 
 # --- interval evidence (PCHiC/E2G-style datasource) -----------------------
@@ -748,3 +745,84 @@ FROM flagged
 
 
 REGISTRY["interval_evidence"] = QuerySpec(q_interval_evidence, INTERVAL_EVIDENCE_SQL)
+
+
+# --- extended feature matrix (r4): all families via the factory ------------
+def q_l2g_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL L2G feature matrix: distance + coloc families (base)
+    plus the VEP / gene-structure / interval families assembled by the
+    feature factory (plans/l2g_features.py), mapped from their
+    credible-set locus key to the lead variant and left-joined with
+    0-fill — the reference's dataset/l2g_feature_matrix.py with every
+    l2g_features/* family populated."""
+    from gentropy_spark.plans.genomics import q_window_clump_leads
+    from gentropy_spark.plans.l2g_features import (
+        EXT_FEAT_COLS,
+        _INT_COLS,
+        assemble_locus_features,
+    )
+
+    base = _l2g_features_base(spark, sf_dir)
+    fam = assemble_locus_features(spark, sf_dir)
+    leads = q_window_clump_leads(spark, sf_dir).select(
+        "study_id", "contig", "cluster_seq", "lead_point_id"
+    )
+    fam_lead = fam.join(leads, on=["study_id", "contig", "cluster_seq"]).select(
+        F.col("lead_point_id").alias("point_id"),
+        "study_id",
+        "contig",
+        "gene_id",
+        *EXT_FEAT_COLS,
+    )
+    joined = base.join(
+        fam_lead, on=["point_id", "study_id", "contig", "gene_id"], how="left"
+    )
+    return joined.select(
+        *base.columns,
+        *[
+            F.coalesce(
+                F.col(c), F.lit(0) if c in _INT_COLS else F.lit(0.0)
+            ).alias(c)
+            for c in EXT_FEAT_COLS
+        ],
+    )
+
+
+def _l2g_ext_sql() -> str:
+    from gentropy_spark.plans.genomics import WINDOW_CLUMP_SQL
+    from gentropy_spark.plans.l2g_features import (
+        EXT_FEAT_COLS,
+        _INT_COLS,
+        _assemble_sql,
+    )
+
+    ext_cols = ",\n       ".join(
+        f"COALESCE(f.{c}, {'0' if c in _INT_COLS else '0.0'}) AS {c}"
+        for c in EXT_FEAT_COLS
+    )
+    fam_cols = ", ".join(f"f.{c}" for c in EXT_FEAT_COLS)
+    return f"""
+WITH base AS ({L2G_BASE_SQL}),
+fam AS ({_assemble_sql()}),
+leads AS ({WINDOW_CLUMP_SQL}),
+fam_lead AS (
+  SELECT l.lead_point_id AS point_id, f.study_id, f.contig, f.gene_id,
+         {fam_cols}
+  FROM fam f
+  JOIN leads l USING (study_id, contig, cluster_seq)
+)
+SELECT base.*,
+       {ext_cols}
+FROM base
+LEFT JOIN fam_lead f
+  ON base.point_id = f.point_id AND base.study_id = f.study_id
+ AND base.contig = f.contig AND base.gene_id = f.gene_id
+"""
+
+
+L2G_FEAT_SQL = _l2g_ext_sql()
+
+REGISTRY["l2g_feature_matrix"] = QuerySpec(q_l2g_features, L2G_FEAT_SQL)
+REGISTRY["l2g_score_gbm"] = QuerySpec(
+    q_l2g_score_gbm, _l2g_gbm_sql().replace("{L2G_FEAT_SQL}", L2G_FEAT_SQL)
+)

@@ -1,0 +1,518 @@
+"""Extended L2G feature families (SURVEY §2.H — r4).
+
+Completes the reference's locus-to-gene feature surface on the
+synthetic tables. Three families, each oracle-checked and keyed by
+(study_id, contig, cluster_seq, gene_id) — the credible-set locus:
+
+- VEP family (dataset/l2g_features/vep.py): ``vep_max`` (max
+  consequence severity over credible-set variants per gene, :131
+  VepMaximumFeature), ``vep_mean`` (posterior-weighted mean severity,
+  :206 VepMeanFeature), and their neighbourhood-normalized variants
+  (:94 common_neighbourhood_vep_feature_logic — local value divided by
+  the regional max over protein-coding genes at the locus).
+- gene-structure family (dataset/l2g_features/other.py): gene counts
+  within a TSS window of the lead (:151 GeneCountFeature, :191
+  ProteinGeneCountFeature — exact COUNT DISTINCT where the reference
+  uses approx_count_distinct: approximate counts are not
+  cross-engine-reproducible and the exact count is partial-agg
+  friendly anyway), a protein-coding indicator over footprint-reachable
+  genes (:232 ProteinCodingFeature), and the credible-set confidence
+  score (:272 CredibleSetConfidenceFeature with the :340 class→score
+  when-cascade).
+- interval/E2G family (dataset/l2g_features/intervals.py:55
+  e2g_interval_feature_wide_logic_binned): per-variant max interval
+  score, posterior-weighted sum per gene (``e2g_mean``), and the
+  locus-mean-centred ratio (``e2g_mean_nbh``) — including the
+  reference's own bin-accelerated overlap join (intervals exploded to
+  grid bins, equi-join on (contig, bin), exact range filter).
+
+``assemble_locus_features`` is the feature-factory counterpart of
+method/l2g/feature_factory.py: full-outer combine of the families on
+the locus-gene key with 0-fill, consumed by the extended
+``l2g_feature_matrix`` in plans/l2g.py.
+
+Cross-engine exactness: posterior×severity products are quantized to
+≤9 decimal places before the DECIMAL(38,12) partial-agg sum (products
+of already-rounded 6-dp posteriors with 2-dp severities / 3-dp interval
+scores terminate well inside the cast scale); every ratio is truncated
+(FLOOR(x·1e6)/1e6), never ROUND — quotients of rounded doubles land on
+half-ties where the engines' ROUND disagree.
+
+Scale notes: credible sets and leads are computed once and
+track_cache'd per call; genes are broadcast; both range joins are grid
+tile/bin equi-joins (never contig-wide products); every aggregation is
+a hash groupBy on the locus-gene key — partial-agg friendly and
+skew-free (locus keys are high-cardinality composites).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gentropy_spark.plans.registry import QuerySpec
+from gentropy_spark.plans.synthmap import (
+    BASE_US,
+    GENE_SPACING_US,
+    GENE_WIDTH_US,
+    V2G_FLANK_US,
+)
+
+DEC12 = "decimal(38,12)"
+
+# TSS window for the gene-count features — the "500kb" analog on the
+# synthetic grid (±6h captures 1–3 genes, so counts vary).
+GENE_COUNT_FLANK_US = 21_600_000_000
+# Minimum posterior for a credible-set variant to contribute to the
+# interval feature (reference default pp_min=0.001).
+E2G_PP_MIN = 0.001
+# CredibleSetConfidenceClasses → score (study_locus.py:40 enum order,
+# other.py:340 when-cascade).
+CONF_SCORES = (1.0, 0.75, 0.5, 0.25, 0.0)
+
+_LOCUS_KEY = ["study_id", "contig", "cluster_seq"]
+_FEAT_KEY = [*_LOCUS_KEY, "gene_id"]
+
+# Gene biotype is deterministic on the synthetic grid: 3 of 4 genes
+# are protein-coding (the target-index biotype column the reference
+# filters on). Column built lazily — pyspark requires an active
+# session for Column construction.
+def _is_pc() -> F.Column:
+    return F.col("gene_id") % 4 != 0
+
+
+_IS_PC_SQL = "gene_id % 4 <> 0"
+
+
+def _credset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credible-set variants: PICS members with a non-null posterior."""
+    from gentropy_spark.plans.genomics import q_pics_finemap
+    from gentropy_spark.session import track_cache
+
+    return track_cache(
+        q_pics_finemap(spark, sf_dir).filter(F.col("pics_pp").isNotNull())
+    )
+
+
+def _credset_sql() -> str:
+    from gentropy_spark.plans.genomics import PICS_SQL
+
+    return f"SELECT * FROM ({PICS_SQL}) WHERE pics_pp IS NOT NULL"
+
+
+def _leads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gentropy_spark.plans.genomics import q_window_clump_leads
+    from gentropy_spark.session import track_cache
+
+    return track_cache(q_window_clump_leads(spark, sf_dir))
+
+
+def _footprint_join(variants: DataFrame, genes: DataFrame) -> DataFrame:
+    """Variants × genes within the footprint flank (grid tile equi-join)."""
+    genes_k = genes.withColumn(
+        "gk", F.expr(f"(gene_start - {BASE_US}) div {GENE_SPACING_US}")
+    )
+    k_hi = F.expr(f"(pos - {BASE_US} + {V2G_FLANK_US}) div {GENE_SPACING_US}")
+    k_lo = F.expr(
+        f"(pos - {BASE_US} - {GENE_WIDTH_US} - {V2G_FLANK_US}) div {GENE_SPACING_US}"
+    )
+    vars_k = variants.withColumn("gk", F.explode(F.sequence(k_lo, k_hi)))
+    return vars_k.join(F.broadcast(genes_k), on=["contig", "gk"]).filter(
+        (F.col("pos") >= F.col("gene_start") - V2G_FLANK_US)
+        & (F.col("pos") <= F.col("gene_end") + V2G_FLANK_US)
+    )
+
+
+def _severity_col() -> F.Column:
+    """Consequence severity of a (variant pos, gene) pair — the same
+    term→score map as vep_consequence_annotate (plans/variants.py)."""
+    from gentropy_spark.plans.variants import CONSEQUENCE_SEVERITY, EXON_GRID_US
+
+    in_body = (F.col("pos") >= F.col("gene_start")) & (
+        F.col("pos") <= F.col("gene_end")
+    )
+    in_exon = F.expr(f"((pos - gene_start) div {EXON_GRID_US}) % 2") == 0
+    sev_map = dict(CONSEQUENCE_SEVERITY)
+    return (
+        F.when(in_body & in_exon, F.lit(sev_map["exon_variant"]))
+        .when(in_body, F.lit(sev_map["intron_variant"]))
+        .when(F.col("pos") < F.col("gene_start"), F.lit(sev_map["upstream_gene_variant"]))
+        .otherwise(F.lit(sev_map["downstream_gene_variant"]))
+    )
+
+
+def _severity_sql() -> str:
+    from gentropy_spark.plans.variants import CONSEQUENCE_SEVERITY, EXON_GRID_US
+
+    sev_map = dict(CONSEQUENCE_SEVERITY)
+    return (
+        f"CASE WHEN pos >= gene_start AND pos <= gene_end "
+        f"AND ((pos - gene_start) // {EXON_GRID_US}) % 2 = 0 "
+        f"THEN {format(sev_map['exon_variant'], '.17e')} "
+        f"WHEN pos >= gene_start AND pos <= gene_end "
+        f"THEN {format(sev_map['intron_variant'], '.17e')} "
+        f"WHEN pos < gene_start "
+        f"THEN {format(sev_map['upstream_gene_variant'], '.17e')} "
+        f"ELSE {format(sev_map['downstream_gene_variant'], '.17e')} END"
+    )
+
+
+def _trunc6(c: F.Column) -> F.Column:
+    return F.floor(c * 1e6) / 1e6
+
+
+# --- VEP feature family ----------------------------------------------------
+def q_l2g_vep_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gentropy_spark.plans.l2g import gene_index
+
+    cs = _credset(spark, sf_dir)
+    genes = gene_index(spark, sf_dir)
+    j = _footprint_join(cs, genes).select(
+        *_LOCUS_KEY, "gene_id", _severity_col().alias("severity"), "pics_pp"
+    )
+    local = j.groupBy(*_FEAT_KEY).agg(
+        F.max("severity").alias("vep_max"),
+        F.count("*").alias("n_v"),
+        F.sum((F.col("severity") * F.col("pics_pp")).cast(DEC12))
+        .cast("double")
+        .alias("sum_ws"),
+    )
+    w_loc = Window.partitionBy(*_LOCUS_KEY)
+    vep_mean = _trunc6(F.col("sum_ws") / F.col("n_v"))
+    scored = local.select(
+        *_FEAT_KEY, "vep_max", vep_mean.alias("vep_mean")
+    )
+    reg_max = F.max(F.when(_is_pc(), F.col("vep_max"))).over(w_loc)
+    reg_mean = F.max(F.when(_is_pc(), F.col("vep_mean"))).over(w_loc)
+
+    def nbh(local_c: F.Column, reg: F.Column) -> F.Column:
+        return (
+            F.when(_is_pc() & (reg > 0.0), _trunc6(local_c / reg))
+            .otherwise(F.lit(0.0))
+        )
+
+    return scored.select(
+        *_FEAT_KEY,
+        "vep_max",
+        "vep_mean",
+        nbh(F.col("vep_max"), reg_max).alias("vep_max_nbh"),
+        nbh(F.col("vep_mean"), reg_mean).alias("vep_mean_nbh"),
+    )
+
+
+def _vep_feat_sql() -> str:
+    from gentropy_spark.plans.l2g import GENE_INDEX_SQL
+
+    sev = _severity_sql()
+    return f"""
+WITH credset AS ({_credset_sql()}),
+genes AS ({GENE_INDEX_SQL}),
+j AS (
+  SELECT c.study_id, c.contig, c.cluster_seq, g.gene_id,
+         {sev} AS severity, c.pics_pp
+  FROM credset c JOIN genes g ON c.contig = g.contig
+  WHERE c.pos >= g.gene_start - {V2G_FLANK_US}
+    AND c.pos <= g.gene_end + {V2G_FLANK_US}
+),
+local AS (
+  SELECT study_id, contig, cluster_seq, gene_id,
+         MAX(severity) AS vep_max,
+         COUNT(*) AS n_v,
+         CAST(SUM(CAST(severity * pics_pp AS DECIMAL(38,12))) AS DOUBLE) AS sum_ws
+  FROM j GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT study_id, contig, cluster_seq, gene_id, vep_max,
+         FLOOR(sum_ws / n_v * 1000000.0) / 1000000.0 AS vep_mean
+  FROM local
+),
+with_reg AS (
+  SELECT *,
+    MAX(CASE WHEN {_IS_PC_SQL} THEN vep_max END)
+      OVER (PARTITION BY study_id, contig, cluster_seq) AS reg_max,
+    MAX(CASE WHEN {_IS_PC_SQL} THEN vep_mean END)
+      OVER (PARTITION BY study_id, contig, cluster_seq) AS reg_mean
+  FROM scored
+)
+SELECT study_id, contig, cluster_seq, gene_id, vep_max, vep_mean,
+  CASE WHEN {_IS_PC_SQL} AND reg_max > 0.0
+       THEN FLOOR(vep_max / reg_max * 1000000.0) / 1000000.0
+       ELSE 0.0 END AS vep_max_nbh,
+  CASE WHEN {_IS_PC_SQL} AND reg_mean > 0.0
+       THEN FLOOR(vep_mean / reg_mean * 1000000.0) / 1000000.0
+       ELSE 0.0 END AS vep_mean_nbh
+FROM with_reg
+"""
+
+
+# --- gene-structure feature family ----------------------------------------
+def q_l2g_gene_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gentropy_spark.plans.l2g import gene_index
+
+    leads = _leads(spark, sf_dir)
+    genes = gene_index(spark, sf_dir)
+    # Genes with TSS (gene_start) inside the lead's count window.
+    genes_k = genes.withColumn(
+        "gk", F.expr(f"(gene_start - {BASE_US}) div {GENE_SPACING_US}")
+    )
+    k_hi = F.expr(
+        f"(lead_pos - {BASE_US} + {GENE_COUNT_FLANK_US}) div {GENE_SPACING_US}"
+    )
+    k_lo = F.expr(
+        f"(lead_pos - {BASE_US} - {GENE_COUNT_FLANK_US}) div {GENE_SPACING_US}"
+    )
+    leads_k = leads.withColumn("gk", F.explode(F.sequence(k_lo, k_hi)))
+    tssj = leads_k.join(F.broadcast(genes_k), on=["contig", "gk"]).filter(
+        (F.col("gene_start") >= F.col("lead_pos") - GENE_COUNT_FLANK_US)
+        & (F.col("gene_start") <= F.col("lead_pos") + GENE_COUNT_FLANK_US)
+    )
+    counts = tssj.groupBy(*_LOCUS_KEY).agg(
+        F.countDistinct("gene_id").alias("gene_count_w"),
+        F.countDistinct(F.when(_is_pc(), F.col("gene_id"))).alias(
+            "protein_gene_count_w"
+        ),
+    )
+    tss_genes = (
+        tssj.select(*_FEAT_KEY).distinct().join(counts, on=_LOCUS_KEY)
+    )
+    # Footprint-reachable genes: protein-coding flag + locus confidence.
+    cs = _credset(spark, sf_dir)
+    fp_genes = (
+        _footprint_join(cs, gene_index(spark, sf_dir))
+        .select(*_FEAT_KEY)
+        .distinct()
+    )
+    conf_score = F.element_at(
+        F.array(*[F.lit(s) for s in CONF_SCORES]),
+        ((F.col("study_id") + F.col("cluster_seq")) % 5 + 1).cast("int"),
+    )
+    fp_feats = fp_genes.select(
+        *_FEAT_KEY,
+        F.when(_is_pc(), F.lit(1.0)).otherwise(F.lit(0.0)).alias(
+            "is_protein_coding"
+        ),
+        conf_score.alias("credset_confidence"),
+    )
+    out = tss_genes.join(fp_feats, on=_FEAT_KEY, how="full")
+    return out.select(
+        *_FEAT_KEY,
+        F.coalesce("gene_count_w", F.lit(0)).alias("gene_count_w"),
+        F.coalesce("protein_gene_count_w", F.lit(0)).alias(
+            "protein_gene_count_w"
+        ),
+        F.coalesce("is_protein_coding", F.lit(0.0)).alias("is_protein_coding"),
+        F.coalesce("credset_confidence", F.lit(0.0)).alias(
+            "credset_confidence"
+        ),
+    )
+
+
+def _gene_feat_sql() -> str:
+    from gentropy_spark.plans.genomics import WINDOW_CLUMP_SQL
+    from gentropy_spark.plans.l2g import GENE_INDEX_SQL
+
+    conf_arr = "[" + ", ".join(format(s, ".17e") for s in CONF_SCORES) + "]"
+    return f"""
+WITH leads AS ({WINDOW_CLUMP_SQL}),
+genes AS ({GENE_INDEX_SQL}),
+tssj AS (
+  SELECT l.study_id, l.contig, l.cluster_seq, g.gene_id
+  FROM leads l JOIN genes g ON l.contig = g.contig
+  WHERE g.gene_start >= l.lead_pos - {GENE_COUNT_FLANK_US}
+    AND g.gene_start <= l.lead_pos + {GENE_COUNT_FLANK_US}
+),
+counts AS (
+  SELECT study_id, contig, cluster_seq,
+         COUNT(DISTINCT gene_id) AS gene_count_w,
+         COUNT(DISTINCT CASE WHEN {_IS_PC_SQL} THEN gene_id END)
+           AS protein_gene_count_w
+  FROM tssj GROUP BY 1, 2, 3
+),
+tss_genes AS (
+  SELECT t.study_id, t.contig, t.cluster_seq, t.gene_id,
+         c.gene_count_w, c.protein_gene_count_w
+  FROM (SELECT DISTINCT * FROM tssj) t
+  JOIN counts c USING (study_id, contig, cluster_seq)
+),
+credset AS ({_credset_sql()}),
+fp_genes AS (
+  SELECT DISTINCT c.study_id, c.contig, c.cluster_seq, g.gene_id
+  FROM credset c JOIN genes g ON c.contig = g.contig
+  WHERE c.pos >= g.gene_start - {V2G_FLANK_US}
+    AND c.pos <= g.gene_end + {V2G_FLANK_US}
+),
+fp_feats AS (
+  SELECT study_id, contig, cluster_seq, gene_id,
+         CASE WHEN {_IS_PC_SQL} THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+           AS is_protein_coding,
+         ({conf_arr}::DOUBLE[])[CAST((study_id + cluster_seq) % 5 AS INT) + 1]
+           AS credset_confidence
+  FROM fp_genes
+)
+SELECT study_id, contig, cluster_seq, gene_id,
+       COALESCE(gene_count_w, 0) AS gene_count_w,
+       COALESCE(protein_gene_count_w, 0) AS protein_gene_count_w,
+       COALESCE(is_protein_coding, 0.0) AS is_protein_coding,
+       COALESCE(credset_confidence, 0.0) AS credset_confidence
+FROM tss_genes
+FULL JOIN fp_feats USING (study_id, contig, cluster_seq, gene_id)
+"""
+
+
+# --- interval / E2G feature family ----------------------------------------
+def q_l2g_interval_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gentropy_spark.plans.l2g import q_interval_evidence
+
+    cs = _credset(spark, sf_dir).filter(F.col("pics_pp") >= E2G_PP_MIN)
+    iv = (
+        q_interval_evidence(spark, sf_dir)
+        .filter(F.col("is_valid"))
+        .select(
+            "contig",
+            "istart",
+            "iend",
+            "gene_id",
+            # 3-dp interval scores: pp(6dp)×score(3dp) products stay
+            # ≤9 dp, safely inside the DECIMAL(38,12) quantization.
+            (F.floor(F.col("score") * 1e3) / 1e3).alias("score3"),
+        )
+    )
+    # Reference's bin-accelerated overlap: explode interval bins, bin
+    # the variants, equi-join on (contig, bin), exact range filter.
+    iv_b = iv.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"(istart - {BASE_US}) div {GENE_SPACING_US}"),
+                F.expr(f"(iend - {BASE_US}) div {GENE_SPACING_US}"),
+            )
+        ),
+    )
+    cs_b = cs.withColumn("bin", F.expr(f"(pos - {BASE_US}) div {GENE_SPACING_US}"))
+    j = cs_b.join(iv_b, on=["contig", "bin"]).filter(
+        (F.col("pos") >= F.col("istart")) & (F.col("pos") <= F.col("iend"))
+    )
+    per_vg = j.groupBy(*_LOCUS_KEY, "point_id", "pics_pp", "gene_id").agg(
+        F.max("score3").alias("vmax")
+    )
+    e2g = per_vg.groupBy(*_FEAT_KEY).agg(
+        F.sum((F.col("pics_pp") * F.col("vmax")).cast(DEC12))
+        .cast("double")
+        .alias("e2g_mean")
+    )
+    w_loc = Window.partitionBy(*_LOCUS_KEY)
+    locus_mean = (
+        F.sum(F.col("e2g_mean").cast(DEC12)).over(w_loc).cast("double")
+        / F.count("*").over(w_loc)
+    )
+    return e2g.select(
+        *_FEAT_KEY,
+        "e2g_mean",
+        F.when(locus_mean > 0.0, _trunc6(F.col("e2g_mean") / locus_mean))
+        .otherwise(F.lit(0.0))
+        .alias("e2g_mean_nbh"),
+    )
+
+
+def _interval_feat_sql() -> str:
+    from gentropy_spark.plans.l2g import INTERVAL_EVIDENCE_SQL
+
+    return f"""
+WITH credset AS (
+  SELECT * FROM ({_credset_sql()}) WHERE pics_pp >= {format(E2G_PP_MIN, '.17e')}
+),
+iv AS (
+  SELECT contig, istart, iend, gene_id,
+         FLOOR(score * 1000.0) / 1000.0 AS score3
+  FROM ({INTERVAL_EVIDENCE_SQL}) WHERE is_valid
+),
+j AS (
+  SELECT c.study_id, c.contig, c.cluster_seq, c.point_id, c.pics_pp,
+         i.gene_id, i.score3
+  FROM credset c JOIN iv i ON c.contig = i.contig
+  WHERE c.pos >= i.istart AND c.pos <= i.iend
+),
+per_vg AS (
+  SELECT study_id, contig, cluster_seq, point_id, pics_pp, gene_id,
+         MAX(score3) AS vmax
+  FROM j GROUP BY 1, 2, 3, 4, 5, 6
+),
+e2g AS (
+  SELECT study_id, contig, cluster_seq, gene_id,
+         CAST(SUM(CAST(pics_pp * vmax AS DECIMAL(38,12))) AS DOUBLE)
+           AS e2g_mean
+  FROM per_vg GROUP BY 1, 2, 3, 4
+),
+with_mean AS (
+  SELECT *,
+    CAST(SUM(CAST(e2g_mean AS DECIMAL(38,12)))
+         OVER (PARTITION BY study_id, contig, cluster_seq) AS DOUBLE)
+      / COUNT(*) OVER (PARTITION BY study_id, contig, cluster_seq)
+      AS locus_mean
+  FROM e2g
+)
+SELECT study_id, contig, cluster_seq, gene_id, e2g_mean,
+  CASE WHEN locus_mean > 0.0
+       THEN FLOOR(e2g_mean / locus_mean * 1000000.0) / 1000000.0
+       ELSE 0.0 END AS e2g_mean_nbh
+FROM with_mean
+"""
+
+
+# --- feature factory -------------------------------------------------------
+# Column groups each family contributes (0-fill defaults in the
+# assembled output and in the extended feature matrix).
+VEP_FEAT_COLS = ["vep_max", "vep_mean", "vep_max_nbh", "vep_mean_nbh"]
+GENE_FEAT_COLS = [
+    "gene_count_w",
+    "protein_gene_count_w",
+    "is_protein_coding",
+    "credset_confidence",
+]
+E2G_FEAT_COLS = ["e2g_mean", "e2g_mean_nbh"]
+EXT_FEAT_COLS = [*VEP_FEAT_COLS, *GENE_FEAT_COLS, *E2G_FEAT_COLS]
+_INT_COLS = {"gene_count_w", "protein_gene_count_w"}
+
+
+def assemble_locus_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature factory: full-outer combine of the three families on the
+    locus-gene key, 0-filled (method/l2g/feature_factory.py role)."""
+    vep = q_l2g_vep_features(spark, sf_dir)
+    gene = q_l2g_gene_features(spark, sf_dir)
+    e2g = q_l2g_interval_features(spark, sf_dir)
+    out = vep.join(gene, on=_FEAT_KEY, how="full").join(
+        e2g, on=_FEAT_KEY, how="full"
+    )
+    return out.select(
+        *_FEAT_KEY,
+        *[
+            F.coalesce(F.col(c), F.lit(0) if c in _INT_COLS else F.lit(0.0)).alias(c)
+            for c in EXT_FEAT_COLS
+        ],
+    )
+
+
+def _assemble_sql() -> str:
+    cols = ",\n       ".join(
+        f"COALESCE({c}, {'0' if c in _INT_COLS else '0.0'}) AS {c}"
+        for c in EXT_FEAT_COLS
+    )
+    return f"""
+WITH vep_f AS ({_vep_feat_sql()}),
+gene_f AS ({_gene_feat_sql()}),
+e2g_f AS ({_interval_feat_sql()})
+SELECT study_id, contig, cluster_seq, gene_id,
+       {cols}
+FROM vep_f
+FULL JOIN gene_f USING (study_id, contig, cluster_seq, gene_id)
+FULL JOIN e2g_f USING (study_id, contig, cluster_seq, gene_id)
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "l2g_vep_features": QuerySpec(q_l2g_vep_features, _vep_feat_sql()),
+    "l2g_gene_features": QuerySpec(q_l2g_gene_features, _gene_feat_sql()),
+    "l2g_interval_features": QuerySpec(
+        q_l2g_interval_features, _interval_feat_sql()
+    ),
+}

@@ -28,47 +28,69 @@ class QuerySpec:
     oracle: str | None
 
 
-# Keys the external correctness snapshot has never covered: its window
-# is the FIRST 50 ``queries()`` entries, so these are ordered first.
-# Keys checked in earlier snapshots (r1/r2 artifacts) rotate to the
-# tail — their evidence already exists.
+# The external correctness snapshot verifies the FIRST 50 ``queries()``
+# entries. Rotation policy (per the r3 verdict + advice): every key
+# whose newest driver evidence predates its last code change must sit
+# inside that window. r4 ordering = (a) keys NEW this round, (b) keys
+# whose implementation changed this round (extended feature matrix /
+# refrozen GBM / sessionizer re-arm / IVF centroid fix), (c) the 36
+# keys whose last driver rows are from r1/r2 (rotated out of the r3
+# window), (d) slack slots re-verifying the heaviest r3 pipelines.
 _SNAPSHOT_PRIORITY = [
-    "susie_inf_finemap",
-    "carma_shotgun_finemap",
-    "susie_finemapper_step",
-    "sumstat_harmonise_full",
-    "vep_consequence_annotate",
-    "ld_block_slice",
-    "ann_ivf_topk",
-    "interval_evidence",
-    "study_index_validate",
-    "l2g_coloc_features",
-    "l2g_score_gbm",
-    "text_langid",
-    "token_count",
-    "doc_fingerprint",
-    "text_repetition",
-    "text_logfreq",
-    "dedup_simhash_pairs",
-    "stream_sessionize",
-    "stream_dedup",
-    "stream_window_agg",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "v2g_distance",
+    # (a) new in r4
+    "l2g_vep_features",
+    "l2g_gene_features",
+    "l2g_interval_features",
+    "ld_index_build",
+    "ld_clump_indexed",
+    "pics_finemap_indexed",
+    # (b) changed in r4 (incl. post-r3-snapshot commit 3e87d3b)
     "l2g_feature_matrix",
+    "l2g_score_gbm",
     "l2g_score",
-    "study_validation",
-    "props_json_parse",
-    "enrichment_odds_ratio",
-    "l2g_gold_standard",
-    "variant_id_normalize",
-    "credible_set_qc",
-    "allele_direction",
-    "direction_concordance",
-    "contig_validation",
-    "ontology_closure",
-    "pairwise_ld",
+    "stream_sessionize",
+    "ann_ivf_topk",
+    # (c) newest driver rows predate r3
+    "ecaviar_clpp",
+    "credible_set_filter",
+    "carma_finemap",
+    "pics_finemap",
+    "ld_clump",
+    "window_clump_semi",
+    "susie_like_finemap",
+    "carma_outliers",
+    "sumstat_imputation",
+    "study_locus_id",
+    "trans_qtl_flag",
+    "locus_statistics",
+    "sumstat_qc_summary",
+    "qc_gc_lambda",
+    "qc_pz_consistency",
+    "qc_mean_beta",
+    "sanity_filter",
+    "qc_flag_accumulate",
+    "logsum",
+    "meta_analysis",
+    "qc_n_eff",
+    "zscore_chi2",
+    "pvalue_split",
+    "neglog_pvalue",
+    "pvalue_from_neglog",
+    "effect_ci",
+    "stderr_harmonise",
+    "sumstat_harmonise_ingest",
+    "ann_lsh_bucketed",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "dedup_embedding_cosine",
+    "text_quality",
+    # (d) slack: heaviest r3 pipelines, fresh rows cost little
+    "coloc",
+    "sumstat_harmonise_full",
+    "window_clump_leads",
 ]
 
 
@@ -84,6 +106,7 @@ def full_registry() -> dict[str, QuerySpec]:
         genomics,
         graph_ld,
         l2g,
+        l2g_features,
         llm_pipeline,
         qc,
         relational,
@@ -93,7 +116,7 @@ def full_registry() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for module in (relational, genomics, qc, stats_kernel, llm_pipeline, streaming_plan, l2g, variants, graph_ld):
+    for module in (relational, genomics, qc, stats_kernel, llm_pipeline, streaming_plan, l2g, l2g_features, variants, graph_ld):
         overlap = merged.keys() & module.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {sorted(overlap)}")
