@@ -38,6 +38,8 @@ class QuerySpec:
 # window), (d) slack slots re-verifying the heaviest r3 pipelines.
 _SNAPSHOT_PRIORITY = [
     # (a) new in r4
+    "study_locus_qc_flags",
+    "sumstat_harmonise_finngen",
     "l2g_vep_features",
     "l2g_gene_features",
     "l2g_interval_features",
@@ -87,10 +89,8 @@ _SNAPSHOT_PRIORITY = [
     "ann_cosine_topk",
     "dedup_embedding_cosine",
     "text_quality",
-    # (d) slack: heaviest r3 pipelines, fresh rows cost little
+    # (d) slack: heaviest r3 pipeline, fresh rows cost little
     "coloc",
-    "sumstat_harmonise_full",
-    "window_clump_leads",
 ]
 
 

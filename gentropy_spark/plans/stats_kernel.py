@@ -372,3 +372,217 @@ FROM flagged
 REGISTRY["sumstat_harmonise_full"] = QuerySpec(
     q_sumstat_harmonise_full, HARMONISE_FULL_SQL
 )
+
+
+# --- FinnGen-meta-shaped multi-cohort harmonisation ------------------------
+# Reference: datasource/finngen_meta/summary_statistics.py:302
+# ``from_source`` — the second ingestion dialect: per-cohort wide
+# columns (beta/se/af/imputation-r2 per biobank) harmonised into one
+# summary-statistics row per variant. The composed steps, in reference
+# order: (4) meta-analyzed filter (>= 2 cohorts present, :1186
+# is_meta_analyzed_variant), (5) imputation-score filter (MVP r2 >=
+# 0.8, :628 has_low_imputation_score), (6-7) gnomAD direction join —
+# beta * direction, cohort AFs flipped to 1-af, variant id swapped to
+# the aligned form (:327), (9) combined effect allele frequency =
+# sample-weighted mean over PRESENT cohorts (:779
+# combined_allele_frequency), (10) min-allele-count filter
+# (MAC = 2*min(af,1-af)*n >= 20 in every present cohort, :658).
+# Cohort presence/AF/r2/direction derive deterministically from ids
+# (the synthetic tables have no biobank axis); every derived value is
+# exact integer arithmetic scaled by powers of 10, so both engines
+# compute identical doubles, and the one quotient (combined EAF) is
+# FLOOR-truncated, never rounded.
+FINNGEN_COHORTS = (("fg", 500_000, 5), ("mvp", 300_000, 4), ("ukbb", 9_000, 3))
+FINNGEN_IMPUTATION_MIN_R2 = 0.8
+FINNGEN_MIN_ALLELE_COUNT = 20
+
+
+def q_sumstat_harmonise_finngen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_id").alias("point_id"),
+        F.col("user_id").alias("study_id"),
+        F.col("event_type").alias("contig"),
+        F.expr("ts div 1000").alias("pos"),
+        F.col("value"),
+    )
+    alleles = F.array(*[F.lit(a) for a in ("A", "C", "G", "T", "AT", "GCC")])
+    ref = F.element_at(alleles, (F.col("point_id") % 6 + 1).cast("int"))
+    alt = F.element_at(alleles, (F.expr("point_id div 7") % 6 + 1).cast("int"))
+    # gnomAD direction: 1 = aligned, -1 = flipped, NULL = not in gnomAD
+    direction = (
+        F.when(F.col("point_id") % 10 == 7, F.lit(-1))
+        .when(F.col("point_id") % 10 == 8, F.lit(None).cast("int"))
+        .otherwise(F.lit(1))
+    )
+    mvp_r2 = 0.75 + ((F.col("point_id") * 13) % 100) / 400.0
+    cols = [
+        "point_id", "study_id", "contig", "pos",
+        ref.alias("ref"), alt.alias("alt"), direction.alias("direction"),
+        F.round(F.col("value") / 1000.0, 6).alias("meta_beta"),
+        F.round(F.abs(F.col("value")) / 5000.0 + 0.001, 6).alias("meta_se"),
+        F.round(F.abs(F.col("value")) / 10.0, 6).alias("neglogp"),
+        mvp_r2.alias("mvp_r2"),
+    ]
+    for i, (name, n, mod) in enumerate(FINNGEN_COHORTS, start=1):
+        present = F.col("point_id") % mod != 0
+        af = ((F.col("point_id") * 37 + i) % 1000) / 1000.0
+        cols.append(F.when(present, af).alias(f"af_{name}"))
+        cols.append(present.alias(f"in_{name}"))
+    wide = base.select(*cols)
+    n_cohorts = sum(
+        (F.col(f"in_{name}").cast("int") for name, _, _ in FINNGEN_COHORTS),
+        start=F.lit(0),
+    )
+    filtered = (
+        wide.withColumn("n_cohorts", n_cohorts)
+        .filter(F.col("n_cohorts") >= 2)  # (4) meta-analyzed only
+        .filter(  # (5) imputation score: MVP cohort only
+            ~F.col("in_mvp") | (F.col("mvp_r2") >= FINNGEN_IMPUTATION_MIN_R2)
+        )
+    )
+    # (7) direction alignment: flip beta and AFs, swap the variant id
+    flipped = F.col("direction") == -1
+    d = F.coalesce(F.col("direction"), F.lit(1))
+    aligned_cols = [
+        F.when(flipped & F.col(f"af_{name}").isNotNull(), 1.0 - F.col(f"af_{name}"))
+        .otherwise(F.col(f"af_{name}"))
+        .alias(f"af_{name}")
+        for name, _, _ in FINNGEN_COHORTS
+    ]
+    aligned = filtered.select(
+        "point_id", "study_id", "contig", "pos", "n_cohorts",
+        "meta_se", "neglogp",
+        (F.round(F.col("meta_beta") * d, 6) + 0.0).alias("beta"),
+        F.when(flipped, F.concat_ws("_", F.col("contig"), F.col("pos"), F.col("alt"), F.col("ref")))
+        .otherwise(F.concat_ws("_", F.col("contig"), F.col("pos"), F.col("ref"), F.col("alt")))
+        .alias("variant_id"),
+        *aligned_cols,
+        *[F.col(f"in_{name}") for name, _, _ in FINNGEN_COHORTS],
+    )
+    # (9) combined EAF over present cohorts; (10) MAC filter per cohort
+    num = sum(
+        (
+            F.when(F.col(f"in_{name}"), F.col(f"af_{name}") * float(n)).otherwise(F.lit(0.0))
+            for name, n, _ in FINNGEN_COHORTS
+        ),
+        start=F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(F.col(f"in_{name}"), F.lit(float(n))).otherwise(F.lit(0.0))
+            for name, n, _ in FINNGEN_COHORTS
+        ),
+        start=F.lit(0.0),
+    )
+    mac_ok = [
+        ~F.col(f"in_{name}")
+        | (
+            2.0 * F.least(F.col(f"af_{name}"), 1.0 - F.col(f"af_{name}")) * float(n)
+            >= FINNGEN_MIN_ALLELE_COUNT
+        )
+        for name, n, _ in FINNGEN_COHORTS
+    ]
+    out = aligned.withColumn("eaf", F.floor(num / den * 1e6) / 1e6).withColumn(
+        "sample_size",
+        sum(
+            (
+                F.when(F.col(f"in_{name}"), F.lit(n)).otherwise(F.lit(0))
+                for name, n, _ in FINNGEN_COHORTS
+            ),
+            start=F.lit(0),
+        ).cast("long"),
+    )
+    for cond in mac_ok:
+        out = out.filter(cond)
+    return out.select(
+        "point_id", "study_id", "variant_id", "contig", "pos",
+        "beta", F.col("meta_se").alias("standard_error"), "neglogp",
+        "eaf", "sample_size", "n_cohorts",
+    )
+
+
+def _finngen_sql() -> str:
+    arr = "(['A','C','G','T','AT','GCC'])"
+    ref = f"{arr}[CAST(point_id % 6 AS INT) + 1]"
+    alt = f"{arr}[CAST((point_id // 7) % 6 AS INT) + 1]"
+    af = {
+        name: f"CASE WHEN point_id % {mod} <> 0 THEN ((point_id * 37 + {i}) % 1000) / 1000.0 END"
+        for i, (name, _, mod) in enumerate(FINNGEN_COHORTS, start=1)
+    }
+    present = {
+        name: f"point_id % {mod} <> 0" for name, _, mod in FINNGEN_COHORTS
+    }
+    n_cohorts = " + ".join(
+        f"CAST({present[name]} AS INT)" for name, _, _ in FINNGEN_COHORTS
+    )
+    af_flip = {
+        name: (
+            f"CASE WHEN direction = -1 AND af_{name} IS NOT NULL"
+            f" THEN 1.0 - af_{name} ELSE af_{name} END"
+        )
+        for name, _, _ in FINNGEN_COHORTS
+    }
+    num = " + ".join(
+        f"CASE WHEN in_{name} THEN af_{name} * {float(n)!r} ELSE 0.0 END"
+        for name, n, _ in FINNGEN_COHORTS
+    )
+    den = " + ".join(
+        f"CASE WHEN in_{name} THEN {float(n)!r} ELSE 0.0 END"
+        for name, n, _ in FINNGEN_COHORTS
+    )
+    mac = " AND ".join(
+        f"(NOT in_{name} OR 2.0 * LEAST(af_{name}, 1.0 - af_{name}) * {float(n)!r}"
+        f" >= {FINNGEN_MIN_ALLELE_COUNT})"
+        for name, n, _ in FINNGEN_COHORTS
+    )
+    ssize = " + ".join(
+        f"CASE WHEN in_{name} THEN {n} ELSE 0 END" for name, n, _ in FINNGEN_COHORTS
+    )
+    af_cols = ",\n    ".join(f"{af[name]} AS af_{name}" for name, _, _ in FINNGEN_COHORTS)
+    in_cols = ",\n    ".join(f"{present[name]} AS in_{name}" for name, _, _ in FINNGEN_COHORTS)
+    flip_cols = ",\n    ".join(f"{af_flip[name]} AS af_{name}" for name, _, _ in FINNGEN_COHORTS)
+    return f"""
+WITH base AS (
+  SELECT event_id AS point_id, user_id AS study_id, event_type AS contig,
+         epoch_us(ts) AS pos, value,
+    {ref} AS ref, {alt} AS alt,
+    CASE WHEN event_id % 10 = 7 THEN -1
+         WHEN event_id % 10 = 8 THEN NULL
+         ELSE 1 END AS direction,
+    ROUND(value / 1000.0, 6) AS meta_beta,
+    ROUND(ABS(value) / 5000.0 + 0.001, 6) AS meta_se,
+    ROUND(ABS(value) / 10.0, 6) AS neglogp,
+    0.75 + ((event_id * 13) % 100) / 400.0 AS mvp_r2,
+    {af_cols},
+    {in_cols}
+  FROM events
+),
+filtered AS (
+  SELECT *, {n_cohorts} AS n_cohorts FROM base
+  WHERE {n_cohorts} >= 2
+    AND (NOT in_mvp OR mvp_r2 >= {FINNGEN_IMPUTATION_MIN_R2!r})
+),
+aligned AS (
+  SELECT point_id, study_id, contig, pos, n_cohorts, meta_se, neglogp,
+    ROUND(meta_beta * COALESCE(direction, 1), 6) + 0.0 AS beta,
+    CASE WHEN direction = -1
+         THEN CONCAT_WS('_', contig, pos, alt, ref)
+         ELSE CONCAT_WS('_', contig, pos, ref, alt) END AS variant_id,
+    {flip_cols},
+    in_fg, in_mvp, in_ukbb
+  FROM filtered
+)
+SELECT point_id, study_id, variant_id, contig, pos,
+  beta, meta_se AS standard_error, neglogp,
+  FLOOR(({num}) / ({den}) * 1e6) / 1e6 AS eaf,
+  CAST({ssize} AS BIGINT) AS sample_size,
+  n_cohorts
+FROM aligned
+WHERE {mac}
+"""
+
+
+REGISTRY["sumstat_harmonise_finngen"] = QuerySpec(
+    q_sumstat_harmonise_finngen, _finngen_sql()
+)

@@ -517,3 +517,317 @@ FROM flagged
 REGISTRY["study_index_validate"] = QuerySpec(
     q_study_index_validate, STUDY_INDEX_VALIDATE_SQL
 )
+
+
+# --- StudyLocus QC flag parity sweep --------------------------------------
+# Reference: dataset/study_locus.py:62 ``StudyLocusQualityCheck`` — all
+# 23 flags, re-expressed as ONE accumulate-never-drop surface over the
+# clustered significant associations (one row per candidate study
+# locus). Flag semantics that the synthetic tables can express
+# structurally use the real joins (window/LD dominance :100/:99 via
+# method/clump.py:20, SuSiE-region overlap :1243 qc_explained_by_SuSiE,
+# PIP-mass sanity :439 qc_abnormal_pips, MHC region :1180, top-hit
+# redundancy :1204); study-/variant-level annotations the tables lack
+# (population, gnomAD mapping, curation) derive deterministically from
+# ids — the same convention as ``study_index_validate`` above. Flags
+# ACCUMULATE in enum order into a ';'-joined string; nothing is
+# dropped (the reference's update_quality_flag contract).
+SUBSIGNIF_NLP = 120.0
+# LD for the dominance flag reaches past the clump window (leads are
+# >= CLUMP_WINDOW_US apart, so the r2>=0.5 clump gap can never link
+# two leads): r2 >= 0.05 ~ gap of tau*ln(20).
+LD_FLAG_R2 = 0.05
+MHC_CONTIG = "signup"
+MHC_START_US = 1_704_240_000_000_000  # 2024-01-03
+MHC_END_US = 1_704_499_200_000_000  # 2024-01-06
+
+
+def q_study_locus_qc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    from pyspark.sql import Window
+
+    from gentropy_spark.functions.alleles import is_strand_ambiguous
+    from gentropy_spark.operators.clumping import _cluster_seq
+    from gentropy_spark.plans.genomics import (
+        CLUMP_WINDOW_US,
+        PICS_TAU,
+        SIGNIF_MIN,
+        q_locus_breaker,
+        q_pics_finemap,
+        sumstats,
+    )
+
+    ss = sumstats(spark, sf_dir).filter(F.col("signif") >= SIGNIF_MIN)
+    clustered = _cluster_seq(
+        ss, "study_id", "contig", "pos", "point_id", CLUMP_WINDOW_US
+    )
+    keys = ["study_id", "contig", "cluster_seq"]
+    w_rank = Window.partitionBy(*keys).orderBy(
+        F.col("signif").desc(), F.col("pos").asc(), F.col("point_id").asc()
+    )
+    base = clustered.withColumn("lead_rank", F.row_number().over(w_rank))
+
+    # LD dominance among leads only (reference layering: LD clump runs
+    # after window clump) — synthetic LD gap as in q_ld_clump but at
+    # the flag threshold LD_FLAG_R2.
+    max_gap = int(PICS_TAU * _math.log(1.0 / LD_FLAG_R2))
+    leads = base.filter(F.col("lead_rank") == 1).select(
+        "point_id", "study_id", "contig", "pos", "signif"
+    )
+    b = leads.select(
+        F.col("study_id").alias("b_study"),
+        F.col("contig").alias("b_contig"),
+        F.col("pos").alias("b_pos"),
+        F.col("signif").alias("b_signif"),
+        F.col("point_id").alias("b_id"),
+    )
+    dominated = (
+        leads.join(
+            b,
+            (F.col("study_id") == F.col("b_study"))
+            & (F.col("contig") == F.col("b_contig"))
+            & (F.abs(F.col("pos") - F.col("b_pos")) <= max_gap)
+            & (
+                (F.col("b_signif") > F.col("signif"))
+                | (
+                    (F.col("b_signif") == F.col("signif"))
+                    & (F.col("b_id") < F.col("point_id"))
+                )
+            ),
+            "leftsemi",
+        )
+        .select("point_id")
+        .withColumn("ld_clumped", F.lit(True))
+    )
+
+    # Pseudo-SuSiE regions: locus-breaker regions whose locus carries
+    # the SuSiE method label; non-SuSiE rows inside a same-study region
+    # are "explained by SuSiE".
+    regions = (
+        q_locus_breaker(spark, sf_dir)
+        .filter((F.col("study_id") + F.col("cluster_seq")) % 3 == 0)
+        .select("study_id", "contig", "locus_start", "locus_end")
+    )
+    susie_hit = (
+        base.join(F.broadcast(regions), on=["study_id", "contig"])
+        .filter(
+            (F.col("pos") >= F.col("locus_start"))
+            & (F.col("pos") <= F.col("locus_end"))
+        )
+        .select("point_id")
+        .distinct()
+        .withColumn("in_susie_region", F.lit(True))
+    )
+
+    # PICS PIP mass per locus (6-dp posteriors summed in exact decimal).
+    pip_mass = (
+        q_pics_finemap(spark, sf_dir)
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.col("pics_pp").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("pip_mass")
+        )
+    )
+
+    ann = (
+        base.join(dominated, on="point_id", how="left")
+        .join(susie_hit, on="point_id", how="left")
+        .join(pip_mass, on=keys, how="left")
+    )
+
+    allele_arr = F.array(*[F.lit(a) for a in ALLELES])
+    ref = F.element_at(allele_arr, (F.col("point_id") % 6 + 1).cast("int"))
+    alt = F.element_at(
+        allele_arr, (F.expr("point_id div 7") % 6 + 1).cast("int")
+    )
+    w_study = Window.partitionBy("study_id")
+    w_locus = Window.partitionBy(*keys)
+    top_hit = F.col("point_id") % 11 == 0
+    has_sumstats = F.max((~top_hit).cast("int")).over(w_study) == 1
+    susie_method = (F.col("study_id") + F.col("cluster_seq")) % 3 == 0
+    sl_id = F.md5(
+        F.concat_ws("_", F.col("study_id"), F.col("contig"), F.col("pos"))
+    )
+    dup_id = F.count("*").over(Window.partitionBy(sl_id)) > 1
+    flags = [
+        ("SUBSIGNIFICANT_FLAG", F.col("signif") < SUBSIGNIF_NLP),
+        ("NO_GENOMIC_LOCATION_FLAG", F.col("point_id") % 97 == 0),
+        ("COMPOSITE_FLAG", F.col("point_id") % 101 == 0),
+        ("INCONSISTENCY_FLAG", ref == alt),
+        ("NON_MAPPED_VARIANT_FLAG", F.col("point_id") % 89 == 0),
+        ("PALINDROMIC_ALLELE_FLAG", is_strand_ambiguous(ref, alt)),
+        ("AMBIGUOUS_STUDY", F.col("study_id") % 31 == 0),
+        ("UNRESOLVED_LD", F.col("point_id") % 41 == 0),
+        ("LD_CLUMPED", F.coalesce(F.col("ld_clumped"), F.lit(False))),
+        ("WINDOW_CLUMPED", F.col("lead_rank") > 1),
+        ("NO_POPULATION", F.col("study_id") % 23 == 0),
+        ("FLAGGED_STUDY", F.col("study_id") % 7 == 0),
+        ("MISSING_STUDY", F.col("study_id") % 29 == 0),
+        ("DUPLICATED_STUDYLOCUS_ID", dup_id),
+        (
+            "INVALID_VARIANT_IDENTIFIER",
+            F.max((F.col("point_id") % 89 == 0).cast("int")).over(w_locus) == 1,
+        ),
+        ("TOP_HIT", top_hit),
+        (
+            "IN_MHC",
+            (F.col("contig") == MHC_CONTIG)
+            & (F.col("pos") >= MHC_START_US)
+            & (F.col("pos") <= MHC_END_US),
+        ),
+        ("REDUNDANT_PICS_TOP_HIT", top_hit & has_sumstats),
+        (
+            "EXPLAINED_BY_SUSIE",
+            (~susie_method)
+            & F.coalesce(F.col("in_susie_region"), F.lit(False)),
+        ),
+        (
+            "ABNORMAL_PIPS",
+            F.col("pip_mass").isNull()
+            | (F.col("pip_mass") < 0.99)
+            | (F.col("pip_mass") > 1.000001),
+        ),
+        ("OUT_OF_SAMPLE_LD", F.col("study_id") % 19 == 0),
+        ("INVALID_CHROMOSOME", ~F.col("contig").isin(VALID_CONTIGS)),
+        ("TOP_HIT_AND_SUMMARY_STATS", top_hit & has_sumstats),
+    ]
+    qc = F.concat_ws(
+        ";", *[F.when(cond, F.lit(name)) for name, cond in flags]
+    )
+    n_flags = sum(
+        (cond.cast("int") for _, cond in flags), start=F.lit(0)
+    )
+    return ann.select(
+        "point_id",
+        "study_id",
+        "contig",
+        "pos",
+        "cluster_seq",
+        (F.col("lead_rank") == 1).alias("is_lead"),
+        qc.alias("qc_flags"),
+        n_flags.alias("n_flags"),
+        (qc == "").alias("is_clean"),
+    )
+
+
+def _study_locus_qc_sql() -> str:
+    import math as _math
+
+    from gentropy_spark.plans.genomics import (
+        CLUMP_WINDOW_US,
+        LOCUS_BREAKER_SQL,
+        PICS_SQL,
+        PICS_TAU,
+        SIGNIF_MIN,
+        _clustered_sql,
+    )
+
+    max_gap = int(PICS_TAU * _math.log(1.0 / LD_FLAG_R2))
+    valid_list = ", ".join(f"'{c}'" for c in VALID_CONTIGS)
+    ref = "(['A','C','G','T','AT','GCC'])[CAST(point_id % 6 AS INT) + 1]"
+    alt = "(['A','C','G','T','AT','GCC'])[CAST((point_id // 7) % 6 AS INT) + 1]"
+    palindromic = (
+        f"(LENGTH({ref}) = LENGTH({alt})"
+        f" AND reverse(translate(upper({alt}), 'ACGT', 'TGCA')) = upper({ref}))"
+    )
+    conds = [
+        ("SUBSIGNIFICANT_FLAG", f"signif < {SUBSIGNIF_NLP!r}"),
+        ("NO_GENOMIC_LOCATION_FLAG", "point_id % 97 = 0"),
+        ("COMPOSITE_FLAG", "point_id % 101 = 0"),
+        ("INCONSISTENCY_FLAG", f"{ref} = {alt}"),
+        ("NON_MAPPED_VARIANT_FLAG", "point_id % 89 = 0"),
+        ("PALINDROMIC_ALLELE_FLAG", palindromic),
+        ("AMBIGUOUS_STUDY", "study_id % 31 = 0"),
+        ("UNRESOLVED_LD", "point_id % 41 = 0"),
+        ("LD_CLUMPED", "COALESCE(ld_clumped, FALSE)"),
+        ("WINDOW_CLUMPED", "lead_rank > 1"),
+        ("NO_POPULATION", "study_id % 23 = 0"),
+        ("FLAGGED_STUDY", "study_id % 7 = 0"),
+        ("MISSING_STUDY", "study_id % 29 = 0"),
+        ("DUPLICATED_STUDYLOCUS_ID", "dup_id"),
+        ("INVALID_VARIANT_IDENTIFIER", "any_unresolvable"),
+        ("TOP_HIT", "point_id % 11 = 0"),
+        (
+            "IN_MHC",
+            f"(contig = '{MHC_CONTIG}' AND pos >= {MHC_START_US}"
+            f" AND pos <= {MHC_END_US})",
+        ),
+        ("REDUNDANT_PICS_TOP_HIT", "point_id % 11 = 0 AND has_sumstats"),
+        (
+            "EXPLAINED_BY_SUSIE",
+            "(study_id + cluster_seq) % 3 <> 0 AND COALESCE(in_susie_region, FALSE)",
+        ),
+        (
+            "ABNORMAL_PIPS",
+            "(pip_mass IS NULL OR pip_mass < 0.99 OR pip_mass > 1.000001)",
+        ),
+        ("OUT_OF_SAMPLE_LD", "study_id % 19 = 0"),
+        ("INVALID_CHROMOSOME", f"contig NOT IN ({valid_list})"),
+        ("TOP_HIT_AND_SUMMARY_STATS", "point_id % 11 = 0 AND has_sumstats"),
+    ]
+    flag_cases = ",\n    ".join(
+        f"CASE WHEN {cond} THEN '{name}' END" for name, cond in conds
+    )
+    n_flags = " + ".join(f"CAST({cond} AS INT)" for _, cond in conds)
+    return f"""
+WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY study_id, contig, cluster_seq
+                               ORDER BY signif DESC, pos, point_id) AS lead_rank
+  FROM ({_clustered_sql(SIGNIF_MIN, CLUMP_WINDOW_US)})
+),
+dominated AS (
+  SELECT a.point_id, TRUE AS ld_clumped
+  FROM ranked a
+  WHERE a.lead_rank = 1 AND EXISTS (
+    SELECT 1 FROM ranked b
+    WHERE b.lead_rank = 1 AND b.study_id = a.study_id
+      AND b.contig = a.contig AND ABS(a.pos - b.pos) <= {max_gap}
+      AND (b.signif > a.signif
+           OR (b.signif = a.signif AND b.point_id < a.point_id))
+  )
+),
+susie_regions AS (
+  SELECT study_id, contig, locus_start, locus_end
+  FROM ({LOCUS_BREAKER_SQL}) WHERE (study_id + cluster_seq) % 3 = 0
+),
+susie_hit AS (
+  SELECT DISTINCT r.point_id, TRUE AS in_susie_region
+  FROM ranked r JOIN susie_regions s
+    ON r.study_id = s.study_id AND r.contig = s.contig
+   AND r.pos >= s.locus_start AND r.pos <= s.locus_end
+),
+pip AS (
+  SELECT study_id, contig, cluster_seq,
+         CAST(SUM(CAST(pics_pp AS DECIMAL(38,6))) AS DOUBLE) AS pip_mass
+  FROM ({PICS_SQL}) GROUP BY 1, 2, 3
+),
+ann AS (
+  SELECT r.*, d.ld_clumped, h.in_susie_region, p.pip_mass,
+    COUNT(*) OVER (PARTITION BY
+      md5(CONCAT_WS('_', r.study_id, r.contig, r.pos))) > 1 AS dup_id,
+    MAX(CASE WHEN r.point_id % 89 = 0 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY r.study_id, r.contig, r.cluster_seq) = 1
+      AS any_unresolvable,
+    MAX(CASE WHEN r.point_id % 11 = 0 THEN 0 ELSE 1 END)
+      OVER (PARTITION BY r.study_id) = 1 AS has_sumstats
+  FROM ranked r
+  LEFT JOIN dominated d USING (point_id)
+  LEFT JOIN susie_hit h USING (point_id)
+  LEFT JOIN pip p USING (study_id, contig, cluster_seq)
+)
+SELECT point_id, study_id, contig, pos, cluster_seq,
+  lead_rank = 1 AS is_lead,
+  concat_ws(';',
+    {flag_cases}) AS qc_flags,
+  {n_flags} AS n_flags,
+  (concat_ws(';',
+    {flag_cases}) = '') AS is_clean
+FROM ann
+"""
+
+
+REGISTRY["study_locus_qc_flags"] = QuerySpec(
+    q_study_locus_qc_flags, _study_locus_qc_sql()
+)
