@@ -44,6 +44,11 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "text_quality",
     "token_count",
+    # r4 additions: the round's heavy pipelines
+    "l2g_feature_matrix",
+    "ld_index_build",
+    "study_locus_qc_flags",
+    "sumstat_harmonise_finngen",
 ]
 
 

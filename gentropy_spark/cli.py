@@ -86,18 +86,22 @@ def topo_order(steps: dict[str, dict]) -> list[str]:
 
 
 def run_dag(config_path: str, dry_run: bool = False) -> list[str]:
-    """Execute (or plan) the configured pipeline; returns step order."""
+    """Execute (or plan) the configured pipeline; returns step order.
+
+    The config is validated against the typed per-step schemas
+    (gentropy_spark/config.py — the reference's Hydra step configs)
+    BEFORE any Spark work; a bad config fails with every violation's
+    field path.
+    """
+    from gentropy_spark.config import resolve_step, validate_config
+
     with open(config_path) as fh:
         cfg = json.load(fh)
+    errors = validate_config(cfg)
+    if errors:
+        raise ValueError("invalid config:\n  " + "\n  ".join(errors))
     steps = cfg["steps"]
     order = topo_order(steps)
-    from gentropy_spark.plans import full_registry
-
-    registry = full_registry()
-    for name in order:
-        q = steps[name]["query"]
-        if q not in registry:
-            raise ValueError(f"step {name!r}: unknown query {q!r}")
     if dry_run:
         return order
 
@@ -109,11 +113,12 @@ def run_dag(config_path: str, dry_run: bool = False) -> list[str]:
     )
     out_dir = cfg["out_dir"]
     for name in order:
-        q = steps[name]["query"]
+        step = steps[name]
+        fn = resolve_step(step["query"], step.get("params", {}))
         out = os.path.join(out_dir, name)
-        registry[q].fn(spark, sf_dir).write.mode("overwrite").parquet(out)
+        fn(spark, sf_dir).write.mode("overwrite").parquet(out)
         release_caches()
-        print(f"step {name} ({q}) -> {out}")
+        print(f"step {name} ({step['query']}) -> {out}")
     return order
 
 

@@ -64,10 +64,15 @@ def coloc(
     prior_c1: float = 1e-4,
     prior_c2: float = 1e-4,
     prior_c12: float = 1e-5,
+    extra_aggs: Sequence | None = None,
 ) -> DataFrame:
     """COLOC H0..H4 posterior probabilities per overlap group.
 
-    Returns one row per group with (n_overlapping, h0..h4).
+    Returns one row per group with (n_overlapping, h0..h4), plus one
+    column per aliased aggregate in ``extra_aggs`` — composed consumers
+    (the L2G coloc feature family needs CLPP alongside H4) fold their
+    metric into THIS aggregation instead of scanning the overlap
+    pipeline a second time.
 
     Scale shape (r3 — aggregate-join, replacing window-max): the group
     maxima come from a partial-agg-friendly groupBy whose output is one
@@ -79,14 +84,16 @@ def coloc(
     """
     lp1, lp2, lp12 = math.log(prior_c1), math.log(prior_c2), math.log(prior_c12)
 
-    from gentropy_spark.session import track_cache
-
-    # Both the max pass and the sum pass scan the overlaps; persist so
-    # a derived input pipeline (e.g. the tag-overlap join) runs once.
-    # On a cluster this is the materialised overlap table a real coloc
-    # step reads anyway.
-    base = track_cache(
-        overlaps.withColumn("_sum_bf", F.col(left_logbf) + F.col(right_logbf))
+    # Deliberately NOT persisted: the max pass and the sum pass do scan
+    # the overlap pipeline twice, but caching it pins an
+    # InMemoryRelation into every downstream plan, which blocks column
+    # pruning/filter pushdown for composed consumers (the L2G coloc
+    # feature family) — measured 2-6x slower WITH the cache at sf0.1.
+    # Recomputing the narrow overlap join is cheaper than scanning the
+    # materialised blocks; on a cluster the real coloc step reads an
+    # already-materialised overlap table anyway.
+    base = overlaps.withColumn(
+        "_sum_bf", F.col(left_logbf) + F.col(right_logbf)
     )
     mx = base.groupBy(*group_cols).agg(
         F.max(left_logbf).alias("_mx_l"),
@@ -99,7 +106,12 @@ def coloc(
         _logsumexp_agg(F.col(left_logbf), F.col("_mx_l")).alias("logsum1"),
         _logsumexp_agg(F.col(right_logbf), F.col("_mx_r")).alias("logsum2"),
         _logsumexp_agg(F.col("_sum_bf"), F.col("_mx_s")).alias("logsum12"),
+        *(extra_aggs or ()),
     )
+    extra_names = [
+        grouped.columns[i]
+        for i in range(len(grouped.columns) - len(extra_aggs or ()), len(grouped.columns))
+    ]
 
     lh0 = F.lit(0.0)
     lh1 = F.lit(lp1) + F.col("logsum1")
@@ -134,6 +146,7 @@ def coloc(
         posterior(lh2).alias("h2"),
         posterior(lh3).alias("h3"),
         posterior(lh4).alias("h4"),
+        *extra_names,
     )
 
 

@@ -151,15 +151,27 @@ def q_l2g_coloc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes, plus neighbourhood-normalized variants (feature value
     divided by the regional max over genes at the locus — the
     reference's common_neighbourhood_colocalisation_feature_logic)."""
-    from gentropy_spark.plans.genomics import q_coloc, q_ecaviar
+    from gentropy_spark.operators.coloc import coloc
+    from gentropy_spark.plans.genomics import _tag_overlaps
 
-    h4 = q_coloc(spark, sf_dir).select(
-        "left_study_id", "right_study_id", "contig", "h4"
+    # H4 and CLPP fused into ONE aggregate-join over the overlap
+    # pipeline (coloc's extra_aggs hook): the previous
+    # q_coloc-join-q_ecaviar form executed the overlap join three times
+    # (max pass, logsumexp pass, clpp pass) — same values, since CLPP
+    # is a plain per-group sum over the identical row set.
+    both = coloc(
+        _tag_overlaps(spark, sf_dir),
+        group_cols=["left_study_id", "right_study_id", "contig"],
+        extra_aggs=[
+            F.sum(F.col("left_pp") * F.col("right_pp")).alias("clpp_raw")
+        ],
+    ).select(
+        "left_study_id",
+        "right_study_id",
+        "contig",
+        F.round(F.col("h4"), 6).alias("h4"),
+        F.round(F.col("clpp_raw"), 6).alias("clpp"),
     )
-    clpp = q_ecaviar(spark, sf_dir).select(
-        "left_study_id", "right_study_id", "contig", "clpp"
-    )
-    both = h4.join(clpp, on=["left_study_id", "right_study_id", "contig"])
     # Measured-gene lookup: rank genes within each contig, pick
     # rank = right_study % K + 1 (K = genes on that contig). Tiny →
     # broadcast.
@@ -755,16 +767,18 @@ def q_l2g_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     credible-set locus key to the lead variant and left-joined with
     0-fill — the reference's dataset/l2g_feature_matrix.py with every
     l2g_features/* family populated."""
-    from gentropy_spark.plans.genomics import q_window_clump_leads
     from gentropy_spark.plans.l2g_features import (
         EXT_FEAT_COLS,
         _INT_COLS,
         assemble_locus_features,
     )
 
+    from gentropy_spark.plans.l2g_features import _leads
+
     base = _l2g_features_base(spark, sf_dir)
-    fam = assemble_locus_features(spark, sf_dir)
-    leads = q_window_clump_leads(spark, sf_dir).select(
+    leads_full = _leads(spark, sf_dir)
+    fam = assemble_locus_features(spark, sf_dir, _leads_df=leads_full)
+    leads = leads_full.select(
         "study_id", "contig", "cluster_seq", "lead_point_id"
     )
     fam_lead = fam.join(leads, on=["study_id", "contig", "cluster_seq"]).select(

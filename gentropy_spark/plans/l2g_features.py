@@ -162,12 +162,18 @@ def _trunc6(c: F.Column) -> F.Column:
 
 
 # --- VEP feature family ----------------------------------------------------
-def q_l2g_vep_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_l2g_vep_features(
+    spark: SparkSession,
+    sf_dir: str,
+    _fp: DataFrame | None = None,
+) -> DataFrame:
     from gentropy_spark.plans.l2g import gene_index
 
-    cs = _credset(spark, sf_dir)
-    genes = gene_index(spark, sf_dir)
-    j = _footprint_join(cs, genes).select(
+    if _fp is None:
+        _fp = _footprint_join(
+            _credset(spark, sf_dir), gene_index(spark, sf_dir)
+        )
+    j = _fp.select(
         *_LOCUS_KEY, "gene_id", _severity_col().alias("severity"), "pics_pp"
     )
     local = j.groupBy(*_FEAT_KEY).agg(
@@ -246,10 +252,15 @@ FROM with_reg
 
 
 # --- gene-structure feature family ----------------------------------------
-def q_l2g_gene_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_l2g_gene_features(
+    spark: SparkSession,
+    sf_dir: str,
+    _fp: DataFrame | None = None,
+    _leads_df: DataFrame | None = None,
+) -> DataFrame:
     from gentropy_spark.plans.l2g import gene_index
 
-    leads = _leads(spark, sf_dir)
+    leads = _leads_df if _leads_df is not None else _leads(spark, sf_dir)
     genes = gene_index(spark, sf_dir)
     # Genes with TSS (gene_start) inside the lead's count window.
     genes_k = genes.withColumn(
@@ -276,12 +287,11 @@ def q_l2g_gene_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         tssj.select(*_FEAT_KEY).distinct().join(counts, on=_LOCUS_KEY)
     )
     # Footprint-reachable genes: protein-coding flag + locus confidence.
-    cs = _credset(spark, sf_dir)
-    fp_genes = (
-        _footprint_join(cs, gene_index(spark, sf_dir))
-        .select(*_FEAT_KEY)
-        .distinct()
-    )
+    if _fp is None:
+        _fp = _footprint_join(
+            _credset(spark, sf_dir), gene_index(spark, sf_dir)
+        )
+    fp_genes = _fp.select(*_FEAT_KEY).distinct()
     conf_score = F.element_at(
         F.array(*[F.lit(s) for s in CONF_SCORES]),
         ((F.col("study_id") + F.col("cluster_seq")) % 5 + 1).cast("int"),
@@ -360,10 +370,16 @@ FULL JOIN fp_feats USING (study_id, contig, cluster_seq, gene_id)
 
 
 # --- interval / E2G feature family ----------------------------------------
-def q_l2g_interval_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_l2g_interval_features(
+    spark: SparkSession,
+    sf_dir: str,
+    _cs: DataFrame | None = None,
+) -> DataFrame:
     from gentropy_spark.plans.l2g import q_interval_evidence
 
-    cs = _credset(spark, sf_dir).filter(F.col("pics_pp") >= E2G_PP_MIN)
+    if _cs is None:
+        _cs = _credset(spark, sf_dir)
+    cs = _cs.filter(F.col("pics_pp") >= E2G_PP_MIN)
     iv = (
         q_interval_evidence(spark, sf_dir)
         .filter(F.col("is_valid"))
@@ -474,12 +490,25 @@ EXT_FEAT_COLS = [*VEP_FEAT_COLS, *GENE_FEAT_COLS, *E2G_FEAT_COLS]
 _INT_COLS = {"gene_count_w", "protein_gene_count_w"}
 
 
-def assemble_locus_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def assemble_locus_features(
+    spark: SparkSession,
+    sf_dir: str,
+    _leads_df: DataFrame | None = None,
+) -> DataFrame:
     """Feature factory: full-outer combine of the three families on the
-    locus-gene key, 0-filled (method/l2g/feature_factory.py role)."""
-    vep = q_l2g_vep_features(spark, sf_dir)
-    gene = q_l2g_gene_features(spark, sf_dir)
-    e2g = q_l2g_interval_features(spark, sf_dir)
+    locus-gene key, 0-filled (method/l2g/feature_factory.py role).
+
+    Shared subplans (PICS credible set, gene footprint join, clump
+    leads) are constructed ONCE and threaded into every family:
+    rebuilding them per family tripled driver-side plan-construction
+    time (~seconds of py4j Column calls at this plan size)."""
+    from gentropy_spark.plans.l2g import gene_index
+
+    cs = _credset(spark, sf_dir)
+    fp = _footprint_join(cs, gene_index(spark, sf_dir))
+    vep = q_l2g_vep_features(spark, sf_dir, _fp=fp)
+    gene = q_l2g_gene_features(spark, sf_dir, _fp=fp, _leads_df=_leads_df)
+    e2g = q_l2g_interval_features(spark, sf_dir, _cs=cs)
     out = vep.join(gene, on=_FEAT_KEY, how="full").join(
         e2g, on=_FEAT_KEY, how="full"
     )

@@ -26,12 +26,25 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # register the handle here. A bounded FIFO keeps long sessions (bench
 # min-of-2, driver repeat probes) from accumulating storage memory, and
 # callers that fully materialise a result can release_caches() eagerly.
+# The cap must exceed the cache count of the LARGEST single composition
+# (the extended L2G feature matrix tracks ~12): evicting a cache that a
+# plan under construction still references forces mid-job recomputation
+# storms — measured 3-4x slowdowns (r3 advice item, fixed r4).
 _CACHED: list[DataFrame] = []
-_CACHE_CAP = 16
+_CACHE_CAP = 64
 
 
 def track_cache(df: DataFrame) -> DataFrame:
-    """Persist ``df`` and register it for bounded-lifetime cleanup."""
+    """Persist ``df`` and register it for bounded-lifetime cleanup.
+
+    Re-registration of an already-cached plan is a no-op: Spark's
+    CacheManager keys cache entries by analyzed plan, so a second
+    handle for the same plan would (a) warn, and (b) on FIFO eviction
+    unpersist the shared entry out from under the first handle.
+    """
+    level = df.storageLevel
+    if level.useMemory or level.useDisk:
+        return df
     df.persist()
     _CACHED.append(df)
     while len(_CACHED) > _CACHE_CAP:
