@@ -29,15 +29,15 @@ class QuerySpec:
 
 
 # The external correctness snapshot verifies the FIRST 50 ``queries()``
-# entries. Rotation policy (per the r3 verdict + advice): every key
-# whose newest driver evidence predates its last code change must sit
-# inside that window. r4 ordering = (a) keys NEW this round, (b) keys
-# whose implementation changed this round (extended feature matrix /
-# refrozen GBM / sessionizer re-arm / IVF centroid fix), (c) the 36
-# keys whose last driver rows are from r1/r2 (rotated out of the r3
-# window), (d) slack slots re-verifying the heaviest r3 pipelines.
+# entries. Rotation policy: every key whose newest driver evidence
+# predates its last code change (or the last testdata format change)
+# must sit inside that window; remaining keys rotate in next round.
 _SNAPSHOT_PRIORITY = [
-    # (a) new in r4
+    # (a) r6: every key that ERRORED in the r5 snapshot (the driver's
+    # testdata switched events.ts to TIMESTAMP_NTZ between r4 and r5;
+    # all 35 failures shared that root cause, fixed in sources/readers
+    # normalize_events_ts) — these have no green driver row on the new
+    # testdata until re-checked.
     "study_locus_qc_flags",
     "sumstat_harmonise_finngen",
     "l2g_vep_features",
@@ -46,13 +46,10 @@ _SNAPSHOT_PRIORITY = [
     "ld_index_build",
     "ld_clump_indexed",
     "pics_finemap_indexed",
-    # (b) changed in r4 (incl. post-r3-snapshot commit 3e87d3b)
     "l2g_feature_matrix",
     "l2g_score_gbm",
     "l2g_score",
     "stream_sessionize",
-    "ann_ivf_topk",
-    # (c) newest driver rows predate r3
     "ecaviar_clpp",
     "credible_set_filter",
     "carma_finemap",
@@ -74,23 +71,25 @@ _SNAPSHOT_PRIORITY = [
     "logsum",
     "meta_analysis",
     "qc_n_eff",
-    "zscore_chi2",
-    "pvalue_split",
-    "neglog_pvalue",
-    "pvalue_from_neglog",
-    "effect_ci",
-    "stderr_harmonise",
     "sumstat_harmonise_ingest",
-    "ann_lsh_bucketed",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "dedup_embedding_cosine",
-    "text_quality",
-    # (d) slack: heaviest r3 pipeline, fresh rows cost little
     "coloc",
+    # (b) events-ts-dependent keys outside the r5 window: their only
+    # driver evidence predates the testdata format change.
+    "window_clump_leads",
+    "locus_breaker",
+    "exclude_region",
+    "overlap_join",
+    "stream_dedup",
+    "stream_window_agg",
+    "sumstat_harmonise_full",
+    "props_json_parse",
+    "v2g_distance",
+    "variant_id_normalize",
+    "credible_set_qc",
+    "allele_direction",
+    "direction_concordance",
+    "contig_validation",
+    "vep_consequence_annotate",
 ]
 
 

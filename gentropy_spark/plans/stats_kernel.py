@@ -199,7 +199,7 @@ def q_sumstat_harmonise_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("variant_key"),
         F.col("user_id").alias("study_id"),
         F.col("event_type").alias("chromosome"),
-        F.expr("ts div 1000").alias("position"),
+        F.unix_micros(F.col("ts")).alias("position"),
         F.when(valid, m).alias("p_mantissa"),
         F.when(valid, e).alias("p_exponent"),
         F.round(beta, 6).alias("beta"),
@@ -403,7 +403,7 @@ def q_sumstat_harmonise_finngen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("point_id"),
         F.col("user_id").alias("study_id"),
         F.col("event_type").alias("contig"),
-        F.expr("ts div 1000").alias("pos"),
+        F.unix_micros(F.col("ts")).alias("pos"),
         F.col("value"),
     )
     alleles = F.array(*[F.lit(a) for a in ("A", "C", "G", "T", "AT", "GCC")])

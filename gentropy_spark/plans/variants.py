@@ -47,7 +47,7 @@ def q_variant_id_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("event_id").alias("point_id"),
             F.col("event_type").alias("contig"),
-            F.expr("ts div 1000").alias("pos"),
+            F.unix_micros(F.col("ts")).alias("pos"),
         )
     )
     raw_id = F.concat_ws(
@@ -202,7 +202,7 @@ def q_direction_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags = ev.select(
         F.col("user_id").alias("study_id"),
         F.col("event_type").alias("contig"),
-        F.expr(f"(ts div 1000) div {TAG_BUCKET_US}").alias("bucket"),
+        F.expr(f"unix_micros(ts) div {TAG_BUCKET_US}").alias("bucket"),
         F.signum(F.col("value") - 150.0).alias("direction"),
     )
     left = tags.filter(F.col("study_id") % 2 == 0).select(

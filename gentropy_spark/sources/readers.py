@@ -59,21 +59,49 @@ def read_table(
         missing = want - got
         if missing:
             raise ValueError(f"table {name} missing expected columns: {sorted(missing)}")
+    return normalize_events_ts(df)
+
+
+def normalize_events_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to a plain (instant) TIMESTAMP.
+
+    The driver's testdata has shipped ``events.ts`` in three physical
+    shapes across rounds: TIMESTAMP(NANOS) parquet (read as a nanosecond
+    long under nanosAsLong), TIMESTAMP(MICROS, adjustedToUTC) (read as
+    TIMESTAMP), and TIMESTAMP(MICROS) without timezone (read as
+    TIMESTAMP_NTZ). Downstream operators — including Structured
+    Streaming watermarks, which require an instant TIMESTAMP — all
+    assume one canonical type, so convert here, at the single read
+    choke point. The NTZ wall clock is interpreted as UTC (matching
+    DuckDB's naive-timestamp ``epoch_us``), NOT the session timezone,
+    so results are reproducible across differently-configured drivers.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype in ("bigint", "long"):
+        # nanosecond long → floor to micros (DuckDB epoch_us semantics)
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    if dtype == "timestamp_ntz":
+        return df.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC"))
     return df
 
 
 def ts_micros(df: DataFrame, ts_col: str = "ts") -> "F.Column":
     """Microsecond epoch position from a timestamp-ish column.
 
-    events.ts arrives as a nanosecond long (see nanosAsLong above);
-    other tables carry true timestamps. DuckDB's epoch_us() floors
-    nanos to micros, so the long branch uses integer division.
+    Handles all three physical shapes of events.ts (see
+    normalize_events_ts) so it stays safe on non-normalized frames.
     """
     from pyspark.sql import functions as F
 
     dtype = dict(df.dtypes).get(ts_col)
     if dtype in ("bigint", "long"):
         return F.expr(f"{ts_col} div 1000")
+    if dtype == "timestamp_ntz":
+        return F.unix_micros(F.to_utc_timestamp(F.col(ts_col), "UTC"))
     return F.unix_micros(F.col(ts_col))
 
 

@@ -22,6 +22,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gentropy_spark.sources.readers import normalize_events_ts
+
 DEC = "decimal(38,6)"
 WINDOW_US = 86_400_000_000  # 1 day tumbling windows (epoch-aligned)
 
@@ -29,13 +31,12 @@ WINDOW_US = 86_400_000_000  # 1 day tumbling windows (epoch-aligned)
 def windowed_event_agg(stream: DataFrame) -> DataFrame:
     """Tumbling 1-day window count + exact sum per user over a stream.
 
-    ``ts`` arrives as nanosecond longs (see sources/readers.py); the
-    event time is reconstructed for watermarking, while the emitted
-    window key is the epoch-µs window start (oracle-friendly integer).
+    ``ts`` is normalized to an instant TIMESTAMP at the read site
+    (sources/readers.py normalize_events_ts) so it watermarks directly;
+    the emitted window key is the epoch-µs window start
+    (oracle-friendly integer).
     """
-    with_time = stream.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    with_time = stream.withColumn("event_time", F.col("ts"))
     return (
         with_time.withWatermark("event_time", "1 hour")
         .groupBy(
@@ -65,7 +66,7 @@ def dedup_keys(stream: DataFrame) -> DataFrame:
     lineage-preserving dedup anyway.
     """
     return (
-        stream.withColumn("pos", F.expr("ts div 1000"))
+        stream.withColumn("pos", F.unix_micros(F.col("ts")))
         .groupBy("user_id", "event_type", "pos")
         .agg(
             F.min("event_id").alias("first_event_id"),
@@ -80,7 +81,7 @@ def run_dedup_available_now(
     """Drain the events file-stream through the stateful dedup."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
+    stream = normalize_events_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
@@ -193,8 +194,8 @@ def sessionize_stateful(stream: DataFrame, gap_us: int = 43_200_000_000) -> Data
             )
         yield pd.DataFrame(rows, columns=cols)
 
-    with_pos = stream.withColumn("pos", F.expr("ts div 1000")).withColumn(
-        "event_time", F.timestamp_micros(F.col("pos"))
+    with_pos = stream.withColumn("pos", F.unix_micros(F.col("ts"))).withColumn(
+        "event_time", F.col("ts")
     )
     return (
         with_pos.withWatermark("event_time", "0 seconds")
@@ -215,7 +216,7 @@ def run_sessionize_available_now(
     """Drain the events file-stream through the stateful sessionizer."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
+    stream = normalize_events_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
@@ -243,7 +244,7 @@ def run_available_now(
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # File-stream basePath must be a directory; select the single table
     # via a glob filter (same listing the batch reader would do).
-    stream = (
+    stream = normalize_events_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)

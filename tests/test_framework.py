@@ -183,7 +183,9 @@ def test_stream_checkpoint_idempotent(spark, sf_dir, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     def drain(name):
-        stream = (
+        from gentropy_spark.sources.readers import normalize_events_ts
+
+        stream = normalize_events_ts(
             spark.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
@@ -227,22 +229,25 @@ def test_sessionize_multibatch_no_split(spark, sf_dir, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from gentropy_spark.sources.readers import read_table
+    from gentropy_spark.sources.readers import normalize_events_ts, read_table
     from gentropy_spark.streaming.windowed import sessionize_stateful
 
-    events = read_table(spark, sf_dir, "events")
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
     # Three chronological chunks as separate files (lexicographic file
     # order == time order, which is how the file source picks batches).
-    qs = events.approxQuantile("ts", [0.33, 0.66], 0.001)
+    qs = events.approxQuantile("ts_us", [0.33, 0.66], 0.001)
     src = tmp_path / "events_split"
     for i, (lo, hi) in enumerate(
         [(None, qs[0]), (qs[0], qs[1]), (qs[1], None)]
     ):
         part = events
         if lo is not None:
-            part = part.filter(F.col("ts") > lo)
+            part = part.filter(F.col("ts_us") > lo)
         if hi is not None:
-            part = part.filter(F.col("ts") <= hi)
+            part = part.filter(F.col("ts_us") <= hi)
+        part = part.drop("ts_us")
         part.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
     paths = sorted(str(p) for p in src.glob("b*/part-*.parquet"))
     flat = tmp_path / "flat"
@@ -261,7 +266,7 @@ def test_sessionize_multibatch_no_split(spark, sf_dir, tmp_path):
         os.utime(dst, (t, t))
 
     schema = spark.read.parquet(str(flat)).schema
-    stream = (
+    stream = normalize_events_ts(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(str(flat))
@@ -428,14 +433,18 @@ def test_stream_watermark_drops_late_file(spark, sf_dir, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from gentropy_spark.sources.readers import read_table
+    from gentropy_spark.sources.readers import normalize_events_ts, read_table
     from gentropy_spark.streaming.windowed import sessionize_stateful
 
-    events = read_table(spark, sf_dir, "events")
-    mid, q90 = events.approxQuantile("ts", [0.5, 0.9], 0.001)
-    new_a = events.filter((F.col("ts") > mid) & (F.col("ts") <= q90))
-    new_b = events.filter(F.col("ts") > q90)
-    old_part = events.filter(F.col("ts") <= mid)
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    mid, q90 = events.approxQuantile("ts_us", [0.5, 0.9], 0.001)
+    new_a = events.filter(
+        (F.col("ts_us") > mid) & (F.col("ts_us") <= q90)
+    ).drop("ts_us")
+    new_b = events.filter(F.col("ts_us") > q90).drop("ts_us")
+    old_part = events.filter(F.col("ts_us") <= mid).drop("ts_us")
     src = tmp_path / "late_src"
     src.mkdir()
     t0 = time.time()
@@ -449,7 +458,7 @@ def test_stream_watermark_drops_late_file(spark, sf_dir, tmp_path):
         os.utime(dst, (t0 + i * 60, t0 + i * 60))
 
     schema = spark.read.parquet(str(src)).schema
-    stream = (
+    stream = normalize_events_ts(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(str(src))
@@ -488,10 +497,12 @@ def test_stream_incremental_exactly_once(spark, sf_dir, tmp_path):
     from gentropy_spark.sources.readers import read_table
     from gentropy_spark.streaming.windowed import dedup_keys
 
-    events = read_table(spark, sf_dir, "events")
-    mid = events.approxQuantile("ts", [0.5], 0.001)[0]
-    first = events.filter(F.col("ts") <= mid)
-    second = events.filter(F.col("ts") > mid)
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    mid = events.approxQuantile("ts_us", [0.5], 0.001)[0]
+    first = events.filter(F.col("ts_us") <= mid).drop("ts_us")
+    second = events.filter(F.col("ts_us") > mid).drop("ts_us")
     src = tmp_path / "incr_src"
     src.mkdir()
     first.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "f1"))
@@ -504,7 +515,11 @@ def test_stream_incremental_exactly_once(spark, sf_dir, tmp_path):
     schema = spark.read.parquet(str(src)).schema
 
     def drain(name):
-        stream = spark.readStream.schema(schema).parquet(str(src))
+        from gentropy_spark.sources.readers import normalize_events_ts
+
+        stream = normalize_events_ts(
+            spark.readStream.schema(schema).parquet(str(src))
+        )
         q = (
             dedup_keys(stream)
             .writeStream.format("memory")
@@ -528,7 +543,7 @@ def test_stream_incremental_exactly_once(spark, sf_dir, tmp_path):
     new_in = sum(p["numInputRows"] for p in q2.recentProgress)
     assert new_in <= second.count(), "second drain reprocessed old data"
     batch = (
-        events.withColumn("pos", F.expr("ts div 1000"))
+        events.drop("ts_us").withColumn("pos", F.unix_micros(F.col("ts")))
         .groupBy("user_id", "event_type", "pos")
         .agg(
             F.min("event_id").alias("first_event_id"),
