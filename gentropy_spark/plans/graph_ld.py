@@ -214,8 +214,6 @@ def q_ld_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from gentropy_spark.operators.ld_matrix import transpose_ld_triangular
-
     ss = sumstats(spark, sf_dir).filter(F.col("signif") >= LD_INDEX_SIGNIF)
     w = Window.partitionBy("contig").orderBy("pos", "point_id")
     ranked = ss.select(
@@ -224,47 +222,55 @@ def q_ld_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) - 1).alias("idx"),
     )
     a = ranked.select("contig", F.col("variant_id").alias("vid_i"), F.col("idx").alias("idx_i"))
-    b = ranked.select(F.col("contig").alias("b_contig"), F.col("variant_id").alias("vid_j"), F.col("idx").alias("idx_j"))
-    tri = a.join(
-        b,
-        (F.col("contig") == F.col("b_contig"))
-        & (F.col("idx_j") >= F.col("idx_i"))
-        & (F.col("idx_j") - F.col("idx_i") <= LD_INDEX_BAND),
-    ).select("contig", "idx_i", "idx_j", "vid_i", "vid_j")
+    b = ranked.select("contig", F.col("variant_id").alias("vid_j"), F.col("idx").alias("idx_j"))
+    # Symmetric banded pairs via explode-to-equi-join: for a FIXED band
+    # the |i-j| <= band predicate is enumerable, so generate each row's
+    # candidate idx_j for BOTH directions (d in [-band, band]) and
+    # equi-join on (contig, idx_j). Catalyst gets a shuffled hash join
+    # instead of the per-contig nested-loop a range predicate would
+    # force (quadratic per contig), and emitting both orientations here
+    # replaces the triangular-build + transpose-union the reference
+    # does (gnomad/ld.py:223) — that union re-ran the whole upstream
+    # pipeline (scan, window-rank, join) twice for identical output.
+    sym = (
+        a.select(
+            "contig",
+            "vid_i",
+            "idx_i",
+            F.explode(
+                F.sequence(
+                    F.col("idx_i") - LD_INDEX_BAND,
+                    F.col("idx_i") + LD_INDEX_BAND,
+                )
+            ).alias("idx_j"),
+        )
+        .join(b, on=["contig", "idx_j"])
+        .select("contig", "idx_i", "idx_j", "vid_i", "vid_j")
+    )
     # population axis: one entry per (pair, population) with its own
     # decay scale — the per-population block matrices of the reference.
     pop_scale = F.create_map(
         *[x for p, s in LD_POPS for x in (F.lit(p), F.lit(s))]
     )
-    per_pop = tri.withColumn(
+    per_pop = sym.withColumn(
         "population", F.explode(F.array(*[F.lit(p) for p, _ in LD_POPS]))
     ).withColumn(
         "r",
         F.round(
             F.exp(
-                -(F.col("idx_j") - F.col("idx_i"))
+                -F.abs(F.col("idx_j") - F.col("idx_i"))
                 / (F.lit(float(LD_INDEX_BAND)) * pop_scale[F.col("population")])
             ),
             6,
         ),
     )
-    sym = transpose_ld_triangular(
-        per_pop.select("contig", "population", "idx_i", "idx_j", "vid_i", "vid_j", "r"),
-        i="idx_i",
-        j="idx_j",
-    )
-    # The transpose swaps idx only; (vid_i, vid_j) still label the
-    # original triangular pair. Rebind row-wise: the row's variant is
-    # whichever id sits at idx_i (idx_i <= idx_j ⟺ unswapped row).
-    oriented = sym.select(
+    # The row's variant is the exploding side (vid_i); the joined side
+    # is its tag — both orientations of every pair are present.
+    oriented = per_pop.select(
         "contig",
         "population",
-        F.when(F.col("idx_i") <= F.col("idx_j"), F.col("vid_i"))
-        .otherwise(F.col("vid_j"))
-        .alias("variant_id"),
-        F.when(F.col("idx_i") <= F.col("idx_j"), F.col("vid_j"))
-        .otherwise(F.col("vid_i"))
-        .alias("tag_variant_id"),
+        F.col("vid_i").alias("variant_id"),
+        F.col("vid_j").alias("tag_variant_id"),
         "r",
     )
     filtered = oriented.filter(F.col("r") * F.col("r") >= LD_INDEX_MIN_R2)
