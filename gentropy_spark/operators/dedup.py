@@ -305,3 +305,64 @@ def simhash_buckets(
             ).alias("simhash")
         )
     )
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over verified duplicate pairs (SURVEY E15).
+
+    The pair generators above (MinHash/SimHash/Jaccard) emit verified
+    near-duplicate EDGES; an actual dedup decision needs the transitive
+    closure — duplicate clusters — so exactly one canonical document
+    survives per cluster (the reference pipeline stops at pairs; real
+    corpus curation cannot). Implemented as iterative min-label
+    propagation: every node starts labelled with its own id, and each
+    round takes the min label over itself and its neighbours. Labels
+    are monotonically non-increasing, so the total is a fixpoint
+    detector: one aggregate action per round, no join-diff.
+
+    Scale: each round is one equi-join (labels × symmetric edges, both
+    partitioned on the join key) plus one partial-agg-friendly min
+    groupBy — never materialises a component's pair closure. Rounds =
+    cluster diameter, which for near-dup clusters is small (they are
+    dense by construction); ``localCheckpoint`` truncates lineage so
+    plans stay constant-size across rounds. Raises rather than silently
+    truncating if a pathological chain exceeds ``max_iters`` (same
+    contract as operators/graph.py ontology_closure).
+    """
+    nodes = docs.select(F.col(id_col).alias("id"))
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    lbl = nodes.select("id", F.col("id").alias("lbl"))
+    prev_total = None
+    for _ in range(max_iters):
+        prop = (
+            lbl.join(sym, lbl["id"] == sym["src"])
+            .select(F.col("dst").alias("id"), F.col("lbl"))
+        )
+        lbl = (
+            lbl.union(prop)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        total = lbl.agg(F.sum("lbl")).first()[0]
+        if total == prev_total:
+            break
+        prev_total = total
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_iters} rounds"
+        )
+    w = Window.partitionBy("lbl")
+    return lbl.select(
+        F.col("id").alias(id_col),
+        F.col("lbl").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("id") == F.col("lbl")).alias("is_canonical"),
+    )

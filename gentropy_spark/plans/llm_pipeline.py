@@ -714,3 +714,102 @@ WHERE rank <= 5
 
 
 REGISTRY["ann_ivf_topk"] = QuerySpec(q_ann_ivf, ANN_IVF_SQL)
+
+
+# --- E15: duplicate clusters (connected components over verified pairs) ---
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pair candidates → transitive duplicate clusters with one
+    canonical doc per cluster — the dedup DECISION the pair operators
+    feed (corpus curation keeps ``is_canonical`` rows only)."""
+    from gentropy_spark.operators.dedup import duplicate_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicate_clusters(docs, q_dedup_minhash(spark, sf_dir))
+
+
+# Min-label propagation as a recursive CTE: a label walks an edge only
+# toward a larger id, which prunes the closure while still delivering
+# every component's minimum to every member (the min is smaller than
+# every destination it needs to reach).
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.lbl < e.dst
+),
+m AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM m
+"""
+
+
+# --- E16: deterministic stratified sampling -------------------------------
+# Per-language keep-rates for corpus rebalancing (md5 keyspace is 16^4
+# = 65536 per 4-hex-char prefix; a threshold of '28f5' keeps ~16%).
+SAMPLE_RATES = {
+    "en": "28f5",  # ~16% — downsample the dominant language
+    "zh": "8000",  # ~50%
+    "es": "8000",
+    "de": "cccc",  # ~80%
+    "fr": "cccc",
+}
+SAMPLE_DEFAULT = "4000"  # ~25% for unseen languages
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum corpus sampling (SURVEY E16).
+
+    Training-data curation constantly rebalances a corpus by language /
+    source / quality bucket. ``TABLESAMPLE``/``df.sample`` are
+    seed-and-partitioning dependent — useless for reproducible corpus
+    builds — so the keep decision is a pure function of the row: the
+    md5 of (lang, doc_id) compared lexicographically against the
+    stratum's hex threshold. Embarrassingly parallel (no shuffle at
+    all: the filter composes with the scan), re-runnable byte-for-byte,
+    and the same predicate runs on any engine that has md5.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat_ws("|", F.col("lang"), F.col("doc_id").cast("string"))),
+        1,
+        4,
+    )
+    thr = F.lit(SAMPLE_DEFAULT)
+    for lang, rate in SAMPLE_RATES.items():
+        thr = F.when(F.col("lang") == lang, F.lit(rate)).otherwise(thr)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        key.alias("sample_key"),
+    ).filter(F.col("sample_key") < thr)
+
+
+_SAMPLE_THR_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN '{rate}'" for lang, rate in SAMPLE_RATES.items()
+) + f" ELSE '{SAMPLE_DEFAULT}' END"
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source,
+       substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key
+FROM documents
+WHERE substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 4)
+      < {_SAMPLE_THR_SQL}
+"""
+
+
+REGISTRY.update(
+    {
+        "dedup_clusters": QuerySpec(q_dedup_clusters, DEDUP_CLUSTERS_SQL),
+        "sample_stratified": QuerySpec(q_sample_stratified, SAMPLE_STRATIFIED_SQL),
+    }
+)

@@ -377,3 +377,96 @@ FROM sigs
 
 
 REGISTRY["complex_set_match"] = QuerySpec(q_complex_set_match, COMPLEX_SET_SQL)
+
+
+# --- A10: as-of join (time-series point-in-time lookup) -------------------
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join over the event stream (SURVEY A10).
+
+    For every observation event (odd event_id), attach the most recent
+    reference event (even event_id) of the SAME user at or before its
+    timestamp — the canonical feature-backfill / point-in-time-correct
+    lookup of a training-data pipeline. Spark has no ASOF JOIN
+    operator; a range join would nested-loop. Instead: union both
+    sides tagged, ONE window sort per user, and last-non-null carries
+    the reference forward — a single shuffle on user_id, linear in
+    rows, identical plan shape at any scale. Ties (reference exactly
+    at the observation's timestamp) match, with the largest reference
+    event_id winning among equal timestamps (total order, both
+    engines).
+    """
+    from pyspark.sql import Window
+
+    from gentropy_spark.sources.readers import read_table, ts_micros
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        ts_micros(ev).alias("pos"),
+        "value",
+        (F.col("event_id") % 2 == 0).alias("is_ref"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("pos"),
+            F.col("is_ref").cast("int").desc(),  # refs sort before obs at same pos
+            F.col("event_id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref_pos = F.when(F.col("is_ref"), F.col("pos"))
+    ref_id = F.when(F.col("is_ref"), F.col("event_id"))
+    ref_val = F.when(F.col("is_ref"), F.col("value"))
+    joined = base.select(
+        "event_id",
+        "user_id",
+        "pos",
+        "value",
+        "is_ref",
+        F.last(ref_pos, ignorenulls=True).over(w).alias("ref_pos"),
+        F.last(ref_id, ignorenulls=True).over(w).alias("ref_event_id"),
+        F.last(ref_val, ignorenulls=True).over(w).alias("ref_value"),
+    )
+    return joined.filter(~F.col("is_ref")).select(
+        "event_id",
+        "user_id",
+        "pos",
+        "value",
+        "ref_event_id",
+        "ref_pos",
+        F.round(F.col("value") - F.col("ref_value"), 6).alias("delta_value"),
+        (F.col("pos") - F.col("ref_pos")).alias("staleness_us"),
+    )
+
+
+# Same union-and-carry-forward algorithm (DuckDB's native ASOF JOIN
+# cannot express the equal-timestamp tie-break deterministically).
+ASOF_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS pos, value,
+         event_id % 2 = 0 AS is_ref
+  FROM events
+),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN is_ref THEN pos END IGNORE NULLS)
+           OVER w AS ref_pos,
+         last_value(CASE WHEN is_ref THEN event_id END IGNORE NULLS)
+           OVER w AS ref_event_id,
+         last_value(CASE WHEN is_ref THEN value END IGNORE NULLS)
+           OVER w AS ref_value
+  FROM base
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY pos, CASE WHEN is_ref THEN 0 ELSE 1 END, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, pos, value, ref_event_id, ref_pos,
+       ROUND(value - ref_value, 6) AS delta_value,
+       pos - ref_pos AS staleness_us
+FROM carried WHERE NOT is_ref
+"""
+
+
+REGISTRY["asof_join"] = QuerySpec(q_asof_join, ASOF_SQL)

@@ -302,3 +302,83 @@ def test_ivf_topk_subset_of_bruteforce(spark, sf_dir):
     for q in got:
         got[q] = sorted(got[q], key=lambda t: (-t[0], t[1]))
         assert got[q] == flat_top5[q], f"query {q}: IVF full-probe != flat"
+
+
+def test_duplicate_clusters_transitivity(spark):
+    """A chain a-b, b-c, plus isolated d: one 3-cluster + singleton;
+    canonical = min id per component."""
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9)], ["doc_id"])
+    edges = spark.createDataFrame([(2, 3), (1, 2), (4, 9)], ["id_a", "id_b"])
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in duplicate_clusters(docs, edges).collect()
+    }
+    assert out[1] == (1, 3, True)
+    assert out[2] == (1, 3, False)
+    assert out[3] == (1, 3, False)
+    assert out[4] == (4, 2, True)
+    assert out[9] == (4, 2, False)
+
+
+def test_duplicate_clusters_no_edges(spark):
+    from gentropy_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    rows = duplicate_clusters(docs, edges).collect()
+    assert all(r.cluster_id == r.doc_id and r.cluster_size == 1 for r in rows)
+
+
+def test_asof_join_no_prior_ref(spark, sf_dir):
+    """Observations before any reference event carry NULL refs; every
+    matched ref is the latest at-or-before one of the same user."""
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.plans.relational import q_asof_join
+
+    out = q_asof_join(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "asof produced no rows"
+    # staleness is never negative and null refs come with null delta
+    bad = [
+        r
+        for r in rows
+        if (r.staleness_us is not None and r.staleness_us < 0)
+        or ((r.ref_event_id is None) != (r.delta_value is None))
+    ]
+    assert not bad, bad[:3]
+    # spot-verify one user against a driver-side recompute
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts", "value")
+        .collect()
+    )
+    from gentropy_spark.sources.readers import read_table, ts_micros
+
+    evdf = read_table(spark, sf_dir, "events")
+    evs = evdf.select(
+        "event_id", "user_id", ts_micros(evdf).alias("pos"), "value"
+    ).collect()
+    uid = rows[0].user_id
+    refs = sorted(
+        [(e.pos, e.event_id, e.value) for e in evs if e.user_id == uid and e.event_id % 2 == 0]
+    )
+    for r in rows:
+        if r.user_id != uid:
+            continue
+        want = None
+        for pos, eid, val in refs:
+            if pos < r.pos or (pos == r.pos):
+                if want is None or (pos, eid) > (want[0], want[1]):
+                    want = (pos, eid, val)
+        if want is None:
+            assert r.ref_event_id is None
+        else:
+            # tie-break: largest (pos, event_id) at-or-before
+            cands = [t for t in refs if t[0] <= r.pos]
+            best = max(cands)
+            assert r.ref_event_id == best[1], (r, best)
