@@ -470,3 +470,146 @@ FROM carried WHERE NOT is_ref
 
 
 REGISTRY["asof_join"] = QuerySpec(q_asof_join, ASOF_SQL)
+
+
+# --- A11: KMV distinct-count sketch ---------------------------------------
+KMV_K = 64
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch per group (SURVEY A11).
+
+    K-minimum-values: keep the K smallest distinct hash values of the
+    key per group; with the keyspace M, ``(K-1)·M / h_K`` estimates the
+    distinct count (exact when fewer than K values survive). Unlike
+    HLL (Spark's approx_count_distinct), the sketch is built on the
+    cross-engine polynomial hash, so it is bit-deterministic and fully
+    value-hash oracle-checkable — and the K-minima set is mergeable
+    across partitions/days exactly like HLL registers (union = re-take
+    K smallest), which is what a 100 TB rollup needs. The exact count
+    rides along on the same shuffle for an observable error column.
+    """
+    from pyspark.sql import Window
+
+    from gentropy_spark.functions.xhash import M1, poly_hash
+
+    ev = read_table(spark, sf_dir, "events")
+    hashed = (
+        ev.select("event_type", F.col("user_id").cast("string").alias("uk"))
+        .withColumn("h", poly_hash(F.col("uk")))
+        .groupBy("event_type", "h")
+        .agg(F.count_distinct("uk").alias("n_keys"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("rk") <= KMV_K, F.col("n_keys"))).alias("_kept_keys"),
+            F.max(F.when(F.col("rk") <= KMV_K, F.col("h"))).alias("kth_min"),
+            F.count("*").alias("n_hashes"),
+            F.sum("n_keys").alias("exact_distinct"),
+        )
+        .select(
+            "event_type",
+            "kth_min",
+            "exact_distinct",
+            F.when(F.col("n_hashes") < KMV_K, F.col("_kept_keys").cast("double"))
+            .otherwise(
+                F.round(F.lit(KMV_K - 1) * F.lit(float(M1)) / F.col("kth_min"), 6)
+            )
+            .alias("est_distinct"),
+        )
+    )
+
+
+def _kmv_sql() -> str:
+    from gentropy_spark.functions.xhash import M1, poly_hash_sql
+
+    return f"""
+WITH hashed AS (
+  SELECT event_type, {poly_hash_sql("uk")} AS h, COUNT(DISTINCT uk) AS n_keys
+  FROM (SELECT event_type, CAST(user_id AS VARCHAR) AS uk FROM events)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM hashed
+),
+agg AS (
+  SELECT event_type,
+         SUM(CASE WHEN rk <= {KMV_K} THEN n_keys END) AS _kept_keys,
+         MAX(CASE WHEN rk <= {KMV_K} THEN h END) AS kth_min,
+         COUNT(*) AS n_hashes,
+         SUM(n_keys) AS exact_distinct
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, kth_min, exact_distinct,
+       CASE WHEN n_hashes < {KMV_K} THEN CAST(_kept_keys AS DOUBLE)
+            ELSE ROUND({KMV_K - 1} * {float(M1)!r} / kth_min, 6) END AS est_distinct
+FROM agg
+"""
+
+
+# --- A12: SCD2 state intervals --------------------------------------------
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) intervals from an event log.
+
+    Collapse each user's event stream into contiguous state intervals:
+    a row per state CHANGE with [valid_from, valid_to) bounds, version
+    number and a current-row marker — the standard dimension-table
+    build every warehouse pipeline runs over CDC streams. One shuffle
+    on user_id; both windows share the partitioning so Catalyst plans
+    a single exchange + sort.
+    """
+    from pyspark.sql import Window
+
+    from gentropy_spark.sources.readers import read_table, ts_micros
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        ts_micros(ev).alias("pos"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("pos", "event_id")
+    marked = base.withColumn("prev_state", F.lag("state").over(w))
+    changes = marked.filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("pos", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("pos").alias("valid_from"),
+        (F.lead("pos").over(w2) - 1).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead("pos").over(w2).isNull().alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+WITH base AS (
+  SELECT user_id, event_type AS state, epoch_us(ts) AS pos, event_id
+  FROM events
+),
+marked AS (
+  SELECT *, LAG(state) OVER (PARTITION BY user_id ORDER BY pos, event_id)
+            AS prev_state
+  FROM base
+),
+changes AS (
+  SELECT * FROM marked WHERE prev_state IS NULL OR prev_state <> state
+)
+SELECT user_id, state, pos AS valid_from,
+       LEAD(pos) OVER w - 1 AS valid_to,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       LEAD(pos) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY pos, event_id)
+"""
+
+
+REGISTRY["kmv_distinct"] = QuerySpec(q_kmv_distinct, _kmv_sql())
+REGISTRY["scd2_intervals"] = QuerySpec(q_scd2_intervals, SCD2_SQL)

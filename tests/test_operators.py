@@ -382,3 +382,56 @@ def test_asof_join_no_prior_ref(spark, sf_dir):
             cands = [t for t in refs if t[0] <= r.pos]
             best = max(cands)
             assert r.ref_event_id == best[1], (r, best)
+
+
+def test_kmv_sketch_merge_equals_whole(spark, sf_dir):
+    """KMV mergeability: taking the K smallest of the union of two
+    halves' K-minima equals the sketch of the whole — the property
+    that makes per-partition/per-day rollup sound."""
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.functions.xhash import poly_hash
+    from gentropy_spark.plans.relational import KMV_K
+    from gentropy_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    hashed = (
+        ev.select("event_type", F.col("user_id").cast("string").alias("uk"))
+        .withColumn("h", poly_hash(F.col("uk")))
+        .select("event_type", "h")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    whole, lo, hi = defaultdict(set), defaultdict(set), defaultdict(set)
+    for r in hashed:
+        whole[r.event_type].add(r.h)
+        (lo if r.h % 2 == 0 else hi)[r.event_type].add(r.h)
+    for g in whole:
+        direct = sorted(whole[g])[:KMV_K]
+        merged = sorted(
+            set(sorted(lo[g])[:KMV_K]) | set(sorted(hi[g])[:KMV_K])
+        )[:KMV_K]
+        assert direct == merged, g
+
+
+def test_scd2_intervals_contiguous(spark, sf_dir):
+    """Intervals per user tile the timeline: no overlap, no gap, one
+    current row, versions consecutive."""
+    from collections import defaultdict
+
+    from gentropy_spark.plans.relational import q_scd2_intervals
+
+    rows = q_scd2_intervals(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r.is_current for r in rs) == 1
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from - 1, (uid, a, b)
+            assert a.state != b.state
+        assert rs[-1].valid_to is None
