@@ -49,6 +49,9 @@ HEADLINE = [
     "ld_index_build",
     "study_locus_qc_flags",
     "sumstat_harmonise_finngen",
+    # r6 additions: cluster-resolution dedup + point-in-time join
+    "dedup_clusters",
+    "asof_join",
 ]
 
 

@@ -33,6 +33,12 @@ class QuerySpec:
 # predates its last code change (or the last testdata format change)
 # must sit inside that window; remaining keys rotate in next round.
 _SNAPSHOT_PRIORITY = [
+    # (z) NEW in r6 — no driver evidence exists yet.
+    "dedup_clusters",
+    "sample_stratified",
+    "asof_join",
+    "kmv_distinct",
+    "scd2_intervals",
     # (a) r6: every key that ERRORED in the r5 snapshot (the driver's
     # testdata switched events.ts to TIMESTAMP_NTZ between r4 and r5;
     # all 35 failures shared that root cause, fixed in sources/readers
@@ -84,12 +90,7 @@ _SNAPSHOT_PRIORITY = [
     "sumstat_harmonise_full",
     "props_json_parse",
     "v2g_distance",
-    "variant_id_normalize",
-    "credible_set_qc",
-    "allele_direction",
     "direction_concordance",
-    "contig_validation",
-    "vep_consequence_annotate",
 ]
 
 
