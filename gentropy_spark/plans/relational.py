@@ -613,3 +613,111 @@ WINDOW w AS (PARTITION BY user_id ORDER BY pos, event_id)
 
 REGISTRY["kmv_distinct"] = QuerySpec(q_kmv_distinct, _kmv_sql())
 REGISTRY["scd2_intervals"] = QuerySpec(q_scd2_intervals, SCD2_SQL)
+
+
+# --- A13: ROLLUP aggregation (grouping-sets family) -----------------------
+def q_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotal aggregation with ROLLUP (SURVEY A13).
+
+    (flag, status) → (flag) → grand total in ONE pass: Catalyst expands
+    grouping sets into a single Expand + hash aggregate, so the
+    subtotal levels share the scan and the shuffle instead of a
+    UNION-of-aggregates re-reading the table per level — the 100 TB
+    shape for report rollups. ``grouping_id`` disambiguates real NULL
+    keys from subtotal rows.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("sum_price"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty", "sum_price"
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       COUNT(*) AS n_rows,
+       SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- A14: CDC merge/upsert ------------------------------------------------
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics as a full-outer join (SURVEY A14).
+
+    Apply a change set to a dimension table and report per-key actions
+    (insert / update / unchanged) — the CDC-apply step of every
+    warehouse load, expressed engine-agnostically (no Delta/Iceberg
+    dependency): one full outer join on the key, action decided
+    column-wise. The change set here is derived from orders (total
+    order value per customer, with synthetic brand-new keys for the
+    insert path).
+    """
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.round(F.col("c_acctbal").cast("decimal(38,6)"), 2).alias("old_balance"),
+    )
+    upd = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2
+            ).alias("new_balance")
+        )
+        .select(
+            F.when(
+                F.col("o_custkey") % 97 == 0, F.col("o_custkey") + 1_000_000
+            )
+            .otherwise(F.col("o_custkey"))
+            .alias("key"),
+            "new_balance",
+        )
+    )
+    merged = cust.join(upd, on="key", how="full_outer")
+    return merged.select(
+        "key",
+        "old_balance",
+        "new_balance",
+        F.when(F.col("old_balance").isNull(), F.lit("insert"))
+        .when(F.col("new_balance").isNull(), F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+        F.coalesce(F.col("new_balance"), F.col("old_balance")).alias("balance"),
+    )
+
+
+MERGE_UPSERT_SQL = """
+WITH cust AS (
+  SELECT c_custkey AS key,
+         ROUND(CAST(c_acctbal AS DECIMAL(38,6)), 2) AS old_balance
+  FROM customer
+),
+upd AS (
+  SELECT CASE WHEN o_custkey % 97 = 0 THEN o_custkey + 1000000
+              ELSE o_custkey END AS key,
+         ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS new_balance
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(cust.key, upd.key) AS key, old_balance, new_balance,
+       CASE WHEN old_balance IS NULL THEN 'insert'
+            WHEN new_balance IS NULL THEN 'unchanged'
+            ELSE 'update' END AS action,
+       COALESCE(new_balance, old_balance) AS balance
+FROM cust FULL OUTER JOIN upd ON cust.key = upd.key
+"""
+
+
+REGISTRY["rollup_aggregate"] = QuerySpec(q_rollup_aggregate, ROLLUP_SQL)
+REGISTRY["merge_upsert"] = QuerySpec(q_merge_upsert, MERGE_UPSERT_SQL)

@@ -148,3 +148,30 @@ WHERE i * stride < n_frames
 REGISTRY["multimodal_frame_sample"] = QuerySpec(
     q_multimodal_frames, MULTIMODAL_FRAMES_SQL
 )
+
+
+# --- F9: stream-stream time-bounded enrichment join -----------------------
+STREAM_ENRICH_LOOKBACK_US = 86_400_000_000  # 1 day
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided watermarked stream join drained with availableNow;
+    a complete drain equals the batch range join the oracle runs."""
+    from gentropy_spark.streaming.windowed import run_stream_enrich_available_now
+
+    return run_stream_enrich_available_now(spark, sf_dir)
+
+
+STREAM_ENRICH_SQL = f"""
+SELECT l.event_id AS obs_event_id, l.user_id,
+       epoch_us(l.ts) AS obs_pos,
+       r.event_id AS ref_event_id, epoch_us(r.ts) AS ref_pos,
+       ROUND(l.value - r.value, 6) AS delta_value
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND epoch_us(r.ts) >= epoch_us(l.ts) - {STREAM_ENRICH_LOOKBACK_US}
+ AND epoch_us(r.ts) <= epoch_us(l.ts)
+WHERE l.event_id % 2 = 1 AND r.event_id % 2 = 0
+"""
+
+REGISTRY["stream_enrich"] = QuerySpec(q_stream_enrich, STREAM_ENRICH_SQL)

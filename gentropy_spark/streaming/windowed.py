@@ -261,3 +261,79 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_stream_enrich(
+    left: DataFrame, right: DataFrame, lookback_us: int = 86_400_000_000
+) -> DataFrame:
+    """Watermarked stream-stream inner join (SURVEY F9).
+
+    Each observation event joins every reference event of the same user
+    from the preceding ``lookback_us`` window (bounds inclusive). This
+    is the genuine two-sided streaming join: both sides keep a
+    watermark-bounded state store, and the time-range condition lets
+    Spark evict reference state older than (watermark - lookback) — the
+    only shape that survives an unbounded stream. The asof operator
+    (plans/relational.py) picks ONE reference via window carry-forward;
+    this one enriches with ALL in-window references.
+    """
+    lo = left.select(
+        "user_id",
+        F.col("ts").alias("l_time"),
+        F.col("event_id").alias("obs_event_id"),
+        F.col("value").alias("obs_value"),
+    ).withWatermark("l_time", "1 hour")
+    ro = right.select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_time"),
+        F.col("event_id").alias("ref_event_id"),
+        F.col("value").alias("ref_value"),
+    ).withWatermark("r_time", "1 hour")
+    joined = lo.join(
+        ro,
+        F.expr(
+            f"""
+            user_id = r_user_id AND
+            r_time >= l_time - INTERVAL {lookback_us // 1_000_000} SECONDS AND
+            r_time <= l_time
+            """
+        ),
+    )
+    return joined.select(
+        "obs_event_id",
+        "user_id",
+        F.unix_micros(F.col("l_time")).alias("obs_pos"),
+        "ref_event_id",
+        F.unix_micros(F.col("r_time")).alias("ref_pos"),
+        F.round(F.col("obs_value") - F.col("ref_value"), 6).alias("delta_value"),
+    )
+
+
+def run_stream_enrich_available_now(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_enrich"
+) -> DataFrame:
+    """Drain the stream-stream enrichment join over the events file."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src() -> DataFrame:
+        return normalize_events_ts(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    left = src().filter(F.col("event_id") % 2 == 1)
+    right = src().filter(F.col("event_id") % 2 == 0)
+    out = stream_stream_enrich(left, right)
+    checkpoint = tempfile.mkdtemp(prefix="gentropy_spark_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
