@@ -93,3 +93,43 @@ def test_susie_stage_parallelism_pinned(spark, sf_dir):
     df = q_susie_inf(spark, sf_dir)
     plan = _formatted(df)
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_asof_single_exchange_no_range_join(spark, sf_dir):
+    """The asof join must be a union + one user_id shuffle — never a
+    BroadcastNestedLoopJoin/CartesianProduct from a range predicate."""
+    from gentropy_spark.plans.relational import q_asof_join
+
+    plan = _formatted(q_asof_join(spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    import re
+
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex == 1, f"expected 1 exchange, got {n_ex}"
+
+
+def test_scd2_windows_share_exchange(spark, sf_dir):
+    from gentropy_spark.plans.relational import q_scd2_intervals
+
+    import re
+
+    plan = _formatted(q_scd2_intervals(spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex == 1, f"expected 1 exchange, got {n_ex}"
+
+
+def test_rollup_is_expand_not_union(spark, sf_dir):
+    from gentropy_spark.plans.relational import q_rollup_aggregate
+
+    plan = _formatted(q_rollup_aggregate(spark, sf_dir))
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_ld_index_no_nested_loop(spark, sf_dir):
+    from gentropy_spark.plans.graph_ld import q_ld_index_build
+
+    plan = _formatted(q_ld_index_build(spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Union" not in plan  # the r6 symmetric build has one pipeline
