@@ -813,3 +813,173 @@ REGISTRY.update(
         "sample_stratified": QuerySpec(q_sample_stratified, SAMPLE_STRATIFIED_SQL),
     }
 )
+
+
+# --- E17: training-sequence packing ---------------------------------------
+PACK_BUDGET_TOKENS = 256
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing (SURVEY E17).
+
+    Assign documents to fixed-token-budget training bins: per source
+    shard, documents in deterministic (doc_id) order fill bins by
+    cumulative token count — the contiguous-fill variant of sequence
+    packing (the shuffle-free one: a greedy best-fit packer needs
+    per-bin state, this one is a single window cumsum, which is why
+    it's what large-corpus packers actually run). Documents longer
+    than the budget become singleton bins by construction. One
+    exchange on the shard key; bin ids are stable across reruns.
+    """
+    from pyspark.sql import Window
+
+    from gentropy_spark.functions.text import token_count_bpe_ish
+
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        "source",
+        token_count_bpe_ish(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toked.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        F.expr(f"(cum_tokens - 1) div {PACK_BUDGET_TOKENS}").alias("bin_id"),
+    )
+
+
+PACK_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+           AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM toked
+)
+SELECT doc_id, source, n_tokens, cum_tokens,
+       (cum_tokens - 1) // {PACK_BUDGET_TOKENS} AS bin_id
+FROM cum
+"""
+
+
+# --- E18: vocabulary build ------------------------------------------------
+VOCAB_TOP_K = 500
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-K vocabulary with deterministic tie-break
+    (count desc, token asc) — the seed vocabulary step of a tokenizer
+    build. Token counts partial-agg before the single ranking window
+    over the (tiny) distinct-token set."""
+    from pyspark.sql import Window
+
+    from gentropy_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= VOCAB_TOP_K)
+        .select("token", "n", "rank")
+    )
+
+
+VOCAB_SQL = f"""
+WITH tok AS (SELECT unnest({TOKS_SQL}) AS token FROM documents),
+counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1)
+SELECT token, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS rank
+FROM counts
+QUALIFY rank <= {VOCAB_TOP_K}
+"""
+
+
+# --- E19: TF-IDF top terms ------------------------------------------------
+TFIDF_TOP_TERMS = 3
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top characteristic terms per document by TF-IDF.
+
+    tf = in-doc occurrences, idf = ln(N / df) over distinct-doc
+    frequency; score rounded to 6dp BEFORE ranking so the rank is
+    taken on cross-engine-identical values (ln is IEEE-identical,
+    products are not past 6dp). df comes from a partial-agg groupBy
+    joined back — never a per-term window over the exploded corpus.
+    """
+    from pyspark.sql import Window
+
+    from gentropy_spark.functions.text import tokens
+    from gentropy_spark.session import track_cache
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = track_cache(
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(df_, on="token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "token", "tf", "df", "tfidf", "term_rank")
+    )
+
+
+TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df,
+         ROUND(tf * LN(n_docs / df), 6) AS tfidf
+  FROM tf JOIN df USING (token), n
+)
+SELECT doc_id, token, tf, df, tfidf,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, token) AS INT) AS term_rank
+FROM scored
+QUALIFY term_rank <= {TFIDF_TOP_TERMS}
+"""
+
+
+REGISTRY.update(
+    {
+        "pack_sequences": QuerySpec(q_pack_sequences, PACK_SQL),
+        "vocab_topk": QuerySpec(q_vocab_topk, VOCAB_SQL),
+        "tfidf_topterms": QuerySpec(q_tfidf_topterms, TFIDF_SQL),
+    }
+)

@@ -39,6 +39,12 @@ _SNAPSHOT_PRIORITY = [
     "asof_join",
     "kmv_distinct",
     "scd2_intervals",
+    "rollup_aggregate",
+    "merge_upsert",
+    "stream_enrich",
+    "pack_sequences",
+    "vocab_topk",
+    "tfidf_topterms",
     # (a) r6: every key that ERRORED in the r5 snapshot (the driver's
     # testdata switched events.ts to TIMESTAMP_NTZ between r4 and r5;
     # all 35 failures shared that root cause, fixed in sources/readers
@@ -82,15 +88,9 @@ _SNAPSHOT_PRIORITY = [
     # (b) events-ts-dependent keys outside the r5 window: their only
     # driver evidence predates the testdata format change.
     "window_clump_leads",
-    "locus_breaker",
-    "exclude_region",
-    "overlap_join",
     "stream_dedup",
     "stream_window_agg",
-    "sumstat_harmonise_full",
-    "props_json_parse",
     "v2g_distance",
-    "direction_concordance",
 ]
 
 
