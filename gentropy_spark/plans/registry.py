@@ -45,6 +45,8 @@ _SNAPSHOT_PRIORITY = [
     "pack_sequences",
     "vocab_topk",
     "tfidf_topterms",
+    "table_profile",
+    "key_skew_profile",
     # (a) r6: every key that ERRORED in the r5 snapshot (the driver's
     # testdata switched events.ts to TIMESTAMP_NTZ between r4 and r5;
     # all 35 failures shared that root cause, fixed in sources/readers
@@ -87,10 +89,8 @@ _SNAPSHOT_PRIORITY = [
     "coloc",
     # (b) events-ts-dependent keys outside the r5 window: their only
     # driver evidence predates the testdata format change.
-    "window_clump_leads",
     "stream_dedup",
     "stream_window_agg",
-    "v2g_distance",
 ]
 
 

@@ -721,3 +721,121 @@ FROM cust FULL OUTER JOIN upd ON cust.key = upd.key
 
 REGISTRY["rollup_aggregate"] = QuerySpec(q_rollup_aggregate, ROLLUP_SQL)
 REGISTRY["merge_upsert"] = QuerySpec(q_merge_upsert, MERGE_UPSERT_SQL)
+
+
+# --- A15: one-pass table profile ------------------------------------------
+_PROFILE_NUM_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PROFILE_STR_COLS = ("l_returnflag", "l_linestatus")
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of lineitem in ONE scan (SURVEY A15).
+
+    The ANALYZE/data-quality surface: null count, exact distinct count,
+    numeric min/max per column — aggregated in a single pass (Catalyst
+    expands the multi-distinct into one Expand + aggregate, not one
+    scan per column) and unpivoted to a row per column. At 100 TB this
+    is the profile you run before choosing join strategies; exact
+    distincts here because the estimates must be engine-reproducible
+    (the KMV sketch in A11 is the approximate variant).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in (*_PROFILE_NUM_COLS, *_PROFILE_STR_COLS):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+    for c in _PROFILE_NUM_COLS:
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"{c}__max"))
+    one = li.agg(*aggs)
+    stack_args = []
+    for c in (*_PROFILE_NUM_COLS, *_PROFILE_STR_COLS):
+        is_num = c in _PROFILE_NUM_COLS
+        stack_args.append(
+            f"'{c}', {c}__nulls, {c}__distinct, "
+            + (f"{c}__min, {c}__max" if is_num else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)")
+        )
+    n = len(_PROFILE_NUM_COLS) + len(_PROFILE_STR_COLS)
+    return one.selectExpr(
+        "n_rows",
+        f"stack({n}, {', '.join(stack_args)}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_NUM_COLS:
+        parts.append(f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_val, CAST(MAX({c}) AS DOUBLE) AS max_val
+FROM lineitem""")
+    for c in _PROFILE_STR_COLS:
+        parts.append(f"""
+SELECT '{c}', COUNT(*), SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT {c}), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
+
+# --- A16: join-key skew profile -------------------------------------------
+SKEW_TOP_N = 20
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnosis for a join key (SURVEY A16).
+
+    Before shuffling 100 TB on a key, find the keys that would melt a
+    partition: per-key row counts, share of table, and the ratio to
+    the mean key load — the inputs to a salting/AQE-skew decision.
+    Partial-agg groupBy; the totals ride along via a broadcast-joined
+    1-row aggregate, not a second scan.
+    """
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    totals = per_key.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key"))
+    return (
+        per_key.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SKEW_TOP_N)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            "rank",
+            F.round(F.col("n_rows") / F.col("total_rows"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("n_keys") / F.col("total_rows"), 6
+            ).alias("x_mean"),
+        )
+    )
+
+
+SKEW_SQL = f"""
+WITH per_key AS (
+  SELECT l_suppkey AS key, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+),
+totals AS (SELECT SUM(n_rows) AS total_rows, COUNT(*) AS n_keys FROM per_key),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS INT) AS rank
+  FROM per_key
+)
+SELECT key, n_rows, rank,
+       ROUND(CAST(n_rows AS DOUBLE) / total_rows, 6) AS share,
+       ROUND(CAST(n_rows AS DOUBLE) * n_keys / total_rows, 6) AS x_mean
+FROM ranked, totals
+WHERE rank <= {SKEW_TOP_N}
+"""
+
+
+REGISTRY["table_profile"] = QuerySpec(q_table_profile, _profile_sql())
+REGISTRY["key_skew_profile"] = QuerySpec(q_key_skew_profile, SKEW_SQL)
