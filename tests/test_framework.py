@@ -552,3 +552,58 @@ def test_stream_incremental_exactly_once(spark, sf_dir, tmp_path):
     )
     assert spark.table("incr_2").count() == batch.count()
     assert n1 <= batch.count()
+
+
+def test_range_sorted_writer_has_disjoint_envelopes(spark, sf_dir, tmp_path):
+    """write_partitioned must leave each file a tight, non-overlapping
+    min/max envelope on the sort key — the property parquet footer
+    pruning depends on (checked in the actual footers, not the API)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from gentropy_spark.sources.readers import read_table
+    from gentropy_spark.sources.writers import write_partitioned
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    out = str(tmp_path / "ranged")
+    write_partitioned(ev, out, [], ["event_id"], num_partitions=8)
+    envelopes = []
+    for f in sorted(Path(out).glob("part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col = next(
+            i for i in range(len(md.schema))
+            if md.schema.column(i).name == "event_id"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        envelopes.append((min(mins), max(maxs)))
+    envelopes.sort()
+    assert len(envelopes) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(envelopes, envelopes[1:]):
+        assert hi1 < lo2, f"overlapping envelopes {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.sources.readers import read_table
+    from gentropy_spark.sources.writers import compact_parquet
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = str(tmp_path / "frag")
+    # fragment: many tiny files
+    ev.repartition(37).write.mode("overwrite").parquet(out)
+    assert len(list(Path(out).glob("part-*.parquet"))) == 37
+    total = ev.count()
+    chk = ev.agg(F.sum("event_id")).first()[0]
+    n = compact_parquet(spark, out, target_rows_per_file=total // 3, sort_cols=["event_id"])
+    assert n <= 4
+    back = spark.read.parquet(out)
+    assert back.count() == total
+    assert back.agg(F.sum("event_id")).first()[0] == chk
