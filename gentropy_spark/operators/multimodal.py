@@ -124,3 +124,63 @@ def sample_frames(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("scale", T.DoubleType()),
+        T.StructField("out_bytes", T.IntegerType()),
+    ]
+)
+RESIZE_TARGET_EDGE = 224  # the ViT-style preprocessing edge
+
+
+def resize_media(binary_df: DataFrame, target_edge: int = RESIZE_TARGET_EDGE) -> DataFrame:
+    """Aspect-preserving resize planning — the 1:1 mapInPandas kernel
+    (SURVEY E12c).
+
+    Computes the shorter-edge-to-target scaling a vision-model
+    preprocessor applies (dims from the stub decoder; the actual pixel
+    resample is the stubbed line — a real kernel swaps in
+    PIL.Image.resize over the payload without touching schema,
+    batching, or the plan). Output size model: scaled area × 3 bytes.
+    Zero-dimension sources (payloads whose fake dims degenerate) pass
+    through unscaled rather than dividing by zero — the
+    guard a real decoder needs for corrupt media anyway.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n, w, h, _ = _decode_stub(payload)
+                if w <= 0 or h <= 0:
+                    rows.append((doc_id, w, h, w, h, 1.0, n))
+                    continue
+                scale = target_edge / min(w, h)
+                ow, oh = int(w * scale), int(h * scale)
+                rows.append(
+                    (doc_id, w, h, ow, oh, round(scale, 6), ow * oh * 3)
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_width", "src_height",
+                    "out_width", "out_height", "scale", "out_bytes",
+                ],
+            )
+            yield out.astype(
+                {
+                    "doc_id": "int64", "src_width": "int32",
+                    "src_height": "int32", "out_width": "int32",
+                    "out_height": "int32", "scale": "float64",
+                    "out_bytes": "int32",
+                }
+            )
+
+    return binary_df.mapInPandas(resize, schema=RESIZE_SCHEMA)

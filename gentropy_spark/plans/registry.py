@@ -47,6 +47,7 @@ _SNAPSHOT_PRIORITY = [
     "tfidf_topterms",
     "table_profile",
     "key_skew_profile",
+    "multimodal_resize",
     # (a) r6: every key that ERRORED in the r5 snapshot (the driver's
     # testdata switched events.ts to TIMESTAMP_NTZ between r4 and r5;
     # all 35 failures shared that root cause, fixed in sources/readers
@@ -90,7 +91,6 @@ _SNAPSHOT_PRIORITY = [
     # (b) events-ts-dependent keys outside the r5 window: their only
     # driver evidence predates the testdata format change.
     "stream_dedup",
-    "stream_window_agg",
 ]
 
 

@@ -175,3 +175,35 @@ WHERE l.event_id % 2 = 1 AND r.event_id % 2 = 0
 """
 
 REGISTRY["stream_enrich"] = QuerySpec(q_stream_enrich, STREAM_ENRICH_SQL)
+
+
+# --- E12c: multimodal resize planning (stub codec, real plumbing) ---------
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gentropy_spark.operators.multimodal import attach_binary_payload, resize_media
+
+    docs = read_table(spark, sf_dir, "documents")
+    return resize_media(attach_binary_payload(docs))
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INT) AS n,
+         CAST(octet_length(encode(text)) % 640 AS INT) AS w,
+         CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS h
+  FROM documents
+)
+SELECT doc_id, w AS src_width, h AS src_height,
+       CASE WHEN w <= 0 OR h <= 0 THEN w
+            ELSE CAST(TRUNC(w * (224.0 / LEAST(w, h))) AS INT) END AS out_width,
+       CASE WHEN w <= 0 OR h <= 0 THEN h
+            ELSE CAST(TRUNC(h * (224.0 / LEAST(w, h))) AS INT) END AS out_height,
+       CASE WHEN w <= 0 OR h <= 0 THEN 1.0
+            ELSE ROUND(224.0 / LEAST(w, h), 6) END AS scale,
+       CASE WHEN w <= 0 OR h <= 0 THEN n
+            ELSE CAST(TRUNC(w * (224.0 / LEAST(w, h)))
+                 * TRUNC(h * (224.0 / LEAST(w, h))) * 3 AS INT) END AS out_bytes
+FROM dims
+"""
+
+REGISTRY["multimodal_resize"] = QuerySpec(q_multimodal_resize, MULTIMODAL_RESIZE_SQL)
