@@ -335,9 +335,15 @@ def duplicate_clusters(
     contract as operators/graph.py ontology_closure).
     """
     nodes = docs.select(F.col(id_col).alias("id"))
-    sym = edges.select(
+    # The edge set joins into EVERY propagation round — without a
+    # persist each round would re-execute the upstream pair pipeline
+    # (for MinHash edges that's the full shingle/signature/verify DAG).
+    # Cache the PAIRS, not the symmetrized union: a cached union would
+    # execute the upstream DAG once per branch.
+    pairs = track_cache(edges.select("id_a", "id_b"))
+    sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     lbl = nodes.select("id", F.col("id").alias("lbl"))
     prev_total = None
     for _ in range(max_iters):
