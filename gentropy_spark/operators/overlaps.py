@@ -92,3 +92,51 @@ def overlap_length(
     return F.greatest(
         F.least(end_a, end_b) - F.greatest(start_a, start_b), F.lit(0)
     )
+
+
+def span_self_pairs(
+    df,
+    key_cols: list[str],
+    pos_col: str,
+    span: int,
+    payload_suffix: str = "_b",
+):
+    """Bounded-span self-pairing as a bucketed equi-join (scale shape).
+
+    Emits every ordered pair of rows sharing ``key_cols`` with
+    ``|a.pos - b.pos| <= span`` — the kernel under pairwise LD,
+    LD-dominance pruning and neighbour smoothing. A raw range
+    self-join on the keys is quadratic per key group; bucketing
+    ``pos`` into span-width tiles and exploding ONE side to its tile
+    ±1 makes it an equi-join on (keys..., tile) whose cost follows
+    bucket occupancy instead — the same strategy as the tiled
+    ``overlap_join`` above. The exact span predicate is re-applied
+    after the join, so semantics are identical to the range join.
+
+    Returns pairs with the left columns as-is and every right column
+    renamed with ``payload_suffix``.
+    """
+    from pyspark.sql import functions as F
+
+    right = df.select(
+        *[F.col(c).alias(f"{c}{payload_suffix}") for c in df.columns]
+    ).withColumn("_tile_r", F.expr(f"{pos_col}{payload_suffix} div {span}"))
+    left = df.withColumn(
+        "_tile",
+        F.explode(
+            F.sequence(
+                F.expr(f"{pos_col} div {span} - 1"),
+                F.expr(f"{pos_col} div {span} + 1"),
+            )
+        ),
+    )
+    cond = F.col("_tile") == F.col("_tile_r")
+    for c in key_cols:
+        cond = cond & (F.col(c) == F.col(f"{c}{payload_suffix}"))
+    return (
+        left.join(right, cond)
+        .filter(
+            F.abs(F.col(pos_col) - F.col(f"{pos_col}{payload_suffix}")) <= span
+        )
+        .drop("_tile", "_tile_r")
+    )

@@ -480,25 +480,27 @@ def q_ld_clump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math as _math
 
+    from gentropy_spark.operators.overlaps import span_self_pairs
+
     max_gap = int(PICS_TAU * _math.log(1.0 / LD_R2_THRESHOLD))
-    ss = sumstats(spark, sf_dir).filter(F.col("signif") >= SIGNIF_MIN)
-    a, b = ss.alias("a"), ss.alias("b")
+    ss = sumstats(spark, sf_dir).filter(F.col("signif") >= SIGNIF_MIN).select(
+        "point_id", "study_id", "contig", "pos", "signif"
+    )
+    # r6: dominance probe via the span-tile equi-join (see
+    # operators/overlaps.py) — the range semi-join was quadratic per
+    # (study, contig) group.
     dominated = (
-        a.join(
-            b,
-            (F.col("a.study_id") == F.col("b.study_id"))
-            & (F.col("a.contig") == F.col("b.contig"))
-            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= max_gap)
-            & (
-                (F.col("b.signif") > F.col("a.signif"))
-                | (
-                    (F.col("b.signif") == F.col("a.signif"))
-                    & (F.col("b.point_id") < F.col("a.point_id"))
-                )
-            ),
-            "leftsemi",
+        span_self_pairs(ss, ["study_id", "contig"], "pos", max_gap)
+        .filter(
+            (F.col("signif_b") > F.col("signif"))
+            | (
+                (F.col("signif_b") == F.col("signif"))
+                & (F.col("point_id_b") < F.col("point_id"))
+            )
         )
-    ).select("point_id")
+        .select("point_id")
+        .distinct()
+    )
     return ss.join(dominated, on="point_id", how="left_anti").select(
         "point_id", "study_id", "contig", "pos", "signif"
     )
@@ -627,25 +629,20 @@ def _neighbour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = exp(−|Δpos|/τ). Scale: the join keys carry the partitioning;
     the span bound keeps per-row fan-in constant.
     """
-    ss = sumstats(spark, sf_dir).withColumn("z", F.col("signif") / 10.0)
-    a = ss.alias("a")
-    b = ss.select(
-        F.col("study_id").alias("b_study"),
-        F.col("contig").alias("b_contig"),
-        F.col("pos").alias("b_pos"),
-        F.col("point_id").alias("b_id"),
-        (F.col("signif") / 10.0).alias("b_z"),
-    ).alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.study_id") == F.col("b_study"))
-        & (F.col("a.contig") == F.col("b_contig"))
-        & (F.col("a.point_id") != F.col("b_id"))
-        & (F.abs(F.col("a.pos") - F.col("b_pos")) <= NEIGH_SPAN),
-    ).withColumn("w", F.exp(-F.abs(F.col("a.pos") - F.col("b_pos")) / F.lit(float(NEIGH_TAU))))
-    return pairs.groupBy("point_id", "a.study_id", "a.contig", "a.pos", "z").agg(
+    from gentropy_spark.operators.overlaps import span_self_pairs
+
+    ss = sumstats(spark, sf_dir).select(
+        "study_id", "contig", "pos", "point_id", (F.col("signif") / 10.0).alias("z")
+    )
+    # r6: span-tile equi-join (operators/overlaps.py span_self_pairs)
+    # replaces the raw range self-join — quadratic per (study, contig)
+    # group becomes bucket-occupancy bounded; identical pair set.
+    pairs = span_self_pairs(ss, ["study_id", "contig"], "pos", NEIGH_SPAN).filter(
+        F.col("point_id") != F.col("point_id_b")
+    ).withColumn("w", F.exp(-F.abs(F.col("pos") - F.col("pos_b")) / F.lit(float(NEIGH_TAU))))
+    return pairs.groupBy("point_id", "study_id", "contig", "pos", "z").agg(
         F.count("*").alias("n_neighbours"),
-        F.sum(F.col("w") * F.col("b_z")).alias("wz_sum"),
+        F.sum(F.col("w") * F.col("z_b")).alias("wz_sum"),
         F.sum("w").alias("w_sum"),
     )
 

@@ -56,27 +56,23 @@ def q_pairwise_ld(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: dataset/pairwise_ld.py (square r matrix per region;
     here the sparse bounded-distance form a 100 TB run would store).
     """
-    ss = sumstats(spark, sf_dir).filter(F.col("signif") >= 100.0)
-    a = ss.alias("a")
-    b = ss.select(
-        F.col("study_id").alias("b_study"),
-        F.col("contig").alias("b_contig"),
-        F.col("pos").alias("b_pos"),
-        F.col("point_id").alias("b_id"),
+    from gentropy_spark.operators.overlaps import span_self_pairs
+
+    ss = sumstats(spark, sf_dir).filter(F.col("signif") >= 100.0).select(
+        "study_id", "contig", "pos", "point_id"
     )
-    pairs = a.join(
-        b,
-        (F.col("a.study_id") == F.col("b_study"))
-        & (F.col("a.contig") == F.col("b_contig"))
-        & (F.col("a.point_id") < F.col("b_id"))
-        & (F.abs(F.col("a.pos") - F.col("b_pos")) <= LD_SPAN_US),
-    )
-    r = F.exp(-F.abs(F.col("a.pos") - F.col("b_pos")) / F.lit(LD_TAU_US))
+    # r6: span-tile equi-join (operators/overlaps.py span_self_pairs)
+    # replaces the raw range self-join — per-key-group quadratic cost
+    # becomes bucket-occupancy cost; identical output.
+    pairs = span_self_pairs(
+        ss, ["study_id", "contig"], "pos", LD_SPAN_US
+    ).filter(F.col("point_id") < F.col("point_id_b"))
+    r = F.exp(-F.abs(F.col("pos") - F.col("pos_b")) / F.lit(LD_TAU_US))
     return pairs.select(
-        F.col("a.study_id").alias("study_id"),
-        F.col("a.contig").alias("contig"),
-        F.col("a.point_id").alias("id_a"),
-        F.col("b_id").alias("id_b"),
+        "study_id",
+        "contig",
+        F.col("point_id").alias("id_a"),
+        F.col("point_id_b").alias("id_b"),
         F.round(r, 6).alias("r"),
         F.round(r * r, 6).alias("r2"),
     )

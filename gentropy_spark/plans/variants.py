@@ -571,33 +571,25 @@ def q_study_locus_qc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LD dominance among leads only (reference layering: LD clump runs
     # after window clump) — synthetic LD gap as in q_ld_clump but at
     # the flag threshold LD_FLAG_R2.
+    from gentropy_spark.operators.overlaps import span_self_pairs
+
     max_gap = int(PICS_TAU * _math.log(1.0 / LD_FLAG_R2))
     leads = base.filter(F.col("lead_rank") == 1).select(
         "point_id", "study_id", "contig", "pos", "signif"
     )
-    b = leads.select(
-        F.col("study_id").alias("b_study"),
-        F.col("contig").alias("b_contig"),
-        F.col("pos").alias("b_pos"),
-        F.col("signif").alias("b_signif"),
-        F.col("point_id").alias("b_id"),
-    )
+    # r6: span-tile equi-join dominance probe (operators/overlaps.py)
+    # — the range semi-join was quadratic per (study, contig) group.
     dominated = (
-        leads.join(
-            b,
-            (F.col("study_id") == F.col("b_study"))
-            & (F.col("contig") == F.col("b_contig"))
-            & (F.abs(F.col("pos") - F.col("b_pos")) <= max_gap)
-            & (
-                (F.col("b_signif") > F.col("signif"))
-                | (
-                    (F.col("b_signif") == F.col("signif"))
-                    & (F.col("b_id") < F.col("point_id"))
-                )
-            ),
-            "leftsemi",
+        span_self_pairs(leads, ["study_id", "contig"], "pos", max_gap)
+        .filter(
+            (F.col("signif_b") > F.col("signif"))
+            | (
+                (F.col("signif_b") == F.col("signif"))
+                & (F.col("point_id_b") < F.col("point_id"))
+            )
         )
         .select("point_id")
+        .distinct()
         .withColumn("ld_clumped", F.lit(True))
     )
 
