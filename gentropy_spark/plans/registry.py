@@ -48,6 +48,8 @@ _SNAPSHOT_PRIORITY = [
     "table_profile",
     "key_skew_profile",
     "multimodal_resize",
+    "ancestry_aggregate",
+    "stream_static_enrich",
     # (a) r6: every key that ERRORED in the r5 snapshot (the driver's
     # testdata switched events.ts to TIMESTAMP_NTZ between r4 and r5;
     # all 35 failures shared that root cause, fixed in sources/readers
@@ -87,10 +89,8 @@ _SNAPSHOT_PRIORITY = [
     "meta_analysis",
     "qc_n_eff",
     "sumstat_harmonise_ingest",
-    "coloc",
     # (b) events-ts-dependent keys outside the r5 window: their only
     # driver evidence predates the testdata format change.
-    "stream_dedup",
 ]
 
 

@@ -207,3 +207,21 @@ FROM dims
 """
 
 REGISTRY["multimodal_resize"] = QuerySpec(q_multimodal_resize, MULTIMODAL_RESIZE_SQL)
+
+
+# --- F11: stream-static broadcast enrichment ------------------------------
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gentropy_spark.streaming.windowed import run_stream_static_enrich
+
+    return run_stream_static_enrich(spark, sf_dir)
+
+
+STREAM_STATIC_SQL = """
+SELECT CAST(e.user_id % 25 AS INT) AS nation_key, n.n_name AS nation_name,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+REGISTRY["stream_static_enrich"] = QuerySpec(q_stream_static_enrich, STREAM_STATIC_SQL)

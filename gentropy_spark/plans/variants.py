@@ -823,3 +823,120 @@ FROM ann
 REGISTRY["study_locus_qc_flags"] = QuerySpec(
     q_study_locus_qc_flags, _study_locus_qc_sql()
 )
+
+
+# --- H43: ancestry → LD-population aggregation (array HOFs, zero-shuffle) --
+ANCESTRY_LABELS = ("european", "african", "finnish", "east_asian", "american", "nfe_est")
+ANCESTRY_TO_POP = {
+    "european": "nfe",
+    "nfe_est": "nfe",
+    "african": "afr",
+    "american": "afr",
+    "finnish": "fin",
+    "east_asian": "fin",
+}
+LD_POPULATIONS = ("nfe", "afr", "fin")
+
+
+def q_ancestry_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-study ancestry → LD-population relative sample sizes.
+
+    Re-expresses study_index.py:182 aggregate_and_map_ancestries
+    (reference: /root/reference/src/gentropy/dataset/study_index.py:182)
+    the Spark-first way: the cohort list stays an ARRAY column and the
+    map/aggregate/normalize steps are higher-order functions
+    (transform / filter / aggregate) — per-row, zero shuffle, no
+    explode of the cohort axis until the final tidy output. At 100 TB
+    the difference between this and explode-groupBy is an entire
+    shuffle of the cohort table.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    label = lambda k: F.element_at(  # noqa: E731
+        F.array(*[F.lit(x) for x in ANCESTRY_LABELS]),
+        ((F.col("c_custkey") + k) % 6 + 1).cast("int"),
+    )
+    size = lambda k: ((F.col("c_custkey") % 100 + 1) * (k + 1)).cast("double")  # noqa: E731
+    samples = F.array(
+        *[
+            F.struct(label(k).alias("ancestry"), size(k).alias("n"))
+            for k in range(3)
+        ]
+    )
+    pop_map = F.create_map(
+        *[x for a, p in ANCESTRY_TO_POP.items() for x in (F.lit(a), F.lit(p))]
+    )
+    mapped = F.transform(
+        samples,
+        lambda s: F.struct(
+            pop_map[s["ancestry"]].alias("pop"), s["n"].alias("n")
+        ),
+    )
+    def pop_sum(p):
+        return F.aggregate(
+            F.filter(mapped, lambda s: s["pop"] == p),
+            F.lit(0.0),
+            lambda acc, s: acc + s["n"],
+        )
+
+    total = None
+    for p in LD_POPULATIONS:
+        total = pop_sum(p) if total is None else total + pop_sum(p)
+    out = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("ld_population"),
+                    F.round(pop_sum(p) / total, 6).alias("rel_size"),
+                )
+                for p in LD_POPULATIONS
+            ]
+        ),
+        lambda s: s["rel_size"] > 0.0,
+    )
+    return (
+        cust.select(
+            F.col("c_custkey").alias("study_id"), F.explode(out).alias("s")
+        )
+        .select(
+            "study_id",
+            F.col("s.ld_population").alias("ld_population"),
+            F.col("s.rel_size").alias("rel_size"),
+        )
+    )
+
+
+def _ancestry_sql() -> str:
+    case = "CASE " + " ".join(
+        f"WHEN (c_custkey + {k}) % 6 + 1 = {i + 1} THEN '{ANCESTRY_TO_POP[a]}'"
+        for k in range(3)
+        for i, a in enumerate(ANCESTRY_LABELS)
+    )
+    # per-k CASE is identical; build one CASE per k on the label index
+    per_k = ",\n    ".join(
+        "("
+        + "CASE "
+        + " ".join(
+            f"WHEN (c_custkey + {k}) % 6 + 1 = {i + 1} THEN '{ANCESTRY_TO_POP[a]}'"
+            for i, a in enumerate(ANCESTRY_LABELS)
+        )
+        + f" END, CAST((c_custkey % 100 + 1) * {k + 1} AS DOUBLE))"
+        for k in range(3)
+    )
+    _ = case
+    return f"""
+WITH cohorts AS (
+  SELECT c_custkey AS study_id, u.* FROM customer,
+  LATERAL (VALUES {per_k}) AS u(pop, n)
+),
+sums AS (
+  SELECT study_id, pop AS ld_population, SUM(n) AS n
+  FROM cohorts GROUP BY 1, 2
+)
+SELECT study_id, ld_population,
+       ROUND(n / SUM(n) OVER (PARTITION BY study_id), 6) AS rel_size
+FROM sums
+WHERE n > 0
+"""
+
+
+REGISTRY["ancestry_aggregate"] = QuerySpec(q_ancestry_aggregate, _ancestry_sql())

@@ -337,3 +337,49 @@ def run_stream_enrich_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_stream_static_enrich(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_static_enrich"
+) -> DataFrame:
+    """Stream enriched against a STATIC broadcast dimension (SURVEY F11).
+
+    The third streaming-join shape (alongside the windowed agg and the
+    stream-stream join): an unbounded event stream joined to a small
+    static dimension table. The static side broadcasts — no state
+    store, no watermark requirement on the dimension — which is the
+    posture for enriching a 100 TB/day stream against reference data.
+    Aggregates per dimension row so the availableNow drain is
+    oracle-comparable.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    nation = F.broadcast(
+        spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            F.col("n_nationkey").alias("nation_key"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+    enriched = stream.withColumn(
+        "nation_key", (F.col("user_id") % 25).cast("int")
+    ).join(nation, on="nation_key")
+    out = enriched.groupBy("nation_key", "nation_name").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+    checkpoint = tempfile.mkdtemp(prefix="gentropy_spark_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
