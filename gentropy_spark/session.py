@@ -93,6 +93,8 @@ def get_session(
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as raw nanosecond longs instead.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python DataSource V2 pushFilters (sources/synthetic.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -607,3 +607,34 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == total
     assert back.agg(F.sum("event_id")).first()[0] == chk
+
+
+def test_synthetic_datasource_deterministic_and_pushdown(spark):
+    """The custom Python DataSource must (a) produce identical data at
+    any partitioning, (b) honor its row count, (c) filter correctly
+    with study_id pushdown."""
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.sources.synthetic import SyntheticSumstatsDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticSumstatsDataSource)
+    a = (
+        spark.read.format("synthetic_sumstats")
+        .option("n_rows", 5000).option("n_partitions", 4).load()
+    )
+    b = (
+        spark.read.format("synthetic_sumstats")
+        .option("n_rows", 5000).option("n_partitions", 13).load()
+    )
+    assert a.count() == 5000
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    got = (
+        a.filter(F.col("study_id") == 7)
+        .agg(F.count("*"), F.sum("pos")).first()
+    )
+    want = (
+        b.filter(F.col("study_id") == 7)
+        .agg(F.count("*"), F.sum("pos")).first()
+    )
+    assert tuple(got) == tuple(want) and got[0] == 100
