@@ -638,3 +638,40 @@ def test_synthetic_datasource_deterministic_and_pushdown(spark):
         .agg(F.count("*"), F.sum("pos")).first()
     )
     assert tuple(got) == tuple(want) and got[0] == 100
+
+
+def test_ts_normalization_all_physical_shapes(spark, tmp_path):
+    """The r5 regression guard: events.ts has shipped as nanosecond
+    longs, tz-adjusted micros, and TIMESTAMP_NTZ micros across driver
+    rounds. read_table must yield identical epoch micros — and a
+    watermarkable TIMESTAMP — for all three."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gentropy_spark.sources.readers import read_table, ts_micros
+
+    us = [1_704_067_200_000_000 + i * 1_000_000 for i in range(5)]
+    ids = list(range(5))
+    variants = {
+        "ns_long": pa.table(
+            {"event_id": ids, "ts": pa.array([u * 1000 for u in us], pa.int64())}
+        ),
+        "ntz": pa.table(
+            {"event_id": ids, "ts": pa.array(us, pa.timestamp("us"))}
+        ),
+        "utc": pa.table(
+            {"event_id": ids, "ts": pa.array(us, pa.timestamp("us", tz="UTC"))}
+        ),
+    }
+    results = {}
+    for name, tbl in variants.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tbl, d / "events.parquet")
+        df = read_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+        rows = df.select("event_id", ts_micros(df).alias("us")).collect()
+        results[name] = sorted((r.event_id, r.us) for r in rows)
+    want = sorted(zip(ids, us))
+    for name, got in results.items():
+        assert got == want, (name, got[:2], want[:2])
