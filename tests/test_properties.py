@@ -183,3 +183,81 @@ def test_schema_comparison_properties(data):
     shuffled = T.StructType(list(perm))
     issues = dict(compare_structs(shuffled, schema))
     assert issues == {}  # order never matters
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_span_self_pairs_matches_bruteforce(spark, data):
+    """The tiled span join equals the O(n^2) definition on random data."""
+    from gentropy_spark.operators.overlaps import span_self_pairs
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),     # key group
+                st.integers(min_value=0, max_value=500),   # pos
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    span = data.draw(st.integers(min_value=1, max_value=200))
+    df = spark.createDataFrame(
+        [(f"g{g}", pos, i) for i, (g, pos) in enumerate(rows)],
+        ["grp", "pos", "rid"],
+    )
+    got = {
+        (r.rid, r.rid_b)
+        for r in span_self_pairs(df, ["grp"], "pos", span).collect()
+    }
+    want = {
+        (i, j)
+        for i, (g1, p1) in enumerate(rows)
+        for j, (g2, p2) in enumerate(rows)
+        if g1 == g2 and abs(p1 - p2) <= span
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_duplicate_clusters_matches_union_find(spark, data):
+    """Min-label propagation equals a reference union-find."""
+    from gentropy_spark.operators.dedup import duplicate_clusters
+
+    n = data.draw(st.integers(min_value=1, max_value=20))
+    edges = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=n - 1),
+                st.integers(min_value=0, max_value=n - 1),
+            ),
+            max_size=25,
+        )
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    edf = (
+        spark.createDataFrame(edges, "id_a long, id_b long")
+        if edges
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in duplicate_clusters(docs, edf, max_iters=40).collect()
+    }
+    assert got == want
