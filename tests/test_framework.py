@@ -675,3 +675,33 @@ def test_ts_normalization_all_physical_shapes(spark, tmp_path):
     want = sorted(zip(ids, us))
     for name, got in results.items():
         assert got == want, (name, got[:2], want[:2])
+
+
+def test_operator_at_1m_rows_from_synthetic_source(spark):
+    """Scale smoke: window clumping over 1M generated rows straight
+    from the custom DataSource (no parquet), result invariant to the
+    source partitioning — operators are not tied to file inputs."""
+    from gentropy_spark.operators.clumping import window_clump
+    from gentropy_spark.sources.synthetic import SyntheticSumstatsDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticSumstatsDataSource)
+
+    def leads(n_partitions):
+        src = (
+            spark.read.format("synthetic_sumstats")
+            .option("n_rows", 1_000_000)
+            .option("n_partitions", n_partitions)
+            .load()
+        )
+        out = window_clump(
+            src, window=50_000_000, min_signif=290.0
+        )
+        return {
+            (r.study_id, r.contig, r.cluster_seq): (r.lead_point_id, r.n_members)
+            for r in out.collect()
+        }
+
+    a = leads(8)
+    b = leads(31)
+    assert a and a == b
