@@ -983,3 +983,137 @@ REGISTRY.update(
         "tfidf_topterms": QuerySpec(q_tfidf_topterms, TFIDF_SQL),
     }
 )
+
+
+# --- E20: benchmark decontamination ---------------------------------------
+DECON_NGRAM = 5
+# Synthetic "benchmark" split: every 10th doc plays the eval set.
+_BENCH_PRED = "doc_id % 10 = 0"
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus decontamination against an eval set (SURVEY E20).
+
+    The standard pre-training hygiene step: flag training documents
+    sharing long n-grams with a benchmark/eval corpus. Shingle both
+    sides (reusing the dedup shingle machinery), aggregate the
+    benchmark side to DISTINCT shingles (tiny relative to the corpus —
+    broadcastable at real scale), join, and emit per-doc contaminated
+    shingle counts + ratio. A training doc with ratio above threshold
+    gets dropped; the query returns the per-doc evidence so the
+    threshold stays a policy choice.
+    """
+    from gentropy_spark.operators.dedup import shingles
+    from gentropy_spark.session import track_cache
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(~F.expr(_BENCH_PRED))
+    bench = docs.filter(F.expr(_BENCH_PRED))
+    sh_train = track_cache(shingles(train, n=DECON_NGRAM))
+    sh_bench = shingles(bench, n=DECON_NGRAM).select("shingle").distinct()
+    per_doc = sh_train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        sh_train.join(F.broadcast(sh_bench), on="shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        per_doc.join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0))
+                / F.col("n_shingles"),
+                6,
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+_DECON_SHINGLE = f"""
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, GREATEST(len(t) - {DECON_NGRAM - 1}, 0)),
+                i -> {' || '.join("t[i+%d]" % k if k == 0 else "' ' || t[i+%d]" % k for k in range(DECON_NGRAM))})) AS shingle
+  FROM toks
+"""
+
+DECON_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+sh AS ({_DECON_SHINGLE}),
+sh_train AS (SELECT * FROM sh WHERE NOT (doc_id % 10 = 0)),
+sh_bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh_train GROUP BY 1),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_contaminated
+  FROM sh_train t JOIN sh_bench b USING (shingle) GROUP BY 1
+)
+SELECT p.doc_id, p.n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       ROUND(COALESCE(h.n_contaminated, 0) / p.n_shingles, 6)
+         AS contamination_ratio
+FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+"""
+
+
+# --- E21: PII redaction ----------------------------------------------------
+# Dialect-neutral patterns (identical semantics in Java regex and RE2).
+PII_PATTERNS = (
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{7,}[0-9]"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"),
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus (SURVEY E21).
+
+    Sequentially redacts email / phone / IPv4 patterns to typed
+    placeholders and counts redactions per class — pure JVM-side
+    regexp_replace / regexp string expressions (no UDF), so the scrub
+    runs at scan speed and composes with any downstream text operator.
+    Patterns are restricted to the regex subset Java and RE2 interpret
+    identically, which the oracle enforces.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    out = F.col("text")
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.md5(out).alias("redacted_md5"),
+        F.length(out).alias("redacted_len"),
+    )
+
+
+def _pii_sql() -> str:
+    out = "text"
+    cols = []
+    for name, pat in PII_PATTERNS:
+        pat_sql = pat.replace("'", "''")
+        cols.append(
+            f"len(regexp_extract_all(text, '{pat_sql}')) AS n_{name}"
+        )
+        out = f"regexp_replace({out}, '{pat_sql}', '<{name.upper()}>', 'g')"
+    return f"""
+SELECT doc_id, {', '.join(cols)},
+       md5({out}) AS redacted_md5,
+       LENGTH({out}) AS redacted_len
+FROM documents
+"""
+
+
+REGISTRY.update(
+    {
+        "decontaminate": QuerySpec(q_decontaminate, DECON_SQL),
+        "pii_redact": QuerySpec(q_pii_redact, _pii_sql()),
+    }
+)

@@ -50,6 +50,8 @@ _SNAPSHOT_PRIORITY = [
     "multimodal_resize",
     "ancestry_aggregate",
     "stream_static_enrich",
+    "decontaminate",
+    "pii_redact",
     # (a) r6: every key that ERRORED in the r5 snapshot (the driver's
     # testdata switched events.ts to TIMESTAMP_NTZ between r4 and r5;
     # all 35 failures shared that root cause, fixed in sources/readers
@@ -81,8 +83,6 @@ _SNAPSHOT_PRIORITY = [
     "locus_statistics",
     "sumstat_qc_summary",
     "qc_gc_lambda",
-    "qc_pz_consistency",
-    "qc_mean_beta",
     "sanity_filter",
     "qc_flag_accumulate",
     "logsum",
