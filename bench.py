@@ -49,9 +49,11 @@ HEADLINE = [
     "ld_index_build",
     "study_locus_qc_flags",
     "sumstat_harmonise_finngen",
-    # r6 additions: cluster-resolution dedup + point-in-time join
+    # r6 additions: cluster-resolution dedup, point-in-time join,
+    # and the end-to-end curation pipeline
     "dedup_clusters",
     "asof_join",
+    "corpus_curate",
 ]
 
 

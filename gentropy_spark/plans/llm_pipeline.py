@@ -1117,3 +1117,126 @@ REGISTRY.update(
         "pii_redact": QuerySpec(q_pii_redact, _pii_sql()),
     }
 )
+
+
+# --- E22: end-to-end corpus curation --------------------------------------
+CURATE_MIN_TOKENS = 10
+CURATE_MIN_ALPHA = 0.45
+CURATE_MAX_CONTAMINATION = 0.5
+
+
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE preprocessing pipeline as ONE declarative plan
+    (SURVEY E22): quality gate → language ID → duplicate-cluster
+    canonical filter → eval-set decontamination → deterministic
+    per-language sampling → fixed-budget sequence packing, emitting the
+    final training-bin manifest. Every stage is one of the registry's
+    oracle-checked operators composed by doc_id equi-joins, so Catalyst
+    sees a single DAG (shared scans, pushed filters) rather than six
+    materialisation round-trips — the difference between a pipeline
+    and six jobs at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    qual = q_text_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "alpha_ratio"
+    )
+    lang = q_text_langid(spark, sf_dir)
+    clusters = q_dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    decon = q_decontaminate(spark, sf_dir).select(
+        "doc_id", "contamination_ratio"
+    )
+    kept = (
+        docs.select("doc_id", "source")
+        .join(qual, on="doc_id")
+        .join(lang, on="doc_id")
+        .join(clusters, on="doc_id")
+        .join(decon, on="doc_id")  # inner: benchmark split drops out here
+        .filter(
+            (F.col("n_tokens") >= CURATE_MIN_TOKENS)
+            & (F.col("alpha_ratio") >= CURATE_MIN_ALPHA)
+            & F.col("is_canonical")
+            & (F.col("contamination_ratio") <= CURATE_MAX_CONTAMINATION)
+        )
+    )
+    key = F.substring(
+        F.md5(
+            F.concat_ws("|", F.col("pred_lang"), F.col("doc_id").cast("string"))
+        ),
+        1,
+        4,
+    )
+    thr = F.lit(SAMPLE_DEFAULT)
+    for lg, rate in SAMPLE_RATES.items():
+        thr = F.when(F.col("pred_lang") == lg, F.lit(rate)).otherwise(thr)
+    sampled = kept.withColumn("sample_key", key).filter(
+        F.col("sample_key") < thr
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sampled.select(
+        "doc_id",
+        "source",
+        "pred_lang",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    ).withColumn(
+        "bin_id", F.expr(f"(cum_tokens - 1) div {PACK_BUDGET_TOKENS}")
+    )
+
+
+def _curate_sql() -> str:
+    thr = "CASE " + " ".join(
+        f"WHEN pred_lang = '{lg}' THEN '{rate}'"
+        for lg, rate in SAMPLE_RATES.items()
+    ) + f" ELSE '{SAMPLE_DEFAULT}' END"
+    return f"""
+WITH RECURSIVE
+qual AS (SELECT doc_id, n_tokens, alpha_ratio FROM ({TEXT_QUALITY_SQL})),
+lang AS ({LANGID_SQL}),
+pairs AS ({MINHASH_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.lbl < e.dst
+),
+clusters AS (
+  SELECT id AS doc_id, id = MIN(lbl) AS is_canonical FROM reach GROUP BY id
+),
+decon AS (SELECT doc_id, contamination_ratio FROM ({DECON_SQL})),
+kept AS (
+  SELECT d.doc_id, d.source, q.n_tokens, l.pred_lang
+  FROM documents d
+  JOIN qual q USING (doc_id)
+  JOIN lang l USING (doc_id)
+  JOIN clusters c USING (doc_id)
+  JOIN decon x USING (doc_id)
+  WHERE q.n_tokens >= {CURATE_MIN_TOKENS}
+    AND q.alpha_ratio >= {CURATE_MIN_ALPHA}
+    AND c.is_canonical
+    AND x.contamination_ratio <= {CURATE_MAX_CONTAMINATION}
+),
+sampled AS (
+  SELECT * FROM kept
+  WHERE substr(md5(pred_lang || '|' || CAST(doc_id AS VARCHAR)), 1, 4) < {thr}
+)
+SELECT doc_id, source, pred_lang, n_tokens,
+       SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+       (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+         // {PACK_BUDGET_TOKENS} AS bin_id
+FROM sampled
+"""
+
+
+REGISTRY["corpus_curate"] = QuerySpec(q_corpus_curate, _curate_sql())

@@ -52,6 +52,7 @@ _SNAPSHOT_PRIORITY = [
     "stream_static_enrich",
     "decontaminate",
     "pii_redact",
+    "corpus_curate",
     # (a) r6: every key that ERRORED in the r5 snapshot (the driver's
     # testdata switched events.ts to TIMESTAMP_NTZ between r4 and r5;
     # all 35 failures shared that root cause, fixed in sources/readers
@@ -84,7 +85,6 @@ _SNAPSHOT_PRIORITY = [
     "sumstat_qc_summary",
     "qc_gc_lambda",
     "sanity_filter",
-    "qc_flag_accumulate",
     "logsum",
     "meta_analysis",
     "qc_n_eff",
