@@ -158,3 +158,90 @@ class Colocalisation:
         group_cols: Sequence[str] = ("left_study_id", "right_study_id", "contig"),
     ) -> DataFrame:
         return _coloc.ecaviar_clpp(tag_overlaps, list(group_cols))
+
+
+@dataclass
+class Corpus:
+    """Façade over the LLM-data-pipeline operators (SURVEY §2.E).
+
+    The document-side counterpart of SummaryStatistics: wraps a
+    documents DataFrame (doc_id, text, ...) and exposes the curation
+    verbs — dedup, clustering, sampling, packing, redaction — each
+    delegating to the same operators the registry queries use.
+    """
+
+    df: DataFrame
+
+    def exact_dup_groups(self) -> DataFrame:
+        from gentropy_spark.operators.dedup import exact_dup_groups
+
+        return exact_dup_groups(self.df)
+
+    def near_dup_pairs(self, **kw) -> DataFrame:
+        from gentropy_spark.operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(self.df, **kw)
+
+    def duplicate_clusters(self, pairs: DataFrame | None = None) -> DataFrame:
+        from gentropy_spark.operators.dedup import (
+            duplicate_clusters,
+            minhash_lsh_pairs,
+        )
+
+        edges = pairs if pairs is not None else minhash_lsh_pairs(self.df)
+        return duplicate_clusters(self.df, edges)
+
+    def canonical_only(self) -> "Corpus":
+        """Drop every non-canonical duplicate (cluster resolution)."""
+        clusters = self.duplicate_clusters()
+        kept = self.df.join(
+            clusters.filter(F.col("is_canonical")).select("doc_id"),
+            on="doc_id",
+        )
+        return Corpus(kept)
+
+    def sample_stratified(
+        self, rates: dict[str, str], default: str, stratum_col: str = "lang"
+    ) -> "Corpus":
+        """Deterministic md5-keyspace sampling per stratum (4-hex-char
+        thresholds, e.g. '28f5' keeps ~16%)."""
+        key = F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col(stratum_col), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            4,
+        )
+        thr = F.lit(default)
+        for stratum, rate in rates.items():
+            thr = F.when(F.col(stratum_col) == stratum, F.lit(rate)).otherwise(thr)
+        return Corpus(self.df.filter(key < thr))
+
+    def pack_sequences(
+        self, budget_tokens: int, shard_col: str = "source"
+    ) -> DataFrame:
+        from pyspark.sql import Window
+
+        from gentropy_spark.functions.text import token_count_bpe_ish
+
+        w = (
+            Window.partitionBy(shard_col)
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        toked = self.df.select(
+            "doc_id", shard_col, token_count_bpe_ish(F.col("text")).alias("n_tokens")
+        )
+        return toked.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
+            "bin_id", F.expr(f"(cum_tokens - 1) div {budget_tokens}")
+        )
+
+    def pii_redact(self) -> DataFrame:
+        from gentropy_spark.plans.llm_pipeline import PII_PATTERNS
+
+        out = F.col("text")
+        for name, pat in PII_PATTERNS:
+            out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+        return self.df.withColumn("text", out)

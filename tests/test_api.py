@@ -42,3 +42,21 @@ def test_reference_style_pipeline(spark, sf_dir):
         )
     ).first()
     assert abs(row.total - 1.0) < 1e-9  # posteriors sum to 1
+
+
+def test_corpus_facade_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.api import Corpus
+    from gentropy_spark.sources.readers import read_table
+
+    corpus = Corpus(read_table(spark, sf_dir, "documents"))
+    n_docs = corpus.df.count()
+    canon = corpus.canonical_only()
+    assert 0 < canon.df.count() <= n_docs
+    sampled = canon.sample_stratified({"en": "8000"}, default="ffff")
+    assert 0 < sampled.df.count() <= canon.df.count()
+    packed = sampled.pack_sequences(budget_tokens=256)
+    assert packed.filter(F.col("bin_id") < 0).count() == 0
+    red = corpus.pii_redact()
+    assert red.count() == n_docs
