@@ -67,16 +67,21 @@ def main() -> None:
     registry["q1_pricing_summary"].fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry[name].fn
         best = float("inf")
-        for _ in range(2):  # min-of-2: shields the metric from CI noise
-            start = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # Force full materialisation of every column.
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):  # min-of-2: shields the metric from CI noise
+                start = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # Force full materialisation of every column.
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — one broken query must
+            # not zero the whole benchmark record (it did in r5).
+            errors[name] = str(exc).split("\n")[0][:200]
         # Evict intermediates persisted by this query's operators so
         # storage memory stays bounded across the sweep (the min-of-2
         # pair above still shares its cache, as intended).
@@ -98,14 +103,17 @@ def main() -> None:
             )
         for name in HEADLINE:
             sql = registry[name].oracle
-            if sql is None:
+            if sql is None or name not in timings:
                 continue
             best = float("inf")
-            for _ in range(2):
-                start = time.perf_counter()
-                con.execute(sql).fetchall()
-                best = min(best, time.perf_counter() - start)
-            duck_timings[name] = round(best, 3)
+            try:
+                for _ in range(2):
+                    start = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    best = min(best, time.perf_counter() - start)
+                duck_timings[name] = round(best, 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[f"duckdb:{name}"] = str(exc).split("\n")[0][:200]
         con.close()
     except Exception:
         duck_timings = {}
@@ -126,6 +134,7 @@ def main() -> None:
                     round(spark_on_common / duck_total, 3) if duck_total else None
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
