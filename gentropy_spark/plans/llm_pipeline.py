@@ -1240,3 +1240,40 @@ FROM sampled
 
 
 REGISTRY["corpus_curate"] = QuerySpec(q_corpus_curate, _curate_sql())
+
+
+# --- E11b: embedding-space duplicate clusters -----------------------------
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the embedding-cosine near-dup pairs —
+    the same cluster-resolution operator (operators/dedup.py) driven by
+    a different edge generator, which is the point: pair producers and
+    the transitive-closure consumer compose freely."""
+    from gentropy_spark.operators.dedup import duplicate_clusters
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return duplicate_clusters(
+        emb, q_dedup_embedding(spark, sf_dir), id_col="vec_id"
+    )
+
+
+EMB_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({DEDUP_EMB_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.lbl < e.dst
+),
+m AS (SELECT id AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT vec_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       vec_id = cluster_id AS is_canonical
+FROM m
+"""
+
+
+REGISTRY["embedding_clusters"] = QuerySpec(q_embedding_clusters, EMB_CLUSTERS_SQL)

@@ -53,6 +53,7 @@ _SNAPSHOT_PRIORITY = [
     "decontaminate",
     "pii_redact",
     "corpus_curate",
+    "embedding_clusters",
     # (a) r6: every key that ERRORED in the r5 snapshot (the driver's
     # testdata switched events.ts to TIMESTAMP_NTZ between r4 and r5;
     # all 35 failures shared that root cause, fixed in sources/readers
@@ -84,7 +85,6 @@ _SNAPSHOT_PRIORITY = [
     "locus_statistics",
     "sumstat_qc_summary",
     "qc_gc_lambda",
-    "sanity_filter",
     "logsum",
     "meta_analysis",
     "qc_n_eff",
