@@ -95,3 +95,37 @@ def long_to_wide(
         .pivot(var_col, list(value_list))
         .agg(aggfn(F.col(value_col)))
     )
+
+
+def salted_join(
+    left,
+    right,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+):
+    """Skew-defeating equi-join via key salting (SURVEY A17).
+
+    For a join key with pathological heavy hitters (see
+    ``key_skew_profile``), AQE's skew-join splitting handles the SORT
+    side but a broadcast-ineligible hot build side still lands on one
+    task. Salting spreads it deterministically: the probe (left) side
+    gets a salt from a hash of its row, the build (right) side is
+    replicated once per salt, and the join key becomes (key, salt) —
+    hot keys now occupy ``n_salts`` tasks. Output equals the plain
+    join (each left row matches exactly its salt's replica).
+
+    Use ONLY when the skew profile demands it: the build side is
+    replicated ``n_salts``× — that is the explicit price of evenness.
+    """
+    from pyspark.sql import functions as F
+
+    lt = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)),
+    )
+    rt = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    out = lt.join(rt, on=[key, "_salt"], how=how)
+    return out.drop("_salt")

