@@ -534,6 +534,41 @@ def q_window_clump_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r6: the greedy walk IS SQL-expressible — a recursive CTE whose state
+# is the per-cluster list of chosen positions (one row per cluster per
+# step, so recursion depth = largest cluster, rows = member count).
+# This upgrades C2 from rows-only to the full value-hash gate.
+WINDOW_CLUMP_SEMI_SQL = f"""
+WITH RECURSIVE
+clustered AS ({_clustered_sql(SIGNIF_MIN, CLUMP_WINDOW_US)}),
+m AS (
+  SELECT study_id, contig, cluster_seq, point_id, pos, signif,
+    CAST(ROW_NUMBER() OVER (PARTITION BY study_id, contig, cluster_seq
+                       ORDER BY signif DESC, pos, point_id) AS BIGINT) AS rk
+  FROM clustered
+),
+walk(study_id, contig, cluster_seq, rk, chosen) AS (
+  SELECT study_id, contig, cluster_seq, CAST(0 AS BIGINT), []::BIGINT[]
+  FROM (SELECT DISTINCT study_id, contig, cluster_seq FROM m)
+  UNION ALL
+  SELECT w.study_id, w.contig, w.cluster_seq, mm.rk,
+         CASE WHEN len(list_filter(w.chosen,
+                       c -> abs(c - mm.pos) < {CLUMP_WINDOW_US})) = 0
+              THEN list_append(w.chosen, mm.pos) ELSE w.chosen END
+  FROM walk w
+  JOIN m mm ON mm.study_id = w.study_id AND mm.contig = w.contig
+   AND mm.cluster_seq = w.cluster_seq AND mm.rk = w.rk + 1
+)
+SELECT mm.study_id, mm.contig, mm.cluster_seq, mm.point_id, mm.pos, mm.signif,
+       len(w2.chosen) > len(w1.chosen) AS is_semi_lead
+FROM m mm
+JOIN walk w1 ON w1.study_id = mm.study_id AND w1.contig = mm.contig
+ AND w1.cluster_seq = mm.cluster_seq AND w1.rk = mm.rk - 1
+JOIN walk w2 ON w2.study_id = mm.study_id AND w2.contig = mm.contig
+ AND w2.cluster_seq = mm.cluster_seq AND w2.rk = mm.rk
+"""
+
+
 # --- G1: SuSiE-like iterative fine-mapping (rows-only: iterative) --------
 def q_susie_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = sumstats(spark, sf_dir).filter(F.col("signif") >= LB_BASELINE)
@@ -607,7 +642,7 @@ REGISTRY.update(
         "carma_finemap": QuerySpec(q_carma_finemap, None),
         "pics_finemap": QuerySpec(q_pics_finemap, PICS_SQL),
         "ld_clump": QuerySpec(q_ld_clump, LD_CLUMP_SQL),
-        "window_clump_semi": QuerySpec(q_window_clump_semi, None),
+        "window_clump_semi": QuerySpec(q_window_clump_semi, WINDOW_CLUMP_SEMI_SQL),
         "susie_like_finemap": QuerySpec(q_susie_like, None),
         "susie_inf_finemap": QuerySpec(q_susie_inf, None),
         "susie_finemapper_step": QuerySpec(q_susie_finemapper_step, None),
