@@ -102,21 +102,37 @@ def full_registry() -> dict[str, QuerySpec]:
     ``_SNAPSHOT_PRIORITY`` keys first, then the remaining keys in
     module order.
     """
-    from gentropy_spark.plans import (
-        genomics,
-        graph_ld,
-        l2g,
-        l2g_features,
-        llm_pipeline,
-        qc,
-        relational,
-        stats_kernel,
-        streaming_plan,
-        variants,
-    )
+    import importlib
+    import sys
 
+    # Import each plan module independently: one module failing to
+    # import (a bad constant, an API drift) must cost only ITS keys,
+    # not the whole registry — a total-failure registry zeroes every
+    # driver correctness row at once, which is strictly worse than a
+    # visible partial outage.
+    module_names = (
+        "relational",
+        "genomics",
+        "qc",
+        "stats_kernel",
+        "llm_pipeline",
+        "streaming_plan",
+        "l2g",
+        "l2g_features",
+        "variants",
+        "graph_ld",
+    )
     merged: dict[str, QuerySpec] = {}
-    for module in (relational, genomics, qc, stats_kernel, llm_pipeline, streaming_plan, l2g, l2g_features, variants, graph_ld):
+    for name in module_names:
+        try:
+            module = importlib.import_module(f"gentropy_spark.plans.{name}")
+        except Exception as exc:  # noqa: BLE001
+            print(
+                f"full_registry: plan module {name!r} failed to import "
+                f"and its queries are UNAVAILABLE: {exc}",
+                file=sys.stderr,
+            )
+            continue
         overlap = merged.keys() & module.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {sorted(overlap)}")
