@@ -1277,3 +1277,44 @@ FROM m
 
 
 REGISTRY["embedding_clusters"] = QuerySpec(q_embedding_clusters, EMB_CLUSTERS_SQL)
+
+
+# --- E23: training-mixture table ------------------------------------------
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) document and token totals with corpus share —
+    the mixture table sampling-weight design starts from. One
+    partial-agg groupBy; shares via a broadcast-joined 1-row total."""
+    from gentropy_spark.functions.text import token_count_bpe_ish
+
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang", "source", token_count_bpe_ish(F.col("text")).alias("n_tok")
+    ).groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    totals = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return per.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("total_tokens"), 6).alias("token_share"),
+    )
+
+
+MIXTURE_SQL = """
+WITH per AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')))
+           AS n_tokens
+  FROM documents GROUP BY 1, 2
+),
+t AS (SELECT SUM(n_tokens) AS total_tokens FROM per)
+SELECT lang, source, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share
+FROM per, t
+"""
+
+
+REGISTRY["corpus_mixture"] = QuerySpec(q_corpus_mixture, MIXTURE_SQL)

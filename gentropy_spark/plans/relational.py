@@ -839,3 +839,41 @@ WHERE rank <= {SKEW_TOP_N}
 
 REGISTRY["table_profile"] = QuerySpec(q_table_profile, _profile_sql())
 REGISTRY["key_skew_profile"] = QuerySpec(q_key_skew_profile, SKEW_SQL)
+
+
+# --- A18: fixed-bin histogram ---------------------------------------------
+HIST_BIN_WIDTH = 25.0
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event type — the
+    distribution half of the profiling surface (table_profile covers
+    moments/extremes). Bin id by integer division: one partial-agg
+    groupBy, bins mergeable across partitions/days by construction."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / HIST_BIN_WIDTH).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * HIST_BIN_WIDTH).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+HIST_SQL = f"""
+SELECT event_type, CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS BIGINT) * {HIST_BIN_WIDTH} AS bin_lo,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+REGISTRY["value_histogram"] = QuerySpec(q_value_histogram, HIST_SQL)
