@@ -92,6 +92,14 @@ def coloc(
     # Recomputing the narrow overlap join is cheaper than scanning the
     # materialised blocks; on a cluster the real coloc step reads an
     # already-materialised overlap table anyway.
+    #
+    # Also evaluated and REJECTED (r6): constant-shift logsumexp
+    # (domain-bounded logbf would allow skipping the max pass for a
+    # single-pass aggregate). Hash-exact at sf0.1, but 2.5x SLOWER on
+    # the fused L2G path: group count ~= row count here, so the
+    # partial-aggregate phase gets no combine benefit and its hash
+    # tables dominate, while the max-join path spreads group state
+    # across the join shuffle. Keep the max-shift aggregate-join.
     base = overlaps.withColumn(
         "_sum_bf", F.col(left_logbf) + F.col(right_logbf)
     )
