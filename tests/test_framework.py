@@ -705,3 +705,23 @@ def test_operator_at_1m_rows_from_synthetic_source(spark):
     a = leads(8)
     b = leads(31)
     assert a and a == b
+
+
+def test_registry_degrades_per_module(monkeypatch):
+    """A plan module that fails to import must cost only its own keys."""
+    import importlib
+
+    from gentropy_spark.plans import registry as R
+
+    real = importlib.import_module
+
+    def fake(name, *a, **k):
+        if name.endswith(".graph_ld"):
+            raise RuntimeError("injected import failure")
+        return real(name, *a, **k)
+
+    monkeypatch.setattr(importlib, "import_module", fake)
+    reg = R.full_registry()
+    assert "ontology_closure" not in reg  # graph_ld key gone
+    assert "q1_pricing_summary" in reg  # everything else intact
+    assert len(reg) > 100
