@@ -1318,3 +1318,78 @@ FROM per, t
 
 
 REGISTRY["corpus_mixture"] = QuerySpec(q_corpus_mixture, MIXTURE_SQL)
+
+
+# --- E24: deterministic k-means assignment step ---------------------------
+KMEANS_K = 8
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd assignment step (SURVEY E24).
+
+    The distributed half of a k-means fit: assign every vector to its
+    nearest centroid (deterministic init: the K lowest vec_ids, the
+    same convention as the IVF quantizer) and emit per-centroid
+    occupancy + within-cluster dispersion — the statistics the next
+    centroid update consumes. Centroids broadcast; distances are
+    array-HOF expressions (zip_with + aggregate), rounded to 6dp
+    BEFORE the argmin so both engines pick identical winners. Shuffle
+    is one partial-agg groupBy on centroid_id — the iterate-until-
+    converged driver loop composes this step exactly like the
+    reference composes its trainer steps.
+    """
+    from pyspark.sql import Window
+
+    from gentropy_spark.operators.similarity import as_double
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "dist2", F.round(d2, 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "centroid_id")
+    assigned = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_assigned"),
+        F.round(
+            F.sum(F.col("dist2").cast("decimal(38,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_dist2"),
+    )
+
+
+KMEANS_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS c FROM vecs WHERE vec_id < {KMEANS_K}),
+scored AS (
+  SELECT vecs.vec_id, cents.centroid_id,
+         ROUND(list_sum(list_transform(list_zip(v, c),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist2
+  FROM vecs CROSS JOIN cents
+),
+assigned AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, centroid_id) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT centroid_id, COUNT(*) AS n_assigned,
+       ROUND(CAST(SUM(CAST(dist2 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_dist2
+FROM assigned GROUP BY 1
+"""
+
+
+REGISTRY["kmeans_step"] = QuerySpec(q_kmeans_step, KMEANS_SQL)
