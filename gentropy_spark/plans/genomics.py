@@ -918,3 +918,81 @@ REGISTRY.update(
         "sumstat_qc_summary": QuerySpec(q_sumstat_qc_summary, _qc_summary_sql()),
     }
 )
+
+
+# --- C11: interval coverage (merge-overlaps union length) -----------------
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union coverage of the locus intervals per (study, contig): merge
+    overlapping/adjacent loci into islands (boundary = cumulative-max
+    of previous ends stays below the next start — one window pass, the
+    interval-algebra dual of the gap-sessionizer) and report island
+    count, covered length, and span utilisation."""
+    loci = q_locus_breaker(spark, sf_dir).select(
+        "study_id", "contig", "locus_start", "locus_end"
+    )
+    w = Window.partitionBy("study_id", "contig").orderBy(
+        "locus_start", "locus_end"
+    )
+    prev_max_end = F.max("locus_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = loci.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("locus_start") > prev_max_end), 1
+        ).otherwise(0),
+    )
+    w2 = Window.partitionBy("study_id", "contig").orderBy(
+        "locus_start", "locus_end"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = marked.withColumn("island_id", F.sum("new_island").over(w2))
+    per_island = islands.groupBy("study_id", "contig", "island_id").agg(
+        F.min("locus_start").alias("i_start"),
+        F.max("locus_end").alias("i_end"),
+    )
+    return per_island.groupBy("study_id", "contig").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start") + 1).alias("covered_len"),
+        (F.max("i_end") - F.min("i_start") + 1).alias("span_len"),
+    ).withColumn(
+        "coverage_ratio",
+        F.round(F.col("covered_len") / F.col("span_len"), 6),
+    )
+
+
+INTERVAL_COVERAGE_SQL = f"""
+WITH loci AS (
+  SELECT study_id, contig, locus_start, locus_end FROM ({LOCUS_BREAKER_SQL})
+),
+marked AS (
+  SELECT *, CASE WHEN MAX(locus_end) OVER (
+                   PARTITION BY study_id, contig ORDER BY locus_start, locus_end
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 IS NULL
+              OR locus_start > MAX(locus_end) OVER (
+                   PARTITION BY study_id, contig ORDER BY locus_start, locus_end
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            THEN 1 ELSE 0 END AS new_island
+  FROM loci
+),
+islands AS (
+  SELECT *, SUM(new_island) OVER (
+              PARTITION BY study_id, contig ORDER BY locus_start, locus_end
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM marked
+),
+per_island AS (
+  SELECT study_id, contig, island_id,
+         MIN(locus_start) AS i_start, MAX(locus_end) AS i_end
+  FROM islands GROUP BY 1, 2, 3
+)
+SELECT study_id, contig, COUNT(*) AS n_islands,
+       SUM(i_end - i_start + 1) AS covered_len,
+       MAX(i_end) - MIN(i_start) + 1 AS span_len,
+       ROUND(CAST(SUM(i_end - i_start + 1) AS DOUBLE)
+             / (MAX(i_end) - MIN(i_start) + 1), 6) AS coverage_ratio
+FROM per_island GROUP BY 1, 2
+"""
+
+
+REGISTRY["interval_coverage"] = QuerySpec(q_interval_coverage, INTERVAL_COVERAGE_SQL)

@@ -225,3 +225,72 @@ GROUP BY 1, 2
 """
 
 REGISTRY["stream_static_enrich"] = QuerySpec(q_stream_static_enrich, STREAM_STATIC_SQL)
+
+
+# --- F13: hopping (sliding) window aggregation ----------------------------
+HOP_WINDOW_US = 86_400_000_000  # 1 day
+HOP_SLIDE_US = 21_600_000_000   # 6 h → each event lands in 4 windows
+
+
+def q_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window aggregate (the batch shape of a sliding
+    streaming window): each event explodes into window/slide window
+    memberships, then one partial-agg groupBy per (window, user) —
+    shuffle grows by the overlap factor (4 here), never by a range
+    join."""
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.sources.readers import read_table, ts_micros
+
+    ev = read_table(spark, sf_dir, "events")
+    pos = ts_micros(ev)
+    n_windows = HOP_WINDOW_US // HOP_SLIDE_US
+    first_win = (pos - HOP_WINDOW_US + HOP_SLIDE_US).cast("long")
+    base = ev.select(
+        "user_id",
+        F.col("value"),
+        pos.alias("pos"),
+        F.explode(
+            F.sequence(
+                F.floor(first_win / HOP_SLIDE_US).cast("long")
+                + F.when(first_win % HOP_SLIDE_US > 0, 1).otherwise(0),
+                F.floor(pos / HOP_SLIDE_US).cast("long"),
+            )
+        ).alias("win_seq"),
+    )
+    return (
+        base.groupBy("win_seq", "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            (F.col("win_seq") * HOP_SLIDE_US).alias("window_start_us"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+HOPPING_SQL = f"""
+WITH base AS (
+  SELECT user_id, value, epoch_us(ts) AS pos,
+         unnest(generate_series(
+           CAST(FLOOR((epoch_us(ts) - {HOP_WINDOW_US} + {HOP_SLIDE_US})
+                / {HOP_SLIDE_US}) AS BIGINT)
+           + CASE WHEN (epoch_us(ts) - {HOP_WINDOW_US} + {HOP_SLIDE_US})
+                       % {HOP_SLIDE_US} > 0 THEN 1 ELSE 0 END,
+           CAST(FLOOR(epoch_us(ts) / {HOP_SLIDE_US}) AS BIGINT)
+         )) AS win_seq
+  FROM events
+)
+SELECT win_seq * {HOP_SLIDE_US} AS window_start_us, user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM base GROUP BY 1, 2
+"""
+
+REGISTRY["hopping_window_agg"] = QuerySpec(q_hopping_window_agg, HOPPING_SQL)
