@@ -1393,3 +1393,94 @@ FROM assigned GROUP BY 1
 
 
 REGISTRY["kmeans_step"] = QuerySpec(q_kmeans_step, KMEANS_SQL)
+
+
+# --- E25: mixture rebalancing → sampling thresholds -----------------------
+# Target language shares for the curated corpus (policy input).
+TARGET_SHARES = {"en": 0.3, "zh": 0.2, "es": 0.2, "de": 0.15, "fr": 0.15}
+
+
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the sampling loop (SURVEY E25): from the MEASURED mixture
+    (corpus_mixture) and a TARGET mixture, derive each stratum's keep
+    rate and the md5-keyspace threshold the deterministic sampler
+    consumes — rate = min(1, (target/actual) · headroom), where
+    headroom is the largest global scale that keeps every rate ≤ 1
+    (classic waterfilling against the binding stratum). Emits the hex
+    thresholds sample_stratified takes as policy, so mixture → rates →
+    sample is measured, not hand-tuned.
+    """
+    per_lang = (
+        q_corpus_mixture(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("n_tokens"))
+    )
+    total = per_lang.agg(F.sum("n_tokens").alias("total_tokens"))
+    cur = per_lang.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("total_tokens")).alias("actual_share"),
+    )
+    tgt = F.create_map(
+        *[x for lg, sh in TARGET_SHARES.items() for x in (F.lit(lg), F.lit(sh))]
+    )
+    with_ratio = cur.withColumn(
+        "target_share", F.coalesce(tgt[F.col("lang")], F.lit(0.0))
+    ).withColumn("ratio", F.col("target_share") / F.col("actual_share"))
+    # headroom = 1 / max(ratio): scale all ratios so the binding
+    # stratum lands exactly at rate 1.
+    head = with_ratio.agg(
+        (F.lit(1.0) / F.max("ratio")).alias("headroom")
+    )
+    return (
+        with_ratio.crossJoin(F.broadcast(head))
+        .select(
+            "lang",
+            "n_tokens",
+            F.round(F.col("actual_share"), 6).alias("actual_share"),
+            F.col("target_share"),
+            F.round(
+                F.least(F.col("ratio") * F.col("headroom"), F.lit(1.0)), 6
+            ).alias("keep_rate"),
+            F.format_string(
+                "%04x",
+                F.floor(
+                    F.least(F.col("ratio") * F.col("headroom"), F.lit(1.0))
+                    * 65536
+                    - 1e-9
+                ).cast("int"),
+            ).alias("sample_threshold_hex"),
+        )
+    )
+
+
+_TGT_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{lg}' THEN {format(sh, '.17e')}"
+    for lg, sh in TARGET_SHARES.items()
+) + " ELSE 0.0e0 END"
+
+MIXTURE_REBALANCE_SQL = f"""
+WITH per_lang AS (
+  SELECT lang,
+         SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')))
+           AS n_tokens
+  FROM documents GROUP BY 1
+),
+t AS (SELECT SUM(n_tokens) AS total_tokens FROM per_lang),
+cur AS (
+  SELECT lang, n_tokens,
+         CAST(n_tokens AS DOUBLE) / total_tokens AS actual_share,
+         {_TGT_CASE} AS target_share
+  FROM per_lang, t
+),
+r AS (SELECT *, target_share / actual_share AS ratio FROM cur),
+h AS (SELECT 1.0 / MAX(ratio) AS headroom FROM r)
+SELECT lang, n_tokens, ROUND(actual_share, 6) AS actual_share, target_share,
+       ROUND(LEAST(ratio * headroom, 1.0), 6) AS keep_rate,
+       printf('%04x', CAST(FLOOR(LEAST(ratio * headroom, 1.0) * 65536 - 1e-9)
+                           AS INT)) AS sample_threshold_hex
+FROM r, h
+"""
+
+
+REGISTRY["mixture_rebalance"] = QuerySpec(q_mixture_rebalance, MIXTURE_REBALANCE_SQL)
