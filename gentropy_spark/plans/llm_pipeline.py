@@ -1484,3 +1484,76 @@ FROM r, h
 
 
 REGISTRY["mixture_rebalance"] = QuerySpec(q_mixture_rebalance, MIXTURE_REBALANCE_SQL)
+
+
+# --- E26: line-level boilerplate detection --------------------------------
+BOILER_MIN_DOCS = 5  # a line shared by this many docs is boilerplate
+BOILER_MIN_CHARS = 10  # ignore trivial short lines
+
+
+def q_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-line detection (SURVEY E26).
+
+    Doc-level dedup can't catch shared navigation/footer LINES inside
+    otherwise-distinct documents — the line-level sweep every HTML
+    corpus needs. Explode documents to lines, count distinct-document
+    frequency per line (partial-agg groupBy), join the heavy lines
+    back, and emit per-doc boilerplate evidence. The line table is the
+    big intermediate; everything after the counts is join-pruned to
+    flagged lines only.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "\\. ")).alias("line"),
+    ).filter(F.length("line") >= BOILER_MIN_CHARS)
+    lines = lines.select("doc_id", "line").distinct()
+    heavy = (
+        lines.groupBy("line")
+        .agg(F.count("*").alias("n_docs_with_line"))
+        .filter(F.col("n_docs_with_line") >= BOILER_MIN_DOCS)
+    )
+    per_doc = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    boiler = (
+        lines.join(heavy, on="line")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler_lines"))
+    )
+    return (
+        per_doc.join(boiler, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("n_boiler_lines"), F.lit(0)).alias("n_boiler_lines"),
+            F.round(
+                F.coalesce(F.col("n_boiler_lines"), F.lit(0)) / F.col("n_lines"),
+                6,
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+LINE_BOILER_SQL = f"""
+WITH lines AS (
+  SELECT DISTINCT doc_id, line
+  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS line FROM documents)
+  WHERE LENGTH(line) >= {BOILER_MIN_CHARS}
+),
+heavy AS (
+  SELECT line, COUNT(*) AS n_docs_with_line
+  FROM lines GROUP BY 1 HAVING COUNT(*) >= {BOILER_MIN_DOCS}
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY 1),
+boiler AS (
+  SELECT l.doc_id, COUNT(*) AS n_boiler_lines
+  FROM lines l JOIN heavy h USING (line) GROUP BY 1
+)
+SELECT p.doc_id, p.n_lines,
+       COALESCE(b.n_boiler_lines, 0) AS n_boiler_lines,
+       ROUND(CAST(COALESCE(b.n_boiler_lines, 0) AS DOUBLE) / p.n_lines, 6)
+         AS boiler_ratio
+FROM per_doc p LEFT JOIN boiler b ON p.doc_id = b.doc_id
+"""
+
+
+REGISTRY["line_boilerplate"] = QuerySpec(q_line_boilerplate, LINE_BOILER_SQL)
