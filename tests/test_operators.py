@@ -456,3 +456,43 @@ def test_salted_join_equals_plain_join(spark):
     assert salted.exceptAll(plain).count() == 0
     # the hot key's rows are spread across several salt partitions
     from gentropy_spark.operators.reshape import salted_join as _sj  # noqa: F401
+
+
+def test_asof_equal_timestamp_tiebreak(spark, tmp_path):
+    """Crafted ties: a reference exactly AT the observation's timestamp
+    matches, and among several refs at the same pos the LARGEST
+    event_id wins (the documented total order)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gentropy_spark.plans.relational import q_asof_join
+
+    rows = [
+        # (event_id, ts_us, user_id, value) — odd ids = observations
+        (2, 1_000_000, 1, 10.0),   # ref at t=1
+        (4, 1_000_000, 1, 20.0),   # second ref at the SAME t=1
+        (3, 1_000_000, 1, 7.0),    # obs exactly at t=1 → ref 4 (max id)
+        (5, 2_000_000, 1, 8.0),    # obs at t=2 → still ref 4
+        (7, 500_000, 1, 9.0),      # obs BEFORE any ref → null
+        (6, 3_000_000, 2, 30.0),   # other user's ref must not leak
+        (9, 4_000_000, 1, 11.0),   # obs at t=4 → ref 4 (user 1's latest)
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["x"] * len(rows)),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    d = tmp_path / "asof_ties"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+    out = {r.event_id: r for r in q_asof_join(spark, str(d)).collect()}
+    assert out[3].ref_event_id == 4
+    assert out[5].ref_event_id == 4
+    assert out[7].ref_event_id is None and out[7].delta_value is None
+    assert out[9].ref_event_id == 4
+    assert out[3].delta_value == round(7.0 - 20.0, 6)
