@@ -244,19 +244,24 @@ def q_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     pos = ts_micros(ev)
-    n_windows = HOP_WINDOW_US // HOP_SLIDE_US
-    first_win = (pos - HOP_WINDOW_US + HOP_SLIDE_US).cast("long")
-    base = ev.select(
-        "user_id",
-        F.col("value"),
-        pos.alias("pos"),
-        F.explode(
-            F.sequence(
-                F.floor(first_win / HOP_SLIDE_US).cast("long")
-                + F.when(first_win % HOP_SLIDE_US > 0, 1).otherwise(0),
-                F.floor(pos / HOP_SLIDE_US).cast("long"),
-            )
-        ).alias("win_seq"),
+    # Membership: window starts are the slide multiples in
+    # (pos - W, pos] — identical to Spark's native F.window(size,
+    # slide) semantics (start <= pos < start + W), which the streaming
+    # counterpart (F14) relies on sharing this oracle.
+    base = (
+        ev.select("user_id", F.col("value"), pos.alias("pos"))
+        .select(
+            "user_id",
+            "value",
+            F.explode(
+                F.sequence(
+                    F.expr(
+                        f"((pos - {HOP_WINDOW_US}) div {HOP_SLIDE_US}) + 1"
+                    ),
+                    F.expr(f"pos div {HOP_SLIDE_US}"),
+                )
+            ).alias("win_seq"),
+        )
     )
     return (
         base.groupBy("win_seq", "user_id")
@@ -279,11 +284,8 @@ HOPPING_SQL = f"""
 WITH base AS (
   SELECT user_id, value, epoch_us(ts) AS pos,
          unnest(generate_series(
-           CAST(FLOOR((epoch_us(ts) - {HOP_WINDOW_US} + {HOP_SLIDE_US})
-                / {HOP_SLIDE_US}) AS BIGINT)
-           + CASE WHEN (epoch_us(ts) - {HOP_WINDOW_US} + {HOP_SLIDE_US})
-                       % {HOP_SLIDE_US} > 0 THEN 1 ELSE 0 END,
-           CAST(FLOOR(epoch_us(ts) / {HOP_SLIDE_US}) AS BIGINT)
+           ((epoch_us(ts) - {HOP_WINDOW_US}) // {HOP_SLIDE_US}) + 1,
+           epoch_us(ts) // {HOP_SLIDE_US}
          )) AS win_seq
   FROM events
 )
@@ -294,3 +296,17 @@ FROM base GROUP BY 1, 2
 """
 
 REGISTRY["hopping_window_agg"] = QuerySpec(q_hopping_window_agg, HOPPING_SQL)
+
+
+# --- F14: streaming sliding-window aggregate ------------------------------
+def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native overlapping streaming windows; complete drain == the
+    batch membership-explode (same oracle as hopping_window_agg)."""
+    from gentropy_spark.streaming.windowed import run_sliding_available_now
+
+    return run_sliding_available_now(
+        spark, sf_dir, window_us=HOP_WINDOW_US, slide_us=HOP_SLIDE_US
+    )
+
+
+REGISTRY["stream_sliding_agg"] = QuerySpec(q_stream_sliding_agg, HOPPING_SQL)

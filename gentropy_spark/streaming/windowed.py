@@ -383,3 +383,59 @@ def run_stream_static_enrich(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_sliding_available_now(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_sliding_agg",
+    window_us: int = 86_400_000_000,
+    slide_us: int = 21_600_000_000,
+) -> DataFrame:
+    """Streaming SLIDING-window aggregate drained with availableNow —
+    Spark's native overlapping windows (window(col, size, slide)): the
+    state store holds one aggregate per open window per key and the
+    watermark closes window copies as event time passes. The batch
+    counterpart (plans/streaming_plan.py q_hopping_window_agg) explodes
+    memberships instead; a complete drain makes them coincide, which
+    is exactly what the shared oracle asserts."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = (
+        stream.withColumn("event_time", F.col("ts"))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(
+            F.window(
+                "event_time",
+                f"{window_us // 1_000_000} seconds",
+                f"{slide_us // 1_000_000} seconds",
+            ).alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    checkpoint = tempfile.mkdtemp(prefix="gentropy_spark_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
