@@ -54,6 +54,14 @@ _SNAPSHOT_PRIORITY = [
     "pii_redact",
     "corpus_curate",
     "embedding_clusters",
+    "value_histogram",
+    "corpus_mixture",
+    "kmeans_step",
+    "hopping_window_agg",
+    "interval_coverage",
+    "mixture_rebalance",
+    "line_boilerplate",
+    "stream_sliding_agg",
     # (a) r6: every key that ERRORED in the r5 snapshot (the driver's
     # testdata switched events.ts to TIMESTAMP_NTZ between r4 and r5;
     # all 35 failures shared that root cause, fixed in sources/readers
@@ -73,22 +81,14 @@ _SNAPSHOT_PRIORITY = [
     "stream_sessionize",
     "ecaviar_clpp",
     "credible_set_filter",
-    "carma_finemap",
     "pics_finemap",
     "ld_clump",
     "window_clump_semi",
-    "susie_like_finemap",
     "carma_outliers",
     "sumstat_imputation",
-    "study_locus_id",
-    "trans_qtl_flag",
-    "locus_statistics",
-    "sumstat_qc_summary",
     "qc_gc_lambda",
     "logsum",
     "meta_analysis",
-    "qc_n_eff",
-    "sumstat_harmonise_ingest",
     # (b) events-ts-dependent keys outside the r5 window: their only
     # driver evidence predates the testdata format change.
 ]
