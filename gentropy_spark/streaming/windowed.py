@@ -439,3 +439,84 @@ def run_sliding_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_upsert_sink(
+    spark: SparkSession,
+    src_dir: str,
+    target_dir: str,
+    checkpoint: str,
+    glob: str = "events*.parquet",
+) -> None:
+    """Streaming aggregate → foreachBatch MERGE into a parquet target
+    (SURVEY F15).
+
+    The production shape for maintaining a dimension table from a
+    stream without a lakehouse format: the keyed aggregate runs in
+    UPDATE output mode, and each micro-batch full-outer-merges its
+    changed keys into the parquet target with an atomic
+    staging-directory swap (same recovery contract as
+    sources/writers.py compact_parquet). Re-draining over the same
+    checkpoint is exactly-once: already-processed files produce no
+    batch, so the target is idempotent.
+    """
+    import shutil
+    from pathlib import Path
+
+    schema = spark.read.parquet(f"{src_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(src_dir)
+    )
+    agg = dedup_keys(stream)
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        target = Path(target_dir)
+        changed = batch_df.withColumnRenamed("first_event_id", "new_first").withColumnRenamed(
+            "n_dups", "new_n"
+        )
+        if target.exists():
+            cur = spark.read.parquet(target_dir)
+            merged = (
+                cur.join(changed, on=["user_id", "event_type", "pos"], how="full_outer")
+                .select(
+                    "user_id",
+                    "event_type",
+                    "pos",
+                    F.coalesce(F.col("new_first"), F.col("first_event_id")).alias(
+                        "first_event_id"
+                    ),
+                    F.coalesce(F.col("new_n"), F.col("n_dups")).alias("n_dups"),
+                )
+            )
+        else:
+            merged = changed.select(
+                "user_id",
+                "event_type",
+                "pos",
+                F.col("new_first").alias("first_event_id"),
+                F.col("new_n").alias("n_dups"),
+            )
+        staging = target_dir.rstrip("/") + "__upsert_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if target.exists():
+            backup = Path(target_dir.rstrip("/") + "__upsert_backup")
+            target.rename(backup)
+            try:
+                Path(staging).rename(target)
+            except OSError:
+                backup.rename(target)
+                raise
+            shutil.rmtree(backup)
+        else:
+            Path(staging).rename(target)
+
+    q = (
+        agg.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

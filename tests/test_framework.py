@@ -725,3 +725,63 @@ def test_registry_degrades_per_module(monkeypatch):
     assert "ontology_closure" not in reg  # graph_ld key gone
     assert "q1_pricing_summary" in reg  # everything else intact
     assert len(reg) > 100
+
+
+def test_stream_upsert_sink_incremental(spark, sf_dir, tmp_path):
+    """foreachBatch upsert: drain half the data, then all of it over
+    the same checkpoint — the parquet target converges to the batch
+    ground truth and the second drain only merges the new keys."""
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.sources.readers import read_table
+    from gentropy_spark.streaming.windowed import run_upsert_sink
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    mid = events.approxQuantile("ts_us", [0.5], 0.001)[0]
+    first = events.filter(F.col("ts_us") <= mid).drop("ts_us")
+    second = events.filter(F.col("ts_us") > mid).drop("ts_us")
+    src = tmp_path / "upsert_src"
+    src.mkdir()
+    t0 = time.time()
+    first.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "u1"))
+    shutil.copy(
+        next((tmp_path / "u1").glob("part-*.parquet")), src / "events.parquet"
+    )
+    os.utime(src / "events.parquet", (t0, t0))
+    target = str(tmp_path / "upsert_target")
+    ckpt = str(tmp_path / "upsert_ckpt")
+
+    run_upsert_sink(spark, str(src), target, ckpt)
+    n1 = spark.read.parquet(target).count()
+    assert n1 == first.withColumn("pos", F.unix_micros("ts")).groupBy(
+        "user_id", "event_type", "pos"
+    ).count().count()
+
+    # append the rest as a NEW file, re-drain over the SAME checkpoint
+    second.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "u2"))
+    shutil.copy(
+        next((tmp_path / "u2").glob("part-*.parquet")), src / "events2.parquet"
+    )
+    os.utime(src / "events2.parquet", (t0 + 60, t0 + 60))
+    run_upsert_sink(spark, str(src), target, ckpt)
+
+    got = spark.read.parquet(target)
+    want = (
+        events.drop("ts_us")
+        .withColumn("pos", F.unix_micros("ts"))
+        .groupBy("user_id", "event_type", "pos")
+        .agg(F.min("event_id").alias("first_event_id"), F.count("*").alias("n_dups"))
+    )
+    assert got.count() == want.count()
+    # every key present; first_event_id matches the batch ground truth
+    diff = got.join(
+        want.withColumnRenamed("first_event_id", "w_first"),
+        on=["user_id", "event_type", "pos"],
+    ).filter(F.col("first_event_id") != F.col("w_first"))
+    assert diff.count() == 0
