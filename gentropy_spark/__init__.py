@@ -16,4 +16,4 @@ Design tenets:
 from gentropy_spark.session import get_session
 
 __all__ = ["get_session"]
-__version__ = "0.1.0"
+__version__ = "0.6.0"
