@@ -1557,3 +1557,63 @@ FROM per_doc p LEFT JOIN boiler b ON p.doc_id = b.doc_id
 
 
 REGISTRY["line_boilerplate"] = QuerySpec(q_line_boilerplate, LINE_BOILER_SQL)
+
+
+# --- E27: duplicate-graph triangle counts ---------------------------------
+def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the verified near-duplicate graph (the
+    node-iterator algorithm): length-2 paths a<b<c by joining the
+    ordered edge list with itself, closed by an equi-join back onto the
+    edges — never an all-pairs product, cost tracks path2 fan-out. A
+    document's triangle membership measures how DENSE its duplicate
+    neighbourhood is (clique-like template families vs chains), the
+    signal cluster-size alone misses.
+    """
+    from gentropy_spark.session import track_cache
+
+    docs = read_table(spark, sf_dir, "documents")
+    e = track_cache(q_dedup_minhash(spark, sf_dir).select("id_a", "id_b"))
+    path2 = (
+        e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .join(
+            e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c")),
+            on="b",
+        )
+    )
+    tri = path2.join(
+        e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c")),
+        on=["a", "c"],
+    )
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+    per_doc = corners.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        )
+    )
+
+
+DUP_TRIANGLES_SQL = f"""
+WITH pairs AS ({MINHASH_SQL}),
+e AS (SELECT id_a, id_b FROM pairs),
+path2 AS (
+  SELECT x.id_a AS a, x.id_b AS b, y.id_b AS c
+  FROM e x JOIN e y ON x.id_b = y.id_a
+),
+tri AS (
+  SELECT p.a, p.b, p.c
+  FROM path2 p JOIN e ON e.id_a = p.a AND e.id_b = p.c
+),
+corners AS (
+  SELECT unnest([a, b, c]) AS doc_id FROM tri
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_triangles FROM corners GROUP BY 1)
+SELECT d.doc_id, COALESCE(p.n_triangles, 0) AS n_triangles
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+REGISTRY["dup_triangles"] = QuerySpec(q_dup_triangles, DUP_TRIANGLES_SQL)
