@@ -1617,3 +1617,101 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 
 
 REGISTRY["dup_triangles"] = QuerySpec(q_dup_triangles, DUP_TRIANGLES_SQL)
+
+
+# --- E28: language-ID evaluation ------------------------------------------
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model evaluation in the engine (SURVEY E28): confusion counts of
+    predicted vs labelled language plus per-label recall — the
+    eval-loop counterpart of text_langid, so classifier quality is a
+    query, not a notebook. One partial-agg groupBy; recall via a
+    label-total join (broadcast-sized)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pred = q_text_langid(spark, sf_dir)
+    joined = docs.select("doc_id", F.col("lang").alias("label")).join(
+        pred, on="doc_id"
+    )
+    conf = joined.groupBy("label", "pred_lang").agg(F.count("*").alias("n"))
+    totals = conf.groupBy("label").agg(F.sum("n").alias("label_total"))
+    return conf.join(totals, on="label").select(
+        "label",
+        "pred_lang",
+        "n",
+        (F.col("label") == F.col("pred_lang")).alias("is_correct"),
+        F.round(F.col("n") / F.col("label_total"), 6).alias("label_share"),
+    )
+
+
+LANGID_EVAL_SQL = f"""
+WITH pred AS ({LANGID_SQL}),
+joined AS (
+  SELECT d.doc_id, d.lang AS label, p.pred_lang
+  FROM documents d JOIN pred p USING (doc_id)
+),
+conf AS (SELECT label, pred_lang, COUNT(*) AS n FROM joined GROUP BY 1, 2),
+totals AS (SELECT label, SUM(n) AS label_total FROM conf GROUP BY 1)
+SELECT c.label, c.pred_lang, c.n,
+       c.label = c.pred_lang AS is_correct,
+       ROUND(CAST(c.n AS DOUBLE) / t.label_total, 6) AS label_share
+FROM conf c JOIN totals t USING (label)
+"""
+
+
+# --- E29: per-language character-trigram profile --------------------------
+CHAR_NGRAM_TOP = 5
+
+
+def q_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top character trigrams per labelled language — the profile a
+    character-n-gram language identifier is trained from (the
+    model-BUILD counterpart of text_langid's stopword heuristic).
+    Trigrams via substring-over-sequence (pure Column expressions);
+    counts partial-agg; one ranking window over the per-language
+    aggregate (small by construction)."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    grams = docs.select(
+        F.col("lang"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(low) - 2, F.lit(0))),
+                lambda i: low.substr(i, F.lit(3)),
+            )
+        ).alias("gram"),
+    ).filter(F.length("gram") == 3)
+    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CHAR_NGRAM_TOP)
+        .select("lang", "gram", "n", "rank")
+    )
+
+
+CHAR_NGRAM_SQL = f"""
+WITH grams AS (
+  SELECT lang,
+         unnest(list_transform(generate_series(1, GREATEST(LENGTH(lower(text)) - 2, 0)),
+                i -> substr(lower(text), i, 3))) AS gram
+  FROM documents
+),
+counts AS (
+  SELECT lang, gram, COUNT(*) AS n FROM grams
+  WHERE LENGTH(gram) = 3 GROUP BY 1, 2
+)
+SELECT lang, gram, n,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS INT)
+         AS rank
+FROM counts
+QUALIFY rank <= {CHAR_NGRAM_TOP}
+"""
+
+
+REGISTRY.update(
+    {
+        "langid_eval": QuerySpec(q_langid_eval, LANGID_EVAL_SQL),
+        "char_ngram_profile": QuerySpec(q_char_ngram_profile, CHAR_NGRAM_SQL),
+    }
+)
