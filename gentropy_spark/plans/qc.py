@@ -346,3 +346,77 @@ REGISTRY.update(
         "qc_n_eff": QuerySpec(q_qc_n_eff, N_EFF_SQL),
     }
 )
+
+
+# --- D6: per-study significance calibration (rank-based) ------------------
+def q_signif_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based calibration curve per study: each observation's
+    percent_rank and cumulative distribution position over the study's
+    significance values, plus the uniform-quantile gap — the
+    rank-statistics view of the GC-lambda check (D1 summarises to one
+    number; this keeps the whole curve for QQ-plot-style inspection).
+    Deciles only in the output to keep the result bounded: the
+    curve is sampled at rank-decile boundaries."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    base = ev.select(
+        F.col("user_id").alias("study_id"),
+        F.col("event_id").alias("point_id"),
+        F.col("value").alias("signif"),
+    )
+    w = Window.partitionBy("study_id").orderBy("signif", "point_id")
+    ranked = base.select(
+        "study_id",
+        "point_id",
+        "signif",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    w2 = Window.partitionBy("study_id", "decile").orderBy(
+        F.col("pct_rank").desc(), F.col("point_id").desc()
+    )
+    return (
+        ranked.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select(
+            "study_id",
+            "decile",
+            F.col("signif").alias("decile_max_signif"),
+            "pct_rank",
+            "cume",
+            F.round(F.col("cume") - F.col("decile") / 10.0, 6).alias(
+                "uniform_gap"
+            ),
+        )
+    )
+
+
+SIGNIF_CALIBRATION_SQL = """
+WITH base AS (
+  SELECT user_id AS study_id, event_id AS point_id, value AS signif
+  FROM events
+),
+ranked AS (
+  SELECT study_id, point_id, signif,
+         ROUND(percent_rank() OVER w, 6) AS pct_rank,
+         ROUND(cume_dist() OVER w, 6) AS cume,
+         ntile(10) OVER w AS decile
+  FROM base
+  WINDOW w AS (PARTITION BY study_id ORDER BY signif, point_id)
+),
+top_of_decile AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY study_id, decile
+             ORDER BY pct_rank DESC, point_id DESC) AS rk
+  FROM ranked
+)
+SELECT study_id, decile, signif AS decile_max_signif, pct_rank, cume,
+       ROUND(cume - decile / 10.0, 6) AS uniform_gap
+FROM top_of_decile WHERE rk = 1
+"""
+
+
+REGISTRY["signif_calibration"] = QuerySpec(
+    q_signif_calibration, SIGNIF_CALIBRATION_SQL
+)
