@@ -877,3 +877,73 @@ GROUP BY 1, 2
 
 
 REGISTRY["value_histogram"] = QuerySpec(q_value_histogram, HIST_SQL)
+
+
+# --- A19: burst detection -------------------------------------------------
+BURST_WINDOW_US = 86_400_000_000  # daily rate windows
+BURST_FACTOR = 2.0  # a day at >= 2x the user's mean rate is a burst
+
+
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rate-burst days (SURVEY A19): daily event counts
+    against the user's own mean daily rate — the anomaly shape behind
+    hot-key alerts, crawler-traffic spikes and QC drift flags. Two
+    partial-agg aggregations sharing the user axis; the per-user
+    baseline joins back broadcast-sized. Only burst days are emitted.
+    """
+    from gentropy_spark.sources.readers import read_table, ts_micros
+
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        ts_micros(ev).alias("pos"),
+    ).select(
+        "user_id", F.expr(f"pos div {BURST_WINDOW_US}").alias("day_seq")
+    )
+    per_day = days.groupBy("user_id", "day_seq").agg(
+        F.count("*").alias("n_events")
+    )
+    baseline = per_day.groupBy("user_id").agg(
+        (F.sum("n_events") / F.count("*")).alias("mean_daily"),
+        F.count("*").alias("n_active_days"),
+    )
+    return (
+        per_day.join(baseline, on="user_id")
+        .filter(
+            F.col("n_events") >= F.lit(BURST_FACTOR) * F.col("mean_daily")
+        )
+        .select(
+            "user_id",
+            "day_seq",
+            "n_events",
+            F.round(F.col("mean_daily"), 6).alias("mean_daily"),
+            F.round(F.col("n_events") / F.col("mean_daily"), 6).alias(
+                "burst_ratio"
+            ),
+            "n_active_days",
+        )
+    )
+
+
+BURST_SQL = f"""
+WITH days AS (
+  SELECT user_id, epoch_us(ts) // {BURST_WINDOW_US} AS day_seq FROM events
+),
+per_day AS (
+  SELECT user_id, day_seq, COUNT(*) AS n_events FROM days GROUP BY 1, 2
+),
+baseline AS (
+  SELECT user_id, CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_daily,
+         COUNT(*) AS n_active_days
+  FROM per_day GROUP BY 1
+)
+SELECT p.user_id, p.day_seq, p.n_events,
+       ROUND(b.mean_daily, 6) AS mean_daily,
+       ROUND(p.n_events / b.mean_daily, 6) AS burst_ratio,
+       b.n_active_days
+FROM per_day p JOIN baseline b USING (user_id)
+WHERE p.n_events >= {BURST_FACTOR!r} * b.mean_daily
+"""
+
+
+REGISTRY["burst_detection"] = QuerySpec(q_burst_detection, BURST_SQL)
