@@ -947,3 +947,66 @@ WHERE p.n_events >= {BURST_FACTOR!r} * b.mean_daily
 
 
 REGISTRY["burst_detection"] = QuerySpec(q_burst_detection, BURST_SQL)
+
+
+# --- A20: cohort retention matrix -----------------------------------------
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort × day-offset retention (SURVEY A20): users grouped by
+    first-active day, each later active day counted at its offset, and
+    retention as the share of the cohort still active — the classic
+    product/engagement matrix, built from two partial-agg aggregations
+    and a broadcast-sized cohort join (no per-user self-join, no
+    window over the raw event log)."""
+    from gentropy_spark.sources.readers import read_table, ts_micros
+
+    ev = read_table(spark, sf_dir, "events")
+    DAY = 86_400_000_000
+    active = (
+        ev.select("user_id", ts_micros(ev).alias("pos"))
+        .select("user_id", F.expr(f"pos div {DAY}").alias("day_seq"))
+        .distinct()
+    )
+    cohorts = active.groupBy("user_id").agg(
+        F.min("day_seq").alias("cohort_day")
+    )
+    cohort_sizes = cohorts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    offsets = (
+        active.join(cohorts, on="user_id")
+        .select(
+            "cohort_day", (F.col("day_seq") - F.col("cohort_day")).alias("offset")
+        )
+        .groupBy("cohort_day", "offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return offsets.join(cohort_sizes, on="cohort_day").select(
+        "cohort_day",
+        "offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+RETENTION_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_seq FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(day_seq) AS cohort_day FROM active GROUP BY 1
+),
+sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1),
+offsets AS (
+  SELECT c.cohort_day, a.day_seq - c.cohort_day AS "offset",
+         COUNT(*) AS n_active
+  FROM active a JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT o.cohort_day, o."offset", o.n_active, s.cohort_size,
+       ROUND(CAST(o.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM offsets o JOIN sizes s USING (cohort_day)
+"""
+
+
+REGISTRY["retention_cohorts"] = QuerySpec(q_retention_cohorts, RETENTION_SQL)
