@@ -1010,3 +1010,89 @@ FROM offsets o JOIN sizes s USING (cohort_day)
 
 
 REGISTRY["retention_cohorts"] = QuerySpec(q_retention_cohorts, RETENTION_SQL)
+
+
+# --- A21: ordered funnel analysis -----------------------------------------
+FUNNEL_STAGES = ("click", "view", "purchase")
+
+
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (SURVEY A21): how many users performed
+    stage 1, then stage 2 strictly after it, then stage 3 after that —
+    computed from each user's first-occurrence time per stage (one
+    pivoting aggregation over the log) and ordered-reach flags, never
+    a per-user sequence scan. Emits per-stage reach and conversion
+    from the previous stage."""
+    from gentropy_spark.sources.readers import read_table, ts_micros
+
+    ev = read_table(spark, sf_dir, "events")
+    firsts = (
+        ev.select("user_id", F.col("event_type").alias("stage"), ts_micros(ev).alias("pos"))
+        .filter(F.col("stage").isin(*FUNNEL_STAGES))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.min(F.when(F.col("stage") == s, F.col("pos"))).alias(f"t{i}")
+                for i, s in enumerate(FUNNEL_STAGES)
+            ]
+        )
+    )
+    reach1 = F.col("t0").isNotNull()
+    reach2 = reach1 & F.col("t1").isNotNull() & (F.col("t1") > F.col("t0"))
+    reach3 = reach2 & F.col("t2").isNotNull() & (F.col("t2") > F.col("t1"))
+    agg = firsts.agg(
+        F.sum(reach1.cast("long")).alias("n1"),
+        F.sum(reach2.cast("long")).alias("n2"),
+        F.sum(reach3.cast("long")).alias("n3"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.col(f"n{i + 1}").alias("n_users"),
+                F.round(
+                    F.col(f"n{i + 1}")
+                    / F.col("n1" if i == 0 else f"n{i}"),
+                    6,
+                ).alias("conversion"),
+            )
+            for i, s in enumerate(FUNNEL_STAGES)
+        ]
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        F.col("s.stage_idx").alias("stage_idx"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_users").alias("n_users"),
+        F.col("s.conversion").alias("conversion"),
+    )
+
+
+_F_STAGES = ", ".join(f"'{s}'" for s in FUNNEL_STAGES)
+FUNNEL_SQL = f"""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = '{FUNNEL_STAGES[0]}' THEN epoch_us(ts) END) AS t0,
+         MIN(CASE WHEN event_type = '{FUNNEL_STAGES[1]}' THEN epoch_us(ts) END) AS t1,
+         MIN(CASE WHEN event_type = '{FUNNEL_STAGES[2]}' THEN epoch_us(ts) END) AS t2
+  FROM events WHERE event_type IN ({_F_STAGES})
+  GROUP BY 1
+),
+agg AS (
+  SELECT SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                  THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                   AND t2 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS n3
+  FROM firsts
+)
+SELECT 1 AS stage_idx, '{FUNNEL_STAGES[0]}' AS stage, n1 AS n_users,
+       ROUND(CAST(n1 AS DOUBLE) / n1, 6) AS conversion FROM agg
+UNION ALL
+SELECT 2, '{FUNNEL_STAGES[1]}', n2, ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM agg
+UNION ALL
+SELECT 3, '{FUNNEL_STAGES[2]}', n3, ROUND(CAST(n3 AS DOUBLE) / n2, 6) FROM agg
+"""
+
+
+REGISTRY["funnel_analysis"] = QuerySpec(q_funnel_analysis, FUNNEL_SQL)
