@@ -1096,3 +1096,63 @@ SELECT 3, '{FUNNEL_STAGES[2]}', n3, ROUND(CAST(n3 AS DOUBLE) / n2, 6) FROM agg
 
 
 REGISTRY["funnel_analysis"] = QuerySpec(q_funnel_analysis, FUNNEL_SQL)
+
+
+# --- A22: inter-event dwell-time statistics -------------------------------
+def q_dwell_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival (dwell) time distribution: each
+    user's consecutive-event gaps (one lag window on the user sort)
+    aggregated to exact quartiles per event type — the latency-
+    distribution view behind sessionization gap tuning (the C-family
+    cutoffs) and SLA monitoring. Exact percentile at test SF;
+    percentile_approx is the documented 100 TB drop-in."""
+    from pyspark.sql import Window
+
+    from gentropy_spark.sources.readers import read_table, ts_micros
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.col("event_type"),
+        ts_micros(ev).alias("pos"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("pos", "event_id")
+    # Gaps in whole SECONDS: quantile interpolation is fp arithmetic
+    # whose engine-specific evaluation order diverges past ~1e-5 at
+    # microsecond magnitudes — at second scale the divergence sits far
+    # below the 6dp round (sub-second dwell precision is meaningless
+    # for gap-tuning anyway).
+    gaps = base.withColumn(
+        "gap_s",
+        F.expr("(pos - lag(pos) OVER (PARTITION BY user_id, event_type ORDER BY pos, event_id)) div 1000000"),
+    ).filter(F.col("gap_s").isNotNull())
+    pct = F.expr("percentile(gap_s, array(0.25, 0.5, 0.9))")
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(pct.getItem(0), 6).alias("p25_gap_s"),
+        F.round(pct.getItem(1), 6).alias("p50_gap_s"),
+        F.round(pct.getItem(2), 6).alias("p90_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+DWELL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap_s
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_gaps,
+       ROUND(quantile_cont(gap_s, 0.25), 6) AS p25_gap_s,
+       ROUND(quantile_cont(gap_s, 0.50), 6) AS p50_gap_s,
+       ROUND(quantile_cont(gap_s, 0.90), 6) AS p90_gap_s,
+       MAX(gap_s) AS max_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY 1
+"""
+
+
+REGISTRY["dwell_time_stats"] = QuerySpec(q_dwell_time_stats, DWELL_SQL)
