@@ -345,22 +345,33 @@ def duplicate_clusters(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     lbl = nodes.select("id", F.col("id").alias("lbl"))
-    prev_total = None
     for _ in range(max_iters):
         prop = (
             lbl.join(sym, lbl["id"] == sym["src"])
             .select(F.col("dst").alias("id"), F.col("lbl"))
         )
-        lbl = (
+        new_lbl = (
             lbl.union(prop)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        total = lbl.agg(F.sum("lbl")).first()[0]
-        if total == prev_total:
+        # Fixpoint = zero labels CHANGED this round. (A sum-of-labels
+        # equality test is unsound: with string ids F.sum is NULL every
+        # round and None==None "converges" after one round with wrong
+        # clusters; with large numeric ids an int64 sum can overflow,
+        # voiding the monotone-decrease argument. The changed-count is
+        # type-agnostic and overflow-free, for one extra equi-join on
+        # the same partitioning as the propagation join.)
+        n_changed = (
+            new_lbl.alias("n")
+            .join(lbl.alias("o"), on="id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        lbl = new_lbl
+        if n_changed == 0:
             break
-        prev_total = total
     else:
         raise RuntimeError(
             f"duplicate_clusters did not converge within {max_iters} rounds"

@@ -115,11 +115,23 @@ def salted_join(
     hot keys now occupy ``n_salts`` tasks. Output equals the plain
     join (each left row matches exactly its salt's replica).
 
+    ``how`` is restricted to inner/left/left_semi/left_anti: the right
+    side is replicated ``n_salts``×, so any join that emits UNMATCHED
+    right rows (right/full outer) would emit each of them once per
+    replica — a different result from the plain join.
+
     Use ONLY when the skew profile demands it: the build side is
     replicated ``n_salts``× — that is the explicit price of evenness.
     """
     from pyspark.sql import functions as F
 
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched "
+            f"replicated right rows; use one of {sorted(allowed)}"
+        )
     lt = left.withColumn(
         "_salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)),

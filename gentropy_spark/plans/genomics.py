@@ -987,7 +987,8 @@ per_island AS (
   FROM islands GROUP BY 1, 2, 3
 )
 SELECT study_id, contig, COUNT(*) AS n_islands,
-       SUM(i_end - i_start + 1) AS covered_len,
+       -- BIGINT cast: DuckDB SUM(BIGINT) -> HUGEINT breaks driver hash parity.
+       CAST(SUM(i_end - i_start + 1) AS BIGINT) AS covered_len,
        MAX(i_end) - MIN(i_start) + 1 AS span_len,
        ROUND(CAST(SUM(i_end - i_start + 1) AS DOUBLE)
              / (MAX(i_end) - MIN(i_start) + 1), 6) AS coverage_ratio

@@ -864,12 +864,15 @@ WITH toked AS (
   FROM documents
 ),
 cum AS (
-  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  -- BIGINT cast: DuckDB's windowed SUM(BIGINT) yields HUGEINT, which
+  -- the pandas bridge widens past int64 and breaks driver hash parity.
+  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
   FROM toked
 )
 SELECT doc_id, source, n_tokens, cum_tokens,
-       (cum_tokens - 1) // {PACK_BUDGET_TOKENS} AS bin_id
+       CAST((cum_tokens - 1) // {PACK_BUDGET_TOKENS} AS BIGINT) AS bin_id
 FROM cum
 """
 
@@ -1230,11 +1233,14 @@ sampled AS (
   WHERE substr(md5(pred_lang || '|' || CAST(doc_id AS VARCHAR)), 1, 4) < {thr}
 )
 SELECT doc_id, source, pred_lang, n_tokens,
-       SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
-       (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       -- BIGINT casts: DuckDB windowed SUM(BIGINT) -> HUGEINT widens
+       -- past int64 in pandas and breaks driver hash parity.
+       CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
-         // {PACK_BUDGET_TOKENS} AS bin_id
+         // {PACK_BUDGET_TOKENS} AS BIGINT) AS bin_id
 FROM sampled
 """
 
@@ -1305,9 +1311,10 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MIXTURE_SQL = """
 WITH per AS (
+  -- BIGINT cast: DuckDB SUM(BIGINT) -> HUGEINT breaks driver hash parity.
   SELECT lang, source, COUNT(*) AS n_docs,
-         SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')))
-           AS n_tokens
+         CAST(SUM(len(regexp_extract_all(lower(text),
+           '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY 1, 2
 ),
 t AS (SELECT SUM(n_tokens) AS total_tokens FROM per)
@@ -1442,12 +1449,19 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.least(F.col("ratio") * F.col("headroom"), F.lit(1.0)), 6
             ).alias("keep_rate"),
+            # greatest(..., 0): a stratum with keep_rate 0 (lang absent
+            # from TARGET_SHARES) floors to -1, and '%04x' of -1 prints
+            # 'ffffffff' — a keep-everything threshold, the inverted
+            # policy. Clamp so rate 0 emits '0000' (keep nothing).
             F.format_string(
                 "%04x",
-                F.floor(
-                    F.least(F.col("ratio") * F.col("headroom"), F.lit(1.0))
-                    * 65536
-                    - 1e-9
+                F.greatest(
+                    F.floor(
+                        F.least(F.col("ratio") * F.col("headroom"), F.lit(1.0))
+                        * 65536
+                        - 1e-9
+                    ),
+                    F.lit(0),
                 ).cast("int"),
             ).alias("sample_threshold_hex"),
         )
@@ -1461,9 +1475,10 @@ _TGT_CASE = "CASE " + " ".join(
 
 MIXTURE_REBALANCE_SQL = f"""
 WITH per_lang AS (
+  -- BIGINT cast: DuckDB SUM(BIGINT) -> HUGEINT breaks driver hash parity.
   SELECT lang,
-         SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')))
-           AS n_tokens
+         CAST(SUM(len(regexp_extract_all(lower(text),
+           '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY 1
 ),
 t AS (SELECT SUM(n_tokens) AS total_tokens FROM per_lang),
@@ -1477,8 +1492,9 @@ r AS (SELECT *, target_share / actual_share AS ratio FROM cur),
 h AS (SELECT 1.0 / MAX(ratio) AS headroom FROM r)
 SELECT lang, n_tokens, ROUND(actual_share, 6) AS actual_share, target_share,
        ROUND(LEAST(ratio * headroom, 1.0), 6) AS keep_rate,
-       printf('%04x', CAST(FLOOR(LEAST(ratio * headroom, 1.0) * 65536 - 1e-9)
-                           AS INT)) AS sample_threshold_hex
+       printf('%04x',
+              CAST(GREATEST(FLOOR(LEAST(ratio * headroom, 1.0) * 65536 - 1e-9),
+                            0) AS INT)) AS sample_threshold_hex
 FROM r, h
 """
 

@@ -33,64 +33,65 @@ class QuerySpec:
 # predates its last code change (or the last testdata format change)
 # must sit inside that window; remaining keys rotate in next round.
 _SNAPSHOT_PRIORITY = [
-    # (z) NEW in r6 — no driver evidence exists yet.
-    "dedup_clusters",
-    "sample_stratified",
-    "asof_join",
+    # (a) r7: NEW this round — no driver evidence exists yet.
+    # (new keys are inserted here as they land)
+    # (b) r7: the 9 r6 hash-FAILs + the latent 10th (funnel_analysis,
+    # below in (c)) — values were exact, the physical dtype diverged
+    # (DuckDB HUGEINT / Spark DECIMAL vs the pandas bridge); oracle/
+    # engine dtypes are now cast-aligned and must re-certify.
     "kmv_distinct",
-    "scd2_intervals",
     "rollup_aggregate",
     "merge_upsert",
-    "stream_enrich",
     "pack_sequences",
-    "vocab_topk",
-    "tfidf_topterms",
     "table_profile",
-    "key_skew_profile",
-    "multimodal_resize",
-    "ancestry_aggregate",
-    "stream_static_enrich",
-    "decontaminate",
-    "pii_redact",
     "corpus_curate",
-    "embedding_clusters",
-    "value_histogram",
     "corpus_mixture",
-    "kmeans_step",
-    "hopping_window_agg",
     "interval_coverage",
     "mixture_rebalance",
-    "line_boilerplate",
-    "stream_sliding_agg",
-    # (a) r6: every key that ERRORED in the r5 snapshot (the driver's
-    # testdata switched events.ts to TIMESTAMP_NTZ between r4 and r5;
-    # all 35 failures shared that root cause, fixed in sources/readers
-    # normalize_events_ts) — these have no green driver row on the new
-    # testdata until re-checked.
-    "study_locus_qc_flags",
-    "sumstat_harmonise_finngen",
-    "l2g_vep_features",
-    "l2g_gene_features",
-    "l2g_interval_features",
-    "ld_index_build",
-    "ld_clump_indexed",
-    "pics_finemap_indexed",
-    "l2g_feature_matrix",
-    "l2g_score_gbm",
-    "l2g_score",
-    "stream_sessionize",
-    "ecaviar_clpp",
-    "credible_set_filter",
-    "pics_finemap",
-    "ld_clump",
-    "window_clump_semi",
-    "carma_outliers",
-    "sumstat_imputation",
-    "qc_gc_lambda",
-    "logsum",
-    "meta_analysis",
-    # (b) events-ts-dependent keys outside the r5 window: their only
-    # driver evidence predates the testdata format change.
+    # (c) r6 additions that landed after the r6 window froze at 50 —
+    # never driver-sampled (funnel_analysis also carries the dtype fix).
+    "burst_detection",
+    "retention_cohorts",
+    "funnel_analysis",
+    "dwell_time_stats",
+    "signif_calibration",
+    "dup_triangles",
+    "langid_eval",
+    "char_ngram_profile",
+    # (d) keys whose LATEST driver sample is the r5 NTZ-era error and
+    # that sat outside the r6 window: value-verified in-repo since,
+    # but the driver has no green row on the current testdata.
+    "coloc",
+    "study_locus_id",
+    "trans_qtl_flag",
+    "locus_statistics",
+    "sumstat_qc_summary",
+    "qc_pz_consistency",
+    "qc_mean_beta",
+    "sanity_filter",
+    "qc_flag_accumulate",
+    "qc_n_eff",
+    "sumstat_harmonise_ingest",
+    # rows-only kernels whose latest sample is also a stale error.
+    "carma_finemap",
+    "susie_like_finemap",
+    "susie_inf_finemap",
+    "susie_finemapper_step",
+    "carma_shotgun_finemap",
+    # (e) freshness rotation: oldest green evidence (r3) on
+    # load-bearing queries, re-certified on the current testdata.
+    "q1_pricing_summary",
+    "overlap_join",
+    "locus_breaker",
+    "window_clump_leads",
+    "sumstat_harmonise_full",
+    "q_decile_stats",
+    "top_k_per_group",
+    "exclude_region",
+    "harmonic_sum",
+    "text_langid",
+    "token_count",
+    "doc_fingerprint",
 ]
 
 

@@ -541,7 +541,10 @@ agg AS (
          SUM(CASE WHEN rk <= {KMV_K} THEN n_keys END) AS _kept_keys,
          MAX(CASE WHEN rk <= {KMV_K} THEN h END) AS kth_min,
          COUNT(*) AS n_hashes,
-         SUM(n_keys) AS exact_distinct
+         -- BIGINT cast: DuckDB SUM(BIGINT) yields HUGEINT, which the
+         -- pandas bridge converts to float64/object and breaks the
+         -- driver's value-hash parity vs Spark's int64.
+         CAST(SUM(n_keys) AS BIGINT) AS exact_distinct
   FROM ranked GROUP BY 1
 )
 SELECT event_type, kth_min, exact_distinct,
@@ -632,8 +635,16 @@ def q_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count("*").alias("n_rows"),
-            F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("sum_price"),
+            # Sum in exact decimal, emit double (the q1 pattern): a
+            # decimal(38,6) output surfaces as pandas `object` while
+            # DuckDB's DECIMAL converts to float64 — identical values,
+            # divergent physical dtype, failed driver hash.
+            F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_price"),
         )
         .select(
             "l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty", "sum_price"
@@ -645,8 +656,8 @@ ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
        COUNT(*) AS n_rows,
-       SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_price
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
@@ -664,17 +675,22 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     order value per customer, with synthetic brand-new keys for the
     insert path).
     """
+    # Round in exact decimal, emit double (the q1 pattern): decimal
+    # outputs surface as pandas `object` vs the oracle's float64 and
+    # fail the driver hash despite identical values.
     cust = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("key"),
-        F.round(F.col("c_acctbal").cast("decimal(38,6)"), 2).alias("old_balance"),
+        F.round(F.col("c_acctbal").cast("decimal(38,6)"), 2)
+        .cast("double")
+        .alias("old_balance"),
     )
     upd = (
         read_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey"))
         .agg(
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2
-            ).alias("new_balance")
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("new_balance")
         )
         .select(
             F.when(
@@ -701,13 +717,15 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 MERGE_UPSERT_SQL = """
 WITH cust AS (
   SELECT c_custkey AS key,
-         ROUND(CAST(c_acctbal AS DECIMAL(38,6)), 2) AS old_balance
+         CAST(ROUND(CAST(c_acctbal AS DECIMAL(38,6)), 2) AS DOUBLE)
+           AS old_balance
   FROM customer
 ),
 upd AS (
   SELECT CASE WHEN o_custkey % 97 = 0 THEN o_custkey + 1000000
               ELSE o_custkey END AS key,
-         ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS new_balance
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+           AS new_balance
   FROM orders GROUP BY o_custkey
 )
 SELECT COALESCE(cust.key, upd.key) AS key, old_balance, new_balance,
@@ -768,13 +786,14 @@ def _profile_sql() -> str:
     for c in _PROFILE_NUM_COLS:
         parts.append(f"""
 SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
        CAST(MIN({c}) AS DOUBLE) AS min_val, CAST(MAX({c}) AS DOUBLE) AS max_val
 FROM lineitem""")
     for c in _PROFILE_STR_COLS:
         parts.append(f"""
-SELECT '{c}', COUNT(*), SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END),
+SELECT '{c}', COUNT(*),
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT {c}), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM lineitem""")
     return "\nUNION ALL\n".join(parts)
@@ -1079,11 +1098,13 @@ WITH firsts AS (
   GROUP BY 1
 ),
 agg AS (
-  SELECT SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS n1,
-         SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
-                  THEN 1 ELSE 0 END) AS n2,
-         SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
-                   AND t2 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS n3
+  -- BIGINT casts: DuckDB SUM(INT) -> HUGEINT breaks driver hash parity.
+  SELECT CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                   AND t2 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n3
   FROM firsts
 )
 SELECT 1 AS stage_idx, '{FUNNEL_STAGES[0]}' AS stage, n1 AS n_users,

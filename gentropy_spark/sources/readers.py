@@ -85,8 +85,27 @@ def normalize_events_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
         )
     if dtype == "timestamp_ntz":
-        return df.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC"))
+        return df.withColumn(ts_col, _ntz_as_utc_instant(ts_col))
     return df
+
+
+def _ntz_as_utc_instant(c: str) -> "F.Column":
+    """NTZ wall clock → the instant with that wall clock in UTC,
+    independent of ``spark.sql.session.timeZone``.
+
+    ``to_utc_timestamp(ntz, 'UTC')`` is NOT that: Spark first
+    implicit-casts NTZ→TIMESTAMP using the SESSION timezone, then
+    shifts by zero — correct only when the session tz happens to be
+    UTC. Rebuilding the instant from the (tz-free) wall-clock fields
+    with an explicit 'UTC' zone is invariant under any session tz;
+    ``extract(SECOND ...)`` carries the fractional seconds.
+    """
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"make_timestamp(year({c}), month({c}), day({c}), "
+        f"hour({c}), minute({c}), extract(SECOND FROM {c}), 'UTC')"
+    )
 
 
 def ts_micros(df: DataFrame, ts_col: str = "ts") -> "F.Column":
@@ -101,7 +120,7 @@ def ts_micros(df: DataFrame, ts_col: str = "ts") -> "F.Column":
     if dtype in ("bigint", "long"):
         return F.expr(f"{ts_col} div 1000")
     if dtype == "timestamp_ntz":
-        return F.unix_micros(F.to_utc_timestamp(F.col(ts_col), "UTC"))
+        return F.unix_micros(_ntz_as_utc_instant(ts_col))
     return F.unix_micros(F.col(ts_col))
 
 

@@ -1,0 +1,91 @@
+"""Regression tests for the round-7 advisory fixes.
+
+Each test pins a defect reported by the round-6 review: inverted
+sampling policy on zero-keep-rate strata, outer-join row duplication
+in salted_join, session-timezone-dependent NTZ normalization, and the
+type-fragile connected-components fixpoint test.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_mixture_rebalance_zero_rate_emits_zero_threshold(
+    spark, sf_dir, monkeypatch
+):
+    """A stratum with keep_rate 0 must emit threshold '0000' (keep
+    nothing), not 'ffff...' (keep everything) from %04x of -1."""
+    from gentropy_spark.plans import llm_pipeline as lp
+
+    monkeypatch.setattr(lp, "TARGET_SHARES", {"en": 1.0})
+    out = lp.q_mixture_rebalance(spark, sf_dir).collect()
+    by_lang = {r["lang"]: r for r in out}
+    assert "en" in by_lang and by_lang["en"]["keep_rate"] == 1.0
+    for lang, row in by_lang.items():
+        if lang == "en":
+            continue
+        assert row["keep_rate"] == 0.0
+        assert row["sample_threshold_hex"] == "0000", (
+            f"{lang}: zero keep rate must keep nothing, got "
+            f"{row['sample_threshold_hex']!r}"
+        )
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    from gentropy_spark.operators.reshape import salted_join
+
+    left = spark.range(4).withColumnRenamed("id", "k")
+    right = spark.range(8).withColumnRenamed("id", "k")
+    for bad in ("right", "full_outer", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, key="k", how=bad)
+    # the supported modes still work and match the plain join
+    plain = left.join(right, on="k", how="left").count()
+    assert salted_join(left, right, key="k", how="left").count() == plain
+
+
+def test_ntz_normalization_is_session_tz_independent(spark):
+    """normalize_events_ts must interpret an NTZ wall clock as UTC no
+    matter what spark.sql.session.timeZone is set to."""
+    from gentropy_spark.sources.readers import normalize_events_ts, ts_micros
+
+    ntz = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-03-01 12:34:56.789123' AS ts"
+    )
+    expected_us = 1709296496789123  # 2024-03-01T12:34:56.789123Z
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = normalize_events_ts(ntz).select(
+                F.unix_micros("ts").alias("us")
+            ).first()["us"]
+            assert got == expected_us, f"session tz {tz}: {got}"
+            got2 = ntz.select(ts_micros(ntz).alias("us")).first()["us"]
+            assert got2 == expected_us, f"ts_micros under {tz}: {got2}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_duplicate_clusters_string_ids_converge(spark):
+    """The fixpoint detector must work for non-numeric ids (the old
+    sum-of-labels test returned NULL==NULL after one round and stopped
+    early on >1-hop chains)."""
+    from gentropy_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",)], ["doc_id"]
+    )
+    # chain a-b-c-d needs THREE propagation rounds to pull 'd' down
+    # to label 'a'; one round would leave d labelled 'c'.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["id_a", "id_b"]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(docs, edges, id_col="doc_id").collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e"}
