@@ -1,0 +1,846 @@
+"""Datasource ingestion dialects (SURVEY §2.H — adapter breadth).
+
+Third and fourth harmonisation dialects beyond the GWAS-Catalog-shaped
+(`sumstat_harmonise_full`) and FinnGen-meta-shaped
+(`sumstat_harmonise_finngen`) pipelines, plus the target-index build:
+
+- ``eqtl_susie_ingest`` — eQTL-Catalogue SuSiE credible-set ingestion
+  (reference datasource/eqtl_catalogue/finemapping.py:123
+  ``parse_susie_results`` + :204 ``from_susie_results``): dataset-id
+  extraction from file paths, credible-set-index parse from cs_id,
+  rsid-explosion dedup, the lbf_variable{1..10} CASE pick, the
+  (trait, region, variant, dataset) equi-join with a broadcast study-
+  metadata dim, URL-safe study-id construction, p-value split, lead
+  selection per credible set and the credible-set log10 Bayes factor
+  (logsumexp over the member logBFs).
+- ``ukb_ppp_harmonise`` — UKB-PPP (EUR) pQTL harmonisation (reference
+  datasource/ukb_ppp_eur/summary_stats.py:19 ``from_source`` →
+  common/processing.py:248 ``harmonise_summary_stats``): chromosome
+  23→X rename, INFO and MAF gates, snp_c/snp_n/indel typing, the
+  orientation join against a variant-annotation LUT shipped in both
+  orientations, beta/EAF flipping on reverse orientation, the
+  snp_c×flip drop, p from -log10(p), and the standard-error
+  recomputation from (p, beta) via the χ²(1) inverse survival
+  function when the source SE is missing.
+- ``target_index_build`` — gene/target index construction (reference
+  dataset/target_index.py:137 ``tss_lut`` priority coalesce, :36
+  ``filter_by_biotypes``, :63 ``symbols_lut`` explode, :81
+  ``protein_id_lut`` PAR X/Y dedup).
+
+All raw shapes are derived deterministically from the synthetic
+tables (events / nation / part) with exact integer arithmetic so both
+engines compute identical values; everything passing through exp/ln
+is rounded to 6 dp (the repo-wide parity rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gentropy_spark.plans.registry import QuerySpec
+from gentropy_spark.sources.readers import read_table
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+# --- eQTL Catalogue: SuSiE credible-set ingestion --------------------------
+_QUANT_METHODS = ("ge", "exon", "tx", "leafcutter")
+_QTL_TYPE = {"ge": "eqtl", "exon": "eqtl", "tx": "eqtl", "leafcutter": "sqtl"}
+_N_LBF = 10
+_LOG10E = 0.43429448190325176
+
+
+def _clean_symbols(c):
+    """URL-safe study id (reference common/spark.py:762
+    clean_strings_from_symbols): lowercase, non [a-z0-9-_] runs → _."""
+    return F.regexp_replace(F.lower(c), "[^a-z0-9-_]+", "_")
+
+
+def q_eqtl_susie_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eQTL-Catalogue SuSiE finemapping → credible-set study loci.
+
+    Mirrors the reference flow end to end on synthetic raw shapes:
+    raw credible sets carry an exploded rsid axis (dropped + distinct,
+    finemapping.py:295), a file-path column the dataset id is regexp-
+    extracted from (:120), and a cs_id the credible-set index is
+    parsed from (:97). The per-variant logBF table ships ten
+    lbf_variable columns; the matching one is picked by index (:148).
+    Study metadata joins by broadcast (:143); the four-key equi-join
+    (trait, region, variant, dataset) is the scale shape — never a
+    cross join. Lead = max-PIP member per credible set (:226), with
+    the credible-set log10BF = logsumexp of member logBFs + ln(1/500)
+    prior, computed JVM-side over a deterministic window order (no
+    UDF, unlike the reference's numpy logsumexp at study_locus.py:675).
+    """
+    from gentropy_spark.functions.stats import split_pvalue
+
+    ev = read_table(spark, sf_dir, "events")
+    nat = read_table(spark, sf_dir, "nation")
+
+    # Study metadata dim (one row per dataset) — broadcast side.
+    meta = nat.select(
+        F.concat(
+            F.lit("QTD"), F.lpad(F.col("n_nationkey").cast("string"), 6, "0")
+        ).alias("dataset_id"),
+        F.col("n_name").alias("study_label"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in _QUANT_METHODS]),
+            (F.col("n_nationkey") % 4 + 1).cast("int"),
+        ).alias("quant_method"),
+        F.concat(F.lit("tissue_"), (F.col("n_nationkey") % 7).cast("string")).alias(
+            "sample_group"
+        ),
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit("single-cell"))
+        .otherwise(F.lit("bulk"))
+        .alias("source_study_type"),
+        F.concat(
+            F.lit("UBERON_"), F.lpad(F.col("n_nationkey").cast("string"), 4, "0")
+        ).alias("tissue_id"),
+        (F.lit(1000) + F.col("n_nationkey") * 17).alias("sample_size"),
+    )
+
+    # Raw credible sets: member variants of each credible set, with an
+    # rsid explosion exactly like the source TSVs (one row per rsid).
+    pos = (F.col("event_id") * 131) % 5_000_000
+    variant = F.concat_ws(
+        "_",
+        F.concat(F.lit("chr"), F.col("event_type")),
+        pos.cast("string"),
+        F.lit("A"),
+        F.lit("G"),
+    )
+    ds_id = F.concat(
+        F.lit("QTD"), F.lpad((F.col("user_id") % 25).cast("string"), 6, "0")
+    )
+    cs_raw = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.concat(ds_id, F.lit(".credible_sets.tsv")).alias("file_path"),
+            F.concat(
+                F.lit("ENSG"),
+                F.lpad((F.col("event_id") % 200).cast("string"), 11, "0"),
+            ).alias("molecular_trait_id"),
+            F.concat(
+                F.lit("chr"),
+                F.col("event_type"),
+                F.lit(":"),
+                ((F.col("event_id") % 5) + 1).cast("string"),
+            ).alias("region"),
+            variant.alias("variant"),
+            F.concat(ds_id, F.lit("_L"), ((F.col("event_id") % 3) + 1).cast("string")).alias(
+                "cs_id"
+            ),
+            (((F.col("event_id") * 31) % 999 + 1) / 1000.0).alias("pip"),
+            (((F.col("event_id") * 53) % 999 + 1) / 1000.0).alias("pvalue"),
+            F.round((F.col("value") - 150.0) / 100.0, 6).alias("beta"),
+            F.round(0.5 + (F.col("event_id") % 10) / 20.0, 6).alias("se"),
+            F.when(F.col("event_id") % 4 == 0, F.array(F.lit("rs1"), F.lit("rs2")))
+            .otherwise(F.array(F.lit("rs1")))
+            .alias("rsids"),
+        )
+        .withColumn("rsid", F.explode("rsids"))
+        .drop("rsids")
+    )
+    cs = (
+        cs_raw.withColumn(
+            "dataset_id", F.regexp_extract(F.col("file_path"), r"QTD\d{6}", 0)
+        )
+        .withColumn(
+            "credible_set_index",
+            F.split(F.col("cs_id"), "_L").getItem(1).cast("int"),
+        )
+        # the rsid explosion duplicates every other column → drop + distinct
+        .drop("rsid", "file_path", "cs_id", "event_id", "user_id", "event_type", "value")
+        .distinct()
+    )
+
+    # Per-variant logBF table: ten lbf_variable columns, same join keys.
+    lbf_cols = [
+        F.round((((F.col("event_id") * (k + 3)) % 200) - 100) / 10.0, 6).alias(
+            f"lbf_variable{k}"
+        )
+        for k in range(1, _N_LBF + 1)
+    ]
+    lbf = ev.select(
+        F.concat(
+            F.lit("ENSG"), F.lpad((F.col("event_id") % 200).cast("string"), 11, "0")
+        ).alias("molecular_trait_id"),
+        F.concat(
+            F.lit("chr"),
+            F.col("event_type"),
+            F.lit(":"),
+            ((F.col("event_id") % 5) + 1).cast("string"),
+        ).alias("region"),
+        variant.alias("variant"),
+        ds_id.alias("dataset_id"),
+        F.col("event_type").alias("chromosome_raw"),
+        pos.alias("position"),
+        *lbf_cols,
+    ).distinct()
+
+    joined = lbf.join(
+        cs.join(F.broadcast(meta), on="dataset_id"),
+        on=["molecular_trait_id", "region", "variant", "dataset_id"],
+        how="inner",
+    )
+    log_bf = F.round(
+        sum(
+            (
+                F.when(
+                    F.col("credible_set_index") == k, F.col(f"lbf_variable{k}")
+                ).otherwise(F.lit(0.0))
+                for k in range(1, _N_LBF + 1)
+            ),
+            start=F.lit(0.0),
+        ),
+        6,
+    )
+    m, e = split_pvalue(F.col("pvalue"))
+    qtl_map = F.create_map(
+        *[F.lit(x) for kv in _QTL_TYPE.items() for x in kv]
+    )[F.col("quant_method")]
+    parsed = joined.select(
+        F.regexp_replace(F.col("variant"), "chr", "").alias("variant_id"),
+        "region",
+        F.col("chromosome_raw").alias("chromosome"),
+        "position",
+        F.col("pip").alias("posterior_probability"),
+        m.alias("p_mantissa"),
+        e.alias("p_exponent"),
+        F.col("sample_size").alias("n_samples"),
+        "beta",
+        F.col("se").alias("standard_error"),
+        "credible_set_index",
+        log_bf.alias("log_bf"),
+        F.lit("SuSiE").alias("finemapping_method"),
+        F.col("molecular_trait_id").alias("gene_id"),
+        "dataset_id",
+        "molecular_trait_id",
+        _clean_symbols(
+            F.concat_ws(
+                "_",
+                F.col("study_label"),
+                F.col("quant_method"),
+                F.col("sample_group"),
+                F.col("molecular_trait_id"),
+            )
+        ).alias("study_id"),
+        F.col("tissue_id").alias("biosample_id"),
+        F.when(
+            F.col("source_study_type") == "single-cell",
+            F.concat(F.lit("sc"), qtl_map),
+        )
+        .otherwise(qtl_map)
+        .alias("study_type"),
+    )
+
+    # Lead selection + credible-set log10BF over a deterministic order.
+    cs_w = Window.partitionBy(
+        "dataset_id", "molecular_trait_id", "region", "credible_set_index"
+    )
+    full = cs_w.orderBy("variant_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # Two window passes (nested window expressions are illegal): pass 1
+    # pins the per-set max logBF, pass 2 does the stabilized logsumexp.
+    with_max = parsed.withColumn("_max_lbf", F.max("log_bf").over(full))
+    prior = F.log(F.lit(1.0 / 500.0))
+    return (
+        with_max.withColumn(
+            "rn",
+            F.row_number().over(
+                cs_w.orderBy(F.desc("posterior_probability"), "variant_id")
+            ),
+        )
+        .withColumn("cs_size", F.count("*").over(full))
+        .withColumn(
+            "credible_set_log10bf",
+            F.round(
+                (
+                    F.col("_max_lbf")
+                    + prior
+                    + F.log(
+                        F.sum(F.exp(F.col("log_bf") - F.col("_max_lbf"))).over(full)
+                    )
+                )
+                * _LOG10E,
+                6,
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "_max_lbf")
+        .withColumn(
+            "study_locus_id",
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("study_id"), F.col("variant_id"), F.lit("SuSiE")
+                )
+            ),
+        )
+    )
+
+
+def _eqtl_sql() -> str:
+    lbf_exprs = ", ".join(
+        f"ROUND((((event_id * {k + 3}) % 200) - 100) / 10.0, 6) AS lbf_variable{k}"
+        for k in range(1, _N_LBF + 1)
+    )
+    log_bf = " + ".join(
+        f"CASE WHEN credible_set_index = {k} THEN lbf_variable{k} ELSE 0.0 END"
+        for k in range(1, _N_LBF + 1)
+    )
+    quant = "(['ge','exon','tx','leafcutter'])[CAST(n_nationkey % 4 AS INT) + 1]"
+    qtl_map = (
+        "CASE quant_method WHEN 'ge' THEN 'eqtl' WHEN 'exon' THEN 'eqtl' "
+        "WHEN 'tx' THEN 'eqtl' WHEN 'leafcutter' THEN 'sqtl' END"
+    )
+    return f"""
+WITH meta AS (
+  SELECT 'QTD' || lpad(CAST(n_nationkey AS VARCHAR), 6, '0') AS dataset_id,
+         n_name AS study_label,
+         {quant} AS quant_method,
+         'tissue_' || CAST(n_nationkey % 7 AS VARCHAR) AS sample_group,
+         CASE WHEN n_nationkey % 5 = 0 THEN 'single-cell' ELSE 'bulk' END
+           AS source_study_type,
+         'UBERON_' || lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS tissue_id,
+         1000 + n_nationkey * 17 AS sample_size
+  FROM nation
+),
+cs_raw AS (
+  SELECT event_id, user_id, event_type, value,
+         'QTD' || lpad(CAST(user_id % 25 AS VARCHAR), 6, '0')
+           || '.credible_sets.tsv' AS file_path,
+         'ENSG' || lpad(CAST(event_id % 200 AS VARCHAR), 11, '0')
+           AS molecular_trait_id,
+         'chr' || event_type || ':' || CAST((event_id % 5) + 1 AS VARCHAR)
+           AS region,
+         'chr' || event_type || '_' || CAST((event_id * 131) % 5000000 AS VARCHAR)
+           || '_A_G' AS variant,
+         'QTD' || lpad(CAST(user_id % 25 AS VARCHAR), 6, '0') || '_L'
+           || CAST((event_id % 3) + 1 AS VARCHAR) AS cs_id,
+         ((event_id * 31) % 999 + 1) / 1000.0 AS pip,
+         ((event_id * 53) % 999 + 1) / 1000.0 AS pvalue,
+         ROUND((value - 150.0) / 100.0, 6) AS beta,
+         ROUND(0.5 + (event_id % 10) / 20.0, 6) AS se,
+         unnest(CASE WHEN event_id % 4 = 0 THEN ['rs1','rs2'] ELSE ['rs1'] END)
+           AS rsid
+  FROM events WHERE event_id % 2 = 0
+),
+cs AS (
+  SELECT DISTINCT molecular_trait_id, region, variant, pip, pvalue, beta, se,
+         regexp_extract(file_path, 'QTD[0-9]{{6}}', 0) AS dataset_id,
+         CAST(str_split(cs_id, '_L')[2] AS INT) AS credible_set_index
+  FROM cs_raw
+),
+lbf AS (
+  SELECT DISTINCT
+         'ENSG' || lpad(CAST(event_id % 200 AS VARCHAR), 11, '0')
+           AS molecular_trait_id,
+         'chr' || event_type || ':' || CAST((event_id % 5) + 1 AS VARCHAR)
+           AS region,
+         'chr' || event_type || '_' || CAST((event_id * 131) % 5000000 AS VARCHAR)
+           || '_A_G' AS variant,
+         'QTD' || lpad(CAST(user_id % 25 AS VARCHAR), 6, '0') AS dataset_id,
+         event_type AS chromosome_raw,
+         (event_id * 131) % 5000000 AS position,
+         {lbf_exprs}
+  FROM events
+),
+parsed AS (
+  SELECT regexp_replace(variant, 'chr', '') AS variant_id,
+         region, chromosome_raw AS chromosome, position,
+         pip AS posterior_probability,
+         ROUND(pvalue / POW(10.0, FLOOR(LOG10(pvalue))), 3) AS p_mantissa,
+         CAST(FLOOR(LOG10(pvalue)) AS INT) AS p_exponent,
+         sample_size AS n_samples, beta, se AS standard_error,
+         credible_set_index,
+         ROUND({log_bf}, 6) AS log_bf,
+         'SuSiE' AS finemapping_method,
+         molecular_trait_id AS gene_id, dataset_id, molecular_trait_id,
+         regexp_replace(lower(study_label || '_' || quant_method || '_'
+           || sample_group || '_' || molecular_trait_id),
+           '[^a-z0-9-_]+', '_', 'g') AS study_id,
+         tissue_id AS biosample_id,
+         CASE WHEN source_study_type = 'single-cell'
+              THEN 'sc' || {qtl_map} ELSE {qtl_map} END AS study_type
+  FROM lbf
+  JOIN (SELECT * FROM cs JOIN meta USING (dataset_id)) j
+  USING (molecular_trait_id, region, variant, dataset_id)
+),
+with_max AS (
+  SELECT *, MAX(log_bf) OVER w_full AS _max_lbf
+  FROM parsed
+  WINDOW w_full AS (PARTITION BY dataset_id, molecular_trait_id, region,
+                    credible_set_index ORDER BY variant_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER w_ord AS rn,
+    CAST(COUNT(*) OVER w_full AS BIGINT) AS cs_size,
+    ROUND((_max_lbf + LN(1.0 / 500.0)
+           + LN(SUM(EXP(log_bf - _max_lbf)) OVER w_full))
+          * {_LOG10E!r}, 6) AS credible_set_log10bf
+  FROM with_max
+  WINDOW
+    w_ord AS (PARTITION BY dataset_id, molecular_trait_id, region,
+              credible_set_index
+              ORDER BY posterior_probability DESC, variant_id),
+    w_full AS (PARTITION BY dataset_id, molecular_trait_id, region,
+               credible_set_index ORDER BY variant_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT variant_id, region, chromosome, position, posterior_probability,
+       p_mantissa, p_exponent, n_samples, beta, standard_error,
+       credible_set_index, log_bf, finemapping_method, gene_id, dataset_id,
+       molecular_trait_id, study_id, biosample_id, study_type, cs_size,
+       credible_set_log10bf,
+       md5(study_id || '|' || variant_id || '|' || 'SuSiE') AS study_locus_id
+FROM ranked WHERE rn = 1
+"""
+
+
+REGISTRY["eqtl_susie_ingest"] = QuerySpec(q_eqtl_susie_ingest, _eqtl_sql())
+
+
+# --- UKB-PPP (EUR): pQTL summary-stats harmonisation -----------------------
+_UKB_ALLELES = ("A", "C", "G", "T", "AT", "GCC")
+_UKB_INFO_MIN = 0.8
+_UKB_MAF_MIN = 0.0001
+
+
+def q_ukb_ppp_harmonise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UKB-PPP (EUR) pQTL harmonisation dialect.
+
+    Reference datasource/ukb_ppp_eur/summary_stats.py:19 ``from_source``
+    delegating to common/processing.py:248 ``harmonise_summary_stats``,
+    steps in reference order: (1) chromosome 23→X rename, (2) INFO ≥
+    0.8 gate, (3) MAF ≥ 1e-4 gate, (4) snp_c/snp_n/indel variant
+    typing, (5) summary_stats_id construction, (6) inner join against
+    the variant-annotation LUT prepared in BOTH orientations (the
+    per-chromosome equi-join is the scale shape — direction resolves
+    on join, processing.py:366), beta negation and EAF complement on
+    'flip', (7) drop complementary-SNP flips (strand-unresolvable),
+    (8-9) p-value mantissa/exponent from -log10(p) and null-beta/zero-
+    beta drops, and the trailing standard-error backfill from
+    (p, beta) via χ²(1) isf (processing.py:424) — the polynomial
+    Column kernel here, scipy in the reference.
+    """
+    from gentropy_spark.functions.distributions import chi2_isf_1df_col
+    from gentropy_spark.functions.stats import pvalue_from_neglog
+
+    ev = read_table(spark, sf_dir, "events")
+    alleles = F.array(*[F.lit(a) for a in _UKB_ALLELES])
+    a0 = F.element_at(alleles, (F.col("event_id") % 6 + 1).cast("int"))
+    a1 = F.element_at(alleles, (F.expr("event_id div 7") % 6 + 1).cast("int"))
+    chrom_raw = ((F.col("event_id") % 23) + 1).cast("string")
+    raw = ev.select(
+        F.concat(F.lit("UKB_PPP_"), (F.col("user_id") % 40).cast("string")).alias(
+            "study_id"
+        ),
+        chrom_raw.alias("chromosome_raw"),
+        ((F.col("event_id") * 97) % 1_000_000).alias("genpos"),
+        a0.alias("allele0"),
+        a1.alias("allele1"),
+        (((F.col("event_id") * 7) % 10000) / 10000.0).alias("a1freq"),
+        (0.5 + ((F.col("event_id") * 11) % 50) / 100.0).alias("info"),
+        F.round((F.col("value") - 150.0) / 100.0, 6).alias("beta_src"),
+        F.when(
+            F.col("event_id") % 13 != 0,
+            F.round(0.5 + (F.col("event_id") % 10) / 20.0, 6),
+        ).alias("se_src"),
+        F.round(0.1 + F.abs(F.col("value")) / 10.0, 6).alias("mlog10p"),
+        (F.lit(30000) + F.col("user_id") % 1000).alias("n"),
+    )
+    # (1) 23 → X, (2) INFO gate, (3) MAF gate
+    staged = (
+        raw.withColumn(
+            "chromosome",
+            F.when(F.col("chromosome_raw") == "23", F.lit("X")).otherwise(
+                F.col("chromosome_raw")
+            ),
+        )
+        .filter(F.col("info") >= _UKB_INFO_MIN)
+        .filter(
+            F.least(F.col("a1freq"), 1.0 - F.col("a1freq")) >= _UKB_MAF_MIN
+        )
+    )
+    # (4) variant typing, (5) join id
+    is_snp = (F.length("allele0") == 1) & (F.length("allele1") == 1)
+    is_comp = (
+        ((F.col("allele0") == "A") & (F.col("allele1") == "T"))
+        | ((F.col("allele0") == "T") & (F.col("allele1") == "A"))
+        | ((F.col("allele0") == "G") & (F.col("allele1") == "C"))
+        | ((F.col("allele0") == "C") & (F.col("allele1") == "G"))
+    )
+    typed = staged.withColumn(
+        "variant_type",
+        F.when(is_snp, F.when(is_comp, "snp_c").otherwise("snp_n")).otherwise(
+            "indel"
+        ),
+    ).withColumn(
+        "summary_stats_id",
+        F.concat_ws(
+            "_",
+            F.col("chromosome"),
+            F.col("genpos").cast("string"),
+            F.col("allele0"),
+            F.col("allele1"),
+        ),
+    )
+    # Variant-annotation LUT: direction keyed off the VARIANT (genpos),
+    # not the event row, so colliding raw rows agree; genpos % 10 == 8
+    # variants are absent from the LUT (inner join drops them).
+    va = (
+        ev.select(
+            ((F.col("event_id") % 23) + 1).cast("string").alias("c_raw"),
+            ((F.col("event_id") * 97) % 1_000_000).alias("genpos"),
+            a0.alias("a0"),
+            a1.alias("a1"),
+        )
+        .withColumn(
+            "va_chromosome",
+            F.when(F.col("c_raw") == "23", F.lit("X")).otherwise(F.col("c_raw")),
+        )
+        .filter(F.col("genpos") % 10 != 8)
+        .withColumn(
+            "direction",
+            F.when(F.col("genpos") % 10 == 7, F.lit("flip")).otherwise(
+                F.lit("direct")
+            ),
+        )
+        .select(
+            "va_chromosome",
+            F.concat_ws(
+                "_",
+                F.col("va_chromosome"),
+                F.col("genpos").cast("string"),
+                F.col("a0"),
+                F.col("a1"),
+            ).alias("summary_stats_id"),
+            "direction",
+            F.when(
+                F.col("direction") == "direct",
+                F.concat_ws(
+                    "_",
+                    F.col("va_chromosome"),
+                    F.col("genpos").cast("string"),
+                    F.col("a0"),
+                    F.col("a1"),
+                ),
+            )
+            .otherwise(
+                F.concat_ws(
+                    "_",
+                    F.col("va_chromosome"),
+                    F.col("genpos").cast("string"),
+                    F.col("a1"),
+                    F.col("a0"),
+                )
+            )
+            .alias("variant_id"),
+        )
+        .distinct()
+    )
+    joined = typed.join(
+        va,
+        (typed["chromosome"] == va["va_chromosome"])
+        & (typed["summary_stats_id"] == va["summary_stats_id"]),
+        "inner",
+    ).drop("va_chromosome", "summary_stats_id")
+    # (6) orientation: beta sign + EAF complement; (7) snp_c flips out
+    harmonised = (
+        joined.withColumn(
+            "beta",
+            F.when(F.col("direction") == "direct", F.col("beta_src")).otherwise(
+                -F.col("beta_src") + 0.0
+            ),
+        )
+        .withColumn(
+            "eaf",
+            F.when(F.col("direction") == "direct", F.col("a1freq")).otherwise(
+                1.0 - F.col("a1freq")
+            ),
+        )
+        .filter(
+            ~((F.col("variant_type") == "snp_c") & (F.col("direction") == "flip"))
+        )
+        .filter(F.col("beta").isNotNull() & (F.col("beta") != 0))
+    )
+    # (8) p components; trailing SE backfill from (p, beta)
+    m, e = pvalue_from_neglog(F.col("mlog10p"))
+    p = F.pow(F.lit(10.0), -F.col("mlog10p"))
+    computed_se = F.round(
+        F.abs(F.col("beta")) / F.sqrt(chi2_isf_1df_col(p)), 6
+    )
+    return harmonised.select(
+        "study_id",
+        "variant_id",
+        "chromosome",
+        F.col("genpos").alias("position"),
+        "variant_type",
+        "direction",
+        (F.col("beta") + 0.0).alias("beta"),
+        F.round(m, 6).alias("p_mantissa"),
+        e.alias("p_exponent"),
+        F.coalesce(F.col("se_src"), computed_se).alias("standard_error"),
+        "eaf",
+        F.col("n").alias("sample_size"),
+    )
+
+
+def _ukb_ppp_sql() -> str:
+    from gentropy_spark.functions.distributions import chi2_isf_1df_sql
+
+    arr = "(['A','C','G','T','AT','GCC'])"
+    a0 = f"{arr}[CAST(event_id % 6 AS INT) + 1]"
+    a1 = f"{arr}[CAST((event_id // 7) % 6 AS INT) + 1]"
+    chi2 = chi2_isf_1df_sql("POW(10.0, -mlog10p)")
+    return f"""
+WITH raw AS (
+  SELECT 'UKB_PPP_' || CAST(user_id % 40 AS VARCHAR) AS study_id,
+         CAST((event_id % 23) + 1 AS VARCHAR) AS chromosome_raw,
+         (event_id * 97) % 1000000 AS genpos,
+         {a0} AS allele0, {a1} AS allele1,
+         ((event_id * 7) % 10000) / 10000.0 AS a1freq,
+         0.5 + ((event_id * 11) % 50) / 100.0 AS info,
+         ROUND((value - 150.0) / 100.0, 6) AS beta_src,
+         CASE WHEN event_id % 13 <> 0
+              THEN ROUND(0.5 + (event_id % 10) / 20.0, 6) END AS se_src,
+         ROUND(0.1 + ABS(value) / 10.0, 6) AS mlog10p,
+         30000 + user_id % 1000 AS n
+  FROM events
+),
+staged AS (
+  SELECT *, CASE WHEN chromosome_raw = '23' THEN 'X' ELSE chromosome_raw END
+           AS chromosome
+  FROM raw
+  WHERE info >= {_UKB_INFO_MIN}
+    AND LEAST(a1freq, 1.0 - a1freq) >= {_UKB_MAF_MIN}
+),
+typed AS (
+  SELECT *,
+    CASE WHEN LENGTH(allele0) = 1 AND LENGTH(allele1) = 1
+         THEN CASE WHEN (allele0, allele1) IN
+                        (('A','T'), ('T','A'), ('G','C'), ('C','G'))
+                   THEN 'snp_c' ELSE 'snp_n' END
+         ELSE 'indel' END AS variant_type,
+    chromosome || '_' || CAST(genpos AS VARCHAR) || '_' || allele0 || '_'
+      || allele1 AS summary_stats_id
+  FROM staged
+),
+va AS (
+  SELECT DISTINCT
+    va_chromosome,
+    va_chromosome || '_' || CAST(genpos AS VARCHAR) || '_' || a0 || '_' || a1
+      AS summary_stats_id,
+    direction,
+    CASE WHEN direction = 'direct'
+         THEN va_chromosome || '_' || CAST(genpos AS VARCHAR) || '_' || a0
+              || '_' || a1
+         ELSE va_chromosome || '_' || CAST(genpos AS VARCHAR) || '_' || a1
+              || '_' || a0 END AS variant_id
+  FROM (
+    SELECT CASE WHEN CAST((event_id % 23) + 1 AS VARCHAR) = '23' THEN 'X'
+                ELSE CAST((event_id % 23) + 1 AS VARCHAR) END AS va_chromosome,
+           (event_id * 97) % 1000000 AS genpos,
+           {a0} AS a0, {a1} AS a1,
+           CASE WHEN ((event_id * 97) % 1000000) % 10 = 7 THEN 'flip'
+                ELSE 'direct' END AS direction
+    FROM events
+    WHERE ((event_id * 97) % 1000000) % 10 <> 8
+  )
+),
+harmonised AS (
+  SELECT t.*, va.direction, va.variant_id,
+    CASE WHEN va.direction = 'direct' THEN t.beta_src
+         ELSE -t.beta_src + 0.0 END AS beta,
+    CASE WHEN va.direction = 'direct' THEN t.a1freq
+         ELSE 1.0 - t.a1freq END AS eaf
+  FROM typed t
+  JOIN va ON t.chromosome = va.va_chromosome
+         AND t.summary_stats_id = va.summary_stats_id
+  WHERE NOT (t.variant_type = 'snp_c' AND va.direction = 'flip')
+)
+SELECT study_id, variant_id, chromosome, genpos AS position, variant_type,
+       direction,
+       beta + 0.0 AS beta,
+       ROUND(POW(10.0, CEIL(mlog10p) - mlog10p), 6) AS p_mantissa,
+       CAST(-1 * CEIL(mlog10p) AS INT) AS p_exponent,
+       COALESCE(se_src, ROUND(ABS(beta) / SQRT({chi2}), 6))
+         AS standard_error,
+       eaf,
+       n AS sample_size
+FROM harmonised
+WHERE beta IS NOT NULL AND beta <> 0
+"""
+
+
+REGISTRY["ukb_ppp_harmonise"] = QuerySpec(q_ukb_ppp_harmonise, _ukb_ppp_sql())
+
+
+# --- target index construction ---------------------------------------------
+_TI_BIOTYPES = ("protein_coding", "lncRNA", "pseudogene", "miRNA", "snoRNA")
+_TI_APPROVED = ("protein_coding", "lncRNA", "miRNA")
+
+
+def q_target_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gene/target index construction (reference dataset/target_index.py).
+
+    Builds the gene LUT the L2G features consume, from a raw Ensembl-
+    shaped target table (synthesized off the part axis): the TSS
+    priority coalesce — preferred tss, else canonical-transcript
+    start/end by '+'/'-' strand, else genomic-location start/end by
+    ±1 strand (tss_lut, :137) — the approved-biotype filter (:36),
+    the symbol LUT cardinality after array_union of approved +
+    obsolete symbols (symbols_lut, :63), and the PAR X/Y protein
+    dedup: a protein mapped from both an X and a Y gene keeps only
+    the X mapping (protein_id_lut, :81; is_par via the sorted
+    distinct-chromosome set per protein == 'X,Y').
+    """
+    part = read_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    chrom = (
+        F.when(pk % 25 == 23, F.lit("X"))
+        .when(pk % 25 == 24, F.lit("Y"))
+        .otherwise(((pk % 22) + 1).cast("string"))
+    )
+    gl_start = (pk * 37) % 10_000_000
+    gl_end = gl_start + (pk % 5000) + 100
+    gl_strand = F.when(pk % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    has_ct = pk % 11 != 0
+    ct_start = gl_start + (pk % 50)
+    ct_end = gl_end - (pk % 40)
+    ct_strand = F.when(gl_strand == 1, F.lit("+")).otherwise(F.lit("-"))
+    preferred_tss = F.when(pk % 7 != 0, gl_start + 17)
+    protein_id = F.when(
+        (pk % 25 == 23) | (pk % 25 == 24),
+        F.concat(F.lit("P"), F.lpad(F.expr("p_partkey div 25"), 5, "0")),
+    ).otherwise(F.concat(F.lit("P"), F.lpad(pk.cast("string"), 7, "0")))
+    raw = part.select(
+        F.concat(F.lit("ENSG"), F.lpad(pk.cast("string"), 11, "0")).alias(
+            "gene_id"
+        ),
+        chrom.alias("chromosome"),
+        gl_start.alias("g_start"),
+        gl_end.alias("g_end"),
+        gl_strand.alias("strand"),
+        F.element_at(
+            F.array(*[F.lit(b) for b in _TI_BIOTYPES]), (pk % 5 + 1).cast("int")
+        ).alias("biotype"),
+        preferred_tss.alias("preferred_tss"),
+        F.when(has_ct, ct_start).alias("ct_start"),
+        F.when(has_ct, ct_end).alias("ct_end"),
+        F.when(has_ct, ct_strand).alias("ct_strand"),
+        F.concat(F.lit("GENE_"), pk.cast("string")).alias("approved_symbol"),
+        F.when(
+            pk % 3 == 0,
+            F.array(F.concat(F.lit("OLD_"), pk.cast("string"))),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("obsolete_symbols"),
+        protein_id.alias("protein_id"),
+    )
+    ct_tss = F.when(F.col("ct_strand") == "+", F.col("ct_start")).when(
+        F.col("ct_strand") == "-", F.col("ct_end")
+    )
+    gl_tss = F.when(F.col("strand") == 1, F.col("g_start")).when(
+        F.col("strand") == -1, F.col("g_end")
+    )
+    with_tss = raw.withColumn(
+        "tss", F.coalesce(F.col("preferred_tss"), ct_tss, gl_tss).cast("long")
+    ).withColumn(
+        "n_symbols",
+        F.size(
+            F.array_union(
+                F.array(F.col("approved_symbol")), F.col("obsolete_symbols")
+            )
+        ),
+    )
+    filtered = with_tss.filter(F.col("biotype").isin(*_TI_APPROVED))
+    par_w = Window.partitionBy("protein_id")
+    is_par = (
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set("chromosome").over(par_w))
+        )
+        == "X,Y"
+    )
+    return (
+        filtered.withColumn("is_par", is_par)
+        .filter(~(F.col("is_par") & (F.col("chromosome") != "X")))
+        .select(
+            "gene_id",
+            "chromosome",
+            "g_start",
+            "g_end",
+            "strand",
+            "biotype",
+            "tss",
+            "approved_symbol",
+            "n_symbols",
+            "protein_id",
+            "is_par",
+        )
+    )
+
+
+TARGET_INDEX_SQL = f"""
+WITH raw AS (
+  SELECT
+    'ENSG' || lpad(CAST(p_partkey AS VARCHAR), 11, '0') AS gene_id,
+    CASE WHEN p_partkey % 25 = 23 THEN 'X'
+         WHEN p_partkey % 25 = 24 THEN 'Y'
+         ELSE CAST((p_partkey % 22) + 1 AS VARCHAR) END AS chromosome,
+    (p_partkey * 37) % 10000000 AS g_start,
+    (p_partkey * 37) % 10000000 + (p_partkey % 5000) + 100 AS g_end,
+    CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE -1 END AS strand,
+    (['protein_coding','lncRNA','pseudogene','miRNA','snoRNA'])
+      [CAST(p_partkey % 5 AS INT) + 1] AS biotype,
+    CASE WHEN p_partkey % 7 <> 0
+         THEN (p_partkey * 37) % 10000000 + 17 END AS preferred_tss,
+    CASE WHEN p_partkey % 11 <> 0
+         THEN (p_partkey * 37) % 10000000 + (p_partkey % 50) END AS ct_start,
+    CASE WHEN p_partkey % 11 <> 0
+         THEN (p_partkey * 37) % 10000000 + (p_partkey % 5000) + 100
+              - (p_partkey % 40) END AS ct_end,
+    CASE WHEN p_partkey % 11 <> 0
+         THEN CASE WHEN p_partkey % 2 = 0 THEN '+' ELSE '-' END END AS ct_strand,
+    'GENE_' || CAST(p_partkey AS VARCHAR) AS approved_symbol,
+    CASE WHEN p_partkey % 3 = 0 THEN 2 ELSE 1 END AS n_symbols,
+    CASE WHEN p_partkey % 25 IN (23, 24)
+         THEN 'P' || lpad(CAST(p_partkey // 25 AS VARCHAR), 5, '0')
+         ELSE 'P' || lpad(CAST(p_partkey AS VARCHAR), 7, '0') END AS protein_id
+  FROM part
+),
+with_tss AS (
+  SELECT *,
+    CAST(COALESCE(
+      preferred_tss,
+      CASE WHEN ct_strand = '+' THEN ct_start
+           WHEN ct_strand = '-' THEN ct_end END,
+      CASE WHEN strand = 1 THEN g_start
+           WHEN strand = -1 THEN g_end END) AS BIGINT) AS tss
+  FROM raw
+  WHERE biotype IN ('protein_coding', 'lncRNA', 'miRNA')
+),
+par AS (
+  SELECT protein_id,
+         string_agg(DISTINCT chromosome, ',' ORDER BY chromosome) = 'X,Y'
+           AS is_par
+  FROM with_tss GROUP BY protein_id
+)
+SELECT gene_id, chromosome, g_start, g_end, strand, biotype, tss,
+       approved_symbol, n_symbols, protein_id, is_par
+FROM with_tss JOIN par USING (protein_id)
+WHERE NOT (is_par AND chromosome <> 'X')
+"""
+
+
+REGISTRY["target_index_build"] = QuerySpec(
+    q_target_index_build, TARGET_INDEX_SQL
+)

@@ -34,7 +34,9 @@ class QuerySpec:
 # must sit inside that window; remaining keys rotate in next round.
 _SNAPSHOT_PRIORITY = [
     # (a) r7: NEW this round — no driver evidence exists yet.
-    # (new keys are inserted here as they land)
+    "eqtl_susie_ingest",
+    "ukb_ppp_harmonise",
+    "target_index_build",
     # (b) r7: the 9 r6 hash-FAILs + the latent 10th (funnel_analysis,
     # below in (c)) — values were exact, the physical dtype diverged
     # (DuckDB HUGEINT / Spark DECIMAL vs the pandas bridge); oracle/
@@ -122,6 +124,7 @@ def full_registry() -> dict[str, QuerySpec]:
         "l2g_features",
         "variants",
         "graph_ld",
+        "ingestion",
     )
     merged: dict[str, QuerySpec] = {}
     for name in module_names:
