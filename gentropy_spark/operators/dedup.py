@@ -345,31 +345,30 @@ def duplicate_clusters(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     lbl = nodes.select("id", F.col("id").alias("lbl"))
+    lbl_type = dict(lbl.dtypes)["lbl"]
     for _ in range(max_iters):
-        prop = (
-            lbl.join(sym, lbl["id"] == sym["src"])
-            .select(F.col("dst").alias("id"), F.col("lbl"))
-        )
-        new_lbl = (
-            lbl.union(prop)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
         # Fixpoint = zero labels CHANGED this round. (A sum-of-labels
         # equality test is unsound: with string ids F.sum is NULL every
         # round and None==None "converges" after one round with wrong
         # clusters; with large numeric ids an int64 sum can overflow,
-        # voiding the monotone-decrease argument. The changed-count is
-        # type-agnostic and overflow-free, for one extra equi-join on
-        # the same partitioning as the propagation join.)
-        n_changed = (
-            new_lbl.alias("n")
-            .join(lbl.alias("o"), on="id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
+        # voiding the monotone-decrease argument.) The previous label
+        # rides the SAME union+groupBy shuffle as an extra column —
+        # only the self row carries it, so max() recovers it per id —
+        # no extra join, no extra exchange, type-agnostic.
+        prop = lbl.join(sym, lbl["id"] == sym["src"]).select(
+            F.col("dst").alias("id"),
+            F.col("lbl"),
+            F.lit(None).cast(lbl_type).alias("prev"),
         )
-        lbl = new_lbl
+        self_rows = lbl.select("id", "lbl", F.col("lbl").alias("prev"))
+        new_lbl = (
+            self_rows.union(prop)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"), F.max("prev").alias("prev"))
+            .localCheckpoint(eager=True)
+        )
+        n_changed = new_lbl.filter(F.col("lbl") != F.col("prev")).count()
+        lbl = new_lbl.select("id", "lbl")
         if n_changed == 0:
             break
     else:

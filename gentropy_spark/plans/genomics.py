@@ -209,6 +209,11 @@ def _tag_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tag overlap rows: left/right studies sharing a (contig, bucket)."""
     ss = sumstats(spark, sf_dir)
     w = Window.partitionBy("study_id", "contig")
+    # Deliberately NOT persisted (measured r7, same verdict as the
+    # overlap join in operators/coloc.py): the tag frame feeds four
+    # subtree copies downstream, but recomputing the narrow scan +
+    # window is cheaper than materialising and rescanning cached
+    # blocks — caching cost coloc +20% at sf0.1.
     tags = (
         ss.withColumn("bucket", F.expr(f"pos div {TAG_BUCKET_US}"))
         .withColumn("logbf", F.col("signif") / 10.0)

@@ -490,29 +490,140 @@ EXT_FEAT_COLS = [*VEP_FEAT_COLS, *GENE_FEAT_COLS, *E2G_FEAT_COLS]
 _INT_COLS = {"gene_count_w", "protein_gene_count_w"}
 
 
+def _fp_family(fp: DataFrame) -> DataFrame:
+    """VEP family + footprint gene features in ONE aggregation.
+
+    ``q_l2g_vep_features``'s local aggregate and the gene family's
+    footprint-distinct share the same (locus, gene) groupBy over the
+    same footprint join — fused here so the assembled matrix pays one
+    shuffle for both (the standalone registry entries keep their
+    separate shapes for the per-family oracles). The protein-coding
+    flag and credible-set confidence are pure projections of the
+    grouped key, so they ride the VEP aggregate for free.
+    """
+    j = fp.select(
+        *_LOCUS_KEY, "gene_id", _severity_col().alias("severity"), "pics_pp"
+    )
+    local = j.groupBy(*_FEAT_KEY).agg(
+        F.max("severity").alias("vep_max"),
+        F.count("*").alias("n_v"),
+        F.sum((F.col("severity") * F.col("pics_pp")).cast(DEC12))
+        .cast("double")
+        .alias("sum_ws"),
+    )
+    w_loc = Window.partitionBy(*_LOCUS_KEY)
+    vep_mean = _trunc6(F.col("sum_ws") / F.col("n_v"))
+    scored = local.select(*_FEAT_KEY, "vep_max", vep_mean.alias("vep_mean"))
+    reg_max = F.max(F.when(_is_pc(), F.col("vep_max"))).over(w_loc)
+    reg_mean = F.max(F.when(_is_pc(), F.col("vep_mean"))).over(w_loc)
+
+    def nbh(local_c: F.Column, reg: F.Column) -> F.Column:
+        return (
+            F.when(_is_pc() & (reg > 0.0), _trunc6(local_c / reg))
+            .otherwise(F.lit(0.0))
+        )
+
+    conf_score = F.element_at(
+        F.array(*[F.lit(s) for s in CONF_SCORES]),
+        ((F.col("study_id") + F.col("cluster_seq")) % 5 + 1).cast("int"),
+    )
+    return scored.select(
+        *_FEAT_KEY,
+        "vep_max",
+        "vep_mean",
+        nbh(F.col("vep_max"), reg_max).alias("vep_max_nbh"),
+        nbh(F.col("vep_mean"), reg_mean).alias("vep_mean_nbh"),
+        F.when(_is_pc(), F.lit(1.0)).otherwise(F.lit(0.0)).alias(
+            "is_protein_coding"
+        ),
+        conf_score.alias("credset_confidence"),
+    )
+
+
+def _tss_counts(leads: DataFrame, genes: DataFrame) -> DataFrame:
+    """TSS-window gene counts per (locus, gene) — the count half of the
+    gene family, shaped as distinct-then-window (one exchange fewer
+    than the standalone query's groupBy-join, identical values: after
+    the per-pair distinct, the windowed row count IS the distinct gene
+    count)."""
+    genes_k = genes.withColumn(
+        "gk", F.expr(f"(gene_start - {BASE_US}) div {GENE_SPACING_US}")
+    )
+    k_hi = F.expr(
+        f"(lead_pos - {BASE_US} + {GENE_COUNT_FLANK_US}) div {GENE_SPACING_US}"
+    )
+    k_lo = F.expr(
+        f"(lead_pos - {BASE_US} - {GENE_COUNT_FLANK_US}) div {GENE_SPACING_US}"
+    )
+    leads_k = leads.withColumn("gk", F.explode(F.sequence(k_lo, k_hi)))
+    tssj = leads_k.join(F.broadcast(genes_k), on=["contig", "gk"]).filter(
+        (F.col("gene_start") >= F.col("lead_pos") - GENE_COUNT_FLANK_US)
+        & (F.col("gene_start") <= F.col("lead_pos") + GENE_COUNT_FLANK_US)
+    )
+    per_g = tssj.select(*_FEAT_KEY).distinct()
+    w_loc = Window.partitionBy(*_LOCUS_KEY)
+    return per_g.select(
+        *_FEAT_KEY,
+        F.count("*").over(w_loc).alias("gene_count_w"),
+        F.sum(_is_pc().cast("long")).over(w_loc).alias("protein_gene_count_w"),
+    )
+
+
 def assemble_locus_features(
     spark: SparkSession,
     sf_dir: str,
     _leads_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Feature factory: full-outer combine of the three families on the
-    locus-gene key, 0-filled (method/l2g/feature_factory.py role).
+    """Feature factory: combine the three families on the locus-gene
+    key, 0-filled (method/l2g/feature_factory.py role).
 
     Shared subplans (PICS credible set, gene footprint join, clump
-    leads) are constructed ONCE and threaded into every family:
-    rebuilding them per family tripled driver-side plan-construction
-    time (~seconds of py4j Column calls at this plan size)."""
+    leads, gene index) are constructed ONCE, cached, and threaded into
+    every family. The combine is a UNION + one max-groupBy rather than
+    a chain of full-outer joins: family keys are unique within each
+    family and the feature columns are disjoint, so the union-agg is
+    value-identical while paying ONE shuffle where the join chain paid
+    two shuffle-joins (each re-exchanging both sides — the window
+    outputs are partitioned on the 3-column locus, the join key is 4).
+    """
     from gentropy_spark.plans.l2g import gene_index
 
     cs = _credset(spark, sf_dir)
-    fp = _footprint_join(cs, gene_index(spark, sf_dir))
-    vep = q_l2g_vep_features(spark, sf_dir, _fp=fp)
-    gene = q_l2g_gene_features(spark, sf_dir, _fp=fp, _leads_df=_leads_df)
+    genes = gene_index(spark, sf_dir)
+    # The footprint join is NOT persisted: with the r7 fusion it feeds
+    # exactly ONE aggregation (the fused family below), and its inputs
+    # are a cached credset + a broadcast gene dim — nothing to share.
+    fp = _footprint_join(cs, genes)
+    fused = _fp_family(fp)
+    leads = _leads_df if _leads_df is not None else _leads(spark, sf_dir)
+    tss = _tss_counts(leads, genes)
     e2g = q_l2g_interval_features(spark, sf_dir, _cs=cs)
-    out = vep.join(gene, on=_FEAT_KEY, how="full").join(
-        e2g, on=_FEAT_KEY, how="full"
+
+    fam_own = (
+        (fused, [*VEP_FEAT_COLS, "is_protein_coding", "credset_confidence"]),
+        (tss, ["gene_count_w", "protein_gene_count_w"]),
+        (e2g, E2G_FEAT_COLS),
     )
-    return out.select(
+    branches = []
+    for df, own in fam_own:
+        branches.append(
+            df.select(
+                *_FEAT_KEY,
+                *[
+                    F.col(c).alias(c)
+                    if c in own
+                    else F.lit(None)
+                    .cast("long" if c in _INT_COLS else "double")
+                    .alias(c)
+                    for c in EXT_FEAT_COLS
+                ],
+            )
+        )
+    unioned = branches[0].unionByName(branches[1]).unionByName(branches[2])
+    agg = unioned.groupBy(*_FEAT_KEY).agg(
+        *[F.max(c).alias(c) for c in EXT_FEAT_COLS]
+    )
+    return agg.select(
         *_FEAT_KEY,
         *[
             F.coalesce(F.col(c), F.lit(0) if c in _INT_COLS else F.lit(0.0)).alias(c)

@@ -85,23 +85,31 @@ def normalize_events_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
         )
     if dtype == "timestamp_ntz":
-        return df.withColumn(ts_col, _ntz_as_utc_instant(ts_col))
+        return df.withColumn(ts_col, _ntz_as_utc_instant(df, ts_col))
     return df
 
 
-def _ntz_as_utc_instant(c: str) -> "F.Column":
+def _ntz_as_utc_instant(df: DataFrame, c: str) -> "F.Column":
     """NTZ wall clock → the instant with that wall clock in UTC,
     independent of ``spark.sql.session.timeZone``.
 
     ``to_utc_timestamp(ntz, 'UTC')`` is NOT that: Spark first
     implicit-casts NTZ→TIMESTAMP using the SESSION timezone, then
     shifts by zero — correct only when the session tz happens to be
-    UTC. Rebuilding the instant from the (tz-free) wall-clock fields
-    with an explicit 'UTC' zone is invariant under any session tz;
-    ``extract(SECOND ...)`` carries the fractional seconds.
+    UTC. Under a UTC session (the pinned default of get_session and
+    the driver) the plain cast IS the identity, and it is free — the
+    general path rebuilds the instant from the (tz-free) wall-clock
+    fields with an explicit 'UTC' zone, which is invariant under any
+    session tz but costs six field extractions per row
+    (``extract(SECOND ...)`` carries the fractional seconds).
     """
     from pyspark.sql import functions as F
 
+    # No default arg: conf.get validates defaults against the entry,
+    # and session.timeZone always has a value (falls back to JVM tz).
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        return F.col(c).cast("timestamp")
     return F.expr(
         f"make_timestamp(year({c}), month({c}), day({c}), "
         f"hour({c}), minute({c}), extract(SECOND FROM {c}), 'UTC')"
@@ -120,7 +128,7 @@ def ts_micros(df: DataFrame, ts_col: str = "ts") -> "F.Column":
     if dtype in ("bigint", "long"):
         return F.expr(f"{ts_col} div 1000")
     if dtype == "timestamp_ntz":
-        return F.unix_micros(_ntz_as_utc_instant(ts_col))
+        return F.unix_micros(_ntz_as_utc_instant(df, ts_col))
     return F.unix_micros(F.col(ts_col))
 
 

@@ -133,3 +133,47 @@ def test_ld_index_no_nested_loop(spark, sf_dir):
     plan = _formatted(q_ld_index_build(spark, sf_dir))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Union" not in plan  # the r6 symmetric build has one pipeline
+
+
+def _physical_node_counts(df):
+    """Count physical operators in the TRUE executed tree.
+
+    Walks initialPlan under AQE so Exchange/Sort nodes inserted by
+    EnsureRequirements are visible, and stops at InMemoryTableScan
+    leaves — string dumps reprint each cached subtree per consumer,
+    overcounting work that executes once.
+    """
+    from collections import Counter
+
+    counts: Counter = Counter()
+
+    def walk(node):
+        name = node.nodeName()
+        counts[name] += 1
+        if name == "AdaptiveSparkPlan":
+            walk(node.initialPlan())
+            return
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return counts
+
+
+def test_l2g_feature_matrix_exchange_budget(spark, sf_dir):
+    """r7 exchange-sharing guard: the assembled feature matrix must stay
+    within its shuffle budget. r6's assembly measured 30 shuffles + 12
+    broadcasts and 22 sorts by this metric; the union-agg assembly +
+    fused footprint family brought it to 22 + 10 and 15 sorts. A
+    regression that reintroduces per-family re-aggregation or
+    full-outer-join assembly fails here before it ships."""
+    from gentropy_spark.plans.l2g import q_l2g_features
+
+    counts = _physical_node_counts(q_l2g_features(spark, sf_dir))
+    n_shuffle = counts.get("Exchange", 0)
+    n_broadcast = counts.get("BroadcastExchange", 0)
+    assert n_shuffle + n_broadcast <= 33, (
+        f"l2g_feature_matrix exchange budget blown: "
+        f"{n_shuffle} shuffles + {n_broadcast} broadcasts"
+    )
+    assert counts.get("Sort", 99) <= 17, f"sort count {counts.get('Sort')}"
