@@ -33,10 +33,35 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-def fit_stump2(X: np.ndarray, g: np.ndarray, h: np.ndarray, lam: float = 1.0) -> dict:
-    """Best depth-2 tree (root + 2 child splits) minimizing the
-    second-order boosting objective. Exact greedy over unique rounded
-    thresholds — deterministic, no sampling."""
+def _leaf_value(
+    g_sum: float, h_sum: float, lam: float, alpha: float
+) -> float:
+    """Regularized leaf weight: L2 shrinkage + L1 soft-thresholding
+    (the reg_lambda / reg_alpha pair of the reference's XGB model
+    class, method/l2g/model.py:35)."""
+    if g_sum > alpha:
+        num = g_sum - alpha
+    elif g_sum < -alpha:
+        num = g_sum + alpha
+    else:
+        return 0.0
+    return -num / (h_sum + lam)
+
+
+def fit_tree(
+    X: np.ndarray,
+    g: np.ndarray,
+    h: np.ndarray,
+    max_depth: int = 2,
+    lam: float = 1.0,
+    alpha: float = 0.0,
+    min_child_weight: float = 0.0,
+) -> dict:
+    """Best depth-``max_depth`` tree minimizing the second-order
+    boosting objective. Exact greedy over unique rounded thresholds —
+    deterministic, no sampling; recursion replaces the fixed
+    root+children shape so the model class reaches the reference's
+    configurable capacity (max_depth 5 there)."""
 
     def best_split(idx):
         best = None
@@ -50,35 +75,37 @@ def fit_stump2(X: np.ndarray, g: np.ndarray, h: np.ndarray, lam: float = 1.0) ->
                 m = X[idx, j] <= thr
                 Gl, Hl = g[idx][m].sum(), h[idx][m].sum()
                 Gr, Hr = Gt - Gl, Ht - Hl
+                if Hl < min_child_weight or Hr < min_child_weight:
+                    continue
                 gain = base + (Gl * Gl) / (Hl + lam) + (Gr * Gr) / (Hr + lam)
                 if best is None or gain > best[0] + 1e-12:
                     best = (gain, j, float(thr))
         return best
 
     def leaf(idx):
-        return -g[idx].sum() / (h[idx].sum() + lam)
+        return {"leaf": float(_leaf_value(g[idx].sum(), h[idx].sum(), lam, alpha))}
 
-    all_idx = np.arange(len(g))
-    root = best_split(all_idx)
-    if root is None:
-        return {"leaf": float(leaf(all_idx))}
-    _, j, thr = root
-    lm = X[:, j] <= thr
-    node: dict = {"feat": j, "thr": thr}
-    for side, idx in (("left", all_idx[lm]), ("right", all_idx[~lm])):
-        sub = best_split(idx)
-        if sub is None:
-            node[side] = {"leaf": float(leaf(idx))}
-        else:
-            _, js, ts = sub
-            ms = X[idx, js] <= ts
-            node[side] = {
-                "feat": js,
-                "thr": ts,
-                "left": {"leaf": float(leaf(idx[ms]))},
-                "right": {"leaf": float(leaf(idx[~ms]))},
-            }
-    return node
+    def grow(idx, depth):
+        if depth >= max_depth:
+            return leaf(idx)
+        split = best_split(idx)
+        if split is None:
+            return leaf(idx)
+        _, j, thr = split
+        m = X[idx, j] <= thr
+        return {
+            "feat": j,
+            "thr": thr,
+            "left": grow(idx[m], depth + 1),
+            "right": grow(idx[~m], depth + 1),
+        }
+
+    return grow(np.arange(len(g)), 0)
+
+
+def fit_stump2(X: np.ndarray, g: np.ndarray, h: np.ndarray, lam: float = 1.0) -> dict:
+    """Depth-2 special case kept for the frozen r4 scorer lineage."""
+    return fit_tree(X, g, h, max_depth=2, lam=lam)
 
 
 def predict_tree(tree: dict, X: np.ndarray) -> np.ndarray:
@@ -92,17 +119,58 @@ def predict_tree(tree: dict, X: np.ndarray) -> np.ndarray:
 
 
 def fit_gbm(
-    X: np.ndarray, y: np.ndarray, n_trees: int = 12, lr: float = 0.3
+    X: np.ndarray,
+    y: np.ndarray,
+    n_trees: int = 12,
+    lr: float = 0.3,
+    max_depth: int = 2,
+    lam: float = 1.0,
+    alpha: float = 0.0,
+    min_child_weight: float = 0.0,
+    early_stopping_rounds: int = 0,
+    valid_mask: np.ndarray | None = None,
+    tol: float = 1e-6,
 ) -> list[dict]:
-    """Logistic-loss boosting with depth-2 trees (index-form trees)."""
-    margin = np.zeros(len(y))
-    trees = []
+    """Logistic-loss boosting with exact-greedy trees (index form).
+
+    With ``early_stopping_rounds`` > 0 and a ``valid_mask``, training
+    stops once the held-out logloss has not improved by ``tol`` for
+    that many consecutive rounds, and the ensemble is truncated at the
+    best round — the deterministic analog of the reference XGB
+    early-stopping (the validation split is caller-provided and
+    study-grouped, never random). Trees are always fit on the
+    non-validation rows only when a mask is given.
+    """
+    train_mask = (
+        ~valid_mask if valid_mask is not None else np.ones(len(y), dtype=bool)
+    )
+    Xt, yt = X[train_mask], y[train_mask]
+    margin_t = np.zeros(len(yt))
+    margin_v = np.zeros(int(valid_mask.sum())) if valid_mask is not None else None
+    trees: list[dict] = []
+    best_loss, best_n, stall = np.inf, 0, 0
     for _ in range(n_trees):
-        p = 1.0 / (1.0 + np.exp(-margin))
-        g, h = p - y, p * (1.0 - p)
-        t = fit_stump2(X, g, h)
+        p = 1.0 / (1.0 + np.exp(-margin_t))
+        g, h = p - yt, p * (1.0 - p)
+        t = fit_tree(
+            Xt, g, h,
+            max_depth=max_depth, lam=lam, alpha=alpha,
+            min_child_weight=min_child_weight,
+        )
         trees.append(t)
-        margin += lr * predict_tree(t, X)
+        margin_t += lr * predict_tree(t, Xt)
+        if early_stopping_rounds and margin_v is not None:
+            margin_v += lr * predict_tree(t, X[valid_mask])
+            pv = 1.0 / (1.0 + np.exp(-margin_v))
+            loss = logloss(pv, y[valid_mask])
+            if loss < best_loss - tol:
+                best_loss, best_n, stall = loss, len(trees), 0
+            else:
+                stall += 1
+                if stall >= early_stopping_rounds:
+                    return trees[:best_n]
+    if early_stopping_rounds and margin_v is not None and best_n:
+        return trees[:best_n]
     return trees
 
 
@@ -144,8 +212,22 @@ def train_l2g(
     n_trees: int = 12,
     lr: float = 0.3,
     n_folds: int = 5,
+    max_depth: int = 2,
+    reg_lambda: float = 1.0,
+    reg_alpha: float = 0.0,
+    min_child_weight: float = 0.0,
+    early_stopping_rounds: int = 0,
 ) -> dict:
     """Run the full training step; returns the frozen-model artifact.
+
+    Model-class capacity matches the reference's XGB hyperparameter
+    surface (method/l2g/model.py:35): configurable ``max_depth``,
+    ``reg_lambda``/``reg_alpha`` regularization, ``min_child_weight``,
+    and deterministic early stopping on a study-grouped validation
+    fold (fold ``n_folds - 1``) when ``early_stopping_rounds`` > 0.
+    The subsample/colsample knobs are deliberately NOT implemented:
+    they exist to decorrelate trees via RNG, and this trainer's
+    contract is byte-identical reruns.
 
     Artifact keys: ``features`` (column order), ``trees`` (name-form,
     lr-scaled — drop-in for operators/l2g_model.py TREES), ``cv`` (per
@@ -181,12 +263,20 @@ def train_l2g(
     y = (df["label"] == "positive").to_numpy(dtype=np.float64)
     folds = (df["study_id"] % n_folds).to_numpy()
 
+    fit_kw = dict(
+        n_trees=n_trees,
+        lr=lr,
+        max_depth=max_depth,
+        lam=reg_lambda,
+        alpha=reg_alpha,
+        min_child_weight=min_child_weight,
+    )
     cv = []
     for k in range(n_folds):
         tr, te = folds != k, folds == k
         if te.sum() == 0 or len(np.unique(y[tr])) < 2:
             continue
-        trees_k = fit_gbm(X[tr], y[tr], n_trees=n_trees, lr=lr)
+        trees_k = fit_gbm(X[tr], y[tr], **fit_kw)
         p = 1.0 / (1.0 + np.exp(-predict_margin(trees_k, X[te], lr)))
         cv.append(
             {
@@ -197,7 +287,14 @@ def train_l2g(
             }
         )
 
-    trees = fit_gbm(X, y, n_trees=n_trees, lr=lr)
+    valid = (folds == n_folds - 1) if early_stopping_rounds else None
+    trees = fit_gbm(
+        X,
+        y,
+        **fit_kw,
+        early_stopping_rounds=early_stopping_rounds,
+        valid_mask=valid,
+    )
     p = 1.0 / (1.0 + np.exp(-predict_margin(trees, X, lr)))
     # Best-F1 threshold over the unique predicted scores (deterministic).
     best_thr, best_f1 = 0.5, -1.0
@@ -222,5 +319,15 @@ def train_l2g(
         "threshold": best_thr,
         "n_rows": int(len(y)),
         "n_pos": int(y.sum()),
-        "params": {"n_trees": n_trees, "lr": lr, "n_folds": n_folds},
+        "params": {
+            "n_trees": n_trees,
+            "n_trees_used": len(trees),
+            "lr": lr,
+            "n_folds": n_folds,
+            "max_depth": max_depth,
+            "reg_lambda": reg_lambda,
+            "reg_alpha": reg_alpha,
+            "min_child_weight": min_child_weight,
+            "early_stopping_rounds": early_stopping_rounds,
+        },
     }

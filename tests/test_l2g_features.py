@@ -117,3 +117,73 @@ def test_trainer_artifact_serves(spark, sf_dir):
     for tree in art["trees"]:
         total += _eval_tree(tree, cols, n)
     assert np.isfinite(total).all()
+
+
+def test_trainer_depth3_deterministic_and_deeper(spark, sf_dir):
+    """r7 capacity upgrade: depth >= 3 trees must (a) rerun
+    byte-identically and (b) actually use the extra depth somewhere
+    (a path of length 3 exists in at least one tree)."""
+    from gentropy_spark.operators.l2g_trainer import train_l2g
+
+    kw = dict(n_trees=4, n_folds=3, max_depth=3, min_child_weight=2.0)
+    a = train_l2g(spark, sf_dir, **kw)
+    b = train_l2g(spark, sf_dir, **kw)
+    assert a["trees"] == b["trees"]
+    assert a["params"]["max_depth"] == 3
+
+    def depth(t):
+        if "leaf" in t:
+            return 0
+        return 1 + max(depth(t["left"]), depth(t["right"]))
+
+    assert max(depth(t) for t in a["trees"]) == 3
+
+
+def test_trainer_early_stopping_truncates():
+    """Early stopping must stop at the best validation round: with a
+    validation fold whose labels the features cannot explain (pure
+    noise), the held-out loss stops improving quickly and the ensemble
+    is truncated below n_trees."""
+    import numpy as np
+
+    from gentropy_spark.operators.l2g_trainer import fit_gbm
+
+    n = 200
+    X = np.linspace(0.0, 1.0, n).reshape(-1, 1)
+    y = (X[:, 0] > 0.5).astype(np.float64)
+    valid = np.zeros(n, dtype=bool)
+    valid[::4] = True
+    # flip the validation labels so more boosting rounds HURT held-out loss
+    y_train_informative = y.copy()
+    y_train_informative[valid] = 1.0 - y[valid]
+    trees = fit_gbm(
+        X,
+        y_train_informative,
+        n_trees=30,
+        lr=0.3,
+        max_depth=2,
+        early_stopping_rounds=3,
+        valid_mask=valid,
+    )
+    assert 0 < len(trees) < 30
+
+
+def test_trainer_l1_regularization_zeroes_weak_leaves():
+    """reg_alpha soft-thresholds leaf gradients: with alpha larger than
+    any |gradient sum|, every leaf must be exactly 0."""
+    import numpy as np
+
+    from gentropy_spark.operators.l2g_trainer import fit_tree
+
+    n = 50
+    X = np.linspace(0.0, 1.0, n).reshape(-1, 1)
+    g = np.random.default_rng(0).normal(scale=0.01, size=n)  # tiny grads
+    h = np.full(n, 0.25)
+
+    def leaves(t):
+        if "leaf" in t:
+            return [t["leaf"]]
+        return leaves(t["left"]) + leaves(t["right"])
+
+    t = fit_tree(X, g, h, max_depth=2, alpha=1e6)
+    assert all(v == 0.0 for v in leaves(t))
