@@ -312,6 +312,7 @@ def duplicate_clusters(
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over verified duplicate pairs (SURVEY E15).
 
@@ -346,7 +347,9 @@ def duplicate_clusters(
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     lbl = nodes.select("id", F.col("id").alias("lbl"))
     lbl_type = dict(lbl.dtypes)["lbl"]
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         # Fixpoint = zero labels CHANGED this round. (A sum-of-labels
         # equality test is unsound: with string ids F.sum is NULL every
         # round and None==None "converges" after one round with wrong
@@ -375,6 +378,8 @@ def duplicate_clusters(
         raise RuntimeError(
             f"duplicate_clusters did not converge within {max_iters} rounds"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     w = Window.partitionBy("lbl")
     return lbl.select(
         F.col("id").alias(id_col),

@@ -1002,3 +1002,41 @@ FROM per_island GROUP BY 1, 2
 
 
 REGISTRY["interval_coverage"] = QuerySpec(q_interval_coverage, INTERVAL_COVERAGE_SQL)
+
+
+# --- G4: fine-mapping simulation calibration (rows-only) -------------------
+def q_finemap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulation-calibrated fine-mapping evidence (reference
+    finemapping_simulations.py): plant known causals in an AR(1)-LD
+    region, simulate GWAS z-scores, run the SuSiE-inf and CARMA ports,
+    and report credible-set accuracy / lead accuracy / sensitivity /
+    false-positive rate per method. Driver-side numpy by nature
+    (iterative per-region fits over a ~60-variant matrix — the same
+    posture as the reference harness); seeded, so byte-reproducible.
+    Rows-only: the simulation loop is not SQL-expressible."""
+    from gentropy_spark.operators.finemap_sim import run_finemap_calibration
+
+    rows = []
+    for method, n_iter in (("susie_inf", 20), ("carma", 8)):
+        s = run_finemap_calibration(n_iter=n_iter, method=method)
+        rows.append(
+            (
+                method,
+                s["successful_runs"],
+                s["number_of_cs"],
+                s["expected_results"],
+                float(s["false_positives"]),
+                float(s["accuracy"]),
+                float(s["accuracy_lead"]),
+                float(s["sensitivity"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "method string, successful_runs long, number_of_cs long, "
+        "expected_results long, false_positives double, accuracy double, "
+        "accuracy_lead double, sensitivity double",
+    )
+
+
+REGISTRY["finemap_calibration"] = QuerySpec(q_finemap_calibration, None)

@@ -37,6 +37,7 @@ _SNAPSHOT_PRIORITY = [
     "eqtl_susie_ingest",
     "ukb_ppp_harmonise",
     "target_index_build",
+    "finemap_calibration",
     # (b) r7: the 9 r6 hash-FAILs + the latent 10th (funnel_analysis,
     # below in (c)) — values were exact, the physical dtype diverged
     # (DuckDB HUGEINT / Spark DECIMAL vs the pandas bridge); oracle/

@@ -248,9 +248,34 @@ PIVOT_SQL = (
 
 
 # --- A8: quantile profile -------------------------------------------------
-def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+# 100 TB posture for the exact-percentile queries: `percentile` sorts
+# every group member; `percentile_approx` (GK sketch) is single-pass,
+# mergeable, and bounded-memory. Exact stays the default because the
+# oracle gate needs bit-reproducible output; flip the env flag (or pass
+# approx=True) on a real cluster. PERCENTILE_ACCURACY trades sketch
+# size for error (~1/accuracy relative rank error).
+PERCENTILE_ACCURACY = 10_000
+
+
+def _approx_percentiles_enabled() -> bool:
+    import os
+
+    return os.environ.get("GENTROPY_SPARK_APPROX_PERCENTILES", "") == "1"
+
+
+def q_decile_stats(
+    spark: SparkSession, sf_dir: str, approx: bool | None = None
+) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
-    pct = F.expr("percentile(c_acctbal, array(0.25, 0.5, 0.75))")
+    use_approx = _approx_percentiles_enabled() if approx is None else approx
+    pct = (
+        F.expr(
+            "percentile_approx(c_acctbal, array(0.25, 0.5, 0.75), "
+            f"{PERCENTILE_ACCURACY})"
+        )
+        if use_approx
+        else F.expr("percentile(c_acctbal, array(0.25, 0.5, 0.75))")
+    )
     return cust.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
         F.round(F.min("c_acctbal"), 6).alias("min_bal"),
@@ -1120,13 +1145,17 @@ REGISTRY["funnel_analysis"] = QuerySpec(q_funnel_analysis, FUNNEL_SQL)
 
 
 # --- A22: inter-event dwell-time statistics -------------------------------
-def q_dwell_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dwell_time_stats(
+    spark: SparkSession, sf_dir: str, approx: bool | None = None
+) -> DataFrame:
     """Per-event-type inter-arrival (dwell) time distribution: each
     user's consecutive-event gaps (one lag window on the user sort)
     aggregated to exact quartiles per event type — the latency-
     distribution view behind sessionization gap tuning (the C-family
-    cutoffs) and SLA monitoring. Exact percentile at test SF;
-    percentile_approx is the documented 100 TB drop-in."""
+    cutoffs) and SLA monitoring. Exact percentile by default (the
+    oracle gate needs bit-reproducibility); approx=True or the
+    GENTROPY_SPARK_APPROX_PERCENTILES env flag switches to the
+    mergeable single-pass percentile_approx sketch — the 100 TB path."""
     from pyspark.sql import Window
 
     from gentropy_spark.sources.readers import read_table, ts_micros
@@ -1148,7 +1177,15 @@ def q_dwell_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_s",
         F.expr("(pos - lag(pos) OVER (PARTITION BY user_id, event_type ORDER BY pos, event_id)) div 1000000"),
     ).filter(F.col("gap_s").isNotNull())
-    pct = F.expr("percentile(gap_s, array(0.25, 0.5, 0.9))")
+    use_approx = _approx_percentiles_enabled() if approx is None else approx
+    pct = (
+        F.expr(
+            "percentile_approx(gap_s, array(0.25, 0.5, 0.9), "
+            f"{PERCENTILE_ACCURACY})"
+        )
+        if use_approx
+        else F.expr("percentile(gap_s, array(0.25, 0.5, 0.9))")
+    )
     return gaps.groupBy("event_type").agg(
         F.count("*").alias("n_gaps"),
         F.round(pct.getItem(0), 6).alias("p25_gap_s"),

@@ -89,3 +89,25 @@ def test_duplicate_clusters_string_ids_converge(spark):
         for r in duplicate_clusters(docs, edges, id_col="doc_id").collect()
     }
     assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e"}
+
+
+def test_approx_percentile_variant_within_tolerance(spark):
+    """The approx (GK-sketch) percentile path must stay close to exact
+    at sf0.1 — the documented 100 TB drop-in, made real and measured."""
+    from gentropy_spark.plans.relational import q_decile_stats, q_dwell_time_stats
+
+    sf = "/root/testdata/sf0.1"
+    for fn, key, cols in (
+        (q_decile_stats, "c_mktsegment", ["p25_bal", "p50_bal", "p75_bal"]),
+        (q_dwell_time_stats, "event_type", ["p25_gap_s", "p50_gap_s", "p90_gap_s"]),
+    ):
+        exact = {r[key]: r for r in fn(spark, sf, approx=False).collect()}
+        approx = {r[key]: r for r in fn(spark, sf, approx=True).collect()}
+        assert exact.keys() == approx.keys()
+        for k in exact:
+            for c in cols:
+                e, a = float(exact[k][c]), float(approx[k][c])
+                spread = max(abs(e), 1.0)
+                assert abs(e - a) <= 0.02 * spread + 1.0, (
+                    f"{fn.__name__}.{c}[{k}]: exact {e} vs approx {a}"
+                )

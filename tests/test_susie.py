@@ -129,3 +129,27 @@ def test_susie_finemapper_step(spark, sf_dir):
         assert 0.0 <= r.purity_min_r2 <= r.purity_mean_r2 <= 1.0
         assert r.purity_min_r2 >= 0.25  # step filter applied
         assert r.credible_set_index >= 0
+
+
+def test_finemap_simulation_calibration_bounds():
+    """r7 calibration harness: on seeded AR(1)-LD simulations the
+    SuSiE-inf port's 99% credible sets must contain a planted causal
+    in >=85% of sets, with sensitivity >=50% — and the run must be
+    byte-reproducible."""
+    from gentropy_spark.operators.finemap_sim import run_finemap_calibration
+
+    a = run_finemap_calibration(n_iter=20)
+    b = run_finemap_calibration(n_iter=20)
+    assert a == b, "seeded calibration must be deterministic"
+    assert a["successful_runs"] >= 10
+    assert a["accuracy"] >= 0.85
+    assert a["accuracy_lead"] >= 0.75
+    assert a["sensitivity"] >= 0.5
+
+
+def test_finemap_simulation_carma_calibration():
+    from gentropy_spark.operators.finemap_sim import run_finemap_calibration
+
+    c = run_finemap_calibration(n_iter=8, method="carma")
+    assert c["successful_runs"] >= 3
+    assert c["accuracy"] >= 0.75
