@@ -844,3 +844,338 @@ WHERE NOT (is_par AND chromosome <> 'X')
 REGISTRY["target_index_build"] = QuerySpec(
     q_target_index_build, TARGET_INDEX_SQL
 )
+
+
+# --- FoldX → amino-acid variants ingestion ---------------------------------
+_AA = ("A", "C", "D", "E", "F", "G", "H", "I", "K", "L",
+       "M", "N", "P", "Q", "R", "S", "T", "V", "W", "Y")
+_FOLDX_PLDDT_MIN = 70.0
+
+
+def q_amino_acid_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FoldX ΔΔG ingestion → amino-acid variant effects.
+
+    Reference: datasource/open_targets/foldex_integration.py:38
+    ``ingest_foldx_data`` building dataset/amino_acid_variants.py, with
+    the steps in reference order: (1) drop low-confidence residues
+    (pLDDT gate), (2) left-anti drop proteins where one structural
+    position maps to multiple sequence positions (:81
+    ``_uniprot_ids_to_exclude`` — ambiguous, computed on the RAW input
+    before the pLDDT gate, as the reference does), (3) aminoAcidChange
+    = wild_type‖position‖mutated_type, (4) collapse predictors per
+    (accession, change) so variants never explode, and (5) normalise
+    ΔΔG to [0, 1] (variant_index.py:467 ``_normalise_foldx``:
+    |ΔΔG| ≥ 2 kcal/mol saturates at 1, else linear |ΔΔG|/2).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    aa = F.array(*[F.lit(a) for a in _AA])
+    raw = li.select(
+        F.concat(
+            F.lit("P"), F.lpad((F.col("l_suppkey") % 400).cast("string"), 5, "0")
+        ).alias("protein_acc"),
+        ((F.col("l_partkey") % 300) + 1).alias("position"),
+        F.element_at(aa, (F.col("l_partkey") % 20 + 1).cast("int")).alias(
+            "wild_type"
+        ),
+        F.element_at(
+            aa, ((F.col("l_partkey") + 7) % 20 + 1).cast("int")
+        ).alias("mutated_type"),
+        (40.0 + (F.col("l_orderkey") % 60)).alias("plddt"),
+        F.round((F.col("l_quantity") - 25.0) / 10.0, 6).alias("foldx_ddg"),
+    )
+    ambiguous = (
+        raw.groupBy("protein_acc", "position", "wild_type")
+        .agg(F.count_distinct("plddt").alias("n_plddt"))
+        .filter(F.col("n_plddt") > 1)
+        .select("protein_acc")
+        .distinct()
+    )
+    kept = raw.filter(F.col("plddt") > _FOLDX_PLDDT_MIN).join(
+        ambiguous, on="protein_acc", how="left_anti"
+    )
+    per_change = kept.select(
+        F.col("protein_acc").alias("uniprot_accession"),
+        F.concat(
+            F.col("wild_type"),
+            F.col("position").cast("string"),
+            F.col("mutated_type"),
+        ).alias("amino_acid_change"),
+        "foldx_ddg",
+    ).groupBy("uniprot_accession", "amino_acid_change").agg(
+        F.count_distinct("foldx_ddg").alias("n_effects"),
+        F.max("foldx_ddg").alias("score"),
+    )
+    norm = F.when(F.abs(F.col("score")) >= 2.0, F.lit(1.0)).otherwise(
+        F.abs(F.col("score")) / 2.0
+    )
+    return per_change.select(
+        "uniprot_accession",
+        "amino_acid_change",
+        "n_effects",
+        "score",
+        F.lit("FoldX").alias("method"),
+        norm.alias("normalised_score"),
+    )
+
+
+AMINO_ACID_SQL = f"""
+WITH raw AS (
+  SELECT 'P' || lpad(CAST(l_suppkey % 400 AS VARCHAR), 5, '0') AS protein_acc,
+         (l_partkey % 300) + 1 AS position,
+         (['A','C','D','E','F','G','H','I','K','L','M','N','P','Q','R','S','T','V','W','Y'])
+           [CAST(l_partkey % 20 AS INT) + 1] AS wild_type,
+         (['A','C','D','E','F','G','H','I','K','L','M','N','P','Q','R','S','T','V','W','Y'])
+           [CAST((l_partkey + 7) % 20 AS INT) + 1] AS mutated_type,
+         40.0 + (l_orderkey % 60) AS plddt,
+         ROUND((l_quantity - 25.0) / 10.0, 6) AS foldx_ddg
+  FROM lineitem
+),
+ambiguous AS (
+  SELECT DISTINCT protein_acc
+  FROM (
+    SELECT protein_acc, position, wild_type,
+           COUNT(DISTINCT plddt) AS n_plddt
+    FROM raw GROUP BY 1, 2, 3
+  ) WHERE n_plddt > 1
+),
+kept AS (
+  SELECT * FROM raw
+  WHERE plddt > {_FOLDX_PLDDT_MIN}
+    AND protein_acc NOT IN (SELECT protein_acc FROM ambiguous)
+),
+per_change AS (
+  SELECT protein_acc AS uniprot_accession,
+         wild_type || CAST(position AS VARCHAR) || mutated_type
+           AS amino_acid_change,
+         COUNT(DISTINCT foldx_ddg) AS n_effects,
+         MAX(foldx_ddg) AS score
+  FROM kept GROUP BY 1, 2
+)
+SELECT uniprot_accession, amino_acid_change,
+       CAST(n_effects AS BIGINT) AS n_effects, score,
+       'FoldX' AS method,
+       CASE WHEN ABS(score) >= 2.0 THEN 1.0 ELSE ABS(score) / 2.0 END
+         AS normalised_score
+FROM per_change
+"""
+
+
+REGISTRY["amino_acid_variants"] = QuerySpec(
+    q_amino_acid_variants, AMINO_ACID_SQL
+)
+
+
+# --- biosample ontology merge ----------------------------------------------
+_BIOSAMPLE_ROOTS = ("UBERON_0000", "UBERON_0001")
+
+
+def q_biosample_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-ontology biosample index build + merge.
+
+    Reference: datasource/biosample_ontologies/utils.py:13
+    ``extract_ontology_from_json`` (node/edge extraction, URL-prefix
+    strip, parent aggregation, ancestor traversal) +
+    dataset/biosample_index.py:36 ``merge_indices`` (union of indices;
+    scalars take the first non-null, list columns take the distinct
+    union) and :74 ``retain_rows_with_ancestor_id``.
+
+    Two deliberate divergences, both Spark-first:
+    - Ancestors come from the DISTRIBUTED iterative closure
+      (operators/graph.py transitive_closure) instead of the
+      reference's collect-graph-to-driver + per-row Python UDF
+      traversal — the reference shape is a driver-memory ceiling at
+      real ontology scale.
+    - merge_indices' ``first(ignorenulls)`` is order-nondeterministic
+      under shuffle; the merge here is ``min_by`` on an explicit
+      fragment priority (nulls demoted), which is the same
+      "first index wins" policy made deterministic.
+
+    Array outputs are emitted as sorted CSV strings so the value-hash
+    comparison is order-stable across engines.
+    """
+    from gentropy_spark.operators.graph import transitive_closure
+
+    nat = read_table(spark, sf_dir, "nation")
+    sup = read_table(spark, sf_dir, "supplier")
+
+    def bid(c):
+        return F.concat(F.lit("UBERON_"), F.lpad(c.cast("string"), 4, "0"))
+
+    # Fragment 1 (UBERON-shaped, priority 1): full nodes.
+    frag1 = nat.select(
+        bid(F.col("n_nationkey")).alias("biosample_id"),
+        F.lit(1).alias("_prio"),
+        F.lower(F.col("n_name")).alias("name"),
+        F.when(
+            F.col("n_nationkey") % 3 != 0,
+            F.concat(F.lit("desc_u_"), F.col("n_nationkey").cast("string")),
+        ).alias("description"),
+        F.array(
+            F.concat(F.lit("syn_u_"), F.col("n_nationkey").cast("string"))
+        ).alias("synonyms"),
+        F.array(
+            F.concat(F.lit("XU:"), F.col("n_nationkey").cast("string"))
+        ).alias("xrefs"),
+    )
+    # Fragment 2 (CL-shaped, priority 2): overlaps ids 0..29, scalars
+    # sparse (fill where fragment 1 is null), lists always contribute.
+    sk = F.col("s_suppkey") % 30
+    frag2 = (
+        sup.filter(F.col("s_suppkey") <= 60)
+        .select(
+            bid(sk).alias("biosample_id"),
+            F.lit(2).alias("_prio"),
+            F.lit(None).cast("string").alias("name"),
+            F.concat(F.lit("desc_c_"), sk.cast("string")).alias("description"),
+            F.array(F.concat(F.lit("syn_c_"), sk.cast("string"))).alias(
+                "synonyms"
+            ),
+            F.array(F.concat(F.lit("XC:"), sk.cast("string"))).alias("xrefs"),
+        )
+        .distinct()
+    )
+    merged = frag1.unionByName(frag2)
+
+    def first_by_prio(c: str):
+        return F.min_by(
+            F.col(c),
+            F.when(F.col(c).isNotNull(), F.col("_prio")).otherwise(F.lit(99)),
+        ).alias(c)
+
+    def union_sorted(c: str):
+        return F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.col(c))))
+        ).alias(c)
+
+    index = merged.groupBy("biosample_id").agg(
+        first_by_prio("name"),
+        first_by_prio("description"),
+        union_sorted("synonyms"),
+        union_sorted("xrefs"),
+    )
+
+    # is_a edges from BOTH fragments: parent(k) = k div 2 on the
+    # numeric tail (valid while parent < k), distributed closure.
+    key1 = F.col("n_nationkey")
+    edges1 = nat.select(
+        bid(key1).alias("child"), bid(F.expr("n_nationkey div 2")).alias("parent")
+    ).filter(key1 > 0)
+    edges2 = (
+        sup.filter((F.col("s_suppkey") <= 60))
+        .select(
+            bid(sk).alias("child"),
+            bid((sk / F.lit(2)).cast("long")).alias("parent"),
+        )
+        .filter(sk > 0)
+        .distinct()
+    )
+    closure = transitive_closure(
+        edges1.unionByName(edges2).distinct(), "child", "parent"
+    )
+    ancestors = closure.groupBy(F.col("child").alias("biosample_id")).agg(
+        F.array_sort(F.collect_set("ancestor")).alias("ancestors")
+    )
+    roots = F.array(*[F.lit(r) for r in _BIOSAMPLE_ROOTS])
+    return (
+        index.join(ancestors, on="biosample_id", how="left")
+        .select(
+            "biosample_id",
+            "name",
+            "description",
+            F.array_join(F.col("synonyms"), ";").alias("synonyms_csv"),
+            F.array_join(F.col("xrefs"), ";").alias("xrefs_csv"),
+            F.array_join(
+                F.coalesce(F.col("ancestors"), F.array().cast("array<string>")),
+                ";",
+            ).alias("ancestors_csv"),
+            F.size(
+                F.coalesce(F.col("ancestors"), F.array().cast("array<string>"))
+            ).alias("n_ancestors"),
+            (
+                F.size(
+                    F.array_intersect(
+                        F.coalesce(
+                            F.col("ancestors"), F.array().cast("array<string>")
+                        ),
+                        roots,
+                    )
+                )
+                > 0
+            ).alias("has_root_ancestor"),
+        )
+    )
+
+
+BIOSAMPLE_MERGE_SQL = f"""
+WITH RECURSIVE
+frag1 AS (
+  SELECT 'UBERON_' || lpad(CAST(n_nationkey AS VARCHAR), 4, '0')
+           AS biosample_id,
+         1 AS _prio,
+         lower(n_name) AS name,
+         CASE WHEN n_nationkey % 3 <> 0
+              THEN 'desc_u_' || CAST(n_nationkey AS VARCHAR) END AS description,
+         ['syn_u_' || CAST(n_nationkey AS VARCHAR)] AS synonyms,
+         ['XU:' || CAST(n_nationkey AS VARCHAR)] AS xrefs
+  FROM nation
+),
+frag2 AS (
+  SELECT DISTINCT
+         'UBERON_' || lpad(CAST(s_suppkey % 30 AS VARCHAR), 4, '0')
+           AS biosample_id,
+         2 AS _prio,
+         CAST(NULL AS VARCHAR) AS name,
+         'desc_c_' || CAST(s_suppkey % 30 AS VARCHAR) AS description,
+         ['syn_c_' || CAST(s_suppkey % 30 AS VARCHAR)] AS synonyms,
+         ['XC:' || CAST(s_suppkey % 30 AS VARCHAR)] AS xrefs
+  FROM supplier WHERE s_suppkey <= 60
+),
+merged AS (SELECT * FROM frag1 UNION ALL SELECT * FROM frag2),
+index_t AS (
+  SELECT biosample_id,
+         arg_min(name, CASE WHEN name IS NOT NULL THEN _prio ELSE 99 END)
+           AS name,
+         arg_min(description,
+                 CASE WHEN description IS NOT NULL THEN _prio ELSE 99 END)
+           AS description,
+         list_sort(list_distinct(flatten(list(synonyms)))) AS synonyms,
+         list_sort(list_distinct(flatten(list(xrefs)))) AS xrefs
+  FROM merged GROUP BY biosample_id
+),
+edges AS (
+  SELECT 'UBERON_' || lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS child,
+         'UBERON_' || lpad(CAST(n_nationkey // 2 AS VARCHAR), 4, '0') AS parent
+  FROM nation WHERE n_nationkey > 0
+  UNION
+  SELECT DISTINCT
+         'UBERON_' || lpad(CAST(s_suppkey % 30 AS VARCHAR), 4, '0'),
+         'UBERON_' || lpad(CAST((s_suppkey % 30) // 2 AS VARCHAR), 4, '0')
+  FROM supplier WHERE s_suppkey <= 60 AND s_suppkey % 30 > 0
+),
+closure(child, ancestor) AS (
+  SELECT child, parent FROM edges
+  UNION
+  SELECT c.child, e.parent FROM closure c JOIN edges e ON c.ancestor = e.child
+),
+anc AS (
+  SELECT child AS biosample_id,
+         list_sort(list(DISTINCT ancestor)) AS ancestors
+  FROM closure GROUP BY child
+)
+SELECT i.biosample_id, i.name, i.description,
+       array_to_string(i.synonyms, ';') AS synonyms_csv,
+       array_to_string(i.xrefs, ';') AS xrefs_csv,
+       -- COALESCE wrapper: DuckDB array_to_string([]) is NULL where
+       -- Spark array_join([]) is '' — align on the empty string.
+       COALESCE(array_to_string(a.ancestors, ';'), '') AS ancestors_csv,
+       CAST(len(COALESCE(a.ancestors, [])) AS INT) AS n_ancestors,
+       len(list_intersect(COALESCE(a.ancestors, []),
+                          ['UBERON_0000', 'UBERON_0001'])) > 0
+         AS has_root_ancestor
+FROM index_t i LEFT JOIN anc a USING (biosample_id)
+"""
+
+
+REGISTRY["biosample_index_merge"] = QuerySpec(
+    q_biosample_index_merge, BIOSAMPLE_MERGE_SQL
+)

@@ -38,6 +38,8 @@ _SNAPSHOT_PRIORITY = [
     "ukb_ppp_harmonise",
     "target_index_build",
     "finemap_calibration",
+    "amino_acid_variants",
+    "biosample_index_merge",
     # (b) r7: the 9 r6 hash-FAILs + the latent 10th (funnel_analysis,
     # below in (c)) — values were exact, the physical dtype diverged
     # (DuckDB HUGEINT / Spark DECIMAL vs the pandas bridge); oracle/

@@ -111,3 +111,52 @@ def test_approx_percentile_variant_within_tolerance(spark):
                 assert abs(e - a) <= 0.02 * spread + 1.0, (
                     f"{fn.__name__}.{c}[{k}]: exact {e} vs approx {a}"
                 )
+
+
+def test_ld_backend_seam_dispatch_and_equivalence(spark):
+    """r7 LD-backend seam: both backends serve the same two
+    capabilities, the ancestry dispatch mirrors the reference rule,
+    and the dense hand-off matrix is symmetric with unit diagonal."""
+    import numpy as np
+
+    from gentropy_spark.operators.ld_backend import (
+        EntryTableLDBackend,
+        SyntheticGridLDBackend,
+        backend_for_ancestry,
+        locus_numpy_matrix,
+    )
+
+    variants = spark.createDataFrame(
+        [("chr1", int(p * 3_600_000_000), f"v{k}") for k, p in enumerate(range(8))],
+        ["contig", "pos", "variant_id"],
+    )
+    # gnomAD-shaped entry table over the same variants (banded, ut)
+    index = variants.selectExpr(
+        "contig", "pos", "variant_id",
+        "CAST(pos / 3600000000 AS LONG) AS idx",
+    )
+    entries = spark.createDataFrame(
+        [(i, j, round(0.9 ** (j - i), 6)) for i in range(8) for j in range(i, 8)],
+        ["idx_i", "idx_j", "r"],
+    )
+
+    # dispatch rule: nfe/csa/afr -> grid backend, others -> entry table
+    b_nfe = backend_for_ancestry("nfe", variants, entries, index)
+    b_eas = backend_for_ancestry("eas", variants, entries, index)
+    assert isinstance(b_nfe, SyntheticGridLDBackend)
+    assert isinstance(b_eas, EntryTableLDBackend)
+
+    for backend in (b_nfe, b_eas):
+        ids, M = locus_numpy_matrix(
+            backend, "chr1", 0, int(5 * 3_600_000_000)
+        )
+        assert len(ids) == 6 and M.shape == (6, 6)
+        assert np.allclose(M, M.T)
+        assert np.allclose(np.diag(M), 1.0)
+        assert (M[np.triu_indices(6, 1)] > 0).all()
+
+    # the entry-table slice must NOT read outside the index window
+    sub_idx = b_eas.locus_index("chr1", 0, int(2 * 3_600_000_000))
+    ent = b_eas.block_entries(sub_idx)
+    mx = ent.agg({"idx_i": "max", "idx_j": "max"}).first()
+    assert max(mx[0], mx[1]) <= 2
