@@ -880,7 +880,19 @@ def q_amino_acid_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(
             aa, ((F.col("l_partkey") + 7) % 20 + 1).cast("int")
         ).alias("mutated_type"),
-        (40.0 + (F.col("l_orderkey") % 60)).alias("plddt"),
+        # pLDDT is a property of the residue, so it derives from the
+        # position (plus a planted inconsistency on ~1/37 proteins:
+        # partkeys ≡ mod 300 share a position but differ mod 900, so
+        # those proteins report conflicting pLDDTs at one position —
+        # exactly the ambiguity the exclusion step must catch).
+        (
+            55.0
+            + ((F.col("l_partkey") % 300) + 1) % 40
+            + F.when(
+                (F.col("l_suppkey") % 400) % 37 == 0,
+                F.expr("(l_partkey % 900) div 300").cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("plddt"),
         F.round((F.col("l_quantity") - 25.0) / 10.0, 6).alias("foldx_ddg"),
     )
     ambiguous = (
@@ -926,7 +938,10 @@ WITH raw AS (
            [CAST(l_partkey % 20 AS INT) + 1] AS wild_type,
          (['A','C','D','E','F','G','H','I','K','L','M','N','P','Q','R','S','T','V','W','Y'])
            [CAST((l_partkey + 7) % 20 AS INT) + 1] AS mutated_type,
-         40.0 + (l_orderkey % 60) AS plddt,
+         55.0 + ((l_partkey % 300) + 1) % 40
+           + CASE WHEN (l_suppkey % 400) % 37 = 0
+                  THEN CAST((l_partkey % 900) // 300 AS DOUBLE)
+                  ELSE 0.0 END AS plddt,
          ROUND((l_quantity - 25.0) / 10.0, 6) AS foldx_ddg
   FROM lineitem
 ),
