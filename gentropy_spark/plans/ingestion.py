@@ -1194,3 +1194,584 @@ FROM index_t i LEFT JOIN anc a USING (biosample_id)
 REGISTRY["biosample_index_merge"] = QuerySpec(
     q_biosample_index_merge, BIOSAMPLE_MERGE_SQL
 )
+
+
+# --- gnomAD variant-index ingestion ----------------------------------------
+_GNOMAD_POPS = ("afr", "amr", "eas", "nfe")
+_VARIANT_ID_HASH_THRESHOLD = 100
+
+
+def q_gnomad_variant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gnomAD variant-frequency ingestion → variant index rows.
+
+    Reference: datasource/gnomad/variants.py:14
+    ``GnomADVariantFrequencies.as_variant_index`` — biallelic filter
+    (alleles.length == 2), chr-stripped ``variantId`` construction,
+    per-population adjusted allele frequencies, the gnomAD dbXref, and
+    dataset/variant_index.py:73 ``hash_long_variant_ids``: an id whose
+    alleles push it past the length threshold becomes
+    OTVAR_<chrom>_<pos>_<md5(id)>, and an id with a missing
+    chromosome/position becomes OTVAR_<md5(id)> — both md5-exact
+    across engines.
+
+    The raw shape is synthesized from events: ~1/11 rows are
+    multi-allelic (dropped), ~1/13 carry a pathologically long ALT
+    (hashed id), ~1/17 lack a chromosome (hashed id, md5-only form).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    alleles = F.array(*[F.lit(a) for a in ("A", "C", "G", "T", "AT", "GCC")])
+    ref = F.element_at(alleles, (F.col("event_id") % 6 + 1).cast("int"))
+    long_alt = F.concat_ws("", F.array_repeat(F.lit("AC"), 60))
+    alt = F.when(F.col("event_id") % 13 == 0, long_alt).otherwise(
+        F.element_at(alleles, (F.expr("event_id div 7") % 6 + 1).cast("int"))
+    )
+    pos = (F.col("event_id") * 131) % 5_000_000
+    raw = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 17 != 0,
+            F.concat(F.lit("chr"), F.col("event_type")),
+        ).alias("contig_raw"),
+        pos.alias("position_raw"),
+        ref.alias("ref"),
+        alt.alias("alt"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(3))
+        .otherwise(F.lit(2))
+        .alias("n_alleles"),
+        *[
+            (((F.col("event_id") * (13 + i)) % 10000) / 10000.0).alias(
+                f"af_{p}"
+            )
+            for i, p in enumerate(_GNOMAD_POPS)
+        ],
+    )
+    biallelic = raw.filter(F.col("n_alleles") == 2)
+    chrom = F.regexp_replace(F.col("contig_raw"), "chr", "")
+    position = F.when(
+        F.col("contig_raw").isNotNull(), F.col("position_raw")
+    )
+    vid = F.concat_ws(
+        "_", chrom, position.cast("string"), F.col("ref"), F.col("alt")
+    )
+    hashed = (
+        F.when(
+            chrom.isNull() | position.isNull(),
+            F.concat(F.lit("OTVAR_"), F.md5(vid)),
+        )
+        .when(
+            F.length(vid) > _VARIANT_ID_HASH_THRESHOLD,
+            F.concat_ws(
+                "_", F.lit("OTVAR"), chrom, position.cast("string"), F.md5(vid)
+            ),
+        )
+        .otherwise(vid)
+    )
+    return biallelic.select(
+        hashed.alias("variant_id"),
+        chrom.alias("chromosome"),
+        position.alias("position"),
+        F.col("ref").alias("reference_allele"),
+        F.col("alt").alias("alternate_allele"),
+        (F.length(vid) > _VARIANT_ID_HASH_THRESHOLD).alias("id_was_hashed"),
+        *[F.col(f"af_{p}") for p in _GNOMAD_POPS],
+        F.concat_ws(
+            "-", chrom, position.cast("string"), F.col("ref"), F.col("alt")
+        ).alias("xref_id"),
+        F.lit("gnomad").alias("xref_source"),
+    )
+
+
+def _gnomad_sql() -> str:
+    arr = "(['A','C','G','T','AT','GCC'])"
+    afs = ",\n         ".join(
+        f"((event_id * {13 + i}) % 10000) / 10000.0 AS af_{p}"
+        for i, p in enumerate(_GNOMAD_POPS)
+    )
+    return f"""
+WITH raw AS (
+  SELECT event_id,
+         CASE WHEN event_id % 17 <> 0 THEN 'chr' || event_type END
+           AS contig_raw,
+         (event_id * 131) % 5000000 AS position_raw,
+         {arr}[CAST(event_id % 6 AS INT) + 1] AS ref,
+         CASE WHEN event_id % 13 = 0 THEN repeat('AC', 60)
+              ELSE {arr}[CAST((event_id // 7) % 6 AS INT) + 1] END AS alt,
+         CASE WHEN event_id % 11 = 0 THEN 3 ELSE 2 END AS n_alleles,
+         {afs}
+  FROM events
+),
+biallelic AS (SELECT * FROM raw WHERE n_alleles = 2),
+built AS (
+  SELECT *,
+         regexp_replace(contig_raw, 'chr', '') AS chromosome,
+         CASE WHEN contig_raw IS NOT NULL THEN position_raw END AS position,
+         concat_ws('_', regexp_replace(contig_raw, 'chr', ''),
+                   CAST(CASE WHEN contig_raw IS NOT NULL
+                             THEN position_raw END AS VARCHAR),
+                   ref, alt) AS vid
+  FROM biallelic
+)
+SELECT CASE
+         WHEN chromosome IS NULL OR position IS NULL
+           THEN 'OTVAR_' || md5(vid)
+         WHEN LENGTH(vid) > {_VARIANT_ID_HASH_THRESHOLD}
+           THEN concat_ws('_', 'OTVAR', chromosome,
+                          CAST(position AS VARCHAR), md5(vid))
+         ELSE vid END AS variant_id,
+       chromosome, position,
+       ref AS reference_allele, alt AS alternate_allele,
+       LENGTH(vid) > {_VARIANT_ID_HASH_THRESHOLD} AS id_was_hashed,
+       af_afr, af_amr, af_eas, af_nfe,
+       concat_ws('-', chromosome, CAST(position AS VARCHAR), ref, alt)
+         AS xref_id,
+       'gnomad' AS xref_source
+FROM built
+"""
+
+
+REGISTRY["gnomad_variant_ingest"] = QuerySpec(
+    q_gnomad_variant_ingest, _gnomad_sql()
+)
+
+
+# --- rE2G intervals ingestion ----------------------------------------------
+_E2G_TYPES = ("Promoter", " enhancer ", "INTERGENIC", "genic")
+
+
+def q_intervals_e2g_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regulatory Enhancer-To-Gene interval ingestion.
+
+    Reference: datasource/intervals/e2g.py:42 ``IntervalsE2G.parse`` —
+    study id regexp-extracted from the source file path, chromosome
+    normalization, interval-type lower+trim, the TSS-LUT left join
+    feeding ``distance_to_tss`` (dataset/intervals.py:120: promoters
+    and TSS-inside-interval are distance 0, else nearest bound, NULL
+    TSS propagates), the biosample-name → id mapping join, and the
+    md5 interval identifier over the uniqueness columns with NULLs
+    encoded as 'None' (dataset/dataset.py:441 generate_identifier).
+    The TSS LUT is the target_index_build output — the same
+    composition as the reference's ``target_index.tss_lut()``.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    nat = read_table(spark, sf_dir, "nation")
+    tss_lut = q_target_index_build(spark, sf_dir).select(
+        F.col("gene_id").alias("gene_id_str"), "tss"
+    )
+    bio_lut = nat.select(
+        F.lower(F.col("n_name")).alias("biosample_name"),
+        F.concat(
+            F.lit("UBERON_"), F.lpad(F.col("n_nationkey").cast("string"), 4, "0")
+        ).alias("biosample_id"),
+    )
+    types_arr = F.array(*[F.lit(t) for t in _E2G_TYPES])
+    start = (F.col("o_orderkey") * 91) % 10_000_000
+    raw = orders.select(
+        F.concat(
+            F.lit("release/E2G_"),
+            (F.col("o_custkey") % 20).cast("string"),
+            F.lit(".bed.gz"),
+        ).alias("file_path"),
+        F.concat(
+            F.lit("chr"), ((F.col("o_orderkey") % 22) + 1).cast("string")
+        ).alias("chr"),
+        start.alias("start"),
+        (start + F.col("o_orderkey") % 5000 + 50).alias("end"),
+        F.concat(
+            F.lit("ENSG"),
+            F.lpad((F.col("o_orderkey") % 1200).cast("string"), 11, "0"),
+        ).alias("gene_id_str"),
+        F.element_at(
+            types_arr, (F.col("o_orderkey") % 4 + 1).cast("int")
+        ).alias("interval_type_raw"),
+        (F.floor(F.col("o_totalprice") / 600_000.0 * 1e6) / 1e6).alias("score"),
+        F.element_at(
+            F.array(*[F.lit(None).cast("string")]
+                    + [F.lit(f) for f in ("0.25", "0.5", "0.75")]),
+            (F.col("o_orderkey") % 4 + 1).cast("int"),
+        ).cast("double").alias("dnase_feature"),
+        F.round((F.col("o_orderkey") % 100) / 100.0, 6).alias("hic_feature"),
+        F.lower(
+            F.element_at(
+                F.array(
+                    *[
+                        F.lit(n)
+                        for n in ("ALGERIA", "ARGENTINA", "BRAZIL", "CANADA",
+                                  "unmapped tissue")
+                    ]
+                ),
+                (F.col("o_orderkey") % 5 + 1).cast("int"),
+            )
+        ).alias("biosample_name"),
+    )
+    base = raw.select(
+        F.regexp_extract(F.col("file_path"), r"([^/]+)\.bed\.gz$", 1).alias(
+            "study_id"
+        ),
+        F.regexp_replace(F.col("chr"), "chr", "").alias("chromosome"),
+        "start",
+        "end",
+        "gene_id_str",
+        F.lower(F.trim(F.col("interval_type_raw"))).alias("interval_type"),
+        "score",
+        "dnase_feature",
+        "hic_feature",
+        "biosample_name",
+    )
+    joined = base.join(tss_lut, on="gene_id_str", how="left").join(
+        F.broadcast(bio_lut), on="biosample_name", how="left"
+    )
+    tss_inside = (F.col("tss") >= F.col("start")) & (
+        F.col("tss") <= F.col("end")
+    )
+    dist = (
+        F.when(F.col("tss").isNull(), F.lit(None).cast("long"))
+        .when(
+            (F.col("interval_type") == "promoter") | tss_inside, F.lit(0)
+        )
+        .otherwise(
+            F.least(
+                F.abs(F.col("tss") - F.col("start")),
+                F.abs(F.col("tss") - F.col("end")),
+            )
+        )
+        .cast("long")
+    )
+    id_cols = [
+        "chromosome", "start", "end", "gene_id_str", "study_id",
+        "interval_type",
+    ]
+    interval_id = F.md5(
+        F.concat(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("None"))
+                for c in id_cols
+            ]
+        )
+    )
+    return joined.select(
+        "chromosome",
+        "start",
+        "end",
+        F.col("gene_id_str").alias("gene_id"),
+        "score",
+        dist.alias("distance_to_tss"),
+        "dnase_feature",
+        "hic_feature",
+        F.lit("e2g").alias("datasource_id"),
+        "interval_type",
+        F.lit("38014075").alias("pmid"),
+        "biosample_name",
+        "biosample_id",
+        "study_id",
+        interval_id.alias("interval_id"),
+    )
+
+
+def _e2g_sql() -> str:
+    return f"""
+WITH tss_lut AS (
+  SELECT gene_id AS gene_id_str, tss FROM ({TARGET_INDEX_SQL})
+),
+bio_lut AS (
+  SELECT lower(n_name) AS biosample_name,
+         'UBERON_' || lpad(CAST(n_nationkey AS VARCHAR), 4, '0')
+           AS biosample_id
+  FROM nation
+),
+raw AS (
+  SELECT 'release/E2G_' || CAST(o_custkey % 20 AS VARCHAR) || '.bed.gz'
+           AS file_path,
+         'chr' || CAST((o_orderkey % 22) + 1 AS VARCHAR) AS chr,
+         (o_orderkey * 91) % 10000000 AS "start",
+         (o_orderkey * 91) % 10000000 + o_orderkey % 5000 + 50 AS "end",
+         'ENSG' || lpad(CAST(o_orderkey % 1200 AS VARCHAR), 11, '0')
+           AS gene_id_str,
+         (['Promoter', ' enhancer ', 'INTERGENIC', 'genic'])
+           [CAST(o_orderkey % 4 AS INT) + 1] AS interval_type_raw,
+         FLOOR(o_totalprice / 600000.0 * 1000000.0) / 1000000.0 AS score,
+         CAST(([NULL, '0.25', '0.5', '0.75'])
+              [CAST(o_orderkey % 4 AS INT) + 1] AS DOUBLE) AS dnase_feature,
+         ROUND((o_orderkey % 100) / 100.0, 6) AS hic_feature,
+         lower((['ALGERIA','ARGENTINA','BRAZIL','CANADA','unmapped tissue'])
+               [CAST(o_orderkey % 5 AS INT) + 1]) AS biosample_name
+  FROM orders
+),
+base AS (
+  SELECT regexp_extract(file_path, '([^/]+)\\.bed\\.gz$', 1) AS study_id,
+         regexp_replace(chr, 'chr', '') AS chromosome,
+         "start", "end", gene_id_str,
+         lower(trim(interval_type_raw)) AS interval_type,
+         score, dnase_feature, hic_feature, biosample_name
+  FROM raw
+),
+joined AS (
+  SELECT b.*, t.tss, l.biosample_id
+  FROM base b
+  LEFT JOIN tss_lut t USING (gene_id_str)
+  LEFT JOIN bio_lut l USING (biosample_name)
+)
+SELECT chromosome, "start", "end", gene_id_str AS gene_id, score,
+       CAST(CASE WHEN tss IS NULL THEN NULL
+                 WHEN interval_type = 'promoter'
+                      OR (tss >= "start" AND tss <= "end") THEN 0
+                 ELSE LEAST(ABS(tss - "start"), ABS(tss - "end")) END
+            AS BIGINT) AS distance_to_tss,
+       dnase_feature, hic_feature,
+       'e2g' AS datasource_id, interval_type, '38014075' AS pmid,
+       biosample_name, biosample_id, study_id,
+       md5(COALESCE(CAST(chromosome AS VARCHAR), 'None')
+           || COALESCE(CAST("start" AS VARCHAR), 'None')
+           || COALESCE(CAST("end" AS VARCHAR), 'None')
+           || COALESCE(gene_id_str, 'None')
+           || COALESCE(study_id, 'None')
+           || COALESCE(interval_type, 'None')) AS interval_id
+FROM joined
+"""
+
+
+REGISTRY["intervals_e2g_ingest"] = QuerySpec(
+    q_intervals_e2g_ingest, _e2g_sql()
+)
+
+
+# --- UK Biobank study-index ingestion --------------------------------------
+_UKBB_PHENOS = (
+    "body mass index", "standing height", "systolic blood pressure",
+    "forearm fracture", "type two diabetes",
+)
+
+
+def q_ukbiobank_study_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UK Biobank (SAIGE + Neale round 2) study-index ingestion.
+
+    Reference: datasource/ukbiobank/study_index.py:36 ``from_source`` —
+    cohort-keyed publication metadata (SAIGE_ prefix → the Zhou 2018
+    publication constants, NEALE2_ → the Neale release date), the
+    trait-string reshape for coded phenotypes ('CODE: description' →
+    'Description | code' with initcap), the European discovery-sample
+    ancestry annotation, and the constant project/study-type fields.
+    initcap has no DuckDB builtin, so the oracle reproduces Spark's
+    per-word capitalize-first/lowercase-rest with a list transform.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    code = F.concat(
+        F.when(ck % 2 == 0, F.lit("SAIGE_")).otherwise(F.lit("NEALE2_")),
+        ck.cast("string"),
+    )
+    pheno = F.element_at(
+        F.array(*[F.lit(p) for p in _UKBB_PHENOS]), (ck % 5 + 1).cast("int")
+    )
+    # Half the traits carry a 'CODE: description' shape to exercise
+    # the reshape; the rest are plain descriptions.
+    trait_raw = F.when(
+        ck % 3 == 0,
+        F.concat(F.lit("X"), (ck % 900).cast("string"), F.lit(": "), pheno),
+    ).otherwise(pheno)
+    n_total = 10_000 + ck % 90_000
+    # floor-div, not cast-of-quotient: DuckDB CAST(double AS INT)
+    # rounds where Spark truncates (the repo-wide `div` rule).
+    n_cases = F.when(ck % 2 == 0, F.floor(n_total / 10).cast("int"))
+    raw = cust.select(
+        code.alias("code"),
+        trait_raw.alias("trait"),
+        n_total.alias("n_total"),
+        n_cases.alias("n_cases"),
+        F.concat(F.lit("sumstats/"), code, F.lit(".tsv.gz")).alias("in_path"),
+    )
+    is_saige = F.col("code").startswith("SAIGE_")
+    is_coded = F.col("trait").contains(":")
+    reshaped = F.when(
+        is_coded,
+        F.concat(
+            F.initcap(F.split(F.col("trait"), ": ").getItem(1)),
+            F.lit(" | "),
+            F.lower(F.split(F.col("trait"), ": ").getItem(0)),
+        ),
+    ).otherwise(F.col("trait"))
+    return raw.select(
+        F.col("code").alias("study_id"),
+        F.lit("UKBiobank").alias("project_id"),
+        F.lit("gwas").alias("study_type"),
+        reshaped.alias("trait_from_source"),
+        F.when(is_saige, F.lit("30104761")).alias("pubmed_id"),
+        F.when(is_saige, F.lit("Nature Genetics")).alias(
+            "publication_journal"
+        ),
+        F.when(is_saige, F.lit("Wei Zhou")).alias("publication_first_author"),
+        F.when(F.col("code").startswith("NEALE2_"), F.lit("2018-08-01"))
+        .otherwise(F.lit("2018-10-24"))
+        .alias("publication_date"),
+        F.col("n_total").cast("string").alias("initial_sample_size"),
+        F.col("n_cases").alias("n_cases"),
+        F.col("n_total").cast("int").alias("sample_size"),
+        F.concat(F.lit("European="), F.col("n_total").cast("string")).alias(
+            "ancestry"
+        ),
+        F.col("in_path").alias("sumstats_location"),
+        F.lit(True).alias("has_sumstats"),
+    )
+
+
+_UKBB_PHENO_SQL = (
+    "(['body mass index','standing height','systolic blood pressure',"
+    "'forearm fracture','type two diabetes'])[CAST(c_custkey % 5 AS INT) + 1]"
+)
+
+UKBB_STUDY_SQL = f"""
+WITH raw AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN 'SAIGE_' ELSE 'NEALE2_' END
+           || CAST(c_custkey AS VARCHAR) AS code,
+         CASE WHEN c_custkey % 3 = 0
+              THEN 'X' || CAST(c_custkey % 900 AS VARCHAR) || ': '
+                   || {_UKBB_PHENO_SQL}
+              ELSE {_UKBB_PHENO_SQL} END AS trait,
+         10000 + c_custkey % 90000 AS n_total,
+         CASE WHEN c_custkey % 2 = 0
+              THEN CAST((10000 + c_custkey % 90000) // 10 AS INT) END
+           AS n_cases
+  FROM customer
+)
+SELECT code AS study_id,
+       'UKBiobank' AS project_id,
+       'gwas' AS study_type,
+       CASE WHEN contains(trait, ':')
+            THEN list_aggregate(
+                   list_transform(str_split(str_split(trait, ': ')[2], ' '),
+                                  x -> upper(x[1]) || lower(x[2:])),
+                   'string_agg', ' ')
+                 || ' | ' || lower(str_split(trait, ': ')[1])
+            ELSE trait END AS trait_from_source,
+       CASE WHEN starts_with(code, 'SAIGE_') THEN '30104761' END AS pubmed_id,
+       CASE WHEN starts_with(code, 'SAIGE_') THEN 'Nature Genetics' END
+         AS publication_journal,
+       CASE WHEN starts_with(code, 'SAIGE_') THEN 'Wei Zhou' END
+         AS publication_first_author,
+       CASE WHEN starts_with(code, 'NEALE2_') THEN '2018-08-01'
+            ELSE '2018-10-24' END AS publication_date,
+       CAST(n_total AS VARCHAR) AS initial_sample_size,
+       n_cases,
+       CAST(n_total AS INT) AS sample_size,
+       'European=' || CAST(n_total AS VARCHAR) AS ancestry,
+       'sumstats/' || code || '.tsv.gz' AS sumstats_location,
+       TRUE AS has_sumstats
+FROM raw
+"""
+
+
+REGISTRY["ukbiobank_study_ingest"] = QuerySpec(
+    q_ukbiobank_study_ingest, UKBB_STUDY_SQL
+)
+
+
+# --- deCODE aptamer metadata ingestion -------------------------------------
+def q_decode_aptamer_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deCODE SomaScan aptamer → protein-target metadata.
+
+    Reference: datasource/decode/aptamer_metadata.py:87
+    ``_transform_source`` — SeqId-prefix strip on the aptamer id,
+    comma-separated multi-target ``gene_name``/``uniprot`` fields
+    split and zipped into the per-target metadata array, the
+    ``isProteinComplex`` flag for multi-target aptamers (protein
+    complexes), and a trailing distinct. The zip is emitted EXPLODED
+    (one row per aptamer-target with its position) so the oracle
+    hash covers every element of the reference's struct array.
+    """
+    part = read_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    seqid = F.concat(
+        F.lit("  SeqId."),
+        F.expr("p_partkey div 3").cast("string"),
+        F.lit("_"),
+        (pk % 3 + 1).cast("string"),
+    )
+    multi = pk % 5 == 0
+    g1 = F.concat(F.lit("GENE"), (pk % 700).cast("string"))
+    g2 = F.concat(F.lit("GENE"), ((pk + 1) % 700).cast("string"))
+    p1 = F.concat(F.lit("P"), F.lpad((pk % 900).cast("string"), 5, "0"))
+    p2 = F.concat(F.lit("P"), F.lpad(((pk + 1) % 900).cast("string"), 5, "0"))
+    raw = part.select(
+        seqid.alias("seqid"),
+        F.concat(F.lit("target_"), (pk % 400).cast("string")).alias(
+            "target_name"
+        ),
+        F.when(
+            pk % 7 != 0,
+            F.concat(F.lit("Full name of target "), (pk % 400).cast("string")),
+        ).alias("target_full_name"),
+        F.when(multi, F.concat_ws(",", g1, g2)).otherwise(g1).alias(
+            "gene_name"
+        ),
+        F.when(multi, F.concat_ws(",", p1, p2)).otherwise(p1).alias("uniprot"),
+    )
+    parsed = raw.select(
+        F.regexp_replace(F.trim(F.col("seqid")), "SeqId.", "").alias(
+            "aptamer_id"
+        ),
+        F.trim(F.col("target_name")).alias("target_name"),
+        F.trim(F.col("target_full_name")).alias("target_full_name"),
+        F.split(F.trim(F.col("gene_name")), ",").alias("genes"),
+        F.split(F.trim(F.col("uniprot")), ",").alias("prots"),
+    ).distinct()
+    z = F.arrays_zip(F.col("genes"), F.col("prots"))
+    return (
+        parsed.withColumn("is_protein_complex", F.size(z) > 1)
+        .select(
+            "aptamer_id",
+            "target_name",
+            "target_full_name",
+            "is_protein_complex",
+            F.posexplode(z).alias("target_pos", "t"),
+        )
+        .select(
+            "aptamer_id",
+            "target_name",
+            "target_full_name",
+            "is_protein_complex",
+            (F.col("target_pos") + 1).cast("int").alias("target_pos"),
+            F.col("t.genes").alias("gene_symbol"),
+            F.col("t.prots").alias("protein_id"),
+        )
+    )
+
+
+DECODE_APTAMER_SQL = """
+WITH raw AS (
+  SELECT '  SeqId.' || CAST(p_partkey // 3 AS VARCHAR) || '_'
+           || CAST(p_partkey % 3 + 1 AS VARCHAR) AS seqid,
+         'target_' || CAST(p_partkey % 400 AS VARCHAR) AS target_name,
+         CASE WHEN p_partkey % 7 <> 0
+              THEN 'Full name of target ' || CAST(p_partkey % 400 AS VARCHAR)
+         END AS target_full_name,
+         CASE WHEN p_partkey % 5 = 0
+              THEN 'GENE' || CAST(p_partkey % 700 AS VARCHAR) || ',GENE'
+                   || CAST((p_partkey + 1) % 700 AS VARCHAR)
+              ELSE 'GENE' || CAST(p_partkey % 700 AS VARCHAR) END AS gene_name,
+         CASE WHEN p_partkey % 5 = 0
+              THEN 'P' || lpad(CAST(p_partkey % 900 AS VARCHAR), 5, '0') || ',P'
+                   || lpad(CAST((p_partkey + 1) % 900 AS VARCHAR), 5, '0')
+              ELSE 'P' || lpad(CAST(p_partkey % 900 AS VARCHAR), 5, '0')
+         END AS uniprot
+  FROM part
+),
+parsed AS (
+  SELECT DISTINCT
+         regexp_replace(trim(seqid), 'SeqId.', '') AS aptamer_id,
+         trim(target_name) AS target_name,
+         trim(target_full_name) AS target_full_name,
+         str_split(trim(gene_name), ',') AS genes,
+         str_split(trim(uniprot), ',') AS prots
+  FROM raw
+)
+SELECT aptamer_id, target_name, target_full_name,
+       len(genes) > 1 AS is_protein_complex,
+       CAST(idx AS INT) AS target_pos,
+       genes[idx] AS gene_symbol,
+       prots[idx] AS protein_id
+FROM parsed, unnest(generate_series(1, len(genes))) AS u(idx)
+"""
+
+
+REGISTRY["decode_aptamer_ingest"] = QuerySpec(
+    q_decode_aptamer_ingest, DECODE_APTAMER_SQL
+)

@@ -40,6 +40,10 @@ _SNAPSHOT_PRIORITY = [
     "finemap_calibration",
     "amino_acid_variants",
     "biosample_index_merge",
+    "gnomad_variant_ingest",
+    "intervals_e2g_ingest",
+    "ukbiobank_study_ingest",
+    "decode_aptamer_ingest",
     # (b) r7: the 9 r6 hash-FAILs + the latent 10th (funnel_analysis,
     # below in (c)) — values were exact, the physical dtype diverged
     # (DuckDB HUGEINT / Spark DECIMAL vs the pandas bridge); oracle/
