@@ -1775,3 +1775,292 @@ FROM parsed, unnest(generate_series(1, len(genes))) AS u(idx)
 REGISTRY["decode_aptamer_ingest"] = QuerySpec(
     q_decode_aptamer_ingest, DECODE_APTAMER_SQL
 )
+
+
+# --- deCODE pQTL summary-stats harmonisation -------------------------------
+_DECODE_MIN_N = 20_000
+_DECODE_MIN_MAC = 20
+_DECODE_RANGE_US = 1_000_000
+
+
+def q_decode_sumstat_harmonise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deCODE proteomics summary-stats harmonisation — fifth dialect.
+
+    Reference: datasource/decode/summary_statistics.py:224
+    ``from_source``, steps in reference order: (1) schema alignment
+    (Chrom/Pos/Beta/... → canonical), (2) MAC and sample-size gates
+    (mac = 2·min(maf, 1-maf)·N), (3) allele flip against the
+    positive-strand VariantDirection table on the (chromosome,
+    rangeId, variantId) key — rangeId is the position bucket that
+    makes the join an equi-join, the same windowed-key trick the
+    reference warns must match on both sides; unmatched variants are
+    kept as-is, (4) EAF inference from impMAF vs the gnomAD EUR AF
+    (:176 ``_infer_allele_frequency``: NULL EUR AF → impMAF; EUR AF
+    closer to impMAF → impMAF; else 1-impMAF), (5) sanity filter, and
+    (6) the study-id upgrade embedding curated gene symbols from the
+    aptamer mapping — composed directly on ``decode_aptamer_ingest``.
+    """
+    from gentropy_spark.functions.stats import pvalue_from_neglog
+
+    ev = read_table(spark, sf_dir, "events")
+    alleles = F.array(*[F.lit(a) for a in ("A", "C", "G", "T", "AT", "GCC")])
+    ref = F.element_at(alleles, (F.col("event_id") % 6 + 1).cast("int"))
+    alt = F.element_at(alleles, (F.expr("event_id div 7") % 6 + 1).cast("int"))
+    pos = (F.col("event_id") * 131) % 5_000_000
+    n_col = (F.lit(15_000) + (F.col("event_id") * 29) % 40_000).cast("int")
+    raw = ev.select(
+        F.concat(
+            F.lit("DECODE_RAW_Proteomics_"), (F.col("user_id") % 50).cast("string")
+        ).alias("study_id_raw"),
+        ((F.col("user_id") % 300).cast("string")).alias("apt_num"),
+        ((F.col("user_id") % 3) + 1).cast("string").alias("apt_sub"),
+        F.col("event_type").alias("chromosome"),
+        pos.alias("position"),
+        alt.alias("alt"),
+        ref.alias("ref"),
+        F.round((F.col("value") - 150.0) / 100.0, 6).alias("beta"),
+        F.round(0.1 + F.abs(F.col("value")) / 10.0, 6).alias("neglogp"),
+        F.round(0.5 + (F.col("event_id") % 10) / 20.0, 6).alias(
+            "standard_error"
+        ),
+        n_col.alias("sample_size"),
+        (((F.col("event_id") * 7) % 5000) / 10000.0).alias("imp_maf"),
+    )
+    staged = (
+        raw.withColumn(
+            "variant_id",
+            F.concat_ws(
+                "_",
+                F.col("chromosome"),
+                F.col("position").cast("string"),
+                F.col("alt"),
+                F.col("ref"),
+            ),
+        )
+        .withColumn(
+            "range_id", F.expr(f"position div {_DECODE_RANGE_US}").cast("int")
+        )
+        .filter(F.col("sample_size") >= _DECODE_MIN_N)
+        .filter(
+            2.0
+            * F.least(F.col("imp_maf"), 1.0 - F.col("imp_maf"))
+            * F.col("sample_size")
+            >= _DECODE_MIN_MAC
+        )
+    )
+    # Positive-strand variant-direction reference (direction keyed off
+    # the variant itself so colliding rows agree; pos%10==8 absent).
+    vd = (
+        ev.select(
+            F.col("event_type").alias("chromosome"),
+            pos.alias("vpos"),
+            alt.alias("valt"),
+            ref.alias("vref"),
+        )
+        .filter(F.col("vpos") % 10 != 8)
+        .select(
+            "chromosome",
+            F.expr(f"vpos div {_DECODE_RANGE_US}").cast("int").alias("range_id"),
+            F.concat_ws(
+                "_", F.col("chromosome"), F.col("vpos").cast("string"),
+                F.col("valt"), F.col("vref"),
+            ).alias("original_variant_id"),
+            F.when(
+                F.col("vpos") % 10 == 7,
+                F.concat_ws(
+                    "_", F.col("chromosome"), F.col("vpos").cast("string"),
+                    F.col("vref"), F.col("valt"),
+                ),
+            )
+            .otherwise(
+                F.concat_ws(
+                    "_", F.col("chromosome"), F.col("vpos").cast("string"),
+                    F.col("valt"), F.col("vref"),
+                )
+            )
+            .alias("gnomad_variant_id"),
+            F.when(F.col("vpos") % 10 == 7, F.lit(-1))
+            .otherwise(F.lit(1))
+            .alias("direction"),
+            F.when(
+                F.col("vpos") % 10 != 5,
+                ((F.col("vpos") * 13) % 10000) / 10000.0,
+            ).alias("eur_af"),
+        )
+        .distinct()
+    )
+    joined = staged.join(
+        vd,
+        (staged["chromosome"] == vd["chromosome"])
+        & (staged["range_id"] == vd["range_id"])
+        & (staged["variant_id"] == vd["original_variant_id"]),
+        "left",
+    ).drop(vd["chromosome"]).drop(vd["range_id"])
+    d = F.coalesce(F.col("direction"), F.lit(1))
+    eaf = (
+        F.when(F.col("eur_af").isNull(), F.col("imp_maf"))
+        .when(
+            F.abs(F.col("eur_af") - F.col("imp_maf"))
+            <= F.abs(F.col("eur_af") - (1.0 - F.col("imp_maf"))),
+            F.col("imp_maf"),
+        )
+        .otherwise(1.0 - F.col("imp_maf"))
+    )
+    m, e = pvalue_from_neglog(F.col("neglogp"))
+    harmonised = joined.select(
+        "study_id_raw",
+        "apt_num",
+        "apt_sub",
+        F.coalesce(F.col("gnomad_variant_id"), F.col("variant_id")).alias(
+            "variant_id"
+        ),
+        "chromosome",
+        "position",
+        (F.round(F.col("beta") * d, 6) + 0.0).alias("beta"),
+        F.round(m, 6).alias("p_mantissa"),
+        e.alias("p_exponent"),
+        "standard_error",
+        "sample_size",
+        eaf.alias("eaf"),
+        F.col("direction").isNotNull().alias("matched_gnomad"),
+    ).filter(
+        # sanity: non-null non-zero beta, positive SE
+        F.col("beta").isNotNull()
+        & (F.col("beta") != 0)
+        & (F.col("standard_error") > 0)
+    )
+    # Study-id upgrade from the aptamer mapping (primary target only).
+    apt = (
+        q_decode_aptamer_ingest(spark, sf_dir)
+        .filter(F.col("target_pos") == 1)
+        .select(
+            F.split(F.col("aptamer_id"), "_").getItem(0).alias("apt_num"),
+            F.split(F.col("aptamer_id"), "_").getItem(1).alias("apt_sub"),
+            "gene_symbol",
+            "target_name",
+        )
+        .distinct()
+    )
+    return (
+        harmonised.join(F.broadcast(apt), on=["apt_num", "apt_sub"], how="left")
+        .select(
+            F.when(
+                F.col("gene_symbol").isNotNull(),
+                F.concat_ws(
+                    "_",
+                    F.lit("DECODE"),
+                    F.col("gene_symbol"),
+                    F.col("target_name"),
+                    F.col("study_id_raw"),
+                ),
+            )
+            .otherwise(F.col("study_id_raw"))
+            .alias("study_id"),
+            "variant_id",
+            "chromosome",
+            "position",
+            "beta",
+            "p_mantissa",
+            "p_exponent",
+            "standard_error",
+            "sample_size",
+            "eaf",
+            "matched_gnomad",
+        )
+    )
+
+
+def _decode_sumstat_sql() -> str:
+    arr = "(['A','C','G','T','AT','GCC'])"
+    alt = f"{arr}[CAST((event_id // 7) % 6 AS INT) + 1]"
+    ref = f"{arr}[CAST(event_id % 6 AS INT) + 1]"
+    return f"""
+WITH raw AS (
+  SELECT 'DECODE_RAW_Proteomics_' || CAST(user_id % 50 AS VARCHAR)
+           AS study_id_raw,
+         CAST(user_id % 300 AS VARCHAR) AS apt_num,
+         CAST((user_id % 3) + 1 AS VARCHAR) AS apt_sub,
+         event_type AS chromosome,
+         (event_id * 131) % 5000000 AS position,
+         {alt} AS alt, {ref} AS ref,
+         ROUND((value - 150.0) / 100.0, 6) AS beta,
+         ROUND(0.1 + ABS(value) / 10.0, 6) AS neglogp,
+         ROUND(0.5 + (event_id % 10) / 20.0, 6) AS standard_error,
+         CAST(15000 + (event_id * 29) % 40000 AS INT) AS sample_size,
+         ((event_id * 7) % 5000) / 10000.0 AS imp_maf
+  FROM events
+),
+staged AS (
+  SELECT *,
+         chromosome || '_' || CAST(position AS VARCHAR) || '_' || alt || '_'
+           || ref AS variant_id,
+         CAST(position // {_DECODE_RANGE_US} AS INT) AS range_id
+  FROM raw
+  WHERE sample_size >= {_DECODE_MIN_N}
+    AND 2.0 * LEAST(imp_maf, 1.0 - imp_maf) * sample_size >= {_DECODE_MIN_MAC}
+),
+vd AS (
+  SELECT DISTINCT
+    event_type AS chromosome,
+    CAST(((event_id * 131) % 5000000) // {_DECODE_RANGE_US} AS INT)
+      AS range_id,
+    event_type || '_' || CAST((event_id * 131) % 5000000 AS VARCHAR) || '_'
+      || {alt} || '_' || {ref} AS original_variant_id,
+    CASE WHEN ((event_id * 131) % 5000000) % 10 = 7
+         THEN event_type || '_' || CAST((event_id * 131) % 5000000 AS VARCHAR)
+              || '_' || {ref} || '_' || {alt}
+         ELSE event_type || '_' || CAST((event_id * 131) % 5000000 AS VARCHAR)
+              || '_' || {alt} || '_' || {ref} END AS gnomad_variant_id,
+    CASE WHEN ((event_id * 131) % 5000000) % 10 = 7 THEN -1 ELSE 1 END
+      AS direction,
+    CASE WHEN ((event_id * 131) % 5000000) % 10 <> 5
+         THEN (((event_id * 131) % 5000000) * 13 % 10000) / 10000.0 END
+      AS eur_af
+  FROM events
+  WHERE ((event_id * 131) % 5000000) % 10 <> 8
+),
+joined AS (
+  SELECT s.*, v.gnomad_variant_id, v.direction, v.eur_af
+  FROM staged s
+  LEFT JOIN vd v
+    ON s.chromosome = v.chromosome AND s.range_id = v.range_id
+   AND s.variant_id = v.original_variant_id
+),
+harmonised AS (
+  SELECT study_id_raw, apt_num, apt_sub,
+         COALESCE(gnomad_variant_id, variant_id) AS variant_id,
+         chromosome, position,
+         ROUND(beta * COALESCE(direction, 1), 6) + 0.0 AS beta,
+         ROUND(POW(10.0, CEIL(neglogp) - neglogp), 6) AS p_mantissa,
+         CAST(-1 * CEIL(neglogp) AS INT) AS p_exponent,
+         standard_error, sample_size,
+         CASE WHEN eur_af IS NULL THEN imp_maf
+              WHEN ABS(eur_af - imp_maf) <= ABS(eur_af - (1.0 - imp_maf))
+                THEN imp_maf
+              ELSE 1.0 - imp_maf END AS eaf,
+         direction IS NOT NULL AS matched_gnomad
+  FROM joined
+  WHERE beta IS NOT NULL AND beta <> 0 AND standard_error > 0
+),
+apt AS (
+  SELECT DISTINCT
+         str_split(aptamer_id, '_')[1] AS apt_num,
+         str_split(aptamer_id, '_')[2] AS apt_sub,
+         gene_symbol, target_name
+  FROM ({DECODE_APTAMER_SQL}) WHERE target_pos = 1
+)
+SELECT CASE WHEN a.gene_symbol IS NOT NULL
+            THEN concat_ws('_', 'DECODE', a.gene_symbol, a.target_name,
+                           h.study_id_raw)
+            ELSE h.study_id_raw END AS study_id,
+       h.variant_id, h.chromosome, h.position, h.beta, h.p_mantissa,
+       h.p_exponent, h.standard_error, h.sample_size, h.eaf,
+       h.matched_gnomad
+FROM harmonised h
+LEFT JOIN apt a USING (apt_num, apt_sub)
+"""
+
+
+REGISTRY["decode_sumstat_harmonise"] = QuerySpec(
+    q_decode_sumstat_harmonise, _decode_sumstat_sql()
+)

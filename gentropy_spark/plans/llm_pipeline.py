@@ -1731,3 +1731,133 @@ REGISTRY.update(
         "char_ngram_profile": QuerySpec(q_char_ngram_profile, CHAR_NGRAM_SQL),
     }
 )
+
+
+# --- E30: n-gram LM perplexity quality score -------------------------------
+# CCNet-style corpus filtering: score every document by its perplexity
+# under a bigram language model trained on the corpus itself (public
+# method: Wenzek et al. 2020, "CCNet: Extracting High Quality
+# Monolingual Datasets from Web Crawl Data" — there a KenLM 5-gram;
+# here an add-alpha bigram, which keeps the oracle SQL-expressible).
+LM_ALPHA = 0.1
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity (SURVEY E30).
+
+    Train + score in one DAG: global bigram/unigram counts by
+    partial-agg groupBy, per-token conditional probability
+    P(w2|w1) = (c(w1,w2)+α) / (c(w1)+α·V) joined back on the bigram
+    key (shuffle ∝ corpus tokens, never a cross join), cross-entropy
+    as the mean -log2 P with the per-term logs quantized to 9 dp and
+    summed in DECIMAL(38,12) so the per-doc reduction is
+    order-independent (the repo-wide FP-sum rule), perplexity = 2^H
+    rounded to 4 dp (2^H compounds the 9 dp term quantization, so 6 dp
+    is not reliably cross-engine-stable but 4 dp is). High-perplexity
+    docs are the quality-filter rejects.
+    """
+    from pyspark.sql import Window
+
+    from gentropy_spark.functions.text import tokens
+    from gentropy_spark.session import track_cache
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = track_cache(
+        docs.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = track_cache(
+        tok.withColumn("w_prev", F.lag("w").over(w_doc)).filter(
+            F.col("w_prev").isNotNull()
+        )
+    )
+    uni = bigrams.groupBy(F.col("w_prev").alias("w1")).agg(
+        F.count("*").alias("c1")
+    )
+    bi = bigrams.groupBy(
+        F.col("w_prev").alias("w1"), F.col("w").alias("w2")
+    ).agg(F.count("*").alias("c12"))
+    vocab_n = bigrams.select("w").union(bigrams.select("w_prev")).distinct().count()
+    scored = (
+        bigrams.join(
+            bi,
+            (bigrams["w_prev"] == bi["w1"]) & (bigrams["w"] == bi["w2"]),
+        )
+        # No broadcast hint: the unigram table is vocabulary-sized
+        # (millions of rows on a real corpus) — let AQE pick broadcast
+        # when it measures small, shuffle-join when it doesn't.
+        .join(uni.withColumnRenamed("w1", "u1"), F.col("w_prev") == F.col("u1"))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log2(
+                    (F.col("c12") + LM_ALPHA)
+                    / (F.col("c1") + LM_ALPHA * vocab_n)
+                ),
+                9,
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            (
+                F.sum(F.col("nll").cast("decimal(38,12)")).cast("double")
+                / F.count("*")
+            ),
+            6,
+        ).alias("cross_entropy_bits"),
+        F.round(
+            F.pow(
+                F.lit(2.0),
+                F.sum(F.col("nll").cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+            ),
+            4,
+        ).alias("perplexity"),
+    )
+
+
+def _lm_perplexity_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, g.idx AS pos, toks[g.idx] AS w
+  FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+       unnest(generate_series(1, len(toks))) AS g(idx)
+),
+bigrams AS (
+  SELECT doc_id, w,
+         LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w_prev
+  FROM tok
+  QUALIFY w_prev IS NOT NULL
+),
+uni AS (SELECT w_prev AS w1, COUNT(*) AS c1 FROM bigrams GROUP BY 1),
+bi AS (
+  SELECT w_prev AS w1, w AS w2, COUNT(*) AS c12 FROM bigrams GROUP BY 1, 2
+),
+vocab AS (
+  SELECT COUNT(*) AS v FROM (
+    SELECT w FROM bigrams UNION SELECT w_prev FROM bigrams
+  )
+),
+scored AS (
+  SELECT b.doc_id,
+         ROUND(-log2((c12 + {LM_ALPHA!r}) / (c1 + {LM_ALPHA!r} * v)), 9)
+           AS nll
+  FROM bigrams b
+  JOIN bi ON b.w_prev = bi.w1 AND b.w = bi.w2
+  JOIN uni ON b.w_prev = uni.w1
+  CROSS JOIN vocab
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+         AS cross_entropy_bits,
+       ROUND(POW(2.0, CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS DOUBLE)
+                      / COUNT(*)), 4) AS perplexity
+FROM scored GROUP BY doc_id
+"""
+
+
+REGISTRY["lm_perplexity"] = QuerySpec(q_lm_perplexity, _lm_perplexity_sql())

@@ -44,6 +44,8 @@ _SNAPSHOT_PRIORITY = [
     "intervals_e2g_ingest",
     "ukbiobank_study_ingest",
     "decode_aptamer_ingest",
+    "decode_sumstat_harmonise",
+    "lm_perplexity",
     # (b) r7: the 9 r6 hash-FAILs + the latent 10th (funnel_analysis,
     # below in (c)) — values were exact, the physical dtype diverged
     # (DuckDB HUGEINT / Spark DECIMAL vs the pandas bridge); oracle/
