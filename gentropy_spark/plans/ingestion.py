@@ -2064,3 +2064,363 @@ LEFT JOIN apt a USING (apt_num, apt_sub)
 REGISTRY["decode_sumstat_harmonise"] = QuerySpec(
     q_decode_sumstat_harmonise, _decode_sumstat_sql()
 )
+
+
+# --- FinnGen study index + EFO curation ------------------------------------
+_FINNGEN_RELEASE = "FINNGEN_R12"
+_FINNGEN_PHENOS = (
+    "type 2 diabetes", "asthma", "atrial fibrillation",
+    "major depressive disorder", "rheumatoid arthritis",
+    "ulcerative colitis", "gout",
+)
+
+
+def q_finngen_study_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinnGen study-index ingestion + manual EFO curation join.
+
+    Reference: datasource/finngen/study_index.py:73 ``from_source``
+    (release-prefixed study ids, case/control/sample arithmetic,
+    Finnish-ancestry constants, per-phenocode sumstats locations) and
+    datasource/finngen/efo_mapping.py:75 ``annotate_study_index`` —
+    the curation table filtered to this release's FINNGEN rows, the
+    ontology URL stripped to its EFO tail, LEFT-outer joined by trait
+    so unmapped studies survive (the reference's explicit contract:
+    dropping them would desynchronize study_index from credible_set),
+    and the mappings collected per study (sorted CSV here so the
+    value hash is order-stable).
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    ck = F.col("c_custkey")
+    phenocode = F.concat(F.lit("AB1_PHENO"), (ck % 120).cast("string"))
+    trait = F.element_at(
+        F.array(*[F.lit(p) for p in _FINNGEN_PHENOS]), (ck % 7 + 1).cast("int")
+    )
+    n_cases = (F.lit(500) + (ck * 13) % 20_000).cast("int")
+    n_controls = (F.lit(100_000) + (ck * 7) % 300_000).cast("int")
+    studies = cust.select(
+        F.concat_ws("_", F.lit(_FINNGEN_RELEASE), phenocode).alias("study_id"),
+        trait.alias("trait_from_source"),
+        n_cases.alias("n_cases"),
+        n_controls.alias("n_controls"),
+        (n_cases + n_controls).cast("int").alias("n_samples"),
+        F.lit("Finnish").alias("ancestry"),
+        F.lit("FinnGen").alias("cohort"),
+        F.concat(
+            F.lit("finngen/sumstat/"), phenocode, F.lit(".gz")
+        ).alias("sumstats_location"),
+        F.lit(_FINNGEN_RELEASE).alias("project_id"),
+        F.lit("gwas").alias("study_type"),
+        F.lit("36653562").alias("pubmed_id"),
+        F.lit(True).alias("has_sumstats"),
+    ).distinct()
+    # Manual curation table: FINNGEN rows for two releases plus
+    # non-FinnGen rows — only this release's FINNGEN rows survive.
+    nk = F.col("n_nationkey")
+    curation = nat.select(
+        F.when(nk % 5 == 4, F.lit("GCST_other_project"))
+        .when(nk % 2 == 0, F.lit("FINNGEN_R12_curation"))
+        .otherwise(F.lit("finngen_r11_curation"))
+        .alias("study_label"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in _FINNGEN_PHENOS]),
+            (nk % 7 + 1).cast("int"),
+        ).alias("property_value"),
+        F.concat(
+            F.lit("http://www.ebi.ac.uk/efo/EFO_"),
+            F.lpad((nk * 31 % 1_000_000).cast("string"), 7, "0"),
+        ).alias("semantic_tag"),
+    )
+    efo = (
+        curation.filter(F.col("study_label").contains("FINNGEN"))
+        .filter(F.upper(F.col("study_label")).contains("R12"))
+        .select(
+            F.regexp_replace(F.col("semantic_tag"), "^.*/", "").alias(
+                "efo_id"
+            ),
+            F.col("property_value").alias("trait_from_source"),
+        )
+    )
+    joined = studies.join(F.broadcast(efo), on="trait_from_source", how="left")
+    common = [c for c in studies.columns]
+    return joined.groupBy(*common).agg(
+        F.array_join(
+            F.array_sort(F.collect_list("efo_id")), ";"
+        ).alias("efo_ids_csv"),
+        F.count("efo_id").alias("n_efo"),
+    )
+
+
+_FG_PHENO_SQL = (
+    "(['type 2 diabetes','asthma','atrial fibrillation',"
+    "'major depressive disorder','rheumatoid arthritis',"
+    "'ulcerative colitis','gout'])"
+)
+
+FINNGEN_STUDY_SQL = f"""
+WITH studies AS (
+  SELECT DISTINCT
+    '{_FINNGEN_RELEASE}_AB1_PHENO' || CAST(c_custkey % 120 AS VARCHAR)
+      AS study_id,
+    {_FG_PHENO_SQL}[CAST(c_custkey % 7 AS INT) + 1] AS trait_from_source,
+    CAST(500 + (c_custkey * 13) % 20000 AS INT) AS n_cases,
+    CAST(100000 + (c_custkey * 7) % 300000 AS INT) AS n_controls,
+    CAST(500 + (c_custkey * 13) % 20000
+         + 100000 + (c_custkey * 7) % 300000 AS INT) AS n_samples,
+    'Finnish' AS ancestry,
+    'FinnGen' AS cohort,
+    'finngen/sumstat/AB1_PHENO' || CAST(c_custkey % 120 AS VARCHAR) || '.gz'
+      AS sumstats_location,
+    '{_FINNGEN_RELEASE}' AS project_id,
+    'gwas' AS study_type,
+    '36653562' AS pubmed_id,
+    TRUE AS has_sumstats
+  FROM customer
+),
+curation AS (
+  SELECT CASE WHEN n_nationkey % 5 = 4 THEN 'GCST_other_project'
+              WHEN n_nationkey % 2 = 0 THEN 'FINNGEN_R12_curation'
+              ELSE 'finngen_r11_curation' END AS study_label,
+         {_FG_PHENO_SQL.replace("c_custkey", "n_nationkey")}
+           [CAST(n_nationkey % 7 AS INT) + 1] AS property_value,
+         'http://www.ebi.ac.uk/efo/EFO_'
+           || lpad(CAST(n_nationkey * 31 % 1000000 AS VARCHAR), 7, '0')
+           AS semantic_tag
+  FROM nation
+),
+efo AS (
+  SELECT regexp_replace(semantic_tag, '^.*/', '') AS efo_id,
+         property_value AS trait_from_source
+  FROM curation
+  WHERE contains(study_label, 'FINNGEN')
+    AND contains(upper(study_label), 'R12')
+)
+SELECT s.*,
+       COALESCE(array_to_string(list_sort(list(e.efo_id)
+                  FILTER (e.efo_id IS NOT NULL)), ';'), '') AS efo_ids_csv,
+       COUNT(e.efo_id) AS n_efo
+FROM studies s
+LEFT JOIN efo e USING (trait_from_source)
+GROUP BY ALL
+"""
+
+
+REGISTRY["finngen_study_ingest"] = QuerySpec(
+    q_finngen_study_ingest, FINNGEN_STUDY_SQL
+)
+
+
+# --- Ensembl VEP output → variant index ------------------------------------
+_VEP_TERMS = (
+    ("missense_variant", 0.66),
+    ("synonymous_variant", 0.05),
+    ("intron_variant", 0.1),
+    ("upstream_gene_variant", 0.25),
+)
+
+
+def q_vep_variant_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensembl VEP JSON output → variant-index rows.
+
+    Reference: datasource/ensembl/vep_parser.py — the location parse of
+    the VEP input field ('chrom pos . ref/alt', :570
+    ``_parse_variant_location_id``), per-variant most-severe-transcript
+    selection by in-silico score with score-less transcripts dropped
+    (:291 ``_get_most_severe_transcript``), the one-letter amino-acid
+    change build from 'from/to' + protein position (:488
+    ``_parser_amino_acid_change`` — NULL if either part is missing),
+    and the version-stripped distinct union of SwissProt + TrEMBL
+    accessions (:527 ``_collect_uniprot_accessions``). Transcript rows
+    are synthesized exploded (1-3 per variant) and aggregated back —
+    the same shape VEP's nested JSON gives after explode.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    alleles = F.array(*[F.lit(a) for a in ("A", "C", "G", "T")])
+    ref = F.element_at(alleles, (F.col("event_id") % 4 + 1).cast("int"))
+    alt = F.element_at(alleles, ((F.col("event_id") + 1) % 4 + 1).cast("int"))
+    pos = (F.col("event_id") * 131) % 5_000_000
+    vep_input = F.concat_ws(
+        " ",
+        F.col("event_type"),
+        pos.cast("string"),
+        F.lit("."),
+        F.concat_ws("/", ref, alt),
+    )
+    n_tr = (F.col("event_id") % 3 + 1).cast("int")
+    base = ev.select(
+        "event_id", vep_input.alias("vep_input"), n_tr.alias("n_tr")
+    )
+    tr = base.withColumn("tr_idx", F.explode(F.sequence(F.lit(1), F.col("n_tr"))))
+    k = F.col("event_id") * 7 + F.col("tr_idx")
+    term = F.element_at(
+        F.array(*[F.lit(t) for t, _ in _VEP_TERMS]), (k % 4 + 1).cast("int")
+    )
+    score_map = F.create_map(
+        *[F.lit(x) for t, s in _VEP_TERMS for x in (t, s)]
+    )
+    # every third transcript lacks an in-silico score (dropped from
+    # the most-severe selection, like the reference's filter)
+    score = F.when(k % 3 != 0, score_map[term])
+    aa = F.when(k % 4 == 0, F.lit("A/T")).when(k % 4 == 1, F.lit("R/Q"))
+    protein_end = F.when(k % 5 != 0, (k % 800 + 1).cast("int"))
+    swissprot = F.when(
+        k % 2 == 0,
+        F.array(F.concat(F.lit("P"), (k % 900).cast("string"), F.lit(".2"))),
+    )
+    trembl = F.when(
+        k % 3 == 0,
+        F.array(F.concat(F.lit("Q"), (k % 700).cast("string"), F.lit(".1"))),
+    )
+    transcripts = tr.select(
+        "event_id",
+        "vep_input",
+        "tr_idx",
+        F.concat(F.lit("ENSG"), F.lpad((k % 300).cast("string"), 11, "0")).alias(
+            "gene_id"
+        ),
+        term.alias("consequence_term"),
+        score.alias("in_silico_score"),
+        F.when(
+            aa.isNotNull() & protein_end.isNotNull(),
+            F.concat(
+                F.split(aa, "/").getItem(0),
+                protein_end.cast("string"),
+                F.split(aa, "/").getItem(1),
+            ),
+        ).alias("amino_acid_change"),
+        F.filter(
+            F.array_distinct(
+                F.transform(
+                    F.concat(
+                        F.coalesce(swissprot, F.array().cast("array<string>")),
+                        F.coalesce(trembl, F.array().cast("array<string>")),
+                    ),
+                    lambda x: F.split(x, "\\.").getItem(0),
+                )
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("protein_ids"),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("in_silico_score").desc(), F.col("gene_id").asc()
+    )
+    most_severe = (
+        transcripts.filter(F.col("in_silico_score").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    loc = F.split(F.col("vep_input"), " ")
+    al = F.split(loc.getItem(3), "/")
+    agg_prot = transcripts.groupBy("event_id").agg(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("protein_ids")))),
+            ";",
+        ).alias("uniprot_csv"),
+        F.count("*").alias("n_transcripts"),
+    )
+    return most_severe.join(agg_prot, on="event_id").select(
+        F.concat_ws(
+            "_", loc.getItem(0), loc.getItem(1), al.getItem(0), al.getItem(1)
+        ).alias("variant_id"),
+        loc.getItem(0).alias("chromosome"),
+        loc.getItem(1).cast("long").alias("position"),
+        al.getItem(0).alias("reference_allele"),
+        al.getItem(1).alias("alternate_allele"),
+        F.col("consequence_term").alias("most_severe_consequence"),
+        F.col("gene_id").alias("most_severe_gene_id"),
+        F.col("in_silico_score").alias("most_severe_score"),
+        "amino_acid_change",
+        "uniprot_csv",
+        "n_transcripts",
+    )
+
+
+def _vep_ingest_sql() -> str:
+    terms = "(['missense_variant','synonymous_variant','intron_variant','upstream_gene_variant'])"
+    scores = (
+        "CASE t WHEN 'missense_variant' THEN 0.66 "
+        "WHEN 'synonymous_variant' THEN 0.05 WHEN 'intron_variant' THEN 0.1 "
+        "WHEN 'upstream_gene_variant' THEN 0.25 END"
+    )
+    return f"""
+WITH base AS (
+  SELECT event_id,
+         event_type || ' ' || CAST((event_id * 131) % 5000000 AS VARCHAR)
+           || ' . '
+           || (['A','C','G','T'])[CAST(event_id % 4 AS INT) + 1] || '/'
+           || (['A','C','G','T'])[CAST((event_id + 1) % 4 AS INT) + 1]
+           AS vep_input,
+         CAST(event_id % 3 + 1 AS INT) AS n_tr
+  FROM events
+),
+tr AS (
+  SELECT base.*, g.tr_idx
+  FROM base, unnest(generate_series(1, n_tr)) AS g(tr_idx)
+),
+transcripts AS (
+  SELECT event_id, vep_input, tr_idx,
+    'ENSG' || lpad(CAST((event_id * 7 + tr_idx) % 300 AS VARCHAR), 11, '0')
+      AS gene_id,
+    {terms}[CAST((event_id * 7 + tr_idx) % 4 AS INT) + 1] AS consequence_term,
+    CASE WHEN (event_id * 7 + tr_idx) % 3 <> 0 THEN
+      CASE {terms}[CAST((event_id * 7 + tr_idx) % 4 AS INT) + 1]
+        WHEN 'missense_variant' THEN 0.66::DOUBLE
+        WHEN 'synonymous_variant' THEN 0.05::DOUBLE
+        WHEN 'intron_variant' THEN 0.1::DOUBLE
+        WHEN 'upstream_gene_variant' THEN 0.25::DOUBLE END
+    END AS in_silico_score,
+    CASE WHEN (event_id * 7 + tr_idx) % 4 IN (0, 1)
+              AND (event_id * 7 + tr_idx) % 5 <> 0
+         THEN str_split(CASE WHEN (event_id * 7 + tr_idx) % 4 = 0
+                             THEN 'A/T' ELSE 'R/Q' END, '/')[1]
+              || CAST((event_id * 7 + tr_idx) % 800 + 1 AS VARCHAR)
+              || str_split(CASE WHEN (event_id * 7 + tr_idx) % 4 = 0
+                                THEN 'A/T' ELSE 'R/Q' END, '/')[2]
+    END AS amino_acid_change,
+    list_sort(list_distinct(list_transform(
+      (CASE WHEN (event_id * 7 + tr_idx) % 2 = 0
+            THEN ['P' || CAST((event_id * 7 + tr_idx) % 900 AS VARCHAR) || '.2']
+            ELSE [] END)
+      || (CASE WHEN (event_id * 7 + tr_idx) % 3 = 0
+               THEN ['Q' || CAST((event_id * 7 + tr_idx) % 700 AS VARCHAR)
+                     || '.1']
+               ELSE [] END),
+      x -> str_split(x, '.')[1]))) AS protein_ids
+  FROM tr
+),
+most_severe AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+              ORDER BY in_silico_score DESC, gene_id) AS rn
+  FROM transcripts WHERE in_silico_score IS NOT NULL
+),
+agg_prot AS (
+  SELECT event_id,
+         -- COALESCE: DuckDB array_to_string([]) is NULL, Spark's is ''
+         COALESCE(array_to_string(
+           list_sort(list_distinct(flatten(list(protein_ids)))), ';'), '')
+           AS uniprot_csv,
+         COUNT(*) AS n_transcripts
+  FROM transcripts GROUP BY event_id
+)
+SELECT str_split(vep_input, ' ')[1] || '_' || str_split(vep_input, ' ')[2]
+         || '_' || str_split(str_split(vep_input, ' ')[4], '/')[1]
+         || '_' || str_split(str_split(vep_input, ' ')[4], '/')[2]
+         AS variant_id,
+       str_split(vep_input, ' ')[1] AS chromosome,
+       CAST(str_split(vep_input, ' ')[2] AS BIGINT) AS position,
+       str_split(str_split(vep_input, ' ')[4], '/')[1] AS reference_allele,
+       str_split(str_split(vep_input, ' ')[4], '/')[2] AS alternate_allele,
+       consequence_term AS most_severe_consequence,
+       gene_id AS most_severe_gene_id,
+       in_silico_score AS most_severe_score,
+       amino_acid_change, uniprot_csv, n_transcripts
+FROM most_severe JOIN agg_prot USING (event_id)
+WHERE rn = 1
+"""
+
+
+REGISTRY["vep_variant_index_ingest"] = QuerySpec(
+    q_vep_variant_index_ingest, _vep_ingest_sql()
+)
