@@ -2424,3 +2424,130 @@ WHERE rn = 1
 REGISTRY["vep_variant_index_ingest"] = QuerySpec(
     q_vep_variant_index_ingest, _vep_ingest_sql()
 )
+
+
+# --- OTAR2075 loss-of-function curation ------------------------------------
+_LOF_VERDICTS = ("lof", "likely_lof", "uncertain", "likely_not_lof", "not_lof")
+_LOF_SCORES = (1.0, 0.5, 0.0, -0.5, -1.0)
+_LOF_DESCRIPTIONS = (
+    "Assessed to cause LoF",
+    "Suspected to cause LoF",
+    "Uncertain LoF assessment",
+    "Suspected not to cause LoF",
+    "Assessed not to cause LoF",
+)
+
+
+def q_lof_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTAR2075 loss-of-function curation ingestion.
+
+    Reference: datasource/open_targets/lof_curation.py:62
+    ``as_variant_index`` — the dash-separated GRCh37/GRCh38 variant-id
+    CSV parses, the cross-build id rebuild (chrom+pos from GRCh38,
+    ref/alt from GRCh37 — the reference's liftover-mistrust rule), the
+    verdict → description sentence map (:41), and the five-point
+    ordinal verdict normalisation to [-1, 1]
+    (variant_index.py:546 ``_normalise_lof``).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    alleles = F.array(*[F.lit(a) for a in ("A", "C", "G", "T")])
+    ref37 = F.element_at(alleles, (F.col("event_id") % 4 + 1).cast("int"))
+    alt37 = F.element_at(alleles, ((F.col("event_id") + 2) % 4 + 1).cast("int"))
+    pos38 = (F.col("event_id") * 131) % 5_000_000
+    # GRCh37 position drifts from GRCh38 (that's why the reference
+    # mistrusts the liftover and rebuilds the id cross-build).
+    pos37 = pos38 + (F.col("event_id") % 100)
+    verdict = F.element_at(
+        F.array(*[F.lit(v) for v in _LOF_VERDICTS]),
+        (F.col("event_id") % 5 + 1).cast("int"),
+    )
+    raw = ev.select(
+        F.concat_ws(
+            "-", F.col("event_type"), pos37.cast("string"), ref37, alt37
+        ).alias("variant_id_grch37"),
+        F.concat_ws(
+            "-", F.col("event_type"), pos38.cast("string"), ref37, alt37
+        ).alias("variant_id_grch38"),
+        verdict.alias("verdict"),
+    )
+    h37 = F.split(F.col("variant_id_grch37"), "-")
+    h38 = F.split(F.col("variant_id_grch38"), "-")
+    desc = F.element_at(
+        F.array(*[F.lit(d) for d in _LOF_DESCRIPTIONS]),
+        F.array_position(
+            F.array(*[F.lit(v) for v in _LOF_VERDICTS]), F.col("verdict")
+        ).cast("int"),
+    )
+    score = F.element_at(
+        F.array(*[F.lit(s) for s in _LOF_SCORES]),
+        F.array_position(
+            F.array(*[F.lit(v) for v in _LOF_VERDICTS]), F.col("verdict")
+        ).cast("int"),
+    )
+    return raw.select(
+        F.concat_ws(
+            "_",
+            h38.getItem(0),
+            h38.getItem(1),
+            h37.getItem(2),
+            h37.getItem(3),
+        ).alias("variant_id"),
+        h38.getItem(0).alias("chromosome"),
+        h38.getItem(1).cast("int").alias("position"),
+        h37.getItem(2).alias("reference_allele"),
+        h37.getItem(3).alias("alternate_allele"),
+        F.lit("LossOfFunctionCuration").alias("method"),
+        F.col("verdict").alias("assessment"),
+        score.alias("normalised_score"),
+        F.concat(desc, F.lit(" by OTAR2075 variant curation effort.")).alias(
+            "variant_description"
+        ),
+    )
+
+
+def _lof_sql() -> str:
+    verdict_arr = "(['lof','likely_lof','uncertain','likely_not_lof','not_lof'])"
+    desc_case = (
+        "CASE verdict WHEN 'lof' THEN 'Assessed to cause LoF' "
+        "WHEN 'likely_lof' THEN 'Suspected to cause LoF' "
+        "WHEN 'uncertain' THEN 'Uncertain LoF assessment' "
+        "WHEN 'likely_not_lof' THEN 'Suspected not to cause LoF' "
+        "WHEN 'not_lof' THEN 'Assessed not to cause LoF' END"
+    )
+    score_case = (
+        "CASE verdict WHEN 'lof' THEN 1.0::DOUBLE "
+        "WHEN 'likely_lof' THEN 0.5::DOUBLE WHEN 'uncertain' THEN 0.0::DOUBLE "
+        "WHEN 'likely_not_lof' THEN -0.5::DOUBLE ELSE -1.0::DOUBLE END"
+    )
+    return f"""
+WITH raw AS (
+  SELECT event_type || '-'
+           || CAST((event_id * 131) % 5000000 + event_id % 100 AS VARCHAR)
+           || '-' || (['A','C','G','T'])[CAST(event_id % 4 AS INT) + 1]
+           || '-' || (['A','C','G','T'])[CAST((event_id + 2) % 4 AS INT) + 1]
+           AS variant_id_grch37,
+         event_type || '-' || CAST((event_id * 131) % 5000000 AS VARCHAR)
+           || '-' || (['A','C','G','T'])[CAST(event_id % 4 AS INT) + 1]
+           || '-' || (['A','C','G','T'])[CAST((event_id + 2) % 4 AS INT) + 1]
+           AS variant_id_grch38,
+         {verdict_arr}[CAST(event_id % 5 AS INT) + 1] AS verdict
+  FROM events
+)
+SELECT str_split(variant_id_grch38, '-')[1] || '_'
+         || str_split(variant_id_grch38, '-')[2] || '_'
+         || str_split(variant_id_grch37, '-')[3] || '_'
+         || str_split(variant_id_grch37, '-')[4] AS variant_id,
+       str_split(variant_id_grch38, '-')[1] AS chromosome,
+       CAST(str_split(variant_id_grch38, '-')[2] AS INT) AS position,
+       str_split(variant_id_grch37, '-')[3] AS reference_allele,
+       str_split(variant_id_grch37, '-')[4] AS alternate_allele,
+       'LossOfFunctionCuration' AS method,
+       verdict AS assessment,
+       {score_case} AS normalised_score,
+       {desc_case} || ' by OTAR2075 variant curation effort.'
+         AS variant_description
+FROM raw
+"""
+
+
+REGISTRY["lof_curation_ingest"] = QuerySpec(q_lof_curation_ingest, _lof_sql())
