@@ -54,6 +54,13 @@ HEADLINE = [
     "dedup_clusters",
     "asof_join",
     "corpus_curate",
+    # r7 additions: the heaviest new ingestion dialect (credible-set
+    # parse + four-key join + windowed logsumexp), the pQTL
+    # harmonisation with direction join + chi2 SE backfill, and the
+    # corpus-wide bigram-LM perplexity scorer
+    "eqtl_susie_ingest",
+    "decode_sumstat_harmonise",
+    "lm_perplexity",
 ]
 
 
