@@ -2551,3 +2551,262 @@ FROM raw
 
 
 REGISTRY["lof_curation_ingest"] = QuerySpec(q_lof_curation_ingest, _lof_sql())
+
+
+# --- FinnGen SuSiE fine-mapping ingestion ----------------------------------
+# np.log10(np.exp(2)) — the publication's credible-set LBF threshold.
+_FG_LBF_THRESHOLD = 0.8685889638065036
+
+
+def q_finngen_finemapping_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinnGen SuSiE fine-mapping output → credible-set top loci.
+
+    Reference: datasource/finngen/finemapping.py:208
+    ``from_finngen_susie_finemapping`` — the SNP table's invalid-
+    position and non-credible-set (cs <= 0) drops, the per-single-
+    effect alpha/lbf/mean column pick by credible-set index, variant
+    ids recoded ':' → '_', p-value split, the credible-set SUMMARY
+    table join on (study, region, cs) with the publication LBF
+    threshold (log10BF > ln(2)/ln(10)·2, except the first credible
+    set of a region always survives, :433), and max-PIP lead
+    selection per credible set with the purity columns carried.
+    """
+    from gentropy_spark.functions.stats import split_pvalue
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    alleles = F.array(*[F.lit(a) for a in ("A", "C", "G", "T")])
+    ref = F.element_at(alleles, (F.col("event_id") % 4 + 1).cast("int"))
+    alt = F.element_at(alleles, ((F.col("event_id") + 1) % 4 + 1).cast("int"))
+    pos_raw = (F.col("event_id") * 131) % 5_000_000
+    trait = F.concat(F.lit("PHENO"), (F.col("user_id") % 60).cast("string"))
+    region = F.concat(
+        F.lit("chr"),
+        F.col("event_type"),
+        F.lit(":"),
+        ((F.col("event_id") % 4) + 1).cast("string"),
+    )
+    cs = (F.col("event_id") % 5).cast("int")
+    k = F.col("event_id")
+    snp_cols = [
+        trait.alias("trait"),
+        region.alias("region"),
+        F.concat_ws(
+            ":", F.col("event_type"), pos_raw.cast("string"), ref, alt
+        ).alias("v"),
+        F.col("event_type").alias("chromosome_raw"),
+        # planted invalid positions exercise the position drop
+        F.when(k % 23 != 0, pos_raw).alias("position"),
+        cs.alias("cs"),
+        (((k * 53) % 999 + 1) / 1000.0).alias("p"),
+        F.round(0.5 + (k % 10) / 20.0, 6).alias("se"),
+        (((k * 7) % 5000) / 10000.0).alias("maf"),
+    ]
+    for i in range(1, 11):
+        snp_cols.append((((k * (i + 11)) % 1000) / 1000.0).alias(f"alpha{i}"))
+        snp_cols.append(
+            F.round((((k * (i + 3)) % 200) - 100) / 10.0, 6).alias(
+                f"lbf_variable{i}"
+            )
+        )
+        snp_cols.append(
+            F.round((((k * (i + 5)) % 400) - 200) / 100.0, 6).alias(f"mean{i}")
+        )
+    snps = ev.select("user_id", "event_id", *snp_cols)
+    kept = snps.filter(F.col("position").isNotNull()).filter(F.col("cs") > 0)
+
+    def pick(prefix: str):
+        expr = F.lit(None).cast("double")
+        for i in range(1, 11):
+            expr = F.when(F.col("cs") == i, F.col(f"{prefix}{i}")).otherwise(
+                expr
+            )
+        return expr
+
+    m, e = split_pvalue(F.col("p"))
+    processed = kept.select(
+        F.concat_ws("_", F.lit(_FINNGEN_RELEASE), F.col("trait")).alias(
+            "study_id"
+        ),
+        "trait",
+        "region",
+        F.regexp_replace(F.col("v"), ":", "_").alias("variant_id"),
+        F.col("cs").alias("credible_set_index"),
+        F.regexp_replace(F.col("chromosome_raw"), "^chr", "").alias(
+            "chromosome"
+        ),
+        F.col("position").cast("int").alias("position"),
+        m.alias("p_mantissa"),
+        e.alias("p_exponent"),
+        F.col("se").alias("standard_error"),
+        F.col("maf").alias("eaf"),
+        F.lit("SuSiE").alias("finemapping_method"),
+        pick("alpha").alias("posterior_probability"),
+        pick("lbf_variable").alias("log_bf"),
+        pick("mean").alias("beta"),
+    )
+    # Credible-set summary table: values are functions of the KEY
+    # (trait, region, cs), so the distinct is stable.
+    key_num = (
+        (F.col("user_id") % 60) * 17
+        + (F.col("event_id") % 4) * 5
+        + (F.col("event_id") % 5)
+    )
+    chash = F.ascii(F.substring(F.col("event_type"), 1, 1))
+    summaries = (
+        ev.filter((F.col("event_id") % 5) > 0)
+        .select(
+            trait.alias("trait"),
+            region.alias("region"),
+            (F.col("event_id") % 5).cast("int").alias("credible_set_index"),
+            F.round(
+                ((key_num * 37 + chash) % 500) / 100.0 - 0.5, 6
+            ).alias("credible_set_log10bf"),
+            (((key_num * 13 + chash) % 1000) / 1000.0).alias("purity_mean_r2"),
+            F.round(
+                (((key_num * 13 + chash) % 1000) / 1000.0) * 0.8, 6
+            ).alias("purity_min_r2"),
+        )
+        .distinct()
+        .filter(
+            (F.col("credible_set_log10bf") > _FG_LBF_THRESHOLD)
+            | (F.col("credible_set_index") == 1)
+        )
+        .withColumn(
+            "study_id",
+            F.concat_ws("_", F.lit(_FINNGEN_RELEASE), F.col("trait")),
+        )
+        .drop("trait")
+    )
+    joined = processed.join(
+        summaries, on=["study_id", "region", "credible_set_index"], how="inner"
+    )
+    w = Window.partitionBy("study_id", "region", "credible_set_index")
+    ranked = joined.withColumn(
+        "rn",
+        F.row_number().over(
+            w.orderBy(F.desc("posterior_probability"), F.col("variant_id"))
+        ),
+    ).withColumn(
+        "cs_size",
+        F.count("*").over(
+            w.orderBy("variant_id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "variant_id",
+        "chromosome",
+        "position",
+        "study_id",
+        "beta",
+        "p_mantissa",
+        "p_exponent",
+        "eaf",
+        "standard_error",
+        "region",
+        "credible_set_index",
+        "finemapping_method",
+        "credible_set_log10bf",
+        "purity_mean_r2",
+        "purity_min_r2",
+        "cs_size",
+    )
+
+
+def _finngen_finemap_sql() -> str:
+    alpha_pick = " ".join(
+        f"WHEN cs = {i} THEN ((event_id * {i + 11}) % 1000) / 1000.0"
+        for i in range(1, 11)
+    )
+    lbf_pick = " ".join(
+        f"WHEN cs = {i} THEN ROUND((((event_id * {i + 3}) % 200) - 100) / 10.0, 6)"
+        for i in range(1, 11)
+    )
+    mean_pick = " ".join(
+        f"WHEN cs = {i} THEN ROUND((((event_id * {i + 5}) % 400) - 200) / 100.0, 6)"
+        for i in range(1, 11)
+    )
+    return f"""
+WITH snps AS (
+  SELECT user_id, event_id,
+         'PHENO' || CAST(user_id % 60 AS VARCHAR) AS trait,
+         'chr' || event_type || ':' || CAST((event_id % 4) + 1 AS VARCHAR)
+           AS region,
+         event_type || ':' || CAST((event_id * 131) % 5000000 AS VARCHAR)
+           || ':' || (['A','C','G','T'])[CAST(event_id % 4 AS INT) + 1]
+           || ':' || (['A','C','G','T'])[CAST((event_id + 1) % 4 AS INT) + 1]
+           AS v,
+         event_type AS chromosome_raw,
+         CASE WHEN event_id % 23 <> 0
+              THEN (event_id * 131) % 5000000 END AS position,
+         CAST(event_id % 5 AS INT) AS cs,
+         ((event_id * 53) % 999 + 1) / 1000.0 AS p,
+         ROUND(0.5 + (event_id % 10) / 20.0, 6) AS se,
+         ((event_id * 7) % 5000) / 10000.0 AS maf
+  FROM events
+),
+processed AS (
+  SELECT '{_FINNGEN_RELEASE}_' || trait AS study_id, trait, region,
+         replace(v, ':', '_') AS variant_id,
+         cs AS credible_set_index,
+         regexp_replace(chromosome_raw, '^chr', '') AS chromosome,
+         CAST(position AS INT) AS position,
+         ROUND(p / POW(10.0, FLOOR(LOG10(p))), 3) AS p_mantissa,
+         CAST(FLOOR(LOG10(p)) AS INT) AS p_exponent,
+         se AS standard_error,
+         maf AS eaf,
+         'SuSiE' AS finemapping_method,
+         CASE {alpha_pick} END AS posterior_probability,
+         CASE {lbf_pick} END AS log_bf,
+         CASE {mean_pick} END AS beta
+  FROM snps
+  WHERE position IS NOT NULL AND cs > 0
+),
+summaries AS (
+  SELECT DISTINCT
+    '{_FINNGEN_RELEASE}_PHENO' || CAST(user_id % 60 AS VARCHAR) AS study_id,
+    'chr' || event_type || ':' || CAST((event_id % 4) + 1 AS VARCHAR)
+      AS region,
+    CAST(event_id % 5 AS INT) AS credible_set_index,
+    ROUND((((user_id % 60) * 17 + (event_id % 4) * 5 + (event_id % 5)) * 37
+           + ascii(substr(event_type, 1, 1))) % 500 / 100.0 - 0.5, 6)
+      AS credible_set_log10bf,
+    (((user_id % 60) * 17 + (event_id % 4) * 5 + (event_id % 5)) * 13
+     + ascii(substr(event_type, 1, 1))) % 1000 / 1000.0 AS purity_mean_r2,
+    ROUND(((((user_id % 60) * 17 + (event_id % 4) * 5 + (event_id % 5)) * 13
+            + ascii(substr(event_type, 1, 1))) % 1000 / 1000.0) * 0.8, 6)
+      AS purity_min_r2
+  FROM events WHERE event_id % 5 > 0
+),
+filtered_summaries AS (
+  SELECT * FROM summaries
+  WHERE credible_set_log10bf > {_FG_LBF_THRESHOLD!r}
+     OR credible_set_index = 1
+),
+joined AS (
+  SELECT p.*, s.credible_set_log10bf, s.purity_mean_r2, s.purity_min_r2
+  FROM processed p
+  JOIN filtered_summaries s
+    USING (study_id, region, credible_set_index)
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY study_id, region, credible_set_index
+                       ORDER BY posterior_probability DESC, variant_id) AS rn,
+    COUNT(*) OVER (PARTITION BY study_id, region, credible_set_index)
+      AS cs_size
+  FROM joined
+)
+SELECT variant_id, chromosome, position, study_id, beta, p_mantissa,
+       p_exponent, eaf, standard_error, region, credible_set_index,
+       finemapping_method, credible_set_log10bf, purity_mean_r2,
+       purity_min_r2, cs_size
+FROM ranked WHERE rn = 1
+"""
+
+
+REGISTRY["finngen_finemapping_ingest"] = QuerySpec(
+    q_finngen_finemapping_ingest, _finngen_finemap_sql()
+)

@@ -49,6 +49,7 @@ _SNAPSHOT_PRIORITY = [
     "finngen_study_ingest",
     "vep_variant_index_ingest",
     "lof_curation_ingest",
+    "finngen_finemapping_ingest",
     # (b) r7: the 9 r6 hash-FAILs + the latent 10th (funnel_analysis,
     # below in (c)) — values were exact, the physical dtype diverged
     # (DuckDB HUGEINT / Spark DECIMAL vs the pandas bridge); oracle/
