@@ -1,36 +1,48 @@
 """Datasource ingestion dialects (SURVEY §2.H — adapter breadth).
 
-Third and fourth harmonisation dialects beyond the GWAS-Catalog-shaped
-(`sumstat_harmonise_full`) and FinnGen-meta-shaped
-(`sumstat_harmonise_finngen`) pipelines, plus the target-index build:
+One mirrored dialect per reference datasource tree, beyond the
+GWAS-Catalog-shaped (`sumstat_harmonise_full`) and FinnGen-meta-shaped
+(`sumstat_harmonise_finngen`) pipelines that live in stats_kernel:
 
-- ``eqtl_susie_ingest`` — eQTL-Catalogue SuSiE credible-set ingestion
-  (reference datasource/eqtl_catalogue/finemapping.py:123
-  ``parse_susie_results`` + :204 ``from_susie_results``): dataset-id
-  extraction from file paths, credible-set-index parse from cs_id,
-  rsid-explosion dedup, the lbf_variable{1..10} CASE pick, the
-  (trait, region, variant, dataset) equi-join with a broadcast study-
-  metadata dim, URL-safe study-id construction, p-value split, lead
-  selection per credible set and the credible-set log10 Bayes factor
-  (logsumexp over the member logBFs).
-- ``ukb_ppp_harmonise`` — UKB-PPP (EUR) pQTL harmonisation (reference
-  datasource/ukb_ppp_eur/summary_stats.py:19 ``from_source`` →
-  common/processing.py:248 ``harmonise_summary_stats``): chromosome
-  23→X rename, INFO and MAF gates, snp_c/snp_n/indel typing, the
-  orientation join against a variant-annotation LUT shipped in both
-  orientations, beta/EAF flipping on reverse orientation, the
-  snp_c×flip drop, p from -log10(p), and the standard-error
-  recomputation from (p, beta) via the χ²(1) inverse survival
-  function when the source SE is missing.
-- ``target_index_build`` — gene/target index construction (reference
-  dataset/target_index.py:137 ``tss_lut`` priority coalesce, :36
-  ``filter_by_biotypes``, :63 ``symbols_lut`` explode, :81
-  ``protein_id_lut`` PAR X/Y dedup).
+- ``eqtl_susie_ingest`` — eQTL-Catalogue SuSiE credible sets
+  (datasource/eqtl_catalogue/finemapping.py): dataset-id regexp from
+  file paths, credible-set-index parse, rsid-explosion dedup, the
+  lbf_variable{1..10} pick, the four-key equi-join with a broadcast
+  study-metadata dim, URL-safe study ids, max-PIP lead selection and
+  the windowed-logsumexp credible-set log10BF.
+- ``ukb_ppp_harmonise`` — UKB-PPP pQTL harmonisation
+  (datasource/ukb_ppp_eur + common/processing.py
+  harmonise_summary_stats): chr23→X, INFO/MAF gates, snp typing, the
+  dual-orientation variant-annotation join with beta/EAF flipping,
+  snp_c×flip drop, and χ²(1)-isf SE backfill.
+- ``target_index_build`` — gene/target index (dataset/target_index.py):
+  TSS priority coalesce, biotype filter, symbol union, PAR X/Y dedup.
+- ``amino_acid_variants`` — FoldX ΔΔG ingestion
+  (datasource/open_targets/foldex_integration.py).
+- ``biosample_index_merge`` — two-ontology biosample index build +
+  merge (datasource/biosample_ontologies + dataset/biosample_index.py).
+- ``gnomad_variant_ingest`` — gnomAD variant frequencies
+  (datasource/gnomad/variants.py) incl. the long-variant-id hashing.
+- ``intervals_e2g_ingest`` — rE2G intervals (datasource/intervals/e2g)
+  composing on the target-index TSS LUT.
+- ``ukbiobank_study_ingest`` — UK Biobank SAIGE/Neale study index
+  (datasource/ukbiobank/study_index.py).
+- ``decode_aptamer_ingest`` / ``decode_sumstat_harmonise`` — deCODE
+  SomaScan aptamer metadata + pQTL harmonisation
+  (datasource/decode/*), the sumstats composing on the aptamer map.
+- ``finngen_study_ingest`` / ``finngen_finemapping_ingest`` — FinnGen
+  study index with EFO curation + SuSiE fine-mapping ingestion
+  (datasource/finngen/*).
+- ``vep_variant_index_ingest`` — Ensembl VEP output parsing
+  (datasource/ensembl/vep_parser.py).
+- ``lof_curation_ingest`` — OTAR2075 LoF curation
+  (datasource/open_targets/lof_curation.py).
 
 All raw shapes are derived deterministically from the synthetic
-tables (events / nation / part) with exact integer arithmetic so both
-engines compute identical values; everything passing through exp/ln
-is rounded to 6 dp (the repo-wide parity rule).
+tables (events / nation / part / customer / supplier / orders /
+lineitem) with exact integer arithmetic so both engines compute
+identical values; everything passing through exp/ln is rounded to
+6 dp (the repo-wide parity rule).
 """
 
 from __future__ import annotations
