@@ -1762,12 +1762,12 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gentropy_spark.session import track_cache
 
     docs = read_table(spark, sf_dir, "documents")
-    tok = track_cache(
-        docs.select(
-            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
-        )
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
     )
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    # bigrams feeds FOUR consumers (uni, bi, vocab, the scored join):
+    # persist it; tok feeds only bigrams, so it stays uncached.
     bigrams = track_cache(
         tok.withColumn("w_prev", F.lag("w").over(w_doc)).filter(
             F.col("w_prev").isNotNull()
@@ -1779,7 +1779,14 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = bigrams.groupBy(
         F.col("w_prev").alias("w1"), F.col("w").alias("w2")
     ).agg(F.count("*").alias("c12"))
-    vocab_n = bigrams.select("w").union(bigrams.select("w_prev")).distinct().count()
+    # Vocabulary size as a broadcast 1-row aggregate, NOT a driver-side
+    # .count() action: keeps train+score one job, no mid-plan barrier.
+    vocab = (
+        bigrams.select("w")
+        .union(bigrams.select("w_prev"))
+        .distinct()
+        .agg(F.count("*").alias("v"))
+    )
     scored = (
         bigrams.join(
             bi,
@@ -1789,12 +1796,13 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (millions of rows on a real corpus) — let AQE pick broadcast
         # when it measures small, shuffle-join when it doesn't.
         .join(uni.withColumnRenamed("w1", "u1"), F.col("w_prev") == F.col("u1"))
+        .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             F.round(
                 -F.log2(
                     (F.col("c12") + LM_ALPHA)
-                    / (F.col("c1") + LM_ALPHA * vocab_n)
+                    / (F.col("c1") + LM_ALPHA * F.col("v"))
                 ),
                 9,
             ).alias("nll"),
