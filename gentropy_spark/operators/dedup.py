@@ -370,7 +370,13 @@ def duplicate_clusters(
             .agg(F.min("lbl").alias("lbl"), F.max("prev").alias("prev"))
             .localCheckpoint(eager=True)
         )
-        n_changed = new_lbl.filter(F.col("lbl") != F.col("prev")).count()
+        # Null-safe comparison: an id that appears only in edges (not in
+        # nodes) gets its first label with prev = NULL; a plain != would
+        # evaluate to NULL there and under-count — the loop could declare
+        # convergence before propagation through such nodes completed.
+        n_changed = new_lbl.filter(
+            ~F.col("lbl").eqNullSafe(F.col("prev"))
+        ).count()
         lbl = new_lbl.select("id", "lbl")
         if n_changed == 0:
             break

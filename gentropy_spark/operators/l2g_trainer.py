@@ -287,7 +287,12 @@ def train_l2g(
             }
         )
 
+    # Early stopping monitors the last CV fold; an EMPTY fold would make
+    # the monitored logloss a NaN mean-of-empty, so stall would increment
+    # every round and fit_gbm would return trees[:0] — an empty ensemble.
     valid = (folds == n_folds - 1) if early_stopping_rounds else None
+    if valid is not None and valid.sum() == 0:
+        valid = None
     trees = fit_gbm(
         X,
         y,

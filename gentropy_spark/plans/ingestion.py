@@ -1284,7 +1284,13 @@ def q_gnomad_variant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         position.alias("position"),
         F.col("ref").alias("reference_allele"),
         F.col("alt").alias("alternate_allele"),
-        (F.length(vid) > _VARIANT_ID_HASH_THRESHOLD).alias("id_was_hashed"),
+        # Both hashed branches count: the missing-chromosome OTVAR_<md5>
+        # form AND the over-length OTVAR_<chrom>_<pos>_<md5> form.
+        (
+            chrom.isNull()
+            | position.isNull()
+            | (F.length(vid) > _VARIANT_ID_HASH_THRESHOLD)
+        ).alias("id_was_hashed"),
         *[F.col(f"af_{p}") for p in _GNOMAD_POPS],
         F.concat_ws(
             "-", chrom, position.cast("string"), F.col("ref"), F.col("alt")
@@ -1332,7 +1338,8 @@ SELECT CASE
          ELSE vid END AS variant_id,
        chromosome, position,
        ref AS reference_allele, alt AS alternate_allele,
-       LENGTH(vid) > {_VARIANT_ID_HASH_THRESHOLD} AS id_was_hashed,
+       (chromosome IS NULL OR position IS NULL
+        OR LENGTH(vid) > {_VARIANT_ID_HASH_THRESHOLD}) AS id_was_hashed,
        af_afr, af_amr, af_eas, af_nfe,
        concat_ws('-', chromosome, CAST(position AS VARCHAR), ref, alt)
          AS xref_id,
