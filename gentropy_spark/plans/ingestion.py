@@ -1553,6 +1553,178 @@ REGISTRY["intervals_e2g_ingest"] = QuerySpec(
 )
 
 
+# --- EPIraction intervals ingestion ----------------------------------------
+_EPI_CLASSES = ("Promoter", " Enhancer ", "INTERGENIC", "genic")
+_EPI_SCORE_NAMES = (
+    "H3K27ac", "Open", "Cofactor", "CTCF", "HiC_contacts", "abc_tissue",
+)
+
+
+def q_intervals_epiraction_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPIraction interval ingestion — second intervals dialect.
+
+    Reference: datasource/intervals/epiraction.py:41 ``parse`` —
+    study id regexp-extracted from the source ``.bed.gz`` path,
+    chromosome normalization, long-cast bounds, lower+trim interval
+    class, the six named resource scores (H3K27ac / Open / Cofactor /
+    CTCF / HiC_contacts / abc_tissue — the reference packs them into
+    an array of (name, value) structs at :76; emitted flat here so
+    every element is hash-verified), the TargetIndex TSS-LUT left
+    join feeding ``distance_to_tss`` and the md5 interval identifier —
+    the SAME composition as the e2g dialect, proving the intervals
+    abstraction is source-generic. PMID 40027634 (:24).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    tss_lut = q_target_index_build(spark, sf_dir).select(
+        F.col("gene_id").alias("gene_id_str"), "tss"
+    )
+    lk, pk = F.col("l_orderkey"), F.col("l_partkey")
+    start = (pk * 73) % 10_000_000
+    raw = li.select(
+        F.concat(
+            F.lit("epiraction/tissue_"),
+            (lk % 15).cast("string"),
+            F.lit(".bed.gz"),
+        ).alias("file_path"),
+        F.concat(
+            F.lit("chr"), ((pk % 22) + 1).cast("string")
+        ).alias("chr"),
+        start.alias("start_raw"),
+        (start + pk % 4000 + 100).alias("end_raw"),
+        F.concat(
+            F.lit("ENSG"), F.lpad((pk % 1200).cast("string"), 11, "0")
+        ).alias("gene_id_str"),
+        F.concat(F.lit("cell_type_"), (lk % 30).cast("string")).alias(
+            "biosample_name"
+        ),
+        (F.round((pk % 1000) / 1000.0, 6)).alias("score_raw"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in _EPI_CLASSES]),
+            (pk % 4 + 1).cast("int"),
+        ).alias("class_raw"),
+        *[
+            F.round(((pk * (11 + i)) % 997) / 997.0, 6).alias(f"rs_{n}")
+            for i, n in enumerate(_EPI_SCORE_NAMES)
+        ],
+    )
+    base = raw.select(
+        F.regexp_extract(F.col("file_path"), r"([^/]+)\.bed\.gz$", 1).alias(
+            "study_id"
+        ),
+        F.regexp_replace(F.col("chr"), "chr", "").alias("chromosome"),
+        F.col("start_raw").cast("long").alias("start"),
+        F.col("end_raw").cast("long").alias("end"),
+        "gene_id_str",
+        "biosample_name",
+        F.col("score_raw").cast("double").alias("score"),
+        F.lower(F.trim(F.col("class_raw"))).alias("interval_type"),
+        *[F.col(f"rs_{n}") for n in _EPI_SCORE_NAMES],
+    )
+    joined = base.join(tss_lut, on="gene_id_str", how="left")
+    tss_inside = (F.col("tss") >= F.col("start")) & (
+        F.col("tss") <= F.col("end")
+    )
+    dist = (
+        F.when(F.col("tss").isNull(), F.lit(None).cast("long"))
+        .when((F.col("interval_type") == "promoter") | tss_inside, F.lit(0))
+        .otherwise(
+            F.least(
+                F.abs(F.col("tss") - F.col("start")),
+                F.abs(F.col("tss") - F.col("end")),
+            )
+        )
+        .cast("long")
+    )
+    id_cols = [
+        "chromosome", "start", "end", "gene_id_str", "study_id",
+        "interval_type",
+    ]
+    interval_id = F.md5(
+        F.concat(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("None"))
+                for c in id_cols
+            ]
+        )
+    )
+    return joined.select(
+        "chromosome",
+        "start",
+        "end",
+        F.col("gene_id_str").alias("gene_id"),
+        "score",
+        dist.alias("distance_to_tss"),
+        *[F.col(f"rs_{n}") for n in _EPI_SCORE_NAMES],
+        F.lit("epiraction").alias("datasource_id"),
+        "interval_type",
+        F.lit("40027634").alias("pmid"),
+        "biosample_name",
+        "study_id",
+        interval_id.alias("interval_id"),
+    )
+
+
+def _epiraction_sql() -> str:
+    classes = "(['" + "','".join(_EPI_CLASSES) + "'])"
+    rs_cols = ",\n         ".join(
+        f"ROUND(((l_partkey * {11 + i}) % 997) / 997.0, 6) AS rs_{n}"
+        for i, n in enumerate(_EPI_SCORE_NAMES)
+    )
+    rs_out = ", ".join(f"rs_{n}" for n in _EPI_SCORE_NAMES)
+    return f"""
+WITH tss_lut AS (
+  SELECT gene_id AS gene_id_str, tss FROM ({TARGET_INDEX_SQL})
+),
+raw AS (
+  SELECT 'epiraction/tissue_' || CAST(l_orderkey % 15 AS VARCHAR)
+           || '.bed.gz' AS file_path,
+         'chr' || CAST((l_partkey % 22) + 1 AS VARCHAR) AS chr,
+         (l_partkey * 73) % 10000000 AS start_raw,
+         (l_partkey * 73) % 10000000 + l_partkey % 4000 + 100 AS end_raw,
+         'ENSG' || lpad(CAST(l_partkey % 1200 AS VARCHAR), 11, '0')
+           AS gene_id_str,
+         'cell_type_' || CAST(l_orderkey % 30 AS VARCHAR) AS biosample_name,
+         ROUND((l_partkey % 1000) / 1000.0, 6) AS score_raw,
+         {classes}[CAST(l_partkey % 4 AS INT) + 1] AS class_raw,
+         {rs_cols}
+  FROM lineitem
+),
+base AS (
+  SELECT regexp_extract(file_path, '([^/]+)\\.bed\\.gz$', 1) AS study_id,
+         regexp_replace(chr, 'chr', '') AS chromosome,
+         CAST(start_raw AS BIGINT) AS "start",
+         CAST(end_raw AS BIGINT) AS "end",
+         gene_id_str, biosample_name,
+         CAST(score_raw AS DOUBLE) AS score,
+         lower(trim(class_raw)) AS interval_type,
+         {rs_out}
+  FROM raw
+)
+SELECT chromosome, "start", "end", gene_id_str AS gene_id, score,
+       CAST(CASE WHEN tss IS NULL THEN NULL
+                 WHEN interval_type = 'promoter'
+                      OR (tss >= "start" AND tss <= "end") THEN 0
+                 ELSE LEAST(ABS(tss - "start"), ABS(tss - "end")) END
+            AS BIGINT) AS distance_to_tss,
+       {rs_out},
+       'epiraction' AS datasource_id, interval_type, '40027634' AS pmid,
+       biosample_name, study_id,
+       md5(COALESCE(CAST(chromosome AS VARCHAR), 'None')
+           || COALESCE(CAST("start" AS VARCHAR), 'None')
+           || COALESCE(CAST("end" AS VARCHAR), 'None')
+           || COALESCE(gene_id_str, 'None')
+           || COALESCE(study_id, 'None')
+           || COALESCE(interval_type, 'None')) AS interval_id
+FROM base b
+LEFT JOIN tss_lut t USING (gene_id_str)
+"""
+
+
+REGISTRY["intervals_epiraction_ingest"] = QuerySpec(
+    q_intervals_epiraction_ingest, _epiraction_sql()
+)
+
+
 # --- UK Biobank study-index ingestion --------------------------------------
 _UKBB_PHENOS = (
     "body mass index", "standing height", "systolic blood pressure",

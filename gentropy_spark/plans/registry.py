@@ -138,6 +138,7 @@ def full_registry() -> dict[str, QuerySpec]:
         "variants",
         "graph_ld",
         "ingestion",
+        "studies",
     )
     merged: dict[str, QuerySpec] = {}
     for name in module_names:

@@ -241,7 +241,7 @@ def q_gwas_study_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``_parse_discovery_samples`` (:37) semantics re-expressed
       Spark-first: the reference walks nested higher-order functions
       over per-study struct arrays; at 100 TB grain the same algebra
-      is a distinct→explode→整groupBy — dedup identical
+      is a distinct→explode→groupBy — dedup identical
       (label,count) pairs per study+stage (collect_set), split
       comma-separated multi-ancestry labels on the lookahead regex
       (:91 — commas inside parentheses survive), EVEN-split each
@@ -296,7 +296,10 @@ def q_gwas_study_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_efos(F.col("background_trait_uri")).alias("background_efo_csv"),
         F.when(
             F.col("cohort").isNotNull() & (F.col("cohort") != ""),
-            F.array_join(F.array_distinct(F.split(F.col("cohort"), r"\|")), ";"),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(F.col("cohort"), r"\|"))),
+                ";",
+            ),
         ).alias("cohorts_csv"),
         "initial_sample_size",
         "has_sumstats",
@@ -307,16 +310,17 @@ def q_gwas_study_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = anc.select(
         "study_id", "stage", "ancestry_label", "n_individuals"
     ).distinct()
+    label_parts = F.split(F.col("ancestry_label"), _ANC_SPLIT_RE)
+    # Even split with truncating division (reference casts the double
+    # quotient to int, study_index.py:118); for positive ints cast-of-
+    # double truncation == floor == DuckDB's // on the oracle side.
     exploded = pairs.select(
         "study_id",
         "stage",
-        F.explode(F.split(F.col("ancestry_label"), _ANC_SPLIT_RE)).alias(
-            "ancestry"
-        ),
-        F.expr(
-            "n_individuals div size(split(ancestry_label,"
-            f" '{_ANC_SPLIT_RE}'))"
-        ).alias("part_count"),
+        F.explode(label_parts).alias("ancestry"),
+        (F.col("n_individuals") / F.size(label_parts))
+        .cast("long")
+        .alias("part_count"),
     )
     disc_by_anc = (
         exploded.filter(F.col("stage") == "initial")
@@ -524,7 +528,7 @@ parsed AS (
              u -> list_extract(str_split(u, '/'), len(str_split(u, '/')))
            ))), ';') END AS background_efo_csv,
          CASE WHEN cohort IS NOT NULL AND cohort <> ''
-              THEN array_to_string(list_distinct(str_split(cohort, '|')), ';')
+              THEN array_to_string(list_sort(list_distinct(str_split(cohort, '|'))), ';')
          END AS cohorts_csv,
          initial_sample_size, has_sumstats
   FROM raw2
@@ -638,3 +642,949 @@ LEFT JOIN eur e USING (study_id)
 
 
 REGISTRY["gwas_study_ingest"] = QuerySpec(q_gwas_study_ingest, _gwas_study_sql())
+
+
+# --- GWAS Catalog multi-trait study splitting ------------------------------
+def q_gwas_study_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-trait GWAS Catalog study splitting + association re-keying.
+
+    Reference: datasource/gwas_catalog/study_splitter.py —
+    ``_resolve_study_id`` (:66): sub-study ids minted with
+    dense_rank over subStudyDescription within a study; studies whose
+    associations all share one description keep their id, others get
+    ``{studyId}_{rank}``. The reference counts sub-studies with
+    ``approx_count_distinct`` over the same window (:79) — replaced
+    with an exact ``max(dense_rank)`` riding the identical window
+    (deterministic, same shuffle, no sketch error at any scale).
+    ``_resolve_trait`` (:21): association-level trait wins; a real
+    pvalue_text is appended as ``trait [text]``; study-level trait is
+    the fallback. ``_resolve_efo`` (:52): association-level
+    slash-separated EFO list wins over study-level mapping.
+    Association side (associations.py:1194 ``update_study_id``,
+    :1217 ``qc_ambiguous_study``, :1237 ``qc_flag_all_tophits``):
+    re-keyed associations carry the ambiguity flag (same
+    study+variant appearing under >1 association row) and the
+    blanket top-hit flag. The study dim is broadcast into the
+    association join exactly as the reference does (:103).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    lk, pk, sk = F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey")
+    trait_arr = F.array(*[F.lit(t) for t in _TRAITS])
+    study_key = lk % 300
+    assoc_trait = F.element_at(trait_arr, (pk % 13 % 11 + 1).cast("int"))
+    pvtext = (
+        F.when(sk % 4 == 0, F.lit("no_pvalue_text"))
+        .when(sk % 4 == 1, F.lit(None).cast("string"))
+        .when(sk % 4 == 2, F.lit("males"))
+        .otherwise(F.lit("EA"))
+    )
+    efo_a = F.concat(
+        F.lit("EFO_"), F.lpad(((pk * 3) % 9999).cast("string"), 7, "0")
+    )
+    efo_b = F.concat(
+        F.lit("EFO_"), F.lpad(((pk * 5) % 9999).cast("string"), 7, "0")
+    )
+    sub_desc = F.when(
+        pk % 5 == 0,
+        F.concat_ws("|", assoc_trait, F.coalesce(pvtext, F.lit(""))),
+    ).otherwise(
+        F.concat_ws(
+            "|",
+            assoc_trait,
+            F.coalesce(pvtext, F.lit("")),
+            F.when(pk % 3 == 0, F.concat_ws("/", efo_a, efo_b)).otherwise(
+                efo_a
+            ),
+        )
+    )
+    assoc = li.select(
+        F.concat(F.lit("GCST"), F.lpad(study_key.cast("string"), 6, "0")).alias(
+            "study_id"
+        ),
+        F.concat(F.lit("v"), (pk % 2000).cast("string")).alias("variant_id"),
+        sub_desc.alias("sub_study_description"),
+    )
+    studies = (
+        li.select(
+            F.concat(
+                F.lit("GCST"), F.lpad(study_key.cast("string"), 6, "0")
+            ).alias("study_id"),
+            F.element_at(trait_arr, (study_key % 11 + 1).cast("int")).alias(
+                "study_trait"
+            ),
+            F.concat(
+                F.lit("EFO_"),
+                F.lpad(((study_key * 17) % 9999).cast("string"), 7, "0"),
+            ).alias("study_efo_csv"),
+        )
+        .distinct()
+    )
+    st_ass = assoc.join(F.broadcast(studies), on="study_id", how="inner")
+    parts = F.split(F.col("sub_study_description"), r"\|")
+    a_trait = F.try_element_at(parts, F.lit(1))
+    a_pvtext = F.try_element_at(parts, F.lit(2))
+    # The EFO field is absent for some descriptions (the study-level
+    # fallback path) — try_element_at returns NULL instead of the
+    # ANSI out-of-bounds error Spark 4 raises from element_at.
+    a_efo = F.try_element_at(parts, F.lit(3))
+    w_split = Window.partitionBy("study_id").orderBy("sub_study_description")
+    w_study = Window.partitionBy("study_id")
+    ranked = st_ass.withColumn(
+        "sub_rank", F.dense_rank().over(w_split)
+    ).withColumn("n_substudies", F.max("sub_rank").over(w_study))
+    resolved = ranked.select(
+        "study_id",
+        "variant_id",
+        "sub_study_description",
+        "n_substudies",
+        F.when(F.col("n_substudies") == 1, F.col("study_id"))
+        .otherwise(
+            F.concat_ws("_", F.col("study_id"), F.col("sub_rank").cast("string"))
+        )
+        .alias("updated_study_id"),
+        F.when(
+            a_pvtext.isNotNull()
+            & (a_pvtext != "no_pvalue_text")
+            & (a_pvtext != ""),
+            F.concat(a_trait, F.lit(" ["), a_pvtext, F.lit("]")),
+        )
+        .when(a_trait.isNotNull(), a_trait)
+        .otherwise(F.col("study_trait"))
+        .alias("trait_resolved"),
+        F.coalesce(
+            F.when(a_efo.isNotNull(), F.array_join(F.split(a_efo, "/"), ";")),
+            F.col("study_efo_csv"),
+        ).alias("efo_csv"),
+    ).distinct()
+    w_amb = Window.partitionBy("updated_study_id", "variant_id")
+    return resolved.withColumn(
+        "qc_csv",
+        F.when(
+            F.count("*").over(w_amb) > 1,
+            F.lit("ambiguous_study;top_hit"),
+        ).otherwise(F.lit("top_hit")),
+    )
+
+
+def _gwas_split_sql() -> str:
+    traits = "(['" + "','".join(_TRAITS) + "'])"
+    return f"""
+WITH assoc AS (
+  SELECT 'GCST' || lpad(CAST(l_orderkey % 300 AS VARCHAR), 6, '0')
+           AS study_id,
+         'v' || CAST(l_partkey % 2000 AS VARCHAR) AS variant_id,
+         CASE WHEN l_partkey % 5 = 0 THEN
+           {traits}[CAST(l_partkey % 13 % 11 AS INT) + 1] || '|'
+             || COALESCE(CASE WHEN l_suppkey % 4 = 0 THEN 'no_pvalue_text'
+                              WHEN l_suppkey % 4 = 2 THEN 'males'
+                              WHEN l_suppkey % 4 = 3 THEN 'EA' END, '')
+         ELSE
+           {traits}[CAST(l_partkey % 13 % 11 AS INT) + 1] || '|'
+             || COALESCE(CASE WHEN l_suppkey % 4 = 0 THEN 'no_pvalue_text'
+                              WHEN l_suppkey % 4 = 2 THEN 'males'
+                              WHEN l_suppkey % 4 = 3 THEN 'EA' END, '')
+             || '|'
+             || CASE WHEN l_partkey % 3 = 0
+                     THEN 'EFO_' || lpad(CAST((l_partkey * 3) % 9999
+                                              AS VARCHAR), 7, '0')
+                          || '/EFO_' || lpad(CAST((l_partkey * 5) % 9999
+                                                  AS VARCHAR), 7, '0')
+                     ELSE 'EFO_' || lpad(CAST((l_partkey * 3) % 9999
+                                              AS VARCHAR), 7, '0') END
+         END AS sub_study_description
+  FROM lineitem
+),
+studies AS (
+  SELECT DISTINCT
+         'GCST' || lpad(CAST(l_orderkey % 300 AS VARCHAR), 6, '0')
+           AS study_id,
+         {traits}[CAST(l_orderkey % 300 % 11 AS INT) + 1] AS study_trait,
+         'EFO_' || lpad(CAST((l_orderkey % 300 * 17) % 9999 AS VARCHAR), 7, '0')
+           AS study_efo_csv
+  FROM lineitem
+),
+ranked AS (
+  SELECT a.study_id, a.variant_id, a.sub_study_description,
+         s.study_trait, s.study_efo_csv,
+         DENSE_RANK() OVER (PARTITION BY a.study_id
+                            ORDER BY a.sub_study_description) AS sub_rank
+  FROM assoc a JOIN studies s USING (study_id)
+),
+counted AS (
+  SELECT *, MAX(sub_rank) OVER (PARTITION BY study_id) AS n_substudies
+  FROM ranked
+),
+resolved AS (
+  SELECT DISTINCT study_id, variant_id, sub_study_description,
+         CAST(n_substudies AS BIGINT) AS n_substudies,
+         CASE WHEN n_substudies = 1 THEN study_id
+              ELSE study_id || '_' || CAST(sub_rank AS VARCHAR) END
+           AS updated_study_id,
+         CASE WHEN str_split(sub_study_description, '|')[2] IS NOT NULL
+                   AND str_split(sub_study_description, '|')[2]
+                       NOT IN ('no_pvalue_text', '')
+              THEN str_split(sub_study_description, '|')[1] || ' ['
+                   || str_split(sub_study_description, '|')[2] || ']'
+              WHEN str_split(sub_study_description, '|')[1] IS NOT NULL
+              THEN str_split(sub_study_description, '|')[1]
+              ELSE study_trait END AS trait_resolved,
+         COALESCE(
+           CASE WHEN len(str_split(sub_study_description, '|')) >= 3
+                THEN array_to_string(
+                       str_split(str_split(sub_study_description, '|')[3], '/'),
+                       ';') END,
+           study_efo_csv) AS efo_csv
+  FROM counted
+)
+SELECT *,
+       CASE WHEN COUNT(*) OVER (PARTITION BY updated_study_id, variant_id) > 1
+            THEN 'ambiguous_study;top_hit' ELSE 'top_hit' END AS qc_csv
+FROM resolved
+"""
+
+
+REGISTRY["gwas_study_split"] = QuerySpec(q_gwas_study_split, _gwas_split_sql())
+
+
+# --- GWAS Catalog OT curation annotation -----------------------------------
+_CURATION_TYPES = ("gwas", "pqtl", "eqtl")
+_ANALYSIS_FLAGS = (
+    "Multivariate analysis",
+    "ExWAS",
+    "Metabolite",
+    "GxG",
+    "Non-additive model",
+)
+
+
+def q_gwas_study_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OT in-house curation annotation of the GWAS Catalog study index.
+
+    Reference: datasource/gwas_catalog/study_index_ot_curation.py:26
+    ``_parser`` — pipe-separated ``analysisFlag`` / ``qualityControl``
+    strings split to arrays (empty arrays when null), ``isCurated``
+    cast to boolean — and study_index.py:316
+    ``annotate_from_study_curation``: LEFT join on studyId, study
+    type overridden by the curated value when present, analysis
+    flags array-unioned with the curation's (coalesced to empty),
+    and the NO_OT_CURATION quality flag appended for studies with
+    summary statistics that are not covered by curation
+    (dataset/study_index.py ``update_quality_flag`` semantics).
+    Arrays are flattened to sorted CSV for hash stability.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    ck = F.col("c_custkey")
+    sk = F.col("s_suppkey")
+    studies = cust.select(
+        F.concat(F.lit("GCST"), F.lpad((ck % 800).cast("string"), 6, "0")).alias(
+            "study_id"
+        ),
+        F.lit("gwas").alias("study_type"),
+        (ck % 800 % 2 == 0).alias("has_sumstats"),
+        F.when(ck % 800 % 5 == 0, F.array(F.lit("GxE")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("analysis_flags"),
+    ).distinct()
+    flag_arr = F.array(*[F.lit(x) for x in _ANALYSIS_FLAGS])
+    curation_raw = supp.select(
+        F.concat(
+            F.lit("GCST"), F.lpad((sk * 3 % 800).cast("string"), 6, "0")
+        ).alias("study_id"),
+        F.when(
+            sk % 3 == 0,
+            F.element_at(
+                F.array(F.lit("pqtl"), F.lit("eqtl")),
+                (sk % 2 + 1).cast("int"),
+            ),
+        ).alias("curated_type"),
+        F.when(
+            sk % 4 != 0,
+            F.concat_ws(
+                "|",
+                F.element_at(flag_arr, (sk % 5 + 1).cast("int")),
+                F.element_at(flag_arr, (sk * 7 % 5 + 1).cast("int")),
+            ),
+        ).alias("analysis_flag_raw"),
+        F.when(sk % 6 == 0, F.lit("suspicious_effect_sizes")).alias(
+            "quality_control_raw"
+        ),
+        (sk % 5 != 1).alias("is_curated_raw"),
+    ).distinct()
+    # _parser: pipe-split to arrays, empty array fallback.
+    curation = curation_raw.select(
+        "study_id",
+        "curated_type",
+        F.when(
+            F.col("analysis_flag_raw").isNotNull(),
+            F.split(F.col("analysis_flag_raw"), r"\|"),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("curation_analysis_flags"),
+        F.when(
+            F.col("quality_control_raw").isNotNull(),
+            F.split(F.col("quality_control_raw"), r"\|"),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("curation_quality_controls"),
+        F.col("is_curated_raw").cast("boolean").alias("is_curated"),
+    ).dropDuplicates(["study_id"])
+    joined = (
+        studies.join(curation, on="study_id", how="left")
+        .withColumn("is_curated", F.coalesce(F.col("is_curated"), F.lit(False)))
+        .withColumn(
+            "study_type_final",
+            F.coalesce(F.col("curated_type"), F.col("study_type")),
+        )
+        .withColumn(
+            "analysis_flags_final",
+            F.coalesce(
+                F.array_union(
+                    F.col("analysis_flags"), F.col("curation_analysis_flags")
+                ),
+                F.col("analysis_flags"),
+            ),
+        )
+        .withColumn(
+            "quality_controls_final",
+            F.when(
+                ~F.col("is_curated"),
+                F.array_union(
+                    F.coalesce(
+                        F.col("curation_quality_controls"),
+                        F.array().cast("array<string>"),
+                    ),
+                    F.array(F.lit("Study not curated by Open Targets")),
+                ),
+            ).otherwise(
+                F.coalesce(
+                    F.col("curation_quality_controls"),
+                    F.array().cast("array<string>"),
+                )
+            ),
+        )
+    )
+    return joined.select(
+        "study_id",
+        F.col("study_type_final").alias("study_type"),
+        "has_sumstats",
+        "is_curated",
+        F.array_join(F.array_sort("analysis_flags_final"), ";").alias(
+            "analysis_flags_csv"
+        ),
+        F.array_join(F.array_sort("quality_controls_final"), ";").alias(
+            "quality_controls_csv"
+        ),
+    )
+
+
+def _gwas_curation_sql() -> str:
+    types = "(['" + "','".join(_CURATION_TYPES) + "'])"
+    flags = "(['" + "','".join(_ANALYSIS_FLAGS) + "'])"
+    return f"""
+WITH studies AS (
+  SELECT DISTINCT
+         'GCST' || lpad(CAST(c_custkey % 800 AS VARCHAR), 6, '0') AS study_id,
+         'gwas' AS study_type,
+         c_custkey % 800 % 2 = 0 AS has_sumstats,
+         CASE WHEN c_custkey % 800 % 5 = 0 THEN ['GxE']
+              ELSE CAST([] AS VARCHAR[]) END AS analysis_flags
+  FROM customer
+),
+curation_raw AS (
+  SELECT DISTINCT
+         'GCST' || lpad(CAST(s_suppkey * 3 % 800 AS VARCHAR), 6, '0')
+           AS study_id,
+         CASE WHEN s_suppkey % 3 = 0
+              THEN (['pqtl','eqtl'])[CAST(s_suppkey % 2 AS INT) + 1]
+              END AS curated_type,
+         CASE WHEN s_suppkey % 4 <> 0
+              THEN {flags}[CAST(s_suppkey % 5 AS INT) + 1] || '|'
+                   || {flags}[CAST(s_suppkey * 7 % 5 AS INT) + 1]
+         END AS analysis_flag_raw,
+         CASE WHEN s_suppkey % 6 = 0
+              THEN 'suspicious_effect_sizes' END AS quality_control_raw,
+         s_suppkey % 5 <> 1 AS is_curated_raw
+  FROM supplier
+),
+curation AS (
+  SELECT study_id, curated_type,
+         COALESCE(str_split(analysis_flag_raw, '|'),
+                  CAST([] AS VARCHAR[])) AS curation_analysis_flags,
+         COALESCE(str_split(quality_control_raw, '|'),
+                  CAST([] AS VARCHAR[])) AS curation_quality_controls,
+         is_curated_raw AS is_curated,
+         ROW_NUMBER() OVER (PARTITION BY study_id
+                            ORDER BY curated_type NULLS LAST,
+                                     analysis_flag_raw NULLS LAST,
+                                     quality_control_raw NULLS LAST,
+                                     is_curated_raw) AS rn
+  FROM curation_raw
+),
+joined AS (
+  SELECT s.study_id,
+         COALESCE(c.curated_type, s.study_type) AS study_type,
+         s.has_sumstats,
+         COALESCE(c.is_curated, FALSE) AS is_curated,
+         list_distinct(s.analysis_flags ||
+           COALESCE(c.curation_analysis_flags, CAST([] AS VARCHAR[])))
+           AS analysis_flags_final,
+         CASE WHEN NOT COALESCE(c.is_curated, FALSE)
+              THEN list_distinct(
+                     COALESCE(c.curation_quality_controls,
+                              CAST([] AS VARCHAR[]))
+                     || ['Study not curated by Open Targets'])
+              ELSE COALESCE(c.curation_quality_controls,
+                            CAST([] AS VARCHAR[])) END
+           AS quality_controls_final
+  FROM studies s
+  LEFT JOIN (SELECT * FROM curation WHERE rn = 1) c USING (study_id)
+)
+SELECT study_id, study_type, has_sumstats, is_curated,
+       COALESCE(array_to_string(list_sort(analysis_flags_final), ';'), '')
+         AS analysis_flags_csv,
+       COALESCE(array_to_string(list_sort(quality_controls_final), ';'), '')
+         AS quality_controls_csv
+FROM joined
+"""
+
+
+REGISTRY["gwas_study_curation"] = QuerySpec(
+    q_gwas_study_curation, _gwas_curation_sql()
+)
+
+
+# --- eQTL Catalogue study index + raw summary stats ------------------------
+# Quantification method → QTL study type, re-typed from the reference's
+# EqtlCatalogueStudyIndex.method_to_qtl_type_mapping
+# (datasource/eqtl_catalogue/study_index.py:48).
+_EQTL_METHOD_2_TYPE = (
+    ("ge", "eqtl"),
+    ("exon", "eqtl"),
+    ("tx", "eqtl"),
+    ("microarray", "eqtl"),
+    ("leafcutter", "sqtl"),
+    ("aptamer", "pqtl"),
+    ("txrev", "tuqtl"),
+    ("majiq", "sqtl"),
+)
+# Default ingestion blacklist (the reference takes this as a config
+# list validated against the mapping; study_index.py:137).
+_EQTL_METHOD_BLACKLIST = ("majiq", "microarray")
+
+
+def q_eqtl_study_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eQTL Catalogue study-index ingestion + study-type classification.
+
+    Reference: datasource/eqtl_catalogue/study_index.py —
+    ``read_studies_from_source`` (:131): raw dataset metadata with the
+    quantification-method blacklist filter (invalid blacklist entries
+    rejected up front, mirrored as a module-constant assertion), and
+    ``_identify_study_type`` (:60): quantification method mapped
+    through ``method_to_qtl_type_mapping`` with the ``sc`` prefix for
+    single-cell studies. The metadata dim is tiny (hundreds of rows at
+    any scale) — the distinct is the only exchange.
+    """
+    for m in _EQTL_METHOD_BLACKLIST:
+        assert m in dict(_EQTL_METHOD_2_TYPE), m
+    part = read_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    methods = F.array(*[F.lit(m) for m, _ in _EQTL_METHOD_2_TYPE])
+    raw = part.select(
+        F.concat(F.lit("QTD"), F.lpad((pk % 600).cast("string"), 6, "0")).alias(
+            "dataset_id"
+        ),
+        F.concat(F.lit("Study_"), (pk % 40).cast("string")).alias(
+            "study_label"
+        ),
+        F.concat(F.lit("group_"), (pk % 25).cast("string")).alias(
+            "sample_group"
+        ),
+        F.concat(
+            F.lit("UBERON_"), F.lpad((pk % 50).cast("string"), 4, "0")
+        ).alias("tissue_id"),
+        F.concat(F.lit("tissue "), (pk % 50).cast("string")).alias(
+            "tissue_label"
+        ),
+        F.when(pk % 6 == 0, F.lit("stimulated"))
+        .otherwise(F.lit("naive"))
+        .alias("condition_label"),
+        (F.lit(50) + pk % 500).cast("int").alias("sample_size"),
+        F.element_at(methods, (pk % 8 + 1).cast("int")).alias("quant_method"),
+        F.when(pk % 3 == 0, F.lit("single-cell"))
+        .otherwise(F.lit("bulk"))
+        .alias("raw_study_type"),
+    )
+    filtered = raw.filter(
+        ~F.col("quant_method").isin(*_EQTL_METHOD_BLACKLIST)
+    )
+    type_map = F.create_map(
+        *[F.lit(x) for pair in _EQTL_METHOD_2_TYPE for x in pair]
+    )
+    return filtered.select(
+        "dataset_id",
+        "study_label",
+        "sample_group",
+        "tissue_id",
+        "tissue_label",
+        "condition_label",
+        "sample_size",
+        "quant_method",
+        F.when(
+            F.col("raw_study_type") == "single-cell",
+            F.concat(F.lit("sc"), type_map[F.col("quant_method")]),
+        )
+        .otherwise(type_map[F.col("quant_method")])
+        .alias("study_type"),
+    ).distinct()
+
+
+def _eqtl_study_sql() -> str:
+    methods = "(['" + "','".join(m for m, _ in _EQTL_METHOD_2_TYPE) + "'])"
+    type_cases = "\n             ".join(
+        f"WHEN '{m}' THEN '{t}'" for m, t in _EQTL_METHOD_2_TYPE
+    )
+    bl = ", ".join(f"'{m}'" for m in _EQTL_METHOD_BLACKLIST)
+    return f"""
+WITH raw AS (
+  SELECT 'QTD' || lpad(CAST(p_partkey % 600 AS VARCHAR), 6, '0')
+           AS dataset_id,
+         'Study_' || CAST(p_partkey % 40 AS VARCHAR) AS study_label,
+         'group_' || CAST(p_partkey % 25 AS VARCHAR) AS sample_group,
+         'UBERON_' || lpad(CAST(p_partkey % 50 AS VARCHAR), 4, '0')
+           AS tissue_id,
+         'tissue ' || CAST(p_partkey % 50 AS VARCHAR) AS tissue_label,
+         CASE WHEN p_partkey % 6 = 0 THEN 'stimulated'
+              ELSE 'naive' END AS condition_label,
+         CAST(50 + p_partkey % 500 AS INT) AS sample_size,
+         {methods}[CAST(p_partkey % 8 AS INT) + 1] AS quant_method,
+         CASE WHEN p_partkey % 3 = 0 THEN 'single-cell'
+              ELSE 'bulk' END AS raw_study_type
+  FROM part
+)
+SELECT DISTINCT dataset_id, study_label, sample_group, tissue_id,
+       tissue_label, condition_label, sample_size, quant_method,
+       CASE WHEN raw_study_type = 'single-cell'
+            THEN 'sc' || CASE quant_method {type_cases} END
+            ELSE CASE quant_method {type_cases} END END AS study_type
+FROM raw
+WHERE quant_method NOT IN ({bl})
+"""
+
+
+REGISTRY["eqtl_study_ingest"] = QuerySpec(q_eqtl_study_ingest, _eqtl_study_sql())
+
+
+def q_eqtl_sumstat_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eQTL Catalogue raw (non-fine-mapped) summary-stats ingestion.
+
+    Reference: datasource/eqtl_catalogue/summary_stats.py —
+    ``_full_study_id_regexp`` (:23): project id and QTL group
+    regexp-extracted from the source file URI (the reference uses
+    ``input_file_name()``; the synthetic raw table carries the URI as
+    a column, which is the same contract one step earlier), the full
+    study id ``{project}_{qtlGroup}_{geneId}``, the underscore-joined
+    variant id, the p-value mantissa/exponent split
+    (common/stats.py split_pvalue_column), and ``from_source`` (:48):
+    the position-not-null and beta-nonzero row filters.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    project = F.element_at(
+        F.array(F.lit("GTEx_V8"), F.lit("Alasoo_2018"), F.lit("BLUEPRINT")),
+        (eid % 3 + 1).cast("int"),
+    )
+    qtl_group = F.concat(F.lit("tissue_"), (eid % 30).cast("string"))
+    uri = F.concat(
+        F.lit("input/preprocess/eqtl_catalogue/imported/"),
+        project,
+        F.lit("/ge/"),
+        qtl_group,
+        F.lit(".tsv.gz"),
+    )
+    bases = F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T"))
+    raw = ev.select(
+        uri.alias("uri"),
+        F.concat(
+            F.lit("ENSG"), F.lpad((eid % 1200).cast("string"), 11, "0")
+        ).alias("gene_id"),
+        ((eid % 22) + 1).cast("string").alias("chromosome"),
+        F.when(eid % 31 != 0, (eid * 101) % 5_000_000).alias("position"),
+        F.element_at(bases, (eid % 4 + 1).cast("int")).alias("ref"),
+        F.element_at(bases, ((eid + 1) % 4 + 1).cast("int")).alias("alt"),
+        (((eid * 37) % 9999 + 1) / 10_000.0).alias("pvalue"),
+        F.when(eid % 23 == 0, F.lit(0.0))
+        .otherwise(((eid % 2001) - 1000) / 500.0)
+        .alias("beta"),
+        ((eid % 997 + 1) / 1000.0).alias("se"),
+        ((eid % 499 + 1) / 1000.0).alias("maf"),
+    )
+    from gentropy_spark.functions.stats import split_pvalue
+
+    m, e = split_pvalue(F.col("pvalue"))
+    return (
+        raw.select(
+            F.concat_ws(
+                "_",
+                F.regexp_extract(F.col("uri"), r"imported/([^/]+)/.*", 1),
+                F.regexp_extract(F.col("uri"), r"([^/]+)\.tsv\.gz", 1),
+                F.col("gene_id"),
+            ).alias("study_id"),
+            F.concat_ws(
+                "_", "chromosome", F.col("position").cast("string"), "ref", "alt"
+            ).alias("variant_id"),
+            "chromosome",
+            F.col("position").cast("int").alias("position"),
+            m,
+            e,
+            F.col("beta").cast("double").alias("beta"),
+            F.col("se").cast("double").alias("standard_error"),
+            F.col("maf").cast("double").alias("eaf_from_source"),
+        )
+        .filter(F.col("position").isNotNull() & (F.col("beta") != 0))
+    )
+
+
+def _eqtl_sumstat_sql() -> str:
+    return """
+WITH raw AS (
+  SELECT 'input/preprocess/eqtl_catalogue/imported/'
+           || (['GTEx_V8','Alasoo_2018','BLUEPRINT'])
+              [CAST(event_id % 3 AS INT) + 1]
+           || '/ge/tissue_' || CAST(event_id % 30 AS VARCHAR) || '.tsv.gz'
+           AS uri,
+         'ENSG' || lpad(CAST(event_id % 1200 AS VARCHAR), 11, '0') AS gene_id,
+         CAST((event_id % 22) + 1 AS VARCHAR) AS chromosome,
+         CASE WHEN event_id % 31 <> 0
+              THEN (event_id * 101) % 5000000 END AS position,
+         (['A','C','G','T'])[CAST(event_id % 4 AS INT) + 1] AS ref,
+         (['A','C','G','T'])[CAST((event_id + 1) % 4 AS INT) + 1] AS alt,
+         ((event_id * 37) % 9999 + 1) / 10000.0 AS pvalue,
+         CASE WHEN event_id % 23 = 0 THEN 0.0
+              ELSE ((event_id % 2001) - 1000) / 500.0 END AS beta,
+         (event_id % 997 + 1) / 1000.0 AS se,
+         (event_id % 499 + 1) / 1000.0 AS maf
+  FROM events
+)
+SELECT regexp_extract(uri, 'imported/([^/]+)/.*', 1) || '_'
+         || regexp_extract(uri, '([^/]+)\\.tsv\\.gz', 1) || '_' || gene_id
+         AS study_id,
+       chromosome || '_' || CAST(position AS VARCHAR) || '_' || ref || '_'
+         || alt AS variant_id,
+       chromosome,
+       CAST(position AS INT) AS position,
+       ROUND(pvalue / POW(10.0, FLOOR(LOG10(pvalue))), 3) AS p_mantissa,
+       CAST(FLOOR(LOG10(pvalue)) AS INT) AS p_exponent,
+       CAST(beta AS DOUBLE) AS beta,
+       CAST(se AS DOUBLE) AS standard_error,
+       CAST(maf AS DOUBLE) AS eaf_from_source
+FROM raw
+WHERE position IS NOT NULL AND beta <> 0
+"""
+
+
+REGISTRY["eqtl_sumstat_ingest"] = QuerySpec(
+    q_eqtl_sumstat_ingest, _eqtl_sumstat_sql()
+)
+
+
+# --- deCODE pQTL study index -----------------------------------------------
+# Publication constants, re-typed from the reference's
+# deCODEPublicationMetadata (datasource/decode/__init__.py:40).
+_DECODE_PUB = {
+    "pubmed_id": "37794188",
+    "smp_sample_size": 35_892,
+    "raw_sample_size": 36_136,
+    "ancestry": "Icelandic",
+    "cohort": "deCODE",
+    "biosample_id": "UBERON_0001969",
+}
+_DECODE_SMP = "deCODE-proteomics-smp"
+_DECODE_RAW = "deCODE-proteomics-raw"
+# The reference's study-id parts pattern (decode/study_index.py:104).
+_DECODE_ID_RE = (
+    r"^([\w-_]+?)_(Proteomics_(SMP_PC0|PC0))_(\d+_\d+)_([A-Za-z0-9]+)_(\w+)_\d+$"
+)
+
+
+def q_decode_study_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deCODE pQTL study index: manifest → id-parts → aptamer → complex.
+
+    Reference: datasource/decode/manifest.py:118 ``from_bucket_listing``
+    (project id by SMP-substring, study id regexp-extracted from the
+    listing path, s3a location concat, size string) and
+    datasource/decode/study_index.py:283 ``from_manifest``:
+
+    1. study-ID parts via the grouped regexp (:104): project /
+       datasource type / aptamer id (underscores → dashes) / gene
+       symbol / protein name, with the NA / Deprecated / No_Protein
+       null-marking (:131, :149) and the not-null row filter;
+    2. INNER join to the aptamer mapping table on aptamerId — the
+       aptamer table is the H53 ``decode_aptamer_ingest`` output
+       re-aggregated per aptamer (ids to SomaScan dash form), so the
+       study index is restricted to curated aptamers exactly as the
+       reference restricts the manifest (:336);
+    3. sorted comma-joined UniProt ids LEFT-joined to the
+       molecular-complex dim for the molecularComplexId (:352);
+    4. publication metadata constants: per-project sample sizes,
+       ancestry, biosample, cohort (:371).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    nat = read_table(spark, sf_dir, "nation")
+    ok = F.col("o_orderkey")
+    is_smp = ok % 4 == 0
+    apt_a = F.expr("o_orderkey div 3 % 600").cast("string")
+    apt_b = (ok % 3 + 1).cast("string")
+    gene = (
+        F.when(ok % 29 == 0, F.lit("NA"))
+        .otherwise(F.concat(F.lit("GENE"), (ok % 700).cast("string")))
+    )
+    protein = (
+        F.when(ok % 31 == 0, F.lit("Deprecated"))
+        .when(ok % 31 == 1, F.lit("No_Protein"))
+        .otherwise(F.concat(F.lit("PROT"), (ok % 900).cast("string")))
+    )
+    fname = F.concat(
+        F.lit("Proteomics_"),
+        F.when(is_smp, F.lit("SMP_PC0_")).otherwise(F.lit("PC0_")),
+        apt_a,
+        F.lit("_"),
+        apt_b,
+        F.lit("_"),
+        gene,
+        F.lit("_"),
+        protein,
+        F.lit("_"),
+        F.lpad((ok % 100_000).cast("string"), 8, "0"),
+    )
+    listing = orders.select(
+        F.concat(F.lit("decode/sumstats/"), fname, F.lit(".txt.gz")).alias(
+            "relative_path"
+        ),
+        F.concat_ws(
+            " ", ((ok * 3) % 900 + 1).cast("string"), F.lit("MiB")
+        ).alias("size"),
+    )
+    project = F.when(
+        F.col("relative_path").contains("Proteomics_SMP_"), F.lit(_DECODE_SMP)
+    ).otherwise(F.lit(_DECODE_RAW))
+    manifest = listing.select(
+        project.alias("project_id"),
+        F.concat_ws(
+            "_",
+            project,
+            F.regexp_extract(
+                F.col("relative_path"), r"^.*/(Proteomics_.*)\.txt.gz$", 1
+            ),
+        ).alias("study_id"),
+        F.lit(True).alias("has_sumstats"),
+        F.concat(F.lit("s3a://decode-bucket/"), F.col("relative_path")).alias(
+            "sumstats_location"
+        ),
+        F.col("size"),
+    )
+    p = lambda i: F.regexp_extract(F.col("study_id"), _DECODE_ID_RE, i)  # noqa: E731
+    parts = manifest.select(
+        "study_id",
+        "project_id",
+        "has_sumstats",
+        "sumstats_location",
+        "size",
+        p(2).alias("datasource_type"),
+        F.regexp_replace(p(4), "_", "-").alias("aptamer_id"),
+        F.when(p(5) != "NA", p(5)).alias("gene_symbol_from_study_id"),
+        F.when(~p(6).isin("Deprecated", "No_Protein"), p(6)).alias(
+            "protein_name_from_source"
+        ),
+    )
+    traited = parts.withColumn(
+        "trait_from_source",
+        F.concat_ws(
+            "_",
+            "datasource_type",
+            "aptamer_id",
+            "gene_symbol_from_study_id",
+            "protein_name_from_source",
+        ),
+    ).filter(
+        F.col("gene_symbol_from_study_id").isNotNull()
+        & F.col("protein_name_from_source").isNotNull()
+    )
+    # Aptamer mapping = the H53 dialect output re-aggregated per
+    # aptamer: dash-form SomaScan id + sorted distinct protein ids.
+    from gentropy_spark.plans.ingestion import q_decode_aptamer_ingest
+
+    aptamers = (
+        q_decode_aptamer_ingest(spark, sf_dir)
+        .groupBy(
+            F.regexp_replace(F.col("aptamer_id"), "_", "-").alias("aptamer_id")
+        )
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("protein_id"))
+            ).alias("protein_ids"),
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("gene_symbol"))
+            ).alias("curated_gene_symbols"),
+        )
+    )
+    annotated = traited.join(aptamers, on="aptamer_id", how="inner")
+    nk = F.col("n_nationkey")
+    complexes = nat.select(
+        F.concat(F.lit("CPX-"), nk.cast("string")).alias(
+            "molecular_complex_id"
+        ),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.array(
+                    F.concat(
+                        F.lit("P"),
+                        F.lpad(((nk * 3) % 900).cast("string"), 5, "0"),
+                    ),
+                    F.concat(
+                        F.lit("P"),
+                        F.lpad(((nk * 3 + 1) % 900).cast("string"), 5, "0"),
+                    ),
+                )
+            ),
+        ).alias("protein_ids"),
+    )
+    with_cpx = annotated.join(
+        F.broadcast(complexes), on="protein_ids", how="left"
+    )
+    raw_n = _DECODE_PUB["raw_sample_size"]
+    smp_n = _DECODE_PUB["smp_sample_size"]
+    return with_cpx.select(
+        "study_id",
+        "project_id",
+        F.lit("pqtl").alias("study_type"),
+        "trait_from_source",
+        "aptamer_id",
+        "gene_symbol_from_study_id",
+        "protein_name_from_source",
+        "protein_ids",
+        "curated_gene_symbols",
+        "molecular_complex_id",
+        "has_sumstats",
+        "sumstats_location",
+        "size",
+        F.lit(_DECODE_PUB["biosample_id"]).alias("biosample_id"),
+        F.lit(_DECODE_PUB["pubmed_id"]).alias("pubmed_id"),
+        F.when(F.col("project_id") == _DECODE_RAW, F.lit(raw_n))
+        .when(F.col("project_id") == _DECODE_SMP, F.lit(smp_n))
+        .cast("int")
+        .alias("n_samples"),
+        F.when(
+            F.col("project_id") == _DECODE_RAW,
+            F.lit(f"{raw_n:,} Icelandic individuals"),
+        )
+        .when(
+            F.col("project_id") == _DECODE_SMP,
+            F.lit(f"{smp_n:,} Icelandic individuals"),
+        )
+        .alias("initial_sample_size"),
+        F.lit(_DECODE_PUB["ancestry"]).alias("ancestry"),
+        F.lit(_DECODE_PUB["cohort"]).alias("cohort"),
+    )
+
+
+def _decode_study_sql() -> str:
+    from gentropy_spark.plans.ingestion import DECODE_APTAMER_SQL
+
+    raw_n = _DECODE_PUB["raw_sample_size"]
+    smp_n = _DECODE_PUB["smp_sample_size"]
+    return f"""
+WITH listing AS (
+  SELECT 'decode/sumstats/Proteomics_'
+           || CASE WHEN o_orderkey % 4 = 0 THEN 'SMP_PC0_' ELSE 'PC0_' END
+           || CAST(o_orderkey // 3 % 600 AS VARCHAR) || '_'
+           || CAST(o_orderkey % 3 + 1 AS VARCHAR) || '_'
+           || CASE WHEN o_orderkey % 29 = 0 THEN 'NA'
+                   ELSE 'GENE' || CAST(o_orderkey % 700 AS VARCHAR) END || '_'
+           || CASE WHEN o_orderkey % 31 = 0 THEN 'Deprecated'
+                   WHEN o_orderkey % 31 = 1 THEN 'No_Protein'
+                   ELSE 'PROT' || CAST(o_orderkey % 900 AS VARCHAR) END || '_'
+           || lpad(CAST(o_orderkey % 100000 AS VARCHAR), 8, '0')
+           || '.txt.gz' AS relative_path,
+         CAST((o_orderkey * 3) % 900 + 1 AS VARCHAR) || ' MiB' AS size
+  FROM orders
+),
+manifest AS (
+  SELECT CASE WHEN contains(relative_path, 'Proteomics_SMP_')
+              THEN '{_DECODE_SMP}' ELSE '{_DECODE_RAW}' END AS project_id,
+         CASE WHEN contains(relative_path, 'Proteomics_SMP_')
+              THEN '{_DECODE_SMP}' ELSE '{_DECODE_RAW}' END || '_'
+           || regexp_extract(relative_path,
+                             '^.*/(Proteomics_.*)\\.txt.gz$', 1) AS study_id,
+         TRUE AS has_sumstats,
+         's3a://decode-bucket/' || relative_path AS sumstats_location,
+         size
+  FROM listing
+),
+parts AS (
+  SELECT *,
+         regexp_extract(study_id, '{_DECODE_ID_RE}', 2) AS datasource_type,
+         replace(regexp_extract(study_id, '{_DECODE_ID_RE}', 4), '_', '-')
+           AS aptamer_id,
+         NULLIF(regexp_extract(study_id, '{_DECODE_ID_RE}', 5), 'NA')
+           AS gene_symbol_from_study_id,
+         CASE WHEN regexp_extract(study_id, '{_DECODE_ID_RE}', 6)
+                   IN ('Deprecated', 'No_Protein') THEN NULL
+              ELSE regexp_extract(study_id, '{_DECODE_ID_RE}', 6) END
+           AS protein_name_from_source
+  FROM manifest
+),
+traited AS (
+  SELECT *,
+         datasource_type || '_' || aptamer_id || '_'
+           || gene_symbol_from_study_id || '_' || protein_name_from_source
+           AS trait_from_source
+  FROM parts
+  WHERE gene_symbol_from_study_id IS NOT NULL
+    AND protein_name_from_source IS NOT NULL
+),
+aptamers AS (
+  SELECT replace(aptamer_id, '_', '-') AS aptamer_id,
+         array_to_string(list_sort(list(DISTINCT protein_id)), ',')
+           AS protein_ids,
+         array_to_string(list_sort(list(DISTINCT gene_symbol)), ',')
+           AS curated_gene_symbols
+  FROM ({DECODE_APTAMER_SQL.strip()})
+  GROUP BY 1
+),
+complexes AS (
+  SELECT 'CPX-' || CAST(n_nationkey AS VARCHAR) AS molecular_complex_id,
+         array_to_string(list_sort(
+           ['P' || lpad(CAST((n_nationkey * 3) % 900 AS VARCHAR), 5, '0'),
+            'P' || lpad(CAST((n_nationkey * 3 + 1) % 900 AS VARCHAR), 5, '0')]
+         ), ',') AS protein_ids
+  FROM nation
+)
+SELECT t.study_id, t.project_id, 'pqtl' AS study_type, t.trait_from_source,
+       t.aptamer_id, t.gene_symbol_from_study_id, t.protein_name_from_source,
+       a.protein_ids, a.curated_gene_symbols, c.molecular_complex_id,
+       t.has_sumstats, t.sumstats_location, t.size,
+       '{_DECODE_PUB["biosample_id"]}' AS biosample_id,
+       '{_DECODE_PUB["pubmed_id"]}' AS pubmed_id,
+       CAST(CASE WHEN t.project_id = '{_DECODE_RAW}' THEN {raw_n}
+                 WHEN t.project_id = '{_DECODE_SMP}' THEN {smp_n} END AS INT)
+         AS n_samples,
+       CASE WHEN t.project_id = '{_DECODE_RAW}'
+              THEN '{raw_n:,} Icelandic individuals'
+            WHEN t.project_id = '{_DECODE_SMP}'
+              THEN '{smp_n:,} Icelandic individuals' END
+         AS initial_sample_size,
+       '{_DECODE_PUB["ancestry"]}' AS ancestry,
+       '{_DECODE_PUB["cohort"]}' AS cohort
+FROM traited t
+JOIN aptamers a USING (aptamer_id)
+LEFT JOIN complexes c ON a.protein_ids = c.protein_ids
+"""
+
+
+def _decode_study_spec():
+    return QuerySpec(q_decode_study_ingest, _decode_study_sql())
+
+
+REGISTRY["decode_study_ingest"] = _decode_study_spec()

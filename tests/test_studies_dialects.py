@@ -1,0 +1,164 @@
+"""Unit tests for the r8 study-index assembly dialects (plans/studies.py).
+
+Semantics fixtures are lifted from the reference's own doctest /
+test examples:
+- tests/gentropy/datasource/gwas_catalog/test_gwas_catalog_study_splitter.py
+  (the GCST003436 split / no-split pair),
+- datasource/gwas_catalog/study_index.py:52 doctest
+  (the even-split of "European, African, Asian" 100 → 83/33/33 —
+  wait, the doctest yields [{European,83},{African,33},{Asian,33}]
+  because s2 also carries a separate ("European", 50) row:
+  50 + 100//3 = 83),
+- study_index.py:216 parse_cohorts doctest.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_splitter_resolve_study_id_reference_fixture(spark):
+    """Reference fixture: same description → no split; different → _N."""
+    from pyspark.sql import Window
+
+    same = spark.createDataFrame(
+        [
+            ("varA", "GCST003436", "Endometrial cancer|no_pvalue_text|EFO_1001512"),
+            ("varB", "GCST003436", "Endometrial cancer|no_pvalue_text|EFO_1001512"),
+        ],
+        ["variant_id", "study_id", "sub_study_description"],
+    )
+    diff = spark.createDataFrame(
+        [
+            ("varA", "GCST003436", "Endometrial cancer|no_pvalue_text|EFO_1001512"),
+            ("varB", "GCST003436", "Uterine carcinoma|no_pvalue_text|EFO_0002919"),
+        ],
+        ["variant_id", "study_id", "sub_study_description"],
+    )
+
+    def resolve(df):
+        w_split = Window.partitionBy("study_id").orderBy("sub_study_description")
+        w_study = Window.partitionBy("study_id")
+        ranked = df.withColumn("sub_rank", F.dense_rank().over(w_split)).withColumn(
+            "n_substudies", F.max("sub_rank").over(w_study)
+        )
+        return ranked.select(
+            "variant_id",
+            F.when(F.col("n_substudies") == 1, F.col("study_id"))
+            .otherwise(
+                F.concat_ws("_", F.col("study_id"), F.col("sub_rank").cast("string"))
+            )
+            .alias("updated_study_id"),
+        )
+
+    got_same = {r.updated_study_id for r in resolve(same).collect()}
+    assert got_same == {"GCST003436"}
+    got_diff = {
+        (r.variant_id, r.updated_study_id) for r in resolve(diff).collect()
+    }
+    assert got_diff == {("varA", "GCST003436_1"), ("varB", "GCST003436_2")}
+
+
+def test_discovery_sample_even_split_reference_doctest(spark):
+    """study_index.py:52 doctest: ('European, African, Asian', 100) +
+    ('European', 50) → European 83, African 33, Asian 33."""
+    from gentropy_spark.plans.studies import _ANC_SPLIT_RE
+
+    pairs = spark.createDataFrame(
+        [
+            ("s2", "initial", "European, African, Asian", 100),
+            ("s2", "initial", "European", 50),
+        ],
+        ["study_id", "stage", "ancestry_label", "n_individuals"],
+    ).distinct()
+    label_parts = F.split(F.col("ancestry_label"), _ANC_SPLIT_RE)
+    out = (
+        pairs.select(
+            "study_id",
+            F.explode(label_parts).alias("ancestry"),
+            (F.col("n_individuals") / F.size(label_parts))
+            .cast("long")
+            .alias("part_count"),
+        )
+        .groupBy("study_id", "ancestry")
+        .agg(F.sum("part_count").alias("n"))
+    )
+    got = {(r.ancestry, r.n) for r in out.collect()}
+    assert got == {("European", 83), ("African", 33), ("Asian", 33)}
+
+
+def test_ancestry_split_keeps_parenthesized_comma(spark):
+    """The GME label's in-parens comma must survive the split regex."""
+    from gentropy_spark.plans.studies import _ANC_SPLIT_RE
+
+    label = (
+        "European, Greater Middle Eastern (Middle Eastern, North African or"
+        " Persian), African"
+    )
+    df = spark.createDataFrame([(label,)], ["x"]).select(
+        F.split(F.col("x"), _ANC_SPLIT_RE).alias("parts")
+    )
+    parts = df.collect()[0].parts
+    assert parts == [
+        "European",
+        "Greater Middle Eastern (Middle Eastern, North African or Persian)",
+        "African",
+    ]
+
+
+def test_gwas_study_ingest_shapes(spark):
+    from gentropy_spark.plans.studies import q_gwas_study_ingest
+
+    out = q_gwas_study_ingest(spark, SF)
+    rows = out.collect()
+    assert len(rows) == 1500
+    by_id = {r.study_id: r for r in rows}
+    # Accession fallback for the % 97 == 0 keys.
+    assert any(k.startswith("NOID_") for k in by_id)
+    # Trait fallback.
+    assert any(r.trait == "Unreported" for r in rows)
+    # cases+controls arithmetic: study 4 is the "12,345-style" branch.
+    r4 = by_id["GCST00000004"]
+    assert r4.n_samples == r4.n_cases + r4.n_controls and r4.n_cases > 10_000
+    # NULL initial_sample_size → NULL n_samples but zero cases.
+    r41 = by_id["GCST00000041"]
+    assert r41.n_samples is None and r41.n_cases == 0
+    # ld ppm entries sum to ~1e6 per study when present.
+    for r in rows[:50]:
+        if r.ld_pop_ppm_csv:
+            total = sum(
+                int(e.split("=")[1]) for e in r.ld_pop_ppm_csv.split(";")
+            )
+            assert abs(total - 1_000_000) <= len(r.ld_pop_ppm_csv.split(";"))
+
+
+def test_gwas_study_split_flags(spark):
+    from gentropy_spark.plans.studies import q_gwas_study_split
+
+    out = q_gwas_study_split(spark, SF)
+    rows = out.collect()
+    assert all("top_hit" in r.qc_csv for r in rows)
+    # Multi-substudy study ids get the _N suffix; suffix is within range.
+    for r in rows:
+        if r.n_substudies > 1:
+            assert r.updated_study_id.startswith(r.study_id + "_")
+            assert 1 <= int(r.updated_study_id.rsplit("_", 1)[1]) <= r.n_substudies
+    # pvalue_text decoration present for 'males'/'EA' rows.
+    assert any("[males]" in r.trait_resolved for r in rows)
+
+
+def test_gwas_study_curation_flags(spark):
+    from gentropy_spark.plans.studies import q_gwas_study_curation
+
+    out = q_gwas_study_curation(spark, SF)
+    rows = out.collect()
+    for r in rows:
+        if not r.is_curated:
+            assert "Study not curated by Open Targets" in r.quality_controls_csv
+        else:
+            assert "Study not curated" not in r.quality_controls_csv
+    # Curated type override happens for some studies.
+    assert any(r.study_type != "gwas" for r in rows)
