@@ -141,6 +141,12 @@ def fit_gbm(
     study-grouped, never random). Trees are always fit on the
     non-validation rows only when a mask is given.
     """
+    # An EMPTY validation mask would make the monitored logloss a NaN
+    # mean-of-empty (stall every round → trees[:0], an empty ensemble);
+    # treat it as "no early stopping".
+    if valid_mask is not None and not valid_mask.any():
+        valid_mask = None
+        early_stopping_rounds = 0
     train_mask = (
         ~valid_mask if valid_mask is not None else np.ones(len(y), dtype=bool)
     )

@@ -148,11 +148,20 @@ def backend_for_ancestry(
     panukbb_variants: DataFrame,
     gnomad_entries: DataFrame,
     gnomad_index: DataFrame,
+    panukbb_index: DataFrame | None = None,
+    panukbb_entries: DataFrame | None = None,
 ) -> LDMatrixBackend:
     """The reference's dispatch rule (ld_matrix_interface.py:46): nfe /
     csa / afr resolve to the PanUKBB-shaped backend under the mapped
-    label; every other ancestry uses the gnomAD-shaped entry table."""
+    label; every other ancestry uses the gnomAD-shaped entry table.
+    When an INGESTED PanUKBB store is supplied (the aligned variant
+    index from plans/graph_ld.py ``panukbb_ld_align`` + a half-matrix
+    entry table), that branch dispatches to the real
+    ``PanUKBBEntryBackend``; the synthetic grid remains the stand-in
+    otherwise."""
     if ancestry in ANCESTRY_MAP:
+        if panukbb_index is not None and panukbb_entries is not None:
+            return PanUKBBEntryBackend(panukbb_index, panukbb_entries)
         return SyntheticGridLDBackend(
             panukbb_variants, ancestry=ANCESTRY_MAP[ancestry]
         )
@@ -172,6 +181,7 @@ def locus_numpy_matrix(
     """
     import numpy as np
 
+    _warn_locus_collect_loop()
     idx = backend.locus_index(contig, start, end)
     rows = idx.orderBy("idx").collect()
     if not rows:
@@ -187,3 +197,89 @@ def locus_numpy_matrix(
         M[a, b] = e["r"]
         M[b, a] = e["r"]
     return ids, M
+
+
+class PanUKBBEntryBackend:
+    """PanUKBB-shaped backend over an ALIGNED variant index + half matrix.
+
+    Reference: datasource/pan_ukbb_ld/ld.py — ``index`` is the output
+    shape of the allele-alignment step (plans/graph_ld.py
+    ``panukbb_ld_align``): (idx, variant_id, contig, pos,
+    allele_order); ``half_entries`` is the Hail block-matrix upper
+    half as a sparse (idx_i <= idx_j, r) entry table.
+    ``block_entries`` reproduces ``get_numpy_matrix`` (:154):
+    symmetrize the half matrix (``half + half.T - diag(diag)``,
+    :196), apply the outer allele-order sign to off-diagonal entries
+    (:188 — the diagonal of the outer product is forced to +1), and
+    force the diagonal to exactly 1 (:199) — all as relational ops on
+    the entry table, so a locus slice stays two pushed range
+    predicates and the densification happens only at the numpy edge.
+    """
+
+    def __init__(self, index: DataFrame, half_entries: DataFrame) -> None:
+        self._index = index
+        self._entries = half_entries
+
+    def locus_index(self, contig: str, start: int, end: int) -> DataFrame:
+        return self._index.filter(
+            (F.col("contig") == contig)
+            & (F.col("pos") >= start)
+            & (F.col("pos") <= end)
+        ).select("idx", "variant_id", "pos", "allele_order")
+
+    def block_entries(self, locus_index: DataFrame) -> DataFrame:
+        bounds = locus_index.agg(
+            F.min("idx").alias("lo"), F.max("idx").alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            return self._entries.limit(0).select("idx_i", "idx_j", "r")
+        sliced = ld_block_slice(
+            self._entries, int(bounds["lo"]), int(bounds["hi"])
+        )
+        sym = transpose_ld_triangular(sliced)
+        ao = F.broadcast(
+            locus_index.select("idx", F.col("allele_order").alias("ao"))
+        )
+        return (
+            sym.join(ao.withColumnRenamed("idx", "idx_i"), on="idx_i")
+            .withColumnRenamed("ao", "ao_i")
+            .join(
+                ao.withColumnRenamed("idx", "idx_j").withColumnRenamed(
+                    "ao", "ao_j"
+                ),
+                on="idx_j",
+            )
+            .select(
+                "idx_i",
+                "idx_j",
+                F.when(F.col("idx_i") == F.col("idx_j"), F.lit(1.0))
+                .otherwise(F.col("r") * F.col("ao_i") * F.col("ao_j"))
+                .alias("r"),
+            )
+        )
+
+
+# Soft guard for the single-locus collect path: the reference's
+# per-locus numpy hand-off is fine for a handful of loci, but looping
+# it over thousands re-runs a driver collect per locus — the Arrow
+# path (operators/ld_matrix.py locus_dense_matrices) does the same
+# densification distributed. Warn once past the threshold.
+_LOCUS_COLLECT_WARN_AFTER = 100
+_locus_collect_calls = 0
+
+
+def _warn_locus_collect_loop() -> None:
+    global _locus_collect_calls
+    _locus_collect_calls += 1
+    if _locus_collect_calls == _LOCUS_COLLECT_WARN_AFTER:
+        import warnings
+
+        warnings.warn(
+            "locus_numpy_matrix has been called "
+            f"{_LOCUS_COLLECT_WARN_AFTER}+ times in this process; each call "
+            "is a driver-side collect. For many loci, batch through "
+            "operators/ld_matrix.py locus_dense_matrices (Arrow-based, "
+            "distributed) instead.",
+            RuntimeWarning,
+            stacklevel=3,
+        )

@@ -1,12 +1,16 @@
 """Multimodal (binary) column plumbing (SURVEY §2.E12).
 
 Treat image/audio/video as opaque ``binary`` columns with typed
-metadata, processed by Arrow-batched ``mapInPandas`` kernels. The
-codec itself is STUBBED (no image/audio libs in this container): the
-"decode" derives deterministic pseudo-features from the raw bytes, so
-the Spark-side plumbing — schema, batch shape, partition behavior —
-is real and oracle-checkable, while a real decoder (PIL/ffmpeg) can
-replace ``_decode_stub`` without touching the plan.
+metadata, processed by Arrow-batched ``mapInPandas`` kernels.
+
+r8: the decode step is a REAL decoder for the uncompressed container
+formats the sandbox can parse without external libraries — PPM (P6),
+BMP (24-bit BI_RGB) and WAV (PCM16), via operators/codecs.py (stdlib
+struct/wave + numpy) — dispatched on magic bytes. Compressed codecs
+(JPEG/PNG/MP4) still fall back to the deterministic byte-derived stub
+(the documented scope limit: those need libs this container does not
+ship); a Pillow/ffmpeg decoder slots into ``codecs.decode_any``'s
+fallback branch without touching the plan, schema, or batch shape.
 """
 
 from __future__ import annotations
@@ -25,6 +29,14 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("fake_width", T.IntegerType()),
         T.StructField("fake_height", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
+        # Real-codec fields (operators/codecs.py); NULL on the stub
+        # path so compressed-format rows are visibly undecoded.
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("mean_value", T.DoubleType()),
     ]
 )
 
@@ -61,12 +73,22 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
     spark.sql.execution.arrow.maxRecordsPerBatch.
     """
 
+    from gentropy_spark.operators.codecs import decode_any
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [_decode_stub(b) for b in pdf["payload"]]
             out = pd.DataFrame(
                 feats, columns=["n_bytes", "fake_width", "fake_height", "n_frames"]
             )
+            real = pd.DataFrame(
+                [decode_any(b) for b in pdf["payload"]],
+                columns=[
+                    "codec", "width", "height", "n_channels",
+                    "sample_rate", "mean_value",
+                ],
+            )
+            out = pd.concat([out, real], axis=1)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 

@@ -513,3 +513,177 @@ FROM with_prob
 REGISTRY["pics_finemap_indexed"] = QuerySpec(
     q_pics_finemap_indexed, _pics_indexed_sql()
 )
+
+
+# --- PanUKBB LD variant-index allele alignment ------------------------------
+def q_panukbb_ld_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PanUKBB LD-index allele alignment against the OT variant annotation.
+
+    Reference: datasource/pan_ukbb_ld/ld.py:48 ``align_ld_index_alleles``
+    — the Hail LD variant index (contig / position / two-element
+    allele array / block-matrix row idx) is normalized (chr prefix
+    strip, allele unpack, (chrom,pos,ref,alt) dedup), LEFT-joined to
+    the deduped variant annotation on (chromosome, position), kept
+    when the alleles match directly, match flipped, or the annotation
+    is absent (:99); ``alleleOrder`` is -1 for flipped rows (the sign
+    later applied to off-diagonal LD entries, :187), alleles are
+    rewritten to the annotation's orientation, and per-idx duplicates
+    are resolved by rank over alleleOrder desc keeping rank 1 (:147)
+    — preferring the direct-orientation row. The Hail-specific
+    ``BlockMatrix.read`` half-matrix densification lives behind the
+    ``PanUKBBEntryBackend`` seam (operators/ld_backend.py), not here.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    bases = F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T"))
+    a1 = F.element_at(bases, (eid % 4 + 1).cast("int"))
+    a2 = F.element_at(bases, ((eid % 4 + 1 + eid % 3) % 4 + 1).cast("int"))
+    ht = ev.select(
+        F.concat(F.lit("chr"), ((eid % 22) + 1).cast("string")).alias(
+            "contig"
+        ),
+        ((eid * 53) % 1_000_000).alias("position"),
+        F.array(a1, a2).alias("alleles"),
+        eid.alias("idx"),
+    )
+    # The reference dropDuplicates here (:81); dropDuplicates keeps an
+    # ARBITRARY survivor, which is fine for its pipeline but not for an
+    # oracle-hashed query — resolved deterministically to the min idx.
+    ht_norm = (
+        ht.withColumn(
+            "chromosome", F.element_at(F.split(F.col("contig"), "chr"), 2)
+        )
+        .withColumn("reference_allele", F.element_at(F.col("alleles"), 1))
+        .withColumn("alternate_allele", F.element_at(F.col("alleles"), 2))
+        .groupBy(
+            "chromosome", "position", "reference_allele", "alternate_allele"
+        )
+        .agg(F.min("idx").alias("idx"))
+    )
+    va = (
+        ev.filter(eid % 5 != 0)
+        .select(
+            ((eid % 22) + 1).cast("string").alias("chromosome"),
+            ((eid * 53) % 1_000_000).alias("position"),
+            F.when(eid % 7 == 0, F.lit("AT"))
+            .when(eid % 3 == 0, a2)
+            .otherwise(a1)
+            .alias("va_ref"),
+            F.when(eid % 7 == 0, F.lit("GG"))
+            .when(eid % 3 == 0, a1)
+            .otherwise(a2)
+            .alias("va_alt"),
+        )
+        .dropDuplicates(["chromosome", "position", "va_ref", "va_alt"])
+    )
+    ref, alt = F.col("reference_allele"), F.col("alternate_allele")
+    direct = (ref == F.col("va_ref")) & (alt == F.col("va_alt"))
+    flipped = (ref == F.col("va_alt")) & (alt == F.col("va_ref"))
+    joined = (
+        ht_norm.join(va, on=["chromosome", "position"], how="left")
+        .filter(
+            direct
+            | flipped
+            | F.col("va_ref").isNull()
+            | F.col("va_alt").isNull()
+        )
+        .withColumn(
+            "allele_order", F.when(flipped, F.lit(-1)).otherwise(F.lit(1))
+        )
+        .withColumn(
+            "new_ref", F.when(flipped, F.col("va_ref")).otherwise(ref)
+        )
+        .withColumn(
+            "new_alt", F.when(flipped, F.col("va_alt")).otherwise(alt)
+        )
+        .select(
+            F.concat_ws(
+                "_",
+                "chromosome",
+                F.col("position").cast("string"),
+                "new_ref",
+                "new_alt",
+            ).alias("variant_id"),
+            "chromosome",
+            "position",
+            F.col("new_ref").alias("reference_allele"),
+            F.col("new_alt").alias("alternate_allele"),
+            "allele_order",
+            "idx",
+        )
+    )
+    w = Window.partitionBy("idx").orderBy(F.col("allele_order").desc())
+    return (
+        joined.withColumn("rank", F.rank().over(w))
+        .filter(F.col("rank") == 1)
+        .drop("rank")
+    )
+
+
+PANUKBB_ALIGN_SQL = """
+WITH ht AS (
+  SELECT 'chr' || CAST((event_id % 22) + 1 AS VARCHAR) AS contig,
+         (event_id * 53) % 1000000 AS position,
+         (['A','C','G','T'])[CAST(event_id % 4 AS INT) + 1] AS a1,
+         (['A','C','G','T'])
+           [CAST((event_id % 4 + 1 + event_id % 3) % 4 AS INT) + 1] AS a2,
+         event_id AS idx
+  FROM events
+),
+ht_norm AS (
+  SELECT str_split(contig, 'chr')[2] AS chromosome, position,
+         a1 AS reference_allele, a2 AS alternate_allele,
+         MIN(idx) AS idx
+  FROM ht
+  GROUP BY 1, 2, 3, 4
+),
+va AS (
+  SELECT DISTINCT CAST((event_id % 22) + 1 AS VARCHAR) AS chromosome,
+         (event_id * 53) % 1000000 AS position,
+         CASE WHEN event_id % 7 = 0 THEN 'AT'
+              WHEN event_id % 3 = 0 THEN (['A','C','G','T'])
+                [CAST((event_id % 4 + 1 + event_id % 3) % 4 AS INT) + 1]
+              ELSE (['A','C','G','T'])[CAST(event_id % 4 AS INT) + 1]
+         END AS va_ref,
+         CASE WHEN event_id % 7 = 0 THEN 'GG'
+              WHEN event_id % 3 = 0 THEN (['A','C','G','T'])
+                [CAST(event_id % 4 AS INT) + 1]
+              ELSE (['A','C','G','T'])
+                [CAST((event_id % 4 + 1 + event_id % 3) % 4 AS INT) + 1]
+         END AS va_alt
+  FROM events WHERE event_id % 5 <> 0
+),
+joined AS (
+  SELECT h.chromosome, h.position,
+         CASE WHEN h.reference_allele = v.va_alt
+                   AND h.alternate_allele = v.va_ref THEN -1
+              ELSE 1 END AS allele_order,
+         CASE WHEN h.reference_allele = v.va_alt
+                   AND h.alternate_allele = v.va_ref
+              THEN v.va_ref ELSE h.reference_allele END AS reference_allele,
+         CASE WHEN h.reference_allele = v.va_alt
+                   AND h.alternate_allele = v.va_ref
+              THEN v.va_alt ELSE h.alternate_allele END AS alternate_allele,
+         h.idx
+  FROM ht_norm h
+  LEFT JOIN va v USING (chromosome, position)
+  WHERE (h.reference_allele = v.va_ref AND h.alternate_allele = v.va_alt)
+     OR (h.reference_allele = v.va_alt AND h.alternate_allele = v.va_ref)
+     OR v.va_ref IS NULL OR v.va_alt IS NULL
+),
+ranked AS (
+  SELECT *, RANK() OVER (PARTITION BY idx
+                         ORDER BY allele_order DESC) AS rnk
+  FROM joined
+)
+SELECT chromosome || '_' || CAST(position AS VARCHAR) || '_'
+         || reference_allele || '_' || alternate_allele AS variant_id,
+       chromosome, position, reference_allele, alternate_allele,
+       allele_order, idx
+FROM ranked WHERE rnk = 1
+"""
+
+
+REGISTRY["panukbb_ld_align"] = QuerySpec(q_panukbb_ld_align, PANUKBB_ALIGN_SQL)

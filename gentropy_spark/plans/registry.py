@@ -33,80 +33,64 @@ class QuerySpec:
 # predates its last code change (or the last testdata format change)
 # must sit inside that window; remaining keys rotate in next round.
 _SNAPSHOT_PRIORITY = [
-    # (a) r7: NEW this round — no driver evidence exists yet.
-    "eqtl_susie_ingest",
-    "ukb_ppp_harmonise",
-    "target_index_build",
-    "finemap_calibration",
-    "amino_acid_variants",
-    "biosample_index_merge",
+    # (a) r8: NEW this round — no driver evidence exists yet.
+    "gwas_study_ingest",
+    "gwas_study_split",
+    "gwas_study_curation",
+    "eqtl_study_ingest",
+    "eqtl_sumstat_ingest",
+    "decode_study_ingest",
+    "intervals_epiraction_ingest",
+    "panukbb_ld_align",
+    "gwas_top_hits",
+    # (b) r8: values / plans changed this round — must re-certify.
+    # gnomad: id_was_hashed now covers both hashed branches (advisory
+    # fix, value change); qc_flags: shared-base + range-window rewrite
+    # (hash-identical by design, re-prove it).
     "gnomad_variant_ingest",
-    "intervals_e2g_ingest",
-    "ukbiobank_study_ingest",
-    "decode_aptamer_ingest",
-    "decode_sumstat_harmonise",
-    "lm_perplexity",
-    "finngen_study_ingest",
-    "vep_variant_index_ingest",
-    "lof_curation_ingest",
-    "finngen_finemapping_ingest",
-    # (b) r7: the 9 r6 hash-FAILs + the latent 10th (funnel_analysis,
-    # below in (c)) — values were exact, the physical dtype diverged
-    # (DuckDB HUGEINT / Spark DECIMAL vs the pandas bridge); oracle/
-    # engine dtypes are now cast-aligned and must re-certify.
-    "kmv_distinct",
-    "rollup_aggregate",
-    "merge_upsert",
-    "pack_sequences",
-    "table_profile",
-    "corpus_curate",
-    "corpus_mixture",
-    "interval_coverage",
-    "mixture_rebalance",
-    # (c) r6 additions that landed after the r6 window froze at 50 —
-    # never driver-sampled (funnel_analysis also carries the dtype fix).
-    "burst_detection",
-    "retention_cohorts",
-    "funnel_analysis",
-    "dwell_time_stats",
-    "signif_calibration",
-    "dup_triangles",
-    "langid_eval",
-    "char_ngram_profile",
-    # (d) keys whose LATEST driver sample is the r5 NTZ-era error and
-    # that sat outside the r6 window: value-verified in-repo since,
-    # but the driver has no green row on the current testdata.
-    "coloc",
-    "study_locus_id",
-    "trans_qtl_flag",
-    "locus_statistics",
-    "sumstat_qc_summary",
-    "qc_pz_consistency",
-    "qc_mean_beta",
-    "sanity_filter",
-    "qc_flag_accumulate",
-    "qc_n_eff",
-    "sumstat_harmonise_ingest",
-    # rows-only kernels whose latest sample is also a stale error.
-    "carma_finemap",
-    "susie_like_finemap",
-    "susie_inf_finemap",
-    "susie_finemapper_step",
-    "carma_shotgun_finemap",
-    # (e) freshness rotation: oldest green evidence (r3) on
-    # load-bearing queries, re-certified on the current testdata.
-    "q1_pricing_summary",
-    "overlap_join",
-    "locus_breaker",
-    "window_clump_leads",
-    "sumstat_harmonise_full",
-    "q_decile_stats",
-    "top_k_per_group",
+    "study_locus_qc_flags",
+    # (c) freshness rotation: keys whose LATEST driver sample is r5 or
+    # older, re-verified in-repo since but stale at the driver.
+    "allele_direction",
+    "complex_set_match",
+    "contig_validation",
+    "credible_set_qc",
+    "dedup_simhash_pairs",
+    "direction_concordance",
+    "doc_fingerprint",
+    "enrichment_odds_ratio",
     "exclude_region",
     "harmonic_sum",
-    "text_langid",
-    "token_count",
-    "doc_fingerprint",
+    "interval_evidence",
+    "l2g_coloc_features",
+    "l2g_gold_standard",
+    "ld_block_slice",
+    "locus_breaker",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "ontology_closure",
+    "overlap_join",
+    "pairwise_ld",
+    "pivot_wide",
+    "props_json_parse",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_decile_stats",
+    "stream_dedup",
+    "stream_window_agg",
+    "study_index_validate",
+    "study_validation",
+    "sumstat_harmonise_full",
+    # (d) oldest r6-era evidence on load-bearing queries.
+    "ld_index_build",
+    "l2g_feature_matrix",
+    "l2g_score",
+    "dedup_clusters",
+    "pics_finemap",
+    "sumstat_harmonise_finngen",
+    "asof_join",
+    "qc_gc_lambda",
+    "stream_sessionize",
 ]
 
 

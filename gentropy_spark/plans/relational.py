@@ -30,8 +30,28 @@ DEC = "decimal(38,6)"
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
+def _native_sums_enabled() -> bool:
+    """Production sum profile: GENTROPY_SPARK_NATIVE_SUMS=1 switches the
+    cross-engine-parity DECIMAL(38,6) sum casts to native double sums.
+
+    The decimal casts exist ONLY so the value hash matches DuckDB
+    bit-for-bit regardless of reduction order; they cost ~2x on
+    sum-heavy aggregates (q1 at sf0.1: decimal ~1.7s vs native ~0.9s).
+    A production deployment that doesn't hash-compare against another
+    engine should run with this flag on — same plan shape, same
+    partial-aggregation, just native codegen arithmetic. Oracle
+    checks must keep it OFF (results differ in final ulps).
+    """
+    import os
+
+    return os.environ.get("GENTROPY_SPARK_NATIVE_SUMS", "") == "1"
+
+
 def _dsum(col: F.Column) -> F.Column:
-    """Order-independent sum of a double column (via exact decimal)."""
+    """Order-independent sum of a double column (via exact decimal),
+    or a native double sum under GENTROPY_SPARK_NATIVE_SUMS=1."""
+    if _native_sums_enabled():
+        return F.sum(col)
     return F.sum(col.cast(DEC)).cast("double")
 
 
@@ -48,15 +68,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
             _dsum(disc_price).alias("sum_disc_price"),
             _dsum(charge).alias("sum_charge"),
-            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias(
-                "avg_qty"
-            ),
-            (
-                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count("*")
-            ).alias("avg_price"),
-            (F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count("*")).alias(
-                "avg_disc"
-            ),
+            (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

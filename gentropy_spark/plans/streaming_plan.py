@@ -39,7 +39,16 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
        CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
        CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height,
-       CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS n_frames
+       CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS n_frames,
+       -- text payloads carry no media magic bytes: every row takes the
+       -- stub branch; the real-codec fields surface as typed NULLs
+       -- (the decoders themselves are pinned by byte-exact unit tests)
+       'stub' AS codec,
+       CAST(NULL AS INT) AS width,
+       CAST(NULL AS INT) AS height,
+       CAST(NULL AS INT) AS n_channels,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS DOUBLE) AS mean_value
 FROM documents
 """
 

@@ -671,30 +671,44 @@ def q_gwas_study_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     lk, pk, sk = F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey")
     trait_arr = F.array(*[F.lit(t) for t in _TRAITS])
     study_key = lk % 300
-    assoc_trait = F.element_at(trait_arr, (pk % 13 % 11 + 1).cast("int"))
-    pvtext = (
+    # Most associations carry the STUDY-level annotation (single-trait
+    # studies don't split — the realistic common case); 1-in-9 rows are
+    # deviant multi-trait annotations that trigger the split.
+    deviant = pk % 9 == 0
+    assoc_trait = F.when(
+        deviant, F.element_at(trait_arr, (pk % 13 % 11 + 1).cast("int"))
+    ).otherwise(F.element_at(trait_arr, (study_key % 11 + 1).cast("int")))
+    pvtext = F.when(
+        deviant,
         F.when(sk % 4 == 0, F.lit("no_pvalue_text"))
         .when(sk % 4 == 1, F.lit(None).cast("string"))
         .when(sk % 4 == 2, F.lit("males"))
-        .otherwise(F.lit("EA"))
-    )
-    efo_a = F.concat(
-        F.lit("EFO_"), F.lpad(((pk * 3) % 9999).cast("string"), 7, "0")
+        .otherwise(F.lit("EA")),
+    ).otherwise(F.lit("no_pvalue_text"))
+    efo_a = F.when(
+        deviant,
+        F.concat(
+            F.lit("EFO_"), F.lpad(((pk * 3) % 9999).cast("string"), 7, "0")
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("EFO_"),
+            F.lpad(((study_key * 3) % 9999).cast("string"), 7, "0"),
+        )
     )
     efo_b = F.concat(
         F.lit("EFO_"), F.lpad(((pk * 5) % 9999).cast("string"), 7, "0")
     )
     sub_desc = F.when(
-        pk % 5 == 0,
+        deviant & (pk % 5 == 0),
         F.concat_ws("|", assoc_trait, F.coalesce(pvtext, F.lit(""))),
     ).otherwise(
         F.concat_ws(
             "|",
             assoc_trait,
             F.coalesce(pvtext, F.lit("")),
-            F.when(pk % 3 == 0, F.concat_ws("/", efo_a, efo_b)).otherwise(
-                efo_a
-            ),
+            F.when(deviant & (pk % 3 == 0), F.concat_ws("/", efo_a, efo_b))
+            .otherwise(efo_a),
         )
     )
     assoc = li.select(
@@ -769,30 +783,41 @@ def q_gwas_study_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _gwas_split_sql() -> str:
     traits = "(['" + "','".join(_TRAITS) + "'])"
     return f"""
-WITH assoc AS (
+WITH raw_assoc AS (
   SELECT 'GCST' || lpad(CAST(l_orderkey % 300 AS VARCHAR), 6, '0')
            AS study_id,
          'v' || CAST(l_partkey % 2000 AS VARCHAR) AS variant_id,
-         CASE WHEN l_partkey % 5 = 0 THEN
-           {traits}[CAST(l_partkey % 13 % 11 AS INT) + 1] || '|'
-             || COALESCE(CASE WHEN l_suppkey % 4 = 0 THEN 'no_pvalue_text'
-                              WHEN l_suppkey % 4 = 2 THEN 'males'
-                              WHEN l_suppkey % 4 = 3 THEN 'EA' END, '')
-         ELSE
-           {traits}[CAST(l_partkey % 13 % 11 AS INT) + 1] || '|'
-             || COALESCE(CASE WHEN l_suppkey % 4 = 0 THEN 'no_pvalue_text'
-                              WHEN l_suppkey % 4 = 2 THEN 'males'
-                              WHEN l_suppkey % 4 = 3 THEN 'EA' END, '')
-             || '|'
-             || CASE WHEN l_partkey % 3 = 0
-                     THEN 'EFO_' || lpad(CAST((l_partkey * 3) % 9999
-                                              AS VARCHAR), 7, '0')
-                          || '/EFO_' || lpad(CAST((l_partkey * 5) % 9999
-                                                  AS VARCHAR), 7, '0')
-                     ELSE 'EFO_' || lpad(CAST((l_partkey * 3) % 9999
-                                              AS VARCHAR), 7, '0') END
-         END AS sub_study_description
+         l_partkey % 9 = 0 AS deviant,
+         CASE WHEN l_partkey % 9 = 0
+              THEN {traits}[CAST(l_partkey % 13 % 11 AS INT) + 1]
+              ELSE {traits}[CAST(l_orderkey % 300 % 11 AS INT) + 1]
+         END AS a_trait,
+         CASE WHEN l_partkey % 9 = 0 THEN
+              COALESCE(CASE WHEN l_suppkey % 4 = 0 THEN 'no_pvalue_text'
+                            WHEN l_suppkey % 4 = 2 THEN 'males'
+                            WHEN l_suppkey % 4 = 3 THEN 'EA' END, '')
+              ELSE 'no_pvalue_text' END AS a_pvtext,
+         CASE WHEN l_partkey % 9 = 0
+              THEN 'EFO_' || lpad(CAST((l_partkey * 3) % 9999 AS VARCHAR),
+                                  7, '0')
+              ELSE 'EFO_' || lpad(CAST((l_orderkey % 300 * 3) % 9999
+                                       AS VARCHAR), 7, '0')
+         END AS efo_a,
+         'EFO_' || lpad(CAST((l_partkey * 5) % 9999 AS VARCHAR), 7, '0')
+           AS efo_b,
+         l_partkey % 5 = 0 AS no_efo_field,
+         l_partkey % 3 = 0 AS double_efo
   FROM lineitem
+),
+assoc AS (
+  SELECT study_id, variant_id,
+         CASE WHEN deviant AND no_efo_field
+              THEN a_trait || '|' || a_pvtext
+              ELSE a_trait || '|' || a_pvtext || '|'
+                   || CASE WHEN deviant AND double_efo
+                           THEN efo_a || '/' || efo_b ELSE efo_a END
+         END AS sub_study_description
+  FROM raw_assoc
 ),
 studies AS (
   SELECT DISTINCT
@@ -1588,3 +1613,107 @@ def _decode_study_spec():
 
 
 REGISTRY["decode_study_ingest"] = _decode_study_spec()
+
+
+# --- GWAS Catalog top-hits step: split → window clump ----------------------
+_TOPHIT_DIST = 250_000
+
+
+def q_gwas_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GWAS Catalog top-hit ingestion step: split + window clumping.
+
+    Reference: gwas_catalog_top_hits.py:18
+    ``GWASCatalogTopHitIngestionStep`` — the curated-association
+    parse + ``GWASCatalogStudySplitter.split`` output flows straight
+    into ``window_based_clumping(distance)`` before it is written.
+    Composed here on the ``gwas_study_split`` dialect: the re-keyed
+    (updatedStudyId) associations get deterministic positions /
+    significance from the variant axis, are clustered with the
+    gap-sessionization used by window clumping
+    (operators/clumping.py:44 — new cluster when the inter-variant
+    gap exceeds the distance), and the strongest association per
+    cluster (signif desc, pos, variant tie-break) is the top hit.
+    This is the reference's layering proof: study SPLITTING must
+    happen before clumping so sub-studies clump independently.
+    """
+    from pyspark.sql import Window as W
+
+    from gentropy_spark.operators.clumping import _cluster_seq
+
+    resolved = q_gwas_study_split(spark, sf_dir)
+    vnum = F.element_at(F.split(F.col("variant_id"), "v"), 2).cast("long")
+    loci = (
+        resolved.select(
+            "updated_study_id",
+            "variant_id",
+            ((vnum % 22) + 1).cast("string").alias("contig"),
+            # 4 islands per contig, ~200kb wide, 1Mb apart: variants in
+            # the same island sit within the clump distance (merge);
+            # island hops exceed it (new cluster).
+            ((vnum % 4) * 1_000_000 + (vnum * 37) % 200_000).alias("pos"),
+            (F.round(((vnum * 31) % 4001) / 10.0, 6)).alias("signif"),
+        )
+        .distinct()
+    )
+    clustered = _cluster_seq(
+        loci, "updated_study_id", "contig", "pos", "variant_id", _TOPHIT_DIST
+    )
+    w_rank = W.partitionBy("updated_study_id", "contig", "cluster_seq").orderBy(
+        F.col("signif").desc(), F.col("pos").asc(), F.col("variant_id").asc()
+    )
+    return (
+        clustered.withColumn("lead_rank", F.row_number().over(w_rank))
+        .filter(F.col("lead_rank") == 1)
+        .select(
+            "updated_study_id",
+            "contig",
+            F.col("cluster_seq").cast("bigint").alias("cluster_seq"),
+            F.col("variant_id").alias("lead_variant_id"),
+            F.col("pos").alias("lead_pos"),
+            F.col("signif").alias("lead_signif"),
+        )
+    )
+
+
+def _gwas_top_hits_sql() -> str:
+    split_sql = _gwas_split_sql()
+    return f"""
+WITH split_out AS ({split_sql}),
+loci AS (
+  SELECT DISTINCT updated_study_id, variant_id,
+         CAST((CAST(str_split(variant_id, 'v')[2] AS BIGINT) % 22) + 1
+              AS VARCHAR) AS contig,
+         (CAST(str_split(variant_id, 'v')[2] AS BIGINT) % 4) * 1000000
+           + (CAST(str_split(variant_id, 'v')[2] AS BIGINT) * 37) % 200000
+           AS pos,
+         ROUND(((CAST(str_split(variant_id, 'v')[2] AS BIGINT) * 31) % 4001)
+               / 10.0, 6) AS signif
+  FROM split_out
+),
+clustered AS (
+  SELECT *,
+         SUM(CASE WHEN prev_pos IS NULL
+                       OR pos - prev_pos > {_TOPHIT_DIST} THEN 1
+                  ELSE 0 END)
+           OVER (PARTITION BY updated_study_id, contig
+                 ORDER BY pos, variant_id
+                 ROWS UNBOUNDED PRECEDING) AS cluster_seq
+  FROM (SELECT *,
+               LAG(pos) OVER (PARTITION BY updated_study_id, contig
+                              ORDER BY pos, variant_id) AS prev_pos
+        FROM loci) x
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY updated_study_id, contig, cluster_seq
+                            ORDER BY signif DESC, pos, variant_id)
+           AS lead_rank
+  FROM clustered
+)
+SELECT updated_study_id, contig, CAST(cluster_seq AS BIGINT) AS cluster_seq,
+       variant_id AS lead_variant_id, pos AS lead_pos, signif AS lead_signif
+FROM ranked WHERE lead_rank = 1
+"""
+
+
+REGISTRY["gwas_top_hits"] = QuerySpec(q_gwas_top_hits, _gwas_top_hits_sql())

@@ -177,3 +177,29 @@ def test_l2g_feature_matrix_exchange_budget(spark, sf_dir):
         f"{n_shuffle} shuffles + {n_broadcast} broadcasts"
     )
     assert counts.get("Sort", 99) <= 17, f"sort count {counts.get('Sort')}"
+
+
+def test_study_locus_qc_flags_single_events_scan(spark, sf_dir):
+    """r8 shared-subplan fix: the 23-flag annotation previously
+    recomputed q_locus_breaker and q_pics_finemap as independent
+    subplans — three parquet scans of the events source. The rewrite
+    caches the parsed sumstats base and derives regions / PIP-mass /
+    dominance from it: at most ONE parquet scan of events may remain
+    in the executed plan (the cache-population scan), everything else
+    must read the InMemoryTableScan."""
+    from gentropy_spark.plans.variants import q_study_locus_qc_flags
+    from gentropy_spark.session import release_caches
+
+    release_caches()
+    try:
+        df = q_study_locus_qc_flags(spark, sf_dir)
+        counts = _physical_node_counts(df)
+        n_parquet = sum(
+            v for k, v in counts.items() if "Scan parquet" in k or k == "FileSourceScan"
+        )
+        assert n_parquet <= 1, f"events scanned {n_parquet}x: {counts}"
+        # The dominance probe must be the range-window form — no
+        # explode+join+distinct triple exchange for it.
+        assert counts.get("Generate", 0) == 0, counts
+    finally:
+        release_caches()

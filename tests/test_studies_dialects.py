@@ -5,10 +5,9 @@ test examples:
 - tests/gentropy/datasource/gwas_catalog/test_gwas_catalog_study_splitter.py
   (the GCST003436 split / no-split pair),
 - datasource/gwas_catalog/study_index.py:52 doctest
-  (the even-split of "European, African, Asian" 100 → 83/33/33 —
-  wait, the doctest yields [{European,83},{African,33},{Asian,33}]
-  because s2 also carries a separate ("European", 50) row:
-  50 + 100//3 = 83),
+  (the even-split: ("European, African, Asian", 100) plus a separate
+  ("European", 50) row yields European 50 + 100//3 = 83,
+  African/Asian 33 each),
 - study_index.py:216 parse_cohorts doctest.
 """
 
@@ -162,3 +161,32 @@ def test_gwas_study_curation_flags(spark):
             assert "Study not curated" not in r.quality_controls_csv
     # Curated type override happens for some studies.
     assert any(r.study_type != "gwas" for r in rows)
+
+
+def test_gwas_catalog_step_pipeline_dag(tmp_path, spark):
+    """The reference's GWASCatalogTopHitIngestionStep /
+    study-curation step as a configured DAG: study index → splitter →
+    top hits, curation parallel — smoke: runs topologically, writes
+    parquet per step (gwas_catalog_top_hits.py:18,
+    gwas_catalog_study_curation step shape)."""
+    import json
+
+    from gentropy_spark.cli import run_dag
+
+    cfg = {
+        "sf_dir": SF,
+        "out_dir": str(tmp_path / "out"),
+        "steps": {
+            "study_index": {"query": "gwas_study_ingest"},
+            "split": {"query": "gwas_study_split", "after": ["study_index"]},
+            "top_hits": {"query": "gwas_top_hits", "after": ["split"]},
+            "curation": {"query": "gwas_study_curation", "after": ["study_index"]},
+        },
+    }
+    p = tmp_path / "pipeline.json"
+    p.write_text(json.dumps(cfg))
+    order = run_dag(str(p))
+    assert order == ["study_index", "curation", "split", "top_hits"]
+    top = spark.read.parquet(str(tmp_path / "out" / "top_hits"))
+    assert top.count() > 0
+    assert "lead_variant_id" in top.columns
