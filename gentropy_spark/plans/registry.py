@@ -43,6 +43,11 @@ _SNAPSHOT_PRIORITY = [
     "intervals_epiraction_ingest",
     "panukbb_ld_align",
     "gwas_top_hits",
+    "finngen_meta_study_ingest",
+    "finngen_sumstat_ingest",
+    "gwas_sumstat_ingest",
+    "ukb_ppp_study_ingest",
+    "ot_variant_to_vcf",
     # (b) r8: values / plans changed this round — must re-certify.
     # gnomad: id_was_hashed now covers both hashed branches (advisory
     # fix, value change); qc_flags: shared-base + range-window rewrite
@@ -86,11 +91,6 @@ _SNAPSHOT_PRIORITY = [
     "l2g_feature_matrix",
     "l2g_score",
     "dedup_clusters",
-    "pics_finemap",
-    "sumstat_harmonise_finngen",
-    "asof_join",
-    "qc_gc_lambda",
-    "stream_sessionize",
 ]
 
 
@@ -123,6 +123,8 @@ def full_registry() -> dict[str, QuerySpec]:
         "graph_ld",
         "ingestion",
         "studies",
+        "finngen_meta",
+        "sumstat_ingest",
     )
     merged: dict[str, QuerySpec] = {}
     for name in module_names:

@@ -190,3 +190,67 @@ def test_gwas_catalog_step_pipeline_dag(tmp_path, spark):
     top = spark.read.parquet(str(tmp_path / "out" / "top_hits"))
     assert top.count() > 0
     assert "lead_variant_id" in top.columns
+
+
+def test_finngen_meta_discovery_cocktail(spark):
+    """MVP cocktail: zero-size ancestries filtered; totals include all
+    cohort columns null-coalesced (finngen_meta/__init__.py:200,310)."""
+    from gentropy_spark.plans.finngen_meta import q_finngen_meta_study_ingest
+
+    rows = q_finngen_meta_study_ingest(spark, SF).collect()
+    assert rows
+    for r in rows:
+        entries = dict(
+            e.split("=") for e in r.discovery_csv.split(";")
+        )
+        assert all(int(v) > 0 for v in entries.values())
+        assert sum(int(v) for v in entries.values()) == r.n_samples
+        assert r.n_samples == r.n_cases + r.n_controls
+        assert r.study_id.startswith("FINNGEN_R12_UKBB_MVP_META_")
+
+
+def test_finngen_sumstat_na_positions_dropped(spark):
+    from gentropy_spark.plans.sumstat_ingest import q_finngen_sumstat_ingest
+
+    rows = q_finngen_sumstat_ingest(spark, SF).collect()
+    assert rows
+    assert all(r.position is not None and r.beta != 0 for r in rows)
+    assert all(r.study_id.startswith("FINNGEN_R12_") for r in rows)
+
+
+def test_gwas_sumstat_both_formats(spark):
+    """Legacy rows derive beta from ln(OR) and SE from the CI spread."""
+    import math
+
+    from gentropy_spark.plans.sumstat_ingest import q_gwas_sumstat_ingest
+
+    rows = q_gwas_sumstat_ingest(spark, SF).collect()
+    assert rows
+    # ln(1.2/0.8)/3.92 is constant for every legacy row by construction.
+    legacy_se = round(abs(math.log(1.2 / 0.8)) / 3.92, 6)
+    assert any(r.standard_error == pytest.approx(legacy_se) for r in rows)
+    assert all(r.beta is not None and r.beta != 0 for r in rows)
+
+
+def test_ukb_ppp_study_peek_join(spark):
+    from gentropy_spark.plans.sumstat_ingest import q_ukb_ppp_study_ingest
+
+    rows = q_ukb_ppp_study_ingest(spark, SF).collect()
+    assert rows
+    # Inner join: only studies present in the chr22 sumstats slice.
+    assert all(r.n_samples >= 30_000 for r in rows)
+    assert all(r.ld_pop_ppm_csv == "nfe=1000000" for r in rows)
+
+
+def test_ot_variant_vcf_gate(spark):
+    from gentropy_spark.plans.sumstat_ingest import q_ot_variant_to_vcf
+
+    rows = q_ot_variant_to_vcf(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert all(ch in "GCTA." for ch in r.ref)
+        assert all(ch in "GCTA." for ch in r.alt)
+        assert r.pos is not None and r.chrom != "."
+        assert r.qual == "." and r.filter == "." and r.info == "."
+    # rsIDs surface in the ID column where present.
+    assert any(r.id.startswith("rs") for r in rows)
