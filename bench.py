@@ -65,6 +65,14 @@ HEADLINE = [
     # graph (cluster-density diagnostics) — a heavy self-join shape
     # where the distributed plan beats the single-node oracle ~2.4x
     "dup_triangles",
+    # r8 additions: the GWAS Catalog study-index assembly (4 ancestry
+    # aggregates + 5 study-keyed joins), the top-hits step composition
+    # (splitter dense_rank windows → gap-sessionized clumping), and the
+    # deCODE study index (regexp id-parts + aptamer aggregate join)
+    # where the distributed plan beats the single-node oracle.
+    "gwas_study_ingest",
+    "gwas_top_hits",
+    "decode_study_ingest",
 ]
 
 

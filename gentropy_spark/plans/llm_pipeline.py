@@ -1869,3 +1869,208 @@ FROM scored GROUP BY doc_id
 
 
 REGISTRY["lm_perplexity"] = QuerySpec(q_lm_perplexity, _lm_perplexity_sql())
+
+
+# --- E31: BPE merge-candidate pair counts ---------------------------------
+BPE_TOP_PAIRS = 20
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE pair statistics (Sennrich et al. 2016, public
+    method) — the inner loop of byte-pair-encoding tokenizer training.
+
+    Classic BPE trains on the WORD-FREQUENCY dictionary, not the raw
+    corpus: tokens are aggregated to (word, n) first (shuffle ∝
+    distinct vocabulary, not corpus size — the 100 TB-critical
+    property), then each distinct word contributes its adjacent
+    character pairs weighted by its frequency. The top-ranked pair is
+    the next merge; the full ranked table is the merge-candidate
+    queue. One explode over distinct words + one partial-agg groupBy;
+    the ranking window runs over the (tiny) distinct-pair set.
+    """
+    from pyspark.sql import Window
+
+    from gentropy_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    word_freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    # expr form: substring with a DYNAMIC start position isn't
+    # expressible through the Column API's substring (literal-only).
+    pairs = word_freq.select(
+        "n",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    ).filter(F.length("pair") == 2)
+    counts = pairs.groupBy("pair").agg(F.sum("n").alias("pair_count"))
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_TOP_PAIRS)
+        .select(
+            "pair", F.col("pair_count").cast("bigint").alias("pair_count"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+BPE_PAIRS_SQL = f"""
+WITH words AS (
+  SELECT unnest({TOKS_SQL}) AS word FROM documents
+),
+word_freq AS (SELECT word, COUNT(*) AS n FROM words GROUP BY 1),
+pairs AS (
+  SELECT n, p.pair
+  FROM word_freq,
+       unnest(list_transform(generate_series(1, len(word) - 1),
+                             i -> word[i:i+1])) AS p(pair)
+  WHERE len(word) >= 2
+),
+counts AS (
+  SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY 1
+)
+SELECT pair, pair_count,
+       CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS INT)
+         AS rank
+FROM counts
+QUALIFY rank <= {BPE_TOP_PAIRS}
+"""
+
+
+REGISTRY["bpe_pair_counts"] = QuerySpec(q_bpe_pair_counts, BPE_PAIRS_SQL)
+
+
+# --- E32: DSIR importance weighting ---------------------------------------
+DSIR_BUCKETS = 512
+DSIR_ALPHA = 0.5
+# Reuse the corpus-wide "benchmark" convention: every 10th doc plays
+# the target distribution (the same split decontaminate uses).
+_DSIR_TARGET_PRED = "doc_id % 10 = 0"
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR — Xie et al.
+    2023, arXiv:2302.03169, public method) over hashed unigram
+    features.
+
+    Two multinomial feature distributions are estimated from the SAME
+    hashed-feature table: the TARGET (benchmark-like docs) and the RAW
+    corpus. Each document's log importance weight is
+    Σ_tokens [log p_target(bucket) − log p_raw(bucket)] with add-α
+    smoothing; high-weight documents are the ones to up-sample when
+    building a benchmark-shaped training mix. Buckets come from an
+    md5-derived hash (ascii arithmetic — cross-engine deterministic,
+    unlike engine hash() builtins); the per-doc reduction quantizes
+    the per-token log ratio to 9 dp and sums in DECIMAL(38,12) (the
+    repo-wide order-independent FP-sum rule). Feature counts are
+    partial-agg groupBys joined back on the bucket key: shuffle ∝
+    corpus tokens; the two distribution tables are bucket-sized
+    (constant) and broadcast by AQE.
+    """
+    from gentropy_spark.functions.text import tokens
+    from gentropy_spark.session import track_cache
+
+    B = DSIR_BUCKETS
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.expr(_DSIR_TARGET_PRED).alias("is_target"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    h = F.md5(F.col("token"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % B
+    feat = track_cache(
+        tok.select("doc_id", "is_target", bucket.alias("bucket"))
+    )
+    raw_counts = feat.groupBy("bucket").agg(F.count("*").alias("c_raw"))
+    tgt_counts = (
+        feat.filter("is_target").groupBy("bucket").agg(
+            F.count("*").alias("c_tgt")
+        )
+    )
+    raw_total = raw_counts.agg(F.sum("c_raw").alias("t_raw"))
+    tgt_total = tgt_counts.agg(F.sum("c_tgt").alias("t_tgt"))
+    dist = (
+        raw_counts.join(tgt_counts, on="bucket", how="left")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + DSIR_ALPHA)
+                    / (F.col("t_tgt") + DSIR_ALPHA * B)
+                )
+                - F.log(
+                    (F.col("c_raw") + DSIR_ALPHA)
+                    / (F.col("t_raw") + DSIR_ALPHA * B)
+                ),
+                9,
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        feat.join(dist, on="bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feat"),
+            F.round(
+                F.sum(F.col("log_ratio").cast("decimal(38,12)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("log_importance"),
+        )
+    )
+
+
+DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, doc_id % 10 = 0 AS is_target,
+         unnest({TOKS_SQL}) AS token
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, is_target,
+         (ascii(substr(md5(token), 1, 1)) * 256
+          + ascii(substr(md5(token), 2, 1))) % {DSIR_BUCKETS} AS bucket
+  FROM tok
+),
+raw_counts AS (SELECT bucket, COUNT(*) AS c_raw FROM feat GROUP BY 1),
+tgt_counts AS (SELECT bucket, COUNT(*) AS c_tgt FROM feat
+               WHERE is_target GROUP BY 1),
+totals AS (
+  SELECT (SELECT SUM(c_raw) FROM raw_counts) AS t_raw,
+         (SELECT SUM(c_tgt) FROM tgt_counts) AS t_tgt
+),
+dist AS (
+  SELECT r.bucket,
+         ROUND(LN((COALESCE(t.c_tgt, 0) + {DSIR_ALPHA})
+                  / (tt.t_tgt + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+               - LN((r.c_raw + {DSIR_ALPHA})
+                    / (tt.t_raw + {DSIR_ALPHA} * {DSIR_BUCKETS})), 9)
+           AS log_ratio
+  FROM raw_counts r
+  LEFT JOIN tgt_counts t USING (bucket)
+  CROSS JOIN totals tt
+)
+SELECT f.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feat,
+       ROUND(CAST(SUM(CAST(d.log_ratio AS DECIMAL(38,12))) AS DOUBLE), 6)
+         AS log_importance
+FROM feat f JOIN dist d USING (bucket)
+GROUP BY f.doc_id
+"""
+
+
+REGISTRY["dsir_importance"] = QuerySpec(q_dsir_importance, DSIR_SQL)

@@ -48,6 +48,9 @@ _SNAPSHOT_PRIORITY = [
     "gwas_sumstat_ingest",
     "ukb_ppp_study_ingest",
     "ot_variant_to_vcf",
+    "bpe_pair_counts",
+    "dsir_importance",
+    "variant_effect_normalise",
     # (b) r8: values / plans changed this round — must re-certify.
     # gnomad: id_was_hashed now covers both hashed branches (advisory
     # fix, value change); qc_flags: shared-base + range-window rewrite
@@ -88,9 +91,6 @@ _SNAPSHOT_PRIORITY = [
     "sumstat_harmonise_full",
     # (d) oldest r6-era evidence on load-bearing queries.
     "ld_index_build",
-    "l2g_feature_matrix",
-    "l2g_score",
-    "dedup_clusters",
 ]
 
 

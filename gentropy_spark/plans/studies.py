@@ -262,8 +262,13 @@ def q_gwas_study_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
       extract the leading integer, split cases/controls by substring,
       and sum per study.
     """
+    from gentropy_spark.session import track_cache
+
     studies = _raw_gwas_studies(spark, sf_dir)
-    anc = _raw_gwas_ancestry(spark, sf_dir)
+    # The ancestry LUT feeds FOUR aggregates (discovery, replication,
+    # LD-population, European deconvolution): cache the projected base
+    # so the lineitem source is scanned once, not four times.
+    anc = track_cache(_raw_gwas_ancestry(spark, sf_dir))
 
     parse_efos = lambda c: F.when(  # noqa: E731
         c.isNotNull(),

@@ -965,3 +965,287 @@ WHERE n > 0
 
 
 REGISTRY["ancestry_aggregate"] = QuerySpec(q_ancestry_aggregate, _ancestry_sql())
+
+
+# --- H75: variant-effect score normalisation -------------------------------
+_VEN_METHODS = (
+    "LOFTEE", "SIFT", "PolyPhen", "AlphaMissense", "CADD", "Pangolin",
+    "LossOfFunctionCuration", "SpliceAI", "VEP", "GERP", "FoldX",
+)
+
+
+def q_variant_effect_normalise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-silico predictor score normalisation to a common [-1, 1] axis.
+
+    Reference: dataset/variant_index.py:382 ``VariantEffectNormaliser``
+    — the method-dispatch cascade (:411 resolve_predictor_methods)
+    over ELEVEN predictors, each with its published piecewise-linear
+    rescale (:443 _rescaleColumnValue — min-max scaling):
+
+    - FoldX |ΔΔG| capped at 2 kcal/mol → [0,1] (:467)
+    - CADD 4-segment 0-10/-1..0, 10-20/0..0.5, 20-30/0.5..0.75,
+      30-81/0.75..1 (:488)
+    - GERP 5-segment with saturation outside [-3, 6] (:514)
+    - LoF-curation 5-point ordinal verdicts → {±1, ±0.5, 0} (:546)
+    - LOFTEE HC=1 / LC=0.85 (:575)
+    - SIFT 1-score split at 0.95 BY THE 2-DP-ROUNDED value but
+      rescaled on the raw value (:597 — mirrored exactly; synthetic
+      scores are 2-dp so the round is an identity and the branch
+      choice is tie-free cross-engine)
+    - PolyPhen benign/possibly/probably segments, unknown → NULL (:641)
+    - AlphaMissense 0.06/0.77 segments (:672)
+    - Pangolin |score| split at 0.14 (:696)
+    - SpliceAI / VEP pass through unnormalised (:437)
+
+    The reference applies this inside a transform() over the
+    variantEffect struct array; here the per-method kernel IS the
+    operator, applied over an exploded predictor table (same algebra,
+    flat and hash-checkable). All arithmetic is division/multiplication
+    by constants — IEEE-identical cross-engine; rounded to 6 dp.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    method = F.element_at(
+        F.array(*[F.lit(m) for m in _VEN_METHODS]), (eid % 11 + 1).cast("int")
+    )
+    # 2-dp scores in [0, 1) for the bounded predictors; wider ranges
+    # derived per-method below.
+    u = (eid % 101) / 100.0  # exact 2-dp in [0, 1]
+    raw_score = (
+        F.when(method == "CADD", (eid % 8100) / 100.0)
+        .when(method == "GERP", -4.0 + (eid % 1200) / 100.0)
+        .when(method == "FoldX", -3.0 + (eid % 600) / 100.0)
+        .when(method == "Pangolin", -1.0 + (eid % 200) / 100.0)
+        .when(method.isin("SIFT", "PolyPhen", "AlphaMissense"), u)
+        .when(method.isin("SpliceAI", "VEP"), u)
+    )
+    assessment = (
+        F.when(
+            method == "LOFTEE",
+            F.element_at(
+                F.array(F.lit("HC"), F.lit("LC"), F.lit("OS")),
+                (eid % 3 + 1).cast("int"),
+            ),
+        )
+        .when(
+            method == "LossOfFunctionCuration",
+            F.element_at(
+                F.array(
+                    F.lit("lof"), F.lit("likely_lof"), F.lit("uncertain"),
+                    F.lit("likely_not_lof"), F.lit("not_lof"),
+                ),
+                (eid % 5 + 1).cast("int"),
+            ),
+        )
+        .when(
+            method == "SIFT",
+            F.when(1 - u >= 0.95, F.lit("deleterious"))
+            .when(eid % 2 == 0, F.lit("tolerated"))
+            .otherwise(F.lit("tolerated_low_confidence")),
+        )
+        .when(
+            method == "PolyPhen",
+            F.when(eid % 23 == 0, F.lit("unknown"))
+            .when(u <= 0.446, F.lit("benign"))
+            .when(u <= 0.908, F.lit("possibly_damaging"))
+            .otherwise(F.lit("probably_damaging")),
+        )
+    )
+    effects = ev.select(
+        F.concat_ws(
+            "_",
+            ((eid % 22) + 1).cast("string"),
+            ((eid * 61) % 2_000_000).cast("string"),
+        ).alias("variant_id"),
+        method.alias("method"),
+        raw_score.alias("score"),
+        assessment.alias("assessment"),
+    )
+
+    def rescale(c, lo, hi, new_lo, new_hi):
+        return (c - lo) / (hi - lo) * (new_hi - new_lo) + new_lo
+
+    s, a = F.col("score"), F.col("assessment")
+    one_minus = 1 - s
+    one_minus_r = 1 - F.round(s, 2)
+    normalised = (
+        F.when(
+            F.col("method") == "LOFTEE",
+            F.when(a == "HC", F.lit(1.0)).when(a == "LC", F.lit(0.85)),
+        )
+        .when(
+            F.col("method") == "SIFT",
+            F.when(
+                (one_minus_r >= 0.95) & (a == "deleterious"),
+                rescale(one_minus, 0.95, 1.0, 0.5, 1.0),
+            )
+            .when(
+                (one_minus_r >= 0.95) & (a == "deleterious_low_confidence"),
+                rescale(one_minus, 0.95, 1.0, 0.0, 0.5),
+            )
+            .when(
+                (one_minus_r <= 0.95) & (a == "tolerated_low_confidence"),
+                rescale(one_minus, 0.0, 0.95, -0.5, 0.0),
+            )
+            .when(
+                (one_minus_r <= 0.95) & (a == "tolerated"),
+                rescale(one_minus, 0.0, 0.95, -1.0, -0.5),
+            ),
+        )
+        .when(
+            F.col("method") == "PolyPhen",
+            F.when(a == "unknown", F.lit(None).cast("double"))
+            .when(s <= 0.446, rescale(s, 0.0, 0.446, -1.0, -0.25))
+            .when(s <= 0.908, rescale(s, 0.446, 0.908, -0.25, 0.25))
+            .otherwise(rescale(s, 0.908, 1.0, 0.25, 1.0)),
+        )
+        .when(
+            F.col("method") == "AlphaMissense",
+            F.when(s < 0.06, rescale(s, 0.0, 0.06, -1.0, -0.25))
+            .when(s < 0.77, rescale(s, 0.06, 0.77, -0.25, 0.25))
+            .otherwise(rescale(s, 0.77, 1.0, 0.25, 1.0)),
+        )
+        .when(
+            F.col("method") == "CADD",
+            F.when(s <= 10, rescale(s, 0.0, 10.0, -1.0, 0.0))
+            .when(s <= 20, rescale(s, 10.0, 20.0, 0.0, 0.5))
+            .when(s <= 30, rescale(s, 20.0, 30.0, 0.5, 0.75))
+            .otherwise(rescale(s, 30.0, 81.0, 0.75, 1.0)),
+        )
+        .when(
+            F.col("method") == "Pangolin",
+            F.when(
+                F.abs(s) > 0.14, rescale(F.abs(s), 0.14, 1.0, 0.5, 1.0)
+            ).otherwise(rescale(F.abs(s), 0.0, 0.14, 0.0, 0.5)),
+        )
+        .when(
+            F.col("method") == "LossOfFunctionCuration",
+            F.when(a == "lof", F.lit(1.0))
+            .when(a == "likely_lof", F.lit(0.5))
+            .when(a == "uncertain", F.lit(0.0))
+            .when(a == "likely_not_lof", F.lit(-0.5))
+            .when(a == "not_lof", F.lit(-1.0)),
+        )
+        .when(F.col("method").isin("SpliceAI", "VEP"), s)
+        .when(
+            F.col("method") == "GERP",
+            F.when(s > 6, F.lit(1.0))
+            .when(s >= 2, rescale(s, 2.0, 6.0, 0.75, 1.0))
+            .when(s >= 0, rescale(s, 0.0, 2.0, 0.25, 0.75))
+            .when(s >= -3, rescale(s, -3.0, 0.0, 0.0, 0.25))
+            .otherwise(F.lit(0.0)),
+        )
+        .when(
+            F.col("method") == "FoldX",
+            F.when(F.abs(s) >= 2, F.lit(1.0)).otherwise(
+                rescale(F.abs(s), 0.0, 2.0, 0.0, 1.0)
+            ),
+        )
+    )
+    return effects.select(
+        "variant_id",
+        "method",
+        F.round(s, 6).alias("score"),
+        "assessment",
+        F.round(normalised, 6).alias("normalised_score"),
+    )
+
+
+def _ven_sql() -> str:
+    methods = "(['" + "','".join(_VEN_METHODS) + "'])"
+
+    def rs(c, lo, hi, nlo, nhi):
+        return f"({c} - {lo}) / ({hi} - {lo}) * ({nhi} - {nlo}) + {nlo}"
+
+    return f"""
+WITH base AS (
+  SELECT CAST((event_id % 22) + 1 AS VARCHAR) || '_'
+           || CAST((event_id * 61) % 2000000 AS VARCHAR) AS variant_id,
+         {methods}[CAST(event_id % 11 AS INT) + 1] AS method,
+         (event_id % 101) / 100.0 AS u,
+         event_id
+  FROM events
+),
+effects AS (
+  SELECT variant_id, method,
+         CASE WHEN method = 'CADD' THEN (event_id % 8100) / 100.0
+              WHEN method = 'GERP' THEN -4.0 + (event_id % 1200) / 100.0
+              WHEN method = 'FoldX' THEN -3.0 + (event_id % 600) / 100.0
+              WHEN method = 'Pangolin' THEN -1.0 + (event_id % 200) / 100.0
+              WHEN method IN ('SIFT','PolyPhen','AlphaMissense',
+                              'SpliceAI','VEP') THEN u
+         END AS score,
+         CASE WHEN method = 'LOFTEE'
+                THEN (['HC','LC','OS'])[CAST(event_id % 3 AS INT) + 1]
+              WHEN method = 'LossOfFunctionCuration'
+                THEN (['lof','likely_lof','uncertain','likely_not_lof',
+                       'not_lof'])[CAST(event_id % 5 AS INT) + 1]
+              WHEN method = 'SIFT'
+                THEN CASE WHEN 1 - u >= 0.95 THEN 'deleterious'
+                          WHEN event_id % 2 = 0 THEN 'tolerated'
+                          ELSE 'tolerated_low_confidence' END
+              WHEN method = 'PolyPhen'
+                THEN CASE WHEN event_id % 23 = 0 THEN 'unknown'
+                          WHEN u <= 0.446 THEN 'benign'
+                          WHEN u <= 0.908 THEN 'possibly_damaging'
+                          ELSE 'probably_damaging' END
+         END AS assessment
+  FROM base
+)
+SELECT variant_id, method, ROUND(score, 6) AS score, assessment,
+  ROUND(CASE method
+    WHEN 'LOFTEE' THEN CASE assessment WHEN 'HC' THEN 1.0
+                                       WHEN 'LC' THEN 0.85 END
+    WHEN 'SIFT' THEN
+      CASE WHEN 1 - ROUND(score, 2) >= 0.95 AND assessment = 'deleterious'
+             THEN {rs("(1 - score)", 0.95, 1.0, 0.5, 1.0)}
+           WHEN 1 - ROUND(score, 2) >= 0.95
+                AND assessment = 'deleterious_low_confidence'
+             THEN {rs("(1 - score)", 0.95, 1.0, 0.0, 0.5)}
+           WHEN 1 - ROUND(score, 2) <= 0.95
+                AND assessment = 'tolerated_low_confidence'
+             THEN {rs("(1 - score)", 0.0, 0.95, -0.5, 0.0)}
+           WHEN 1 - ROUND(score, 2) <= 0.95 AND assessment = 'tolerated'
+             THEN {rs("(1 - score)", 0.0, 0.95, -1.0, -0.5)} END
+    WHEN 'PolyPhen' THEN
+      CASE WHEN assessment = 'unknown' THEN NULL
+           WHEN score <= 0.446 THEN {rs("score", 0.0, 0.446, -1.0, -0.25)}
+           WHEN score <= 0.908 THEN {rs("score", 0.446, 0.908, -0.25, 0.25)}
+           ELSE {rs("score", 0.908, 1.0, 0.25, 1.0)} END
+    WHEN 'AlphaMissense' THEN
+      CASE WHEN score < 0.06 THEN {rs("score", 0.0, 0.06, -1.0, -0.25)}
+           WHEN score < 0.77 THEN {rs("score", 0.06, 0.77, -0.25, 0.25)}
+           ELSE {rs("score", 0.77, 1.0, 0.25, 1.0)} END
+    WHEN 'CADD' THEN
+      CASE WHEN score <= 10 THEN {rs("score", 0.0, 10.0, -1.0, 0.0)}
+           WHEN score <= 20 THEN {rs("score", 10.0, 20.0, 0.0, 0.5)}
+           WHEN score <= 30 THEN {rs("score", 20.0, 30.0, 0.5, 0.75)}
+           ELSE {rs("score", 30.0, 81.0, 0.75, 1.0)} END
+    WHEN 'Pangolin' THEN
+      CASE WHEN ABS(score) > 0.14
+             THEN {rs("ABS(score)", 0.14, 1.0, 0.5, 1.0)}
+           ELSE {rs("ABS(score)", 0.0, 0.14, 0.0, 0.5)} END
+    WHEN 'LossOfFunctionCuration' THEN
+      CASE assessment WHEN 'lof' THEN 1.0 WHEN 'likely_lof' THEN 0.5
+                      WHEN 'uncertain' THEN 0.0
+                      WHEN 'likely_not_lof' THEN -0.5
+                      WHEN 'not_lof' THEN -1.0 END
+    WHEN 'SpliceAI' THEN score
+    WHEN 'VEP' THEN score
+    WHEN 'GERP' THEN
+      CASE WHEN score > 6 THEN 1.0
+           WHEN score >= 2 THEN {rs("score", 2.0, 6.0, 0.75, 1.0)}
+           WHEN score >= 0 THEN {rs("score", 0.0, 2.0, 0.25, 0.75)}
+           WHEN score >= -3 THEN {rs("score", -3.0, 0.0, 0.0, 0.25)}
+           ELSE 0.0 END
+    WHEN 'FoldX' THEN
+      CASE WHEN ABS(score) >= 2 THEN 1.0
+           ELSE {rs("ABS(score)", 0.0, 2.0, 0.0, 1.0)} END
+  END, 6) AS normalised_score
+FROM effects
+"""
+
+
+REGISTRY["variant_effect_normalise"] = QuerySpec(
+    q_variant_effect_normalise, _ven_sql()
+)

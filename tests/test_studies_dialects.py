@@ -254,3 +254,30 @@ def test_ot_variant_vcf_gate(spark):
         assert r.qual == "." and r.filter == "." and r.info == "."
     # rsIDs surface in the ID column where present.
     assert any(r.id.startswith("rs") for r in rows)
+
+
+def test_bpe_pair_counts_ranked(spark):
+    """Top pair is the global BPE merge candidate; weighted by word
+    frequency (Sennrich et al. 2016 semantics)."""
+    from gentropy_spark.plans.llm_pipeline import (
+        BPE_TOP_PAIRS,
+        q_bpe_pair_counts,
+    )
+
+    rows = q_bpe_pair_counts(spark, SF).collect()
+    assert len(rows) == BPE_TOP_PAIRS
+    assert all(len(r.pair) == 2 for r in rows)
+    counts = [r.pair_count for r in sorted(rows, key=lambda r: r.rank)]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_dsir_importance_target_shift(spark):
+    """Target-like docs must receive higher mean importance than the
+    rest of the corpus (the DSIR selection property)."""
+    from gentropy_spark.plans.llm_pipeline import q_dsir_importance
+
+    rows = q_dsir_importance(spark, SF).collect()
+    assert rows
+    tgt = [r.log_importance / r.n_feat for r in rows if r.doc_id % 10 == 0]
+    raw = [r.log_importance / r.n_feat for r in rows if r.doc_id % 10 != 0]
+    assert sum(tgt) / len(tgt) > sum(raw) / len(raw)
