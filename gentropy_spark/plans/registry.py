@@ -51,6 +51,7 @@ _SNAPSHOT_PRIORITY = [
     "bpe_pair_counts",
     "dsir_importance",
     "variant_effect_normalise",
+    "credible_set_confidence",
     # (b) r8: values / plans changed this round — must re-certify.
     # gnomad: id_was_hashed now covers both hashed branches (advisory
     # fix, value change); qc_flags: shared-base + range-window rewrite
@@ -89,8 +90,6 @@ _SNAPSHOT_PRIORITY = [
     "study_index_validate",
     "study_validation",
     "sumstat_harmonise_full",
-    # (d) oldest r6-era evidence on load-bearing queries.
-    "ld_index_build",
 ]
 
 

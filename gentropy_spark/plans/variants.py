@@ -1249,3 +1249,104 @@ FROM effects
 REGISTRY["variant_effect_normalise"] = QuerySpec(
     q_variant_effect_normalise, _ven_sql()
 )
+
+
+# --- H76: credible-set confidence assignment -------------------------------
+_CONF_IN_SAMPLE = "SuSiE fine-mapped credible set with in-sample LD"
+_CONF_OUT_SAMPLE = "SuSiE fine-mapped credible set with out-of-sample LD"
+_CONF_PICS_SS = "PICS fine-mapped credible set extracted from summary statistics"
+_CONF_PICS_TOP = "PICS fine-mapped credible set based on reported top hit"
+_CONF_UNKNOWN = "Unknown confidence"
+_QC_OOS_LD = "Study locus finemapped without in-sample LD reference"
+_QC_TOP_HIT = "Study locus from curated top hit"
+
+
+def q_credible_set_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal confidence classes for credible sets.
+
+    Reference: dataset/study_locus.py:1423 ``assign_confidence`` — the
+    five-class cascade over (finemappingMethod × qualityControls):
+    SuSiE/SuSiE-inf split by the OUT_OF_SAMPLE_LD flag, PICS split by
+    the TOP_HIT flag, everything else UNKNOWN. The method/flag axes
+    are synthesized to cover every branch (including SuSiE-inf and a
+    no-method row); the flag membership test is the reference's
+    ``array_contains`` over the QC array.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    method = F.element_at(
+        F.array(
+            F.lit("SuSie"), F.lit("SuSiE-inf"), F.lit("PICS"),
+            F.lit("conditional"), F.lit(None).cast("string"),
+        ),
+        (eid % 5 + 1).cast("int"),
+    )
+    qc = F.concat(
+        F.when(eid % 3 == 0, F.array(F.lit(_QC_OOS_LD))).otherwise(
+            F.array().cast("array<string>")
+        ),
+        F.when(eid % 7 == 0, F.array(F.lit(_QC_TOP_HIT))).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    loci = ev.select(
+        F.md5(F.concat_ws("_", F.col("user_id"), eid.cast("string"))).alias(
+            "study_locus_id"
+        ),
+        method.alias("finemapping_method"),
+        qc.alias("quality_controls"),
+    )
+    is_susie = F.col("finemapping_method").isin("SuSie", "SuSiE-inf")
+    has_oos = F.array_contains(F.col("quality_controls"), _QC_OOS_LD)
+    has_top = F.array_contains(F.col("quality_controls"), _QC_TOP_HIT)
+    return loci.select(
+        "study_locus_id",
+        "finemapping_method",
+        F.array_join(F.col("quality_controls"), ";").alias("qc_csv"),
+        F.when(is_susie & ~has_oos, F.lit(_CONF_IN_SAMPLE))
+        .when(is_susie & has_oos, F.lit(_CONF_OUT_SAMPLE))
+        .when((F.col("finemapping_method") == "PICS") & ~has_top,
+              F.lit(_CONF_PICS_SS))
+        .when((F.col("finemapping_method") == "PICS") & has_top,
+              F.lit(_CONF_PICS_TOP))
+        .otherwise(F.lit(_CONF_UNKNOWN))
+        .alias("confidence"),
+    )
+
+
+def _confidence_sql() -> str:
+    return f"""
+WITH loci AS (
+  SELECT md5(user_id || '_' || CAST(event_id AS VARCHAR)) AS study_locus_id,
+         (['SuSie','SuSiE-inf','PICS','conditional',NULL])
+           [CAST(event_id % 5 AS INT) + 1] AS finemapping_method,
+         (CASE WHEN event_id % 3 = 0 THEN ['{_QC_OOS_LD}']
+               ELSE CAST([] AS VARCHAR[]) END)
+         || (CASE WHEN event_id % 7 = 0 THEN ['{_QC_TOP_HIT}']
+                  ELSE CAST([] AS VARCHAR[]) END) AS quality_controls
+  FROM events
+)
+SELECT study_locus_id, finemapping_method,
+       COALESCE(array_to_string(quality_controls, ';'), '') AS qc_csv,
+       CASE
+         WHEN finemapping_method IN ('SuSie', 'SuSiE-inf')
+              AND NOT list_contains(quality_controls, '{_QC_OOS_LD}')
+           THEN '{_CONF_IN_SAMPLE}'
+         WHEN finemapping_method IN ('SuSie', 'SuSiE-inf')
+              AND list_contains(quality_controls, '{_QC_OOS_LD}')
+           THEN '{_CONF_OUT_SAMPLE}'
+         WHEN finemapping_method = 'PICS'
+              AND NOT list_contains(quality_controls, '{_QC_TOP_HIT}')
+           THEN '{_CONF_PICS_SS}'
+         WHEN finemapping_method = 'PICS'
+              AND list_contains(quality_controls, '{_QC_TOP_HIT}')
+           THEN '{_CONF_PICS_TOP}'
+         ELSE '{_CONF_UNKNOWN}'
+       END AS confidence
+FROM loci
+"""
+
+
+REGISTRY["credible_set_confidence"] = QuerySpec(
+    q_credible_set_confidence, _confidence_sql()
+)
