@@ -261,3 +261,121 @@ def test_duplicate_clusters_matches_union_find(spark, data):
         for r in duplicate_clusters(docs, edf, max_iters=40).collect()
     }
     assert got == want
+
+
+# --- r8 property tests -----------------------------------------------------
+def test_variant_effect_normalised_bounds(spark):
+    """Every normalised predictor score must land in [-1, 1] (the
+    common axis contract of VariantEffectNormaliser) or be NULL
+    (unknown PolyPhen / unmapped LOFTEE assessments)."""
+    from gentropy_spark.plans.variants import q_variant_effect_normalise
+
+    rows = q_variant_effect_normalise(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    seen_methods = set()
+    for r in rows:
+        seen_methods.add(r.method)
+        if r.normalised_score is not None:
+            assert -1.0 - 1e-9 <= r.normalised_score <= 1.0 + 1e-9, r
+    # All 11 predictor branches must actually be exercised.
+    assert len(seen_methods) == 11
+
+
+def test_ancestry_even_split_conserves_mass_property(spark):
+    """Property: per-(study,stage) sum of split counts never exceeds
+    the raw total, and the deficit is < n_parts per row (truncation)."""
+    import pyspark.sql.functions as F
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gentropy_spark.plans.studies import _ANC_SPLIT_RE
+
+    labels = st.sampled_from(
+        ["European", "African, East Asian", "A, B, C, D", "Solo"]
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(labels, st.integers(min_value=1, max_value=10_000)),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(rows, ["label", "n"])
+        parts = F.split(F.col("label"), _ANC_SPLIT_RE)
+        out = df.select(
+            "n",
+            F.size(parts).alias("k"),
+            F.explode(parts).alias("ancestry"),
+            (F.col("n") / F.size(parts)).cast("long").alias("part"),
+        )
+        agg = out.agg(
+            F.sum("part").alias("split_sum"),
+            F.sum(F.col("n") / F.col("k")).alias("ideal"),
+        ).first()
+        raw_total = sum(n for _, n in rows)
+        assert agg.split_sum <= raw_total
+        # deficit bounded by (k-1) per raw row (integer truncation)
+        assert raw_total - agg.split_sum <= sum(
+            len(_split_label(lbl)) - 1 for lbl, _ in rows
+        )
+
+    def _split_label(lbl):
+        import re
+
+        return re.split(r",\s(?![^()]*\))", lbl)
+
+    check()
+
+
+def test_bpe_pair_counts_matches_python_reference(spark):
+    """BPE pair statistics must equal a pure-python recount on the
+    same corpus (small SF exhaustive check)."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from gentropy_spark.plans.llm_pipeline import q_bpe_pair_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.pair: r.pair_count
+        for r in q_bpe_pair_counts(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    texts = [
+        t[0]
+        for t in con.execute(
+            f"SELECT text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+    ]
+    word_freq = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                word_freq[w] += 1
+    expected = Counter()
+    for w, n in word_freq.items():
+        for i in range(len(w) - 1):
+            expected[w[i : i + 2]] += n
+    for pair, cnt in got.items():
+        assert expected[pair] == cnt, pair
+    # the spark top-1 really is the global argmax
+    top_pair = max(got, key=got.get)
+    assert got[top_pair] == max(expected.values())
+
+
+def test_dsir_importance_zero_sum_property(spark):
+    """Σ_docs n_feat-weighted mean log ratio over the RAW corpus must
+    be near the target-vs-raw KL structure: raw-weighted expectation
+    of (log p_t - log p_r) equals -KL(p_r || p_t) <= 0."""
+    from gentropy_spark.plans.llm_pipeline import q_dsir_importance
+
+    rows = q_dsir_importance(spark, "/root/testdata/sf0.001").collect()
+    total_feat = sum(r.n_feat for r in rows)
+    mean_ratio = sum(r.log_importance for r in rows) / total_feat
+    assert mean_ratio <= 1e-9  # -KL <= 0
