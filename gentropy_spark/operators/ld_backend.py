@@ -148,23 +148,24 @@ def backend_for_ancestry(
     panukbb_variants: DataFrame,
     gnomad_entries: DataFrame,
     gnomad_index: DataFrame,
-    panukbb_index: DataFrame | None = None,
-    panukbb_entries: DataFrame | None = None,
+    panukbb_stores: dict[str, tuple[DataFrame, DataFrame]] | None = None,
 ) -> LDMatrixBackend:
     """The reference's dispatch rule (ld_matrix_interface.py:46): nfe /
     csa / afr resolve to the PanUKBB-shaped backend under the mapped
     label; every other ancestry uses the gnomAD-shaped entry table.
-    When an INGESTED PanUKBB store is supplied (the aligned variant
-    index from plans/graph_ld.py ``panukbb_ld_align`` + a half-matrix
-    entry table), that branch dispatches to the real
-    ``PanUKBBEntryBackend``; the synthetic grid remains the stand-in
-    otherwise."""
+
+    ``panukbb_stores`` maps the PanUKBB population label ('EUR' /
+    'CSA' / 'AFR') to its OWN ingested (aligned index, half-matrix
+    entries) pair — the reference loads a distinct block matrix per
+    population ({POP}-templated paths), so one shared store would
+    silently serve the wrong population's LD. The synthetic grid
+    remains the stand-in for labels without an ingested store."""
     if ancestry in ANCESTRY_MAP:
-        if panukbb_index is not None and panukbb_entries is not None:
-            return PanUKBBEntryBackend(panukbb_index, panukbb_entries)
-        return SyntheticGridLDBackend(
-            panukbb_variants, ancestry=ANCESTRY_MAP[ancestry]
-        )
+        label = ANCESTRY_MAP[ancestry]
+        store = (panukbb_stores or {}).get(label)
+        if store is not None:
+            return PanUKBBEntryBackend(*store)
+        return SyntheticGridLDBackend(panukbb_variants, ancestry=label)
     return EntryTableLDBackend(gnomad_entries, gnomad_index)
 
 

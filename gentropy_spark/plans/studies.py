@@ -423,9 +423,12 @@ def q_gwas_study_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "n",
+            # try_cast: regexp_extract yields '' (not NULL) on
+            # no-match, and ANSI CAST('') throws — the oracle's
+            # NULLIF guard must map to NULL here too.
             F.regexp_extract(
                 F.regexp_replace(F.col("samples"), ",", ""), r"[0-9]+", 0
-            ).cast("long"),
+            ).try_cast("long"),
         )
         .groupBy("study_id")
         .agg(
@@ -958,7 +961,29 @@ def q_gwas_study_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
         .alias("curation_quality_controls"),
         F.col("is_curated_raw").cast("boolean").alias("is_curated"),
-    ).dropDuplicates(["study_id"])
+        F.col("curated_type").alias("_o1"),
+        F.col("analysis_flag_raw").alias("_o2"),
+        F.col("quality_control_raw").alias("_o3"),
+        F.col("is_curated_raw").alias("_o4"),
+    )
+    # One curation row per study, chosen DETERMINISTICALLY (the same
+    # ROW_NUMBER order as the oracle). dropDuplicates keeps an
+    # arbitrary survivor — at sf>=0.1 the supplier key space wraps the
+    # 800-study modulus and colliding rows made the survivor (and the
+    # value hash) partition-order-dependent.
+    from pyspark.sql import Window as _W
+
+    _w = _W.partitionBy("study_id").orderBy(
+        F.col("_o1").asc_nulls_last(),
+        F.col("_o2").asc_nulls_last(),
+        F.col("_o3").asc_nulls_last(),
+        F.col("_o4").asc(),
+    )
+    curation = (
+        curation.withColumn("_rn", F.row_number().over(_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_o1", "_o2", "_o3", "_o4")
+    )
     joined = (
         studies.join(curation, on="study_id", how="left")
         .withColumn("is_curated", F.coalesce(F.col("is_curated"), F.lit(False)))

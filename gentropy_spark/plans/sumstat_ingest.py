@@ -85,7 +85,13 @@ def q_finngen_sumstat_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.upper(
                 F.regexp_extract(
-                    F.col("file_path"), r"([^/]+)(\.tsv\.gz|\.gz|\.tsv)", 1
+                    # Non-greedy + anchored: the reference's greedy
+                    # pattern (finngen/summary_stats.py:64) leaves
+                    # '.tsv' inside the stem for *.tsv.gz files (its
+                    # real inputs are plain .gz, so the defect is
+                    # latent there); the stem here must match the
+                    # study-index phenocode ids.
+                    F.col("file_path"), r"([^/]+?)(\.tsv\.gz|\.gz|\.tsv)$", 1
                 )
             ).alias("study_id"),
             F.concat_ws(
@@ -121,7 +127,7 @@ WITH raw AS (
   FROM events
 )
 SELECT upper(regexp_extract(file_path,
-         '([^/]+)(\\.tsv\\.gz|\\.gz|\\.tsv)', 1)) AS study_id,
+         '([^/]+?)(\\.tsv\\.gz|\\.gz|\\.tsv)$', 1)) AS study_id,
        chrom || '_' || pos || '_' || ref || '_' || alt AS variant_id,
        chrom AS chromosome,
        CAST(pos AS INT) AS position,

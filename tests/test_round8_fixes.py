@@ -92,16 +92,22 @@ def test_backend_dispatch_prefers_ingested_panukbb(spark):
         "contig", "pos", "variant_id"
     )
     gnomad_index = index.select("idx", "variant_id", "contig", "pos")
+    stores = {"EUR": (index, entries)}
     b = backend_for_ancestry(
-        "nfe", variants, entries, gnomad_index,
-        panukbb_index=index, panukbb_entries=entries,
+        "nfe", variants, entries, gnomad_index, panukbb_stores=stores
     )
     assert isinstance(b, PanUKBBEntryBackend)
     b2 = backend_for_ancestry("nfe", variants, entries, gnomad_index)
     assert isinstance(b2, SyntheticGridLDBackend)
+    # A population WITHOUT its own ingested store must NOT be served
+    # another population's matrix — it falls back to the synthetic
+    # grid under its own label.
+    b_afr = backend_for_ancestry(
+        "afr", variants, entries, gnomad_index, panukbb_stores=stores
+    )
+    assert isinstance(b_afr, SyntheticGridLDBackend)
     b3 = backend_for_ancestry(
-        "eas", variants, entries, gnomad_index,
-        panukbb_index=index, panukbb_entries=entries,
+        "eas", variants, entries, gnomad_index, panukbb_stores=stores
     )
     assert isinstance(b3, EntryTableLDBackend)
 
