@@ -840,3 +840,288 @@ REGISTRY["l2g_feature_matrix"] = QuerySpec(q_l2g_features, L2G_FEAT_SQL)
 REGISTRY["l2g_score_gbm"] = QuerySpec(
     q_l2g_score_gbm, _l2g_gbm_sql().replace("{L2G_FEAT_SQL}", L2G_FEAT_SQL)
 )
+
+
+# --- H77: ChEMBL drug-target enrichment ------------------------------------
+_DRUG_SUPPORT_THR = 0.5
+_DRUG_PHASES = (2, 3, 4)
+_Z95 = 1.96
+
+
+def q_drug_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genetic-support enrichment of clinical drug targets.
+
+    Reference: method/drug_enrichment_from_evid.py (the Nelson-style
+    relative-success analysis, doi.org/10.1038/s41586-024-07316-0 —
+    public method): evidence scores rolled up to INDIRECT
+    disease-target associations through the EFO ancestor closure
+    (self ∪ ancestors union join, max score — :145), ChEMBL evidence
+    reduced to max clinical phase per pair with the >0.5 gate (:202),
+    a RIGHT join so every clinical pair is evaluated (:270), the
+    geneticSupport flag at the 0.5 score threshold, and per-phase
+    2×2 contingency with sample odds ratio + 95% CI, relative
+    success + CI, and its χ²(1) p-value (:283-358).
+
+    Re-architecture (:283): the reference drives TWELVE separate
+    ``df.count()`` actions (4 cells × 3 phases) plus a cached loop —
+    here the full per-phase contingency comes from ONE conditional
+    aggregation over a phase-exploded frame (a single tiny shuffle),
+    and the scalar OR/RS/CI math is Column arithmetic on the
+    aggregate row. scipy's ``fisher_exact`` p-value is the one piece
+    deliberately not mirrored (non-SQL hypergeometric; the published
+    headline metric is the relative-success track, whose χ² p IS
+    computed — via the repo erfc kernel).
+    """
+    from gentropy_spark.functions.distributions import chi2_sf_1df_col
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+
+    evid = li.select(
+        F.concat(
+            F.lit("ENSG"), F.lpad((F.col("l_partkey") % 400).cast("string"), 11, "0")
+        ).alias("target_id"),
+        F.concat(
+            F.lit("EFO_"), F.lpad((F.col("l_suppkey") % 120).cast("string"), 7, "0")
+        ).alias("disease_id"),
+        F.round(((F.col("l_partkey") * 7) % 1000) / 1000.0, 6).alias(
+            "resource_score"
+        ),
+    )
+    ck = F.col("c_custkey") % 120
+    disease_dim = cust.select(
+        F.concat(F.lit("EFO_"), F.lpad(ck.cast("string"), 7, "0")).alias("id"),
+        F.when(
+            ck >= 3,
+            F.array(
+                F.concat(
+                    F.lit("EFO_"),
+                    F.lpad(F.expr("c_custkey % 120 div 3").cast("string"), 7, "0"),
+                ),
+                F.concat(
+                    F.lit("EFO_"),
+                    F.lpad(F.expr("c_custkey % 120 div 9").cast("string"), 7, "0"),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("ancestors"),
+    ).distinct()
+    chembl = orders.select(
+        F.concat(
+            F.lit("ENSG"), F.lpad((F.col("o_custkey") % 400).cast("string"), 11, "0")
+        ).alias("target_id"),
+        F.concat(
+            F.lit("EFO_"), F.lpad((F.col("o_orderkey") % 120).cast("string"), 7, "0")
+        ).alias("disease_id"),
+        (F.col("o_orderkey") % 5).cast("double").alias("clinical_phase"),
+    )
+
+    # Ancestor closure: self ∪ ancestors (reference :225-236).
+    closure = disease_dim.select(
+        F.col("id").alias("disease_id"),
+        F.explode(
+            F.array_union(F.array(F.col("id")), F.col("ancestors"))
+        ).alias("ancestor_disease_id"),
+    )
+    evid_indirect = (
+        evid.join(closure, on="disease_id", how="inner")
+        .groupBy("target_id", "ancestor_disease_id")
+        .agg(F.max("resource_score").alias("indirect_assoc_score"))
+        .withColumnRenamed("ancestor_disease_id", "disease_id")
+    )
+    chembl_max = (
+        chembl.groupBy("target_id", "disease_id")
+        .agg(F.max("clinical_phase").alias("max_clinical_phase"))
+        .filter(F.col("max_clinical_phase") > 0.5)
+    )
+    joined = evid_indirect.join(
+        chembl_max, on=["target_id", "disease_id"], how="right"
+    ).withColumn(
+        "genetic_support",
+        F.coalesce(
+            F.col("indirect_assoc_score") >= _DRUG_SUPPORT_THR, F.lit(False)
+        ),
+    )
+    n_indirect = evid_indirect.filter(
+        F.col("indirect_assoc_score") >= _DRUG_SUPPORT_THR
+    ).agg(F.count("*").alias("total_indirect_assoc"))
+
+    phases = F.explode(
+        F.array(*[F.lit(p) for p in _DRUG_PHASES])
+    ).alias("phase")
+    g, mcp = F.col("genetic_support"), F.col("max_clinical_phase")
+    cells = (
+        joined.select("genetic_support", "max_clinical_phase", phases)
+        .groupBy("phase")
+        .agg(
+            F.sum(g.cast("long")).alias("n_g"),
+            F.sum((~g).cast("long")).alias("n_negg"),
+            F.sum((g & (mcp >= F.col("phase"))).cast("long")).alias("x_g"),
+            F.sum(((~g) & (mcp >= F.col("phase"))).cast("long")).alias(
+                "x_negg"
+            ),
+        )
+    )
+    a = (F.col("n_negg") - F.col("x_negg")).cast("double")
+    b = F.col("x_negg").cast("double")
+    c = (F.col("n_g") - F.col("x_g")).cast("double")
+    d = F.col("x_g").cast("double")
+    any_zero = (a == 0) | (b == 0) | (c == 0) | (d == 0)
+    odds = (d * a) / (b * c)
+    ln_or = F.log(odds)
+    se_ln_or = F.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    rs = (d / F.col("n_g")) / (b / F.col("n_negg"))
+    ln_rs = F.log(rs)
+    se_ln_rs = F.sqrt(
+        1 / b - 1 / F.col("n_negg") + 1 / d - 1 / F.col("n_g")
+    )
+    rs_p = chi2_sf_1df_col((ln_rs / se_ln_rs) * (ln_rs / se_ln_rs))
+    guard = lambda expr, fallback: F.when(any_zero, F.lit(fallback)).otherwise(  # noqa: E731
+        expr
+    )
+    return (
+        cells.crossJoin(F.broadcast(n_indirect))
+        .select(
+            F.concat(F.col("phase").cast("string"), F.lit("+")).alias(
+                "clinical_phase"
+            ),
+            a.cast("long").alias("no_evid_low_phase"),
+            b.cast("long").alias("no_evid_high_phase"),
+            c.cast("long").alias("yes_evid_low_phase"),
+            d.cast("long").alias("yes_evid_high_phase"),
+            F.round(guard(odds, 1.0), 6).alias("odds_ratio"),
+            F.round(guard(F.exp(ln_or - _Z95 * se_ln_or), 1.0), 6).alias(
+                "ci_low"
+            ),
+            F.round(guard(F.exp(ln_or + _Z95 * se_ln_or), 1.0), 6).alias(
+                "ci_high"
+            ),
+            F.round(guard(rs, 1.0), 6).alias("relative_success"),
+            F.round(guard(F.exp(ln_rs - _Z95 * se_ln_rs), 1.0), 6).alias(
+                "ci_rs_low"
+            ),
+            F.round(guard(F.exp(ln_rs + _Z95 * se_ln_rs), 1.0), 6).alias(
+                "ci_rs_high"
+            ),
+            F.round(guard(rs_p, 1.0), 6).alias("rs_p_value"),
+            F.col("total_indirect_assoc").cast("long").alias(
+                "total_indirect_assoc"
+            ),
+        )
+    )
+
+
+def _drug_enrichment_sql() -> str:
+    from gentropy_spark.functions.distributions import chi2_sf_1df_sql
+
+    rs_p = chi2_sf_1df_sql("((ln_rs / se_ln_rs) * (ln_rs / se_ln_rs))")
+    return f"""
+WITH evid AS (
+  SELECT 'ENSG' || lpad(CAST(l_partkey % 400 AS VARCHAR), 11, '0')
+           AS target_id,
+         'EFO_' || lpad(CAST(l_suppkey % 120 AS VARCHAR), 7, '0')
+           AS disease_id,
+         ROUND(((l_partkey * 7) % 1000) / 1000.0, 6) AS resource_score
+  FROM lineitem
+),
+disease_dim AS (
+  SELECT DISTINCT
+         'EFO_' || lpad(CAST(c_custkey % 120 AS VARCHAR), 7, '0') AS id,
+         CASE WHEN c_custkey % 120 >= 3 THEN
+           ['EFO_' || lpad(CAST(c_custkey % 120 // 3 AS VARCHAR), 7, '0'),
+            'EFO_' || lpad(CAST(c_custkey % 120 // 9 AS VARCHAR), 7, '0')]
+         ELSE CAST([] AS VARCHAR[]) END AS ancestors
+  FROM customer
+),
+closure AS (
+  SELECT id AS disease_id, u.anc AS ancestor_disease_id
+  FROM disease_dim,
+       unnest(list_distinct(list_prepend(id, ancestors))) AS u(anc)
+),
+evid_indirect AS (
+  SELECT e.target_id, c.ancestor_disease_id AS disease_id,
+         MAX(e.resource_score) AS indirect_assoc_score
+  FROM evid e JOIN closure c USING (disease_id)
+  GROUP BY 1, 2
+),
+chembl_max AS (
+  SELECT 'ENSG' || lpad(CAST(o_custkey % 400 AS VARCHAR), 11, '0')
+           AS target_id,
+         'EFO_' || lpad(CAST(o_orderkey % 120 AS VARCHAR), 7, '0')
+           AS disease_id,
+         MAX(CAST(o_orderkey % 5 AS DOUBLE)) AS max_clinical_phase
+  FROM orders
+  GROUP BY 1, 2
+  HAVING MAX(CAST(o_orderkey % 5 AS DOUBLE)) > 0.5
+),
+joined AS (
+  SELECT c.target_id, c.disease_id, c.max_clinical_phase,
+         COALESCE(e.indirect_assoc_score >= {_DRUG_SUPPORT_THR}, FALSE)
+           AS genetic_support
+  FROM chembl_max c
+  LEFT JOIN evid_indirect e USING (target_id, disease_id)
+),
+n_indirect AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total_indirect_assoc
+  FROM evid_indirect WHERE indirect_assoc_score >= {_DRUG_SUPPORT_THR}
+),
+cells AS (
+  SELECT p.phase,
+         CAST(SUM(CASE WHEN genetic_support THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_g,
+         CAST(SUM(CASE WHEN NOT genetic_support THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_negg,
+         CAST(SUM(CASE WHEN genetic_support
+                            AND max_clinical_phase >= p.phase
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x_g,
+         CAST(SUM(CASE WHEN NOT genetic_support
+                            AND max_clinical_phase >= p.phase
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x_negg
+  FROM joined, (SELECT unnest([2, 3, 4]) AS phase) p
+  GROUP BY 1
+),
+scalars AS (
+  SELECT *,
+         CAST(n_negg - x_negg AS DOUBLE) AS a,
+         CAST(x_negg AS DOUBLE) AS b,
+         CAST(n_g - x_g AS DOUBLE) AS c,
+         CAST(x_g AS DOUBLE) AS d
+  FROM cells
+),
+math AS (
+  SELECT *,
+         (d * a) / (b * c) AS odds,
+         LN((d * a) / (b * c)) AS ln_or,
+         SQRT(1/a + 1/b + 1/c + 1/d) AS se_ln_or,
+         (d / n_g) / (b / n_negg) AS rs,
+         LN((d / n_g) / (b / n_negg)) AS ln_rs,
+         SQRT(1/b - 1.0/n_negg + 1/d - 1.0/n_g) AS se_ln_rs,
+         (a = 0 OR b = 0 OR c = 0 OR d = 0) AS any_zero
+  FROM scalars
+)
+SELECT CAST(phase AS VARCHAR) || '+' AS clinical_phase,
+       CAST(a AS BIGINT) AS no_evid_low_phase,
+       CAST(b AS BIGINT) AS no_evid_high_phase,
+       CAST(c AS BIGINT) AS yes_evid_low_phase,
+       CAST(d AS BIGINT) AS yes_evid_high_phase,
+       ROUND(CASE WHEN any_zero THEN 1.0 ELSE odds END, 6) AS odds_ratio,
+       ROUND(CASE WHEN any_zero THEN 1.0
+                  ELSE EXP(ln_or - {_Z95} * se_ln_or) END, 6) AS ci_low,
+       ROUND(CASE WHEN any_zero THEN 1.0
+                  ELSE EXP(ln_or + {_Z95} * se_ln_or) END, 6) AS ci_high,
+       ROUND(CASE WHEN any_zero THEN 1.0 ELSE rs END, 6) AS relative_success,
+       ROUND(CASE WHEN any_zero THEN 1.0
+                  ELSE EXP(ln_rs - {_Z95} * se_ln_rs) END, 6) AS ci_rs_low,
+       ROUND(CASE WHEN any_zero THEN 1.0
+                  ELSE EXP(ln_rs + {_Z95} * se_ln_rs) END, 6) AS ci_rs_high,
+       ROUND(CASE WHEN any_zero THEN 1.0 ELSE {rs_p} END, 6) AS rs_p_value,
+       n.total_indirect_assoc
+FROM math, n_indirect n
+"""
+
+
+REGISTRY["drug_enrichment"] = QuerySpec(
+    q_drug_enrichment, _drug_enrichment_sql()
+)

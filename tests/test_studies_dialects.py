@@ -281,3 +281,23 @@ def test_dsir_importance_target_shift(spark):
     tgt = [r.log_importance / r.n_feat for r in rows if r.doc_id % 10 == 0]
     raw = [r.log_importance / r.n_feat for r in rows if r.doc_id % 10 != 0]
     assert sum(tgt) / len(tgt) > sum(raw) / len(raw)
+
+
+def test_drug_enrichment_contingency_consistency(spark):
+    """Cells must be internally consistent and monotone in phase:
+    higher phase thresholds can only shrink the high-phase cells."""
+    from gentropy_spark.plans.l2g import q_drug_enrichment
+
+    rows = {r.clinical_phase: r for r in q_drug_enrichment(spark, SF).collect()}
+    assert set(rows) == {"2+", "3+", "4+"}
+    n_g = {p: r.yes_evid_low_phase + r.yes_evid_high_phase for p, r in rows.items()}
+    n_negg = {p: r.no_evid_low_phase + r.no_evid_high_phase for p, r in rows.items()}
+    # Margins are phase-independent.
+    assert len(set(n_g.values())) == 1 and len(set(n_negg.values())) == 1
+    # High-phase cells shrink as the threshold rises.
+    assert rows["2+"].yes_evid_high_phase >= rows["3+"].yes_evid_high_phase
+    assert rows["3+"].yes_evid_high_phase >= rows["4+"].yes_evid_high_phase
+    for r in rows.values():
+        assert r.ci_low <= r.odds_ratio <= r.ci_high
+        assert r.ci_rs_low <= r.relative_success <= r.ci_rs_high
+        assert 0.0 <= r.rs_p_value <= 1.0
