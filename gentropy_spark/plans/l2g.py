@@ -1125,3 +1125,143 @@ FROM math, n_indirect n
 REGISTRY["drug_enrichment"] = QuerySpec(
     q_drug_enrichment, _drug_enrichment_sql()
 )
+
+
+# --- H78: evidence vs gold-standard confusion metrics ----------------------
+_EVID_MIN_SCORE = 0.5
+
+
+def q_evidence_vs_gold_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-style evaluation of a scored evidence table against
+    the L2G gold-standard training set.
+
+    Reference: method/drug_enrichment_from_evid.py:361
+    ``studyLocusId_based_evidence_table_vs_training_set`` —
+    significance thresholding of the score column, RIGHT join onto
+    the training set on (studyLocusId, geneId) with the missing-score
+    fillna(0), then TP/TN/FP/FN and sensitivity / specificity / PPV /
+    FDR / balanced accuracy. The reference issues FOUR driver
+    ``count()`` actions over a cached frame; here the confusion
+    matrix is ONE conditional aggregation and the metric arithmetic
+    rides the aggregate row (round-6 doubles; pure division —
+    IEEE-identical cross-engine).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    cust = read_table(spark, sf_dir, "customer")
+    lk, pk = F.col("l_orderkey"), F.col("l_partkey")
+    scored = li.select(
+        F.md5(F.concat(F.lit("sl"), (lk % 4000).cast("string"))).alias(
+            "study_locus_id"
+        ),
+        F.concat(
+            F.lit("ENSG"), F.lpad((pk % 500).cast("string"), 11, "0")
+        ).alias("gene_id"),
+        F.round(((pk * 13) % 1000) / 1000.0, 6).alias("score"),
+    ).groupBy("study_locus_id", "gene_id").agg(
+        F.max("score").alias("score")
+    )
+    ck = F.col("c_custkey")
+    training = cust.select(
+        F.md5(F.concat(F.lit("sl"), (ck % 5000).cast("string"))).alias(
+            "study_locus_id"
+        ),
+        F.concat(
+            F.lit("ENSG"), F.lpad(((ck * 3) % 500).cast("string"), 11, "0")
+        ).alias("gene_id"),
+        F.when(ck % 3 == 0, F.lit("positive"))
+        .otherwise(F.lit("negative"))
+        .alias("gold_standard_set"),
+    ).distinct()
+    joined = (
+        scored.withColumn(
+            "significant_score",
+            F.when(F.col("score") >= _EVID_MIN_SCORE, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .select("study_locus_id", "gene_id", "significant_score")
+        .join(training, on=["study_locus_id", "gene_id"], how="right")
+        .fillna({"significant_score": 0})
+    )
+    sig = F.col("significant_score") == 1
+    pos = F.col("gold_standard_set") == "positive"
+    cells = joined.agg(
+        F.sum((sig & pos).cast("long")).alias("tp"),
+        F.sum(((~sig) & (~pos)).cast("long")).alias("tn"),
+        F.sum((sig & (~pos)).cast("long")).alias("fp"),
+        F.sum(((~sig) & pos).cast("long")).alias("fn"),
+    )
+    tp, tn = F.col("tp").cast("double"), F.col("tn").cast("double")
+    fp, fn = F.col("fp").cast("double"), F.col("fn").cast("double")
+    sens = tp / (tp + fn)
+    spec = tn / (fp + tn)
+    ppv = tp / (tp + fp)
+    return cells.select(
+        F.lit("l2g_evidence").alias("evidence"),
+        "tp",
+        "tn",
+        "fp",
+        "fn",
+        F.round(sens, 6).alias("sensitivity"),
+        F.round(spec, 6).alias("specificity"),
+        F.round(ppv, 6).alias("ppv"),
+        F.round(1 - ppv, 6).alias("fdr"),
+        F.round((sens + spec) / 2, 6).alias("balanced_accuracy"),
+    )
+
+
+EVIDENCE_GOLD_SQL = f"""
+WITH scored AS (
+  SELECT md5('sl' || CAST(l_orderkey % 4000 AS VARCHAR)) AS study_locus_id,
+         'ENSG' || lpad(CAST(l_partkey % 500 AS VARCHAR), 11, '0')
+           AS gene_id,
+         MAX(ROUND(((l_partkey * 13) % 1000) / 1000.0, 6)) AS score
+  FROM lineitem
+  GROUP BY 1, 2
+),
+training AS (
+  SELECT DISTINCT
+         md5('sl' || CAST(c_custkey % 5000 AS VARCHAR)) AS study_locus_id,
+         'ENSG' || lpad(CAST((c_custkey * 3) % 500 AS VARCHAR), 11, '0')
+           AS gene_id,
+         CASE WHEN c_custkey % 3 = 0 THEN 'positive'
+              ELSE 'negative' END AS gold_standard_set
+  FROM customer
+),
+joined AS (
+  SELECT t.gold_standard_set,
+         COALESCE(CASE WHEN s.score >= {_EVID_MIN_SCORE} THEN 1 ELSE 0 END, 0)
+           AS significant_score
+  FROM training t
+  LEFT JOIN scored s USING (study_locus_id, gene_id)
+),
+cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN significant_score = 1
+                       AND gold_standard_set = 'positive'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN significant_score = 0
+                       AND gold_standard_set = 'negative'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+    CAST(SUM(CASE WHEN significant_score = 1
+                       AND gold_standard_set = 'negative'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN significant_score = 0
+                       AND gold_standard_set = 'positive'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM joined
+)
+SELECT 'l2g_evidence' AS evidence, tp, tn, fp, fn,
+       ROUND(tp / CAST(tp + fn AS DOUBLE), 6) AS sensitivity,
+       ROUND(tn / CAST(fp + tn AS DOUBLE), 6) AS specificity,
+       ROUND(tp / CAST(tp + fp AS DOUBLE), 6) AS ppv,
+       ROUND(1 - tp / CAST(tp + fp AS DOUBLE), 6) AS fdr,
+       ROUND((tp / CAST(tp + fn AS DOUBLE)
+              + tn / CAST(fp + tn AS DOUBLE)) / 2, 6) AS balanced_accuracy
+FROM cells
+"""
+
+
+REGISTRY["evidence_vs_gold_standard"] = QuerySpec(
+    q_evidence_vs_gold_standard, EVIDENCE_GOLD_SQL
+)

@@ -53,6 +53,7 @@ _SNAPSHOT_PRIORITY = [
     "variant_effect_normalise",
     "credible_set_confidence",
     "drug_enrichment",
+    "evidence_vs_gold_standard",
     # (b) r8: values / plans changed this round — must re-certify.
     # gnomad: id_was_hashed now covers both hashed branches (advisory
     # fix, value change); qc_flags: shared-base + range-window rewrite
@@ -89,7 +90,6 @@ _SNAPSHOT_PRIORITY = [
     "stream_dedup",
     "stream_window_agg",
     "study_index_validate",
-    "study_validation",
 ]
 
 
