@@ -872,8 +872,6 @@ def q_drug_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline metric is the relative-success track, whose χ² p IS
     computed — via the repo erfc kernel).
     """
-    from gentropy_spark.functions.distributions import chi2_sf_1df_col
-
     li = read_table(spark, sf_dir, "lineitem")
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
@@ -1014,8 +1012,6 @@ def q_drug_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _drug_enrichment_sql() -> str:
-    from gentropy_spark.functions.distributions import chi2_sf_1df_sql
-
     rs_p = chi2_sf_1df_sql("((ln_rs / se_ln_rs) * (ln_rs / se_ln_rs))")
     return f"""
 WITH evid AS (
@@ -1079,7 +1075,7 @@ cells AS (
          CAST(SUM(CASE WHEN NOT genetic_support
                             AND max_clinical_phase >= p.phase
                        THEN 1 ELSE 0 END) AS BIGINT) AS x_negg
-  FROM joined, (SELECT unnest([2, 3, 4]) AS phase) p
+  FROM joined, (SELECT unnest([{", ".join(str(p) for p in _DRUG_PHASES)}]) AS phase) p
   GROUP BY 1
 ),
 scalars AS (
@@ -1093,10 +1089,13 @@ scalars AS (
 math AS (
   SELECT *,
          (d * a) / (b * c) AS odds,
-         LN((d * a) / (b * c)) AS ln_or,
+         -- NULLIF: the math CTE projection is evaluated EAGERLY by
+         -- DuckDB, so a zero cell would raise LN(0) before the outer
+         -- any_zero CASE could skip the row; NULL propagates safely.
+         LN(NULLIF((d * a) / (b * c), 0)) AS ln_or,
          SQRT(1/a + 1/b + 1/c + 1/d) AS se_ln_or,
          (d / n_g) / (b / n_negg) AS rs,
-         LN((d / n_g) / (b / n_negg)) AS ln_rs,
+         LN(NULLIF((d / n_g) / (b / n_negg), 0)) AS ln_rs,
          SQRT(1/b - 1.0/n_negg + 1/d - 1.0/n_g) AS se_ln_rs,
          (a = 0 OR b = 0 OR c = 0 OR d = 0) AS any_zero
   FROM scalars
@@ -1160,9 +1159,13 @@ def q_evidence_vs_gold_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("study_locus_id", "gene_id").agg(
         F.max("score").alias("score")
     )
-    ck = F.col("c_custkey")
+    # Every training attribute derives from the SAME folded key k: at
+    # sf>=0.1 the customer keyspace wraps the modulus, and a label
+    # derived from the raw key would give one (locus, gene) pair BOTH
+    # labels — degenerating the confusion matrix to symmetry.
+    ck = F.col("c_custkey") % 5000
     training = cust.select(
-        F.md5(F.concat(F.lit("sl"), (ck % 5000).cast("string"))).alias(
+        F.md5(F.concat(F.lit("sl"), ck.cast("string"))).alias(
             "study_locus_id"
         ),
         F.concat(
@@ -1193,9 +1196,12 @@ def q_evidence_vs_gold_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tp, tn = F.col("tp").cast("double"), F.col("tn").cast("double")
     fp, fn = F.col("fp").cast("double"), F.col("fn").cast("double")
-    sens = tp / (tp + fn)
-    spec = tn / (fp + tn)
-    ppv = tp / (tp + fp)
+    # try_divide: an empty margin (e.g. zero significant pairs → tp+fp
+    # = 0) must yield NULL, not an ANSI DIVIDE_BY_ZERO crash — and
+    # must match the oracle's NULLIF-guarded division.
+    sens = F.try_divide(tp, tp + fn)
+    spec = F.try_divide(tn, fp + tn)
+    ppv = F.try_divide(tp, tp + fp)
     return cells.select(
         F.lit("l2g_evidence").alias("evidence"),
         "tp",
@@ -1222,9 +1228,9 @@ WITH scored AS (
 training AS (
   SELECT DISTINCT
          md5('sl' || CAST(c_custkey % 5000 AS VARCHAR)) AS study_locus_id,
-         'ENSG' || lpad(CAST((c_custkey * 3) % 500 AS VARCHAR), 11, '0')
+         'ENSG' || lpad(CAST((c_custkey % 5000 * 3) % 500 AS VARCHAR), 11, '0')
            AS gene_id,
-         CASE WHEN c_custkey % 3 = 0 THEN 'positive'
+         CASE WHEN c_custkey % 5000 % 3 = 0 THEN 'positive'
               ELSE 'negative' END AS gold_standard_set
   FROM customer
 ),
@@ -1252,12 +1258,13 @@ cells AS (
   FROM joined
 )
 SELECT 'l2g_evidence' AS evidence, tp, tn, fp, fn,
-       ROUND(tp / CAST(tp + fn AS DOUBLE), 6) AS sensitivity,
-       ROUND(tn / CAST(fp + tn AS DOUBLE), 6) AS specificity,
-       ROUND(tp / CAST(tp + fp AS DOUBLE), 6) AS ppv,
-       ROUND(1 - tp / CAST(tp + fp AS DOUBLE), 6) AS fdr,
-       ROUND((tp / CAST(tp + fn AS DOUBLE)
-              + tn / CAST(fp + tn AS DOUBLE)) / 2, 6) AS balanced_accuracy
+       ROUND(tp / NULLIF(CAST(tp + fn AS DOUBLE), 0), 6) AS sensitivity,
+       ROUND(tn / NULLIF(CAST(fp + tn AS DOUBLE), 0), 6) AS specificity,
+       ROUND(tp / NULLIF(CAST(tp + fp AS DOUBLE), 0), 6) AS ppv,
+       ROUND(1 - tp / NULLIF(CAST(tp + fp AS DOUBLE), 0), 6) AS fdr,
+       ROUND((tp / NULLIF(CAST(tp + fn AS DOUBLE), 0)
+              + tn / NULLIF(CAST(fp + tn AS DOUBLE), 0)) / 2, 6)
+         AS balanced_accuracy
 FROM cells
 """
 
