@@ -130,3 +130,55 @@ def test_every_schema_param_has_registry_consistent_default():
         for name, param in schema.items():
             assert isinstance(param, Param), (query, name)
             assert param.check(param.default, f"{query}.{name}") == []
+
+
+def test_full_post_gwas_pipeline_dag(tmp_path, spark):
+    """Capstone: the reference's end-to-end post-GWAS flow as ONE
+    configured DAG — ingestion → harmonisation → clumping →
+    fine-mapping → colocalisation → L2G scoring → validation — with
+    the LLM-curation branch running in parallel. Mirrors the step
+    graph the reference drives through Hydra (cli.py + config.py);
+    every node is an oracle-verified registry query, dependencies
+    follow the reference's data flow, and each step lands as parquet.
+    """
+    import json
+
+    from gentropy_spark.cli import run_dag
+
+    cfg = {
+        "sf_dir": "/root/testdata/sf0.001",
+        "out_dir": str(tmp_path / "out"),
+        "steps": {
+            # ingestion + harmonisation
+            "study_index": {"query": "gwas_study_ingest"},
+            "harmonised": {"query": "sumstat_harmonise_full"},
+            # association processing
+            "split": {"query": "gwas_study_split", "after": ["study_index"]},
+            "clumped": {"query": "window_clump_leads", "after": ["harmonised"]},
+            "finemapped": {"query": "pics_finemap", "after": ["clumped"]},
+            "credible": {"query": "credible_set_filter", "after": ["finemapped"]},
+            "coloc": {"query": "coloc", "after": ["credible"]},
+            "l2g": {"query": "l2g_score", "after": ["coloc"]},
+            "validated": {"query": "study_locus_qc_flags", "after": ["l2g"]},
+            # LLM-curation branch (parallel)
+            "curated_corpus": {"query": "corpus_curate"},
+        },
+    }
+    p = tmp_path / "pipeline.json"
+    p.write_text(json.dumps(cfg))
+    order = run_dag(str(p))
+    # Topological constraints hold.
+    assert order.index("study_index") < order.index("split")
+    assert (
+        order.index("harmonised")
+        < order.index("clumped")
+        < order.index("finemapped")
+        < order.index("credible")
+        < order.index("coloc")
+        < order.index("l2g")
+        < order.index("validated")
+    )
+    # Every step wrote a non-empty parquet output.
+    for step in cfg["steps"]:
+        out = spark.read.parquet(str(tmp_path / "out" / step))
+        assert out.count() > 0, step
