@@ -379,3 +379,42 @@ def test_dsir_importance_zero_sum_property(spark):
     total_feat = sum(r.n_feat for r in rows)
     mean_ratio = sum(r.log_importance for r in rows) / total_feat
     assert mean_ratio <= 1e-9  # -KL <= 0
+
+
+def test_panukbb_reconstruction_random_matrices(spark):
+    """Property: for random upper-half entry tables and random ±1
+    allele orders, the relational reconstruction equals the reference
+    numpy construction (half+halfᵀ−diag, outer sign, unit diagonal)."""
+    import numpy as np
+
+    from gentropy_spark.operators.ld_backend import (
+        PanUKBBEntryBackend,
+        locus_numpy_matrix,
+    )
+
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        n = int(rng.randint(2, 7))
+        H = np.triu(rng.uniform(-1, 1, size=(n, n)))
+        ao = rng.choice([1, -1], size=n)
+        index = spark.createDataFrame(
+            [(i, f"v{i}", "1", 100 + i, int(ao[i])) for i in range(n)],
+            ["idx", "variant_id", "contig", "pos", "allele_order"],
+        )
+        entries = spark.createDataFrame(
+            [
+                (i, j, float(H[i, j]))
+                for i in range(n)
+                for j in range(i, n)
+            ],
+            ["idx_i", "idx_j", "r"],
+        )
+        _, M = locus_numpy_matrix(
+            PanUKBBEntryBackend(index, entries), "1", 0, 10_000
+        )
+        E = H + H.T - np.diag(np.diag(H))
+        sign = np.outer(ao, ao)
+        np.fill_diagonal(sign, 1)
+        E = E * sign
+        np.fill_diagonal(E, 1.0)
+        np.testing.assert_allclose(M, E, atol=1e-12, err_msg=f"trial {trial}")
