@@ -30,7 +30,7 @@ from gentropy_spark.functions.distributions import norm_sf_col
 PICS_K = 6.4  # reference pics.py:69 — empiric curve-fit constant
 
 
-def pics(
+def pics_annotate(
     clustered: DataFrame,
     study: str = "study_id",
     contig: str = "contig",
@@ -41,11 +41,14 @@ def pics(
     nlp_scale: float = 10.0,
     tau: int = 10_800_000_000,
 ) -> DataFrame:
-    """PICS posteriors per cluster member.
+    """PICS posteriors ANNOTATED onto the input (all columns kept).
 
-    r² between a member and the cluster lead is synthesised from
-    distance decay (exp(−|Δpos|/τ)); members with r² < 0.5 get a null
-    posterior exactly as the reference nullifies weakly-linked tags.
+    Column-preserving form of :func:`pics`: adds ``pics_r2`` and
+    ``pics_pp`` without dropping caller columns, so consumers that
+    need the posterior alongside other per-row state (e.g. the QC
+    flag sweep's PIP-mass window) can stay on the same
+    (study, contig) exchange instead of computing PICS as a separate
+    subplan and joining back.
     """
     keys = [study, contig, cluster]
     ordered = Window.partitionBy(*keys).orderBy(
@@ -66,23 +69,49 @@ def pics(
         (r2 >= 0.5) & (nlp_lead > 0.0), 2.0 * norm_sf_col((nlp_lead - mu) / std)
     ).when(r2 >= 0.5, F.lit(1.0))
 
-    with_prob = (
-        clustered.withColumn("nlp_lead", nlp_lead)
-        .withColumn("lead_pos", lead_pos)
-        .withColumn("r2", r2)
-        .withColumn("prob", prob)
+    with_prob = clustered.withColumn("_pics_prob", prob).withColumn(
+        "_pics_r2", r2
     )
     return (
-        with_prob.withColumn("prob_sum", F.sum("prob").over(grp))
-        .select(
-            F.col(study),
-            F.col(contig),
-            F.col(cluster),
-            F.col(point_id),
-            F.col(pos),
-            F.round("r2", 6).alias("r2"),
-            F.round(F.col("prob") / F.col("prob_sum"), 6).alias("pics_pp"),
+        with_prob.withColumn("_pics_prob_sum", F.sum("_pics_prob").over(grp))
+        .withColumn("pics_r2", F.round("_pics_r2", 6))
+        .withColumn(
+            "pics_pp",
+            F.round(F.col("_pics_prob") / F.col("_pics_prob_sum"), 6),
         )
+        .drop("_pics_prob", "_pics_r2", "_pics_prob_sum")
+    )
+
+
+def pics(
+    clustered: DataFrame,
+    study: str = "study_id",
+    contig: str = "contig",
+    cluster: str = "cluster_seq",
+    pos: str = "pos",
+    signif: str = "signif",
+    point_id: str = "point_id",
+    nlp_scale: float = 10.0,
+    tau: int = 10_800_000_000,
+) -> DataFrame:
+    """PICS posteriors per cluster member.
+
+    r² between a member and the cluster lead is synthesised from
+    distance decay (exp(−|Δpos|/τ)); members with r² < 0.5 get a null
+    posterior exactly as the reference nullifies weakly-linked tags.
+    """
+    annotated = pics_annotate(
+        clustered, study, contig, cluster, pos, signif, point_id,
+        nlp_scale, tau,
+    )
+    return annotated.select(
+        F.col(study),
+        F.col(contig),
+        F.col(cluster),
+        F.col(point_id),
+        F.col(pos),
+        F.col("pics_r2").alias("r2"),
+        F.col("pics_pp"),
     )
 
 

@@ -203,3 +203,33 @@ def test_study_locus_qc_flags_single_events_scan(spark, sf_dir):
         assert counts.get("Generate", 0) == 0, counts
     finally:
         release_caches()
+
+
+def test_study_locus_qc_flags_exchange_budget(spark, sf_dir):
+    """r9 single-exchange rewrite (r8 verdict item 1): every
+    point-keyed flag producer (lead rank, PICS PIP mass, dominance
+    RANGE probe, locus-any, duplicate-id) is a window riding the ONE
+    (study, contig) hash exchange of the clustered base; the only
+    other shuffles are the two tiny aggregate sides (SuSiE region
+    arrays per (study, contig), the per-study sumstats bit), both
+    broadcast back. Budget: ≤3 hash exchanges TOTAL — exactly one of
+    which carries the base — and exactly 2 broadcasts. The r8 shape
+    measured 8 hash exchanges."""
+    from gentropy_spark.plans.variants import q_study_locus_qc_flags
+    from gentropy_spark.session import release_caches
+
+    release_caches()
+    try:
+        df = q_study_locus_qc_flags(spark, sf_dir)
+        counts = _physical_node_counts(df)
+        n_shuffle = counts.get("Exchange", 0)
+        n_broadcast = counts.get("BroadcastExchange", 0)
+        assert n_shuffle <= 3, f"hash exchanges {n_shuffle}: {counts}"
+        assert n_broadcast == 2, f"broadcasts {n_broadcast}: {counts}"
+        # No joins other than the two broadcast-annotation joins: the
+        # per-flag left joins of r8 (sort-merge on point_id / locus
+        # keys) must not reappear.
+        assert counts.get("SortMergeJoin", 0) == 0, counts
+        assert counts.get("ShuffledHashJoin", 0) == 0, counts
+    finally:
+        release_caches()
