@@ -1,13 +1,14 @@
-"""Real media codecs for uncompressed container formats (r8).
+"""Real media codecs for library-free container formats (r8, PNG r9).
 
 The sandbox ships no image/audio libraries, but PPM (P6), BMP
-(BITMAPINFOHEADER / 24-bit BI_RGB) and WAV (PCM16) are fully
-decodable with the stdlib + numpy — so the multimodal pipeline's
-decode step is a REAL decoder for those formats, and the deterministic
-stub remains only for compressed codecs (JPEG/PNG/MP4) the container
-genuinely cannot parse. Swapping in Pillow/ffmpeg later replaces
-``decode_any``'s fallback branch without touching the mapInPandas
-contract (operators/multimodal.py).
+(BITMAPINFOHEADER / 24-bit BI_RGB), WAV (PCM16) and — since r9 — PNG
+(zlib inflate + all five scanline filters, color types 0/2/3/4/6 at
+8-bit depth) are fully decodable with the stdlib + numpy. The
+multimodal pipeline's decode step is therefore a REAL decoder for
+those formats; the deterministic stub remains only for codecs whose
+entropy coding the stdlib cannot express (JPEG/MP4). Swapping in
+Pillow/ffmpeg later replaces ``decode_any``'s fallback branch without
+touching the mapInPandas contract (operators/multimodal.py).
 
 All decoders take raw ``bytes`` and return a plain dict with the
 unified media schema:
@@ -27,6 +28,9 @@ from io import BytesIO
 import numpy as np
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
 def sniff(payload: bytes) -> str:
     """Magic-byte container detection."""
     if payload[:2] == b"P6":
@@ -35,6 +39,8 @@ def sniff(payload: bytes) -> str:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:8] == PNG_SIGNATURE:
+        return "png"
     return "unknown"
 
 
@@ -135,10 +141,140 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+# PNG color type → samples per pixel (spec §11.2.2).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) chunks; stops at IEND or truncation."""
+    i = 8  # past signature
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, data
+        i += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters → (height, stride) uint8.
+
+    Sub (1) vectorises as a per-lane modular cumsum; Up (2) is a
+    whole-row add against the previous reconstructed row; Average (3)
+    and Paeth (4) carry an in-row left dependency, so they fall back
+    to a per-byte loop — acceptable because this runs inside the
+    Arrow-batched mapInPandas worker on bounded media payloads, never
+    as a driver-side loop over rows of a DataFrame.
+    """
+    expected = height * (stride + 1)
+    if len(raw) < expected:
+        raise ValueError("IDAT underflow")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for r in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += stride + 1
+        if ftype == 0:
+            recon = row.copy()
+        elif ftype == 1:  # Sub: modular cumsum within each byte lane
+            recon = row.copy()
+            for lane in range(bpp):
+                lane_vals = recon[lane::bpp].astype(np.uint32)
+                recon[lane::bpp] = np.cumsum(lane_vals).astype(np.uint8)
+        elif ftype == 2:  # Up
+            recon = row + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential left dep
+            recon = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(recon[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                if ftype == 3:
+                    pred = (left + up) >> 1
+                else:
+                    pred = _paeth(left, up, ul)
+                recon[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[r] = recon
+        prev = recon
+    return out
+
+
+def decode_png(payload: bytes) -> dict:
+    """PNG via stdlib zlib + numpy filter reconstruction.
+
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced. 16-bit and Adam7 raise
+    (decode_any routes those to the stub)."""
+    import zlib
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG")
+    width = height = None
+    channels = bit_depth = color_type = None
+    palette = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+            if interlace != 0:
+                raise ValueError("Adam7 interlacing not supported")
+            if comp != 0 or filt != 0:
+                raise ValueError("non-standard PNG compression/filter")
+            channels = _PNG_CHANNELS.get(color_type)
+            if channels is None:
+                raise ValueError(f"unknown PNG color type {color_type}")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    pixels = _png_unfilter(raw, height, stride, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        samples = palette[pixels.reshape(-1)]
+        n_channels = 3
+    else:
+        samples = pixels
+        n_channels = channels
+    return {
+        "codec": "png",
+        "width": width,
+        "height": height,
+        "n_channels": n_channels,
+        "sample_rate": None,
+        "mean_value": float(samples.mean()) if samples.size else 0.0,
+    }
+
+
 def decode_any(payload: bytes) -> dict:
     """Dispatch on magic bytes; unknown containers fall back to the
-    deterministic stub (the documented scope limit for compressed
-    codecs — JPEG/PNG/MP4 need libs this container does not ship)."""
+    deterministic stub (the documented scope limit for entropy-coded
+    codecs — JPEG/MP4 need libs this container does not ship)."""
     kind = sniff(payload)
     try:
         if kind == "ppm":
@@ -147,6 +283,8 @@ def decode_any(payload: bytes) -> dict:
             return decode_bmp(payload)
         if kind == "wav":
             return decode_wav(payload)
+        if kind == "png":
+            return decode_png(payload)
     except Exception:  # noqa: BLE001 — corrupt media must not kill a batch
         pass
     return {
@@ -183,6 +321,71 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
     return header + info + body
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    pixels: np.ndarray,
+    color_type: int = 2,
+    filter_type: int | None = None,
+) -> bytes:
+    """uint8 pixel array → PNG bytes (exact inverse of decode_png).
+
+    ``pixels``: (h, w) for gray (color_type 0), (h, w, c) otherwise
+    (c = 2 gray+alpha, 3 RGB, 4 RGBA). ``filter_type`` fixes one
+    scanline filter for every row; None cycles 0..4 per row so a
+    single round-trip test exercises ALL five unfilter paths.
+    """
+    import zlib
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    pixels = pixels.astype(np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for r in range(h):
+        row = pixels[r].reshape(-1)
+        ft = filter_type if filter_type is not None else r % 5
+        if ft == 0:
+            filt = row.copy()
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(c, np.uint8), row[:-c]])
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - prev
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(c, np.uint8), row[:-c]])
+            filt = row - (
+                (left.astype(np.uint16) + prev.astype(np.uint16)) >> 1
+            ).astype(np.uint8)
+        else:  # Paeth
+            filt = np.empty_like(row)
+            for x in range(w * c):
+                a = int(row[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                filt[x] = (int(row[x]) - _paeth(a, b, cc)) & 0xFF
+        raw.append(ft)
+        raw.extend(filt.tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16_000, channels: int = 1) -> bytes:

@@ -3,14 +3,16 @@
 Treat image/audio/video as opaque ``binary`` columns with typed
 metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
-r8: the decode step is a REAL decoder for the uncompressed container
-formats the sandbox can parse without external libraries — PPM (P6),
-BMP (24-bit BI_RGB) and WAV (PCM16), via operators/codecs.py (stdlib
-struct/wave + numpy) — dispatched on magic bytes. Compressed codecs
-(JPEG/PNG/MP4) still fall back to the deterministic byte-derived stub
-(the documented scope limit: those need libs this container does not
-ship); a Pillow/ffmpeg decoder slots into ``codecs.decode_any``'s
-fallback branch without touching the plan, schema, or batch shape.
+r8/r9: the decode step is a REAL decoder for every container format
+the sandbox can parse without external libraries — PPM (P6), BMP
+(24-bit BI_RGB), WAV (PCM16) and PNG (stdlib zlib inflate + all five
+scanline filters, color types 0/2/3/4/6 at 8-bit depth), via
+operators/codecs.py (stdlib struct/wave/zlib + numpy) — dispatched on
+magic bytes. Entropy-coded codecs (JPEG/MP4) still fall back to the
+deterministic byte-derived stub (the documented scope limit: DCT /
+H.264 entropy decoding needs libs this container does not ship); a
+Pillow/ffmpeg decoder slots into ``codecs.decode_any``'s fallback
+branch without touching the plan, schema, or batch shape.
 """
 
 from __future__ import annotations

@@ -1,0 +1,125 @@
+"""Round-9 targeted tests.
+
+1. PNG codec (operators/codecs.py): real zlib-inflate + filter
+   reconstruction, exercised against encode_png round trips covering
+   all five scanline filters and color types 0/2/3/4/6, plus the
+   corrupt/unsupported fallbacks and the mapInPandas pipeline path.
+2. study_locus_qc_flags plan shape is covered in test_plans.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+# --- PNG round trips -------------------------------------------------------
+def test_png_rgb_roundtrip_all_filters():
+    """encode_png with filter_type=None cycles filters 0..4 per row,
+    so one decode covers every unfilter path byte-exactly."""
+    from gentropy_spark.operators.codecs import decode_png, encode_png
+
+    px = _rng().integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    meta = decode_png(encode_png(px, color_type=2, filter_type=None))
+    assert meta["codec"] == "png"
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (5, 7, 3)
+    assert meta["mean_value"] == pytest.approx(float(px.mean()))
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_single_filter_exact(ftype):
+    from gentropy_spark.operators.codecs import decode_png, encode_png
+
+    px = _rng(ftype).integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    meta = decode_png(encode_png(px, filter_type=ftype))
+    assert meta["mean_value"] == pytest.approx(float(px.mean()))
+
+
+@pytest.mark.parametrize(
+    "color_type,channels",
+    [(0, 1), (2, 3), (4, 2), (6, 4)],
+)
+def test_png_color_types(color_type, channels):
+    from gentropy_spark.operators.codecs import decode_png, encode_png
+
+    shape = (5, 4) if channels == 1 else (5, 4, channels)
+    px = _rng(color_type).integers(0, 256, size=shape, dtype=np.uint8)
+    meta = decode_png(encode_png(px, color_type=color_type))
+    assert meta["codec"] == "png"
+    assert (meta["width"], meta["height"]) == (4, 5)
+    assert meta["n_channels"] == channels
+    assert meta["mean_value"] == pytest.approx(float(px.mean()))
+
+
+def test_png_palette_expands_plte():
+    """Color type 3: indices resolve through PLTE, mean over RGB."""
+    from gentropy_spark.operators.codecs import (
+        PNG_SIGNATURE,
+        _png_chunk,
+        decode_png,
+    )
+
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 128]], np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    png = (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    meta = decode_png(png)
+    assert meta["n_channels"] == 3
+    expected = palette[idx.reshape(-1)].mean()
+    assert meta["mean_value"] == pytest.approx(float(expected))
+
+
+def test_png_unsupported_shapes_fall_back_to_stub():
+    """16-bit depth, Adam7, truncated IDAT → stub via decode_any,
+    never an exception out of the batch."""
+    from gentropy_spark.operators.codecs import (
+        PNG_SIGNATURE,
+        _png_chunk,
+        decode_any,
+        encode_png,
+    )
+
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png16 = PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr16)
+    assert decode_any(png16)["codec"] == "stub"
+
+    ihdr_adam = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    png_adam = PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr_adam)
+    assert decode_any(png_adam)["codec"] == "stub"
+
+    good = encode_png(np.zeros((4, 4, 3), np.uint8))
+    assert decode_any(good[: len(good) // 2])["codec"] == "stub"
+
+
+def test_png_through_mapinpandas_pipeline(spark):
+    """A PNG payload rides the same decode_features contract as
+    PPM/BMP/WAV — schema, batching, N rows in → N rows out."""
+    from gentropy_spark.operators.codecs import encode_png, encode_ppm
+    from gentropy_spark.operators.multimodal import decode_features
+
+    px = _rng(3).integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png(px))),
+        (2, bytearray(encode_ppm(px))),
+        (3, bytearray(b"not media")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_features(df).collect()}
+    assert got[1].codec == "png" and (got[1].width, got[1].height) == (8, 8)
+    assert got[1].mean_value == pytest.approx(float(px.mean()))
+    assert got[2].codec == "ppm"
+    assert got[3].codec == "stub"
