@@ -33,63 +33,67 @@ class QuerySpec:
 # predates its last code change (or the last testdata format change)
 # must sit inside that window; remaining keys rotate in next round.
 _SNAPSHOT_PRIORITY = [
-    # (a) r8: NEW this round — no driver evidence exists yet.
-    "gwas_study_ingest",
-    "gwas_study_split",
-    "gwas_study_curation",
-    "eqtl_study_ingest",
-    "eqtl_sumstat_ingest",
-    "decode_study_ingest",
-    "intervals_epiraction_ingest",
-    "panukbb_ld_align",
-    "gwas_top_hits",
-    "finngen_meta_study_ingest",
-    "finngen_sumstat_ingest",
-    "gwas_sumstat_ingest",
-    "ukb_ppp_study_ingest",
-    "ot_variant_to_vcf",
-    "bpe_pair_counts",
-    "dsir_importance",
-    "variant_effect_normalise",
-    "credible_set_confidence",
-    "drug_enrichment",
-    "evidence_vs_gold_standard",
-    # (b) r8: values / plans changed this round — must re-certify.
-    # gnomad: id_was_hashed now covers both hashed branches (advisory
-    # fix, value change); qc_flags: shared-base + range-window rewrite
-    # (hash-identical by design, re-prove it).
-    "gnomad_variant_ingest",
+    # (a) r9: NEW this round — no driver evidence exists yet
+    # (plans/infra.py: the unit-only components promoted to registry
+    # entries, verdict r8 item 3).
+    "salted_join",
+    "compact_parquet",
+    "synthetic_sumstats",
+    "upsert_sink_drain",
+    "l2g_train_metrics",
+    # (b) r9: values / plans changed this round — must re-certify.
+    # qc_flags: single-exchange SQL-built rewrite (hash-identical by
+    # design, re-prove it); multimodal trio + pics consumers: codec
+    # dispatch gained PNG / pics() refactored over pics_annotate
+    # (values unchanged by design, re-prove).
     "study_locus_qc_flags",
-    # (c) freshness rotation: keys whose LATEST driver sample is r5 or
-    # older, re-verified in-repo since but stale at the driver.
-    "allele_direction",
-    "complex_set_match",
-    "contig_validation",
-    "credible_set_qc",
-    "dedup_simhash_pairs",
-    "direction_concordance",
-    "doc_fingerprint",
-    "enrichment_odds_ratio",
-    "exclude_region",
-    "harmonic_sum",
-    "interval_evidence",
-    "l2g_coloc_features",
-    "l2g_gold_standard",
-    "ld_block_slice",
-    "locus_breaker",
     "multimodal_decode",
+    "multimodal_resize",
     "multimodal_frame_sample",
-    "ontology_closure",
-    "overlap_join",
-    "pairwise_ld",
-    "pivot_wide",
-    "props_json_parse",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q_decile_stats",
-    "stream_dedup",
-    "stream_window_agg",
-    "study_index_validate",
+    "pics_finemap",
+    "credible_set_filter",
+    "ecaviar_clpp",
+    "pics_finemap_indexed",
+    # (c) freshness rotation: keys whose LATEST driver sample is r5 or
+    # older, re-verified by the in-repo sf0.001 parity sweep since but
+    # stale at the driver.
+    "asof_join",
+    "burst_detection",
+    "carma_outliers",
+    "coloc",
+    "corpus_curate",
+    "corpus_mixture",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "decontaminate",
+    "dup_triangles",
+    "dwell_time_stats",
+    "effect_ci",
+    "embedding_clusters",
+    "funnel_analysis",
+    "hopping_window_agg",
+    "interval_coverage",
+    "key_skew_profile",
+    "kmv_distinct",
+    "kmeans_step",
+    "langid_eval",
+    "ld_clump",
+    "line_boilerplate",
+    "lm_perplexity",
+    "locus_statistics",
+    "logsum",
+    "meta_analysis",
+    "mixture_rebalance",
+    "pack_sequences",
+    "pii_redact",
+    "q1_pricing_summary",
+    "retention_cohorts",
+    "sample_stratified",
+    "scd2_intervals",
 ]
 
 
@@ -124,6 +128,7 @@ def full_registry() -> dict[str, QuerySpec]:
         "studies",
         "finngen_meta",
         "sumstat_ingest",
+        "infra",
     )
     merged: dict[str, QuerySpec] = {}
     for name in module_names:
