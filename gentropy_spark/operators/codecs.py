@@ -131,12 +131,17 @@ def decode_wav(payload: bytes) -> dict:
         samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
     else:
         raise ValueError(f"unsupported sample width {width}")
+    # r9 advisory fix: the decode schema types width/sample_rate as
+    # INT32 at the Arrow boundary; a WAV beyond 2^31-1 frames (or an
+    # absurd header rate) would overflow there. Clamp explicitly — the
+    # codec itself is unbounded, the SCHEMA is the 32-bit contract.
+    int32_max = 2**31 - 1
     return {
         "codec": "wav",
-        "width": n_frames,  # frames along the time axis
+        "width": min(n_frames, int32_max),  # frames along the time axis
         "height": None,
         "n_channels": n_channels,
-        "sample_rate": rate,
+        "sample_rate": min(rate, int32_max),
         "mean_value": float(np.abs(samples).mean()) if samples.size else 0.0,
     }
 

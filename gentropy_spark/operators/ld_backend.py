@@ -27,6 +27,7 @@ a single locus. Backends:
 
 from __future__ import annotations
 
+import threading
 from typing import Protocol
 
 from pyspark.sql import DataFrame
@@ -267,20 +268,31 @@ class PanUKBBEntryBackend:
 # densification distributed. Warn once past the threshold.
 _LOCUS_COLLECT_WARN_AFTER = 100
 _locus_collect_calls = 0
+_locus_collect_warned = False
+_locus_collect_lock = threading.Lock()
 
 
 def _warn_locus_collect_loop() -> None:
-    global _locus_collect_calls
-    _locus_collect_calls += 1
-    if _locus_collect_calls == _LOCUS_COLLECT_WARN_AFTER:
-        import warnings
+    # r9 advisory fix: the bare `== threshold` check could be jumped
+    # over (or double-fired) by concurrent driver threads; a lock plus
+    # a warned flag makes the one-shot warning race-free.
+    global _locus_collect_calls, _locus_collect_warned
+    with _locus_collect_lock:
+        _locus_collect_calls += 1
+        if (
+            _locus_collect_warned
+            or _locus_collect_calls < _LOCUS_COLLECT_WARN_AFTER
+        ):
+            return
+        _locus_collect_warned = True
+    import warnings
 
-        warnings.warn(
-            "locus_numpy_matrix has been called "
-            f"{_LOCUS_COLLECT_WARN_AFTER}+ times in this process; each call "
-            "is a driver-side collect. For many loci, batch through "
-            "operators/ld_matrix.py locus_dense_matrices (Arrow-based, "
-            "distributed) instead.",
-            RuntimeWarning,
-            stacklevel=3,
-        )
+    warnings.warn(
+        "locus_numpy_matrix has been called "
+        f"{_LOCUS_COLLECT_WARN_AFTER}+ times in this process; each call "
+        "is a driver-side collect. For many loci, batch through "
+        "operators/ld_matrix.py locus_dense_matrices (Arrow-based, "
+        "distributed) instead.",
+        RuntimeWarning,
+        stacklevel=3,
+    )

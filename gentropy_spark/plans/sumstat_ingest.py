@@ -476,8 +476,13 @@ def q_ot_variant_to_vcf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.try_element_at(parts, F.lit(1)), F.lit(".")).alias(
                 "chrom"
             ),
+            # r9 advisory fix: a plain cast would THROW under ANSI mode
+            # if the '.' fallback (or any non-numeric second field)
+            # were ever hit; try_cast yields NULL, which the pos
+            # IS NOT NULL filter below then drops — same contract as
+            # the oracle's TRY_CAST.
             F.coalesce(F.try_element_at(parts, F.lit(2)), F.lit("."))
-            .cast("int")
+            .try_cast("int")
             .alias("pos"),
             F.coalesce(F.col("variant_rs_id"), F.lit(".")).alias("id"),
             F.coalesce(F.try_element_at(parts, F.lit(3)), F.lit(".")).alias(
@@ -536,14 +541,14 @@ exploded AS (
 )
 SELECT DISTINCT
        COALESCE(str_split(vid, '_')[1], '.') AS chrom,
-       CAST(str_split(vid, '_')[2] AS INT) AS pos,
+       TRY_CAST(str_split(vid, '_')[2] AS INT) AS pos,
        COALESCE(variant_rs_id, '.') AS id,
        COALESCE(str_split(vid, '_')[3], '.') AS ref,
        COALESCE(str_split(vid, '_')[4], '.') AS alt,
        '.' AS qual, '.' AS filter, '.' AS info
 FROM exploded
 WHERE COALESCE(str_split(vid, '_')[1], '.') <> '.'
-  AND CAST(str_split(vid, '_')[2] AS INT) IS NOT NULL
+  AND TRY_CAST(str_split(vid, '_')[2] AS INT) IS NOT NULL
   AND regexp_full_match(COALESCE(str_split(vid, '_')[3], '.'), '[GCTA.]*')
   AND regexp_full_match(COALESCE(str_split(vid, '_')[4], '.'), '[GCTA.]*')
 """

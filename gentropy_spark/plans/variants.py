@@ -1347,10 +1347,18 @@ def q_credible_set_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array().cast("array<string>")
         ),
     )
+    # r9 advisory fix: concat_ws SKIPS nulls while the oracle's '||'
+    # propagates them — identical today (no null user_id in testdata)
+    # but a silent divergence trap. Pin identical null semantics by
+    # coalescing the nullable key to '' on BOTH sides.
     loci = ev.select(
-        F.md5(F.concat_ws("_", F.col("user_id"), eid.cast("string"))).alias(
-            "study_locus_id"
-        ),
+        F.md5(
+            F.concat_ws(
+                "_",
+                F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+                eid.cast("string"),
+            )
+        ).alias("study_locus_id"),
         method.alias("finemapping_method"),
         qc.alias("quality_controls"),
     )
@@ -1375,7 +1383,8 @@ def q_credible_set_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _confidence_sql() -> str:
     return f"""
 WITH loci AS (
-  SELECT md5(user_id || '_' || CAST(event_id AS VARCHAR)) AS study_locus_id,
+  SELECT md5(COALESCE(CAST(user_id AS VARCHAR), '') || '_'
+             || CAST(event_id AS VARCHAR)) AS study_locus_id,
          (['SuSie','SuSiE-inf','PICS','conditional',NULL])
            [CAST(event_id % 5 AS INT) + 1] AS finemapping_method,
          (CASE WHEN event_id % 3 = 0 THEN ['{_QC_OOS_LD}']
