@@ -123,3 +123,72 @@ def test_png_through_mapinpandas_pipeline(spark):
     assert got[1].mean_value == pytest.approx(float(px.mean()))
     assert got[2].codec == "ppm"
     assert got[3].codec == "stub"
+
+
+# --- χ² Pandas-UDF adapters (functions/udf.py, reference common/udf.py) ----
+def test_chi2_udf_adapters_match_reference_doctests(spark):
+    """The reference's own doctest fixtures, verbatim."""
+    import pyspark.sql.functions as f
+
+    from gentropy_spark.functions.udf import (
+        chi2_inverse_survival_function,
+        chi2_survival_function,
+    )
+
+    df = spark.createDataFrame(
+        [(0.1,), (0.05,), (0.001,)], "pValue double"
+    )
+    got = {
+        r.pValue: r.chi2_stat
+        for r in df.select(
+            "pValue",
+            f.round(chi2_inverse_survival_function("pValue"), 2).alias(
+                "chi2_stat"
+            ),
+        ).collect()
+    }
+    assert got == {0.1: 2.71, 0.05: 3.84, 0.001: 10.83}
+
+    df2 = spark.createDataFrame(
+        [(1.0, 1.0), (-1.0, 1.0), (10.0, 100.0)], "zScore double, chi2 double"
+    )
+    rows = df2.select(
+        f.round(chi2_survival_function(f.col("zScore") ** 2), 2).alias("pz"),
+        f.round(chi2_survival_function("chi2"), 2).alias("pc"),
+    ).collect()
+    assert [(r.pz, r.pc) for r in rows] == [
+        (0.32, 0.32),
+        (0.32, 0.32),
+        (0.0, 0.0),
+    ]
+
+
+def test_chi2_udf_adapters_agree_with_column_kernels(spark):
+    """All three surfaces (numpy UDF, Column kernel, SQL builder) share
+    one coefficient table — they must agree to ~1e-9 pointwise."""
+    import numpy as np
+    import pyspark.sql.functions as f
+
+    from gentropy_spark.functions.distributions import (
+        chi2_isf_1df_col,
+        chi2_sf_1df_col,
+    )
+    from gentropy_spark.functions.udf import (
+        chi2_inverse_survival_function,
+        chi2_survival_function,
+    )
+
+    ps = [0.001, 0.01, 0.02425, 0.1, 0.3, 0.5, 0.7, 0.9, 0.97, 0.999]
+    xs = [0.01, 0.5, 1.0, 3.84, 10.0, 30.0, 80.0]
+    df = spark.createDataFrame([(p,) for p in ps], "p double")
+    rows = df.select(
+        chi2_inverse_survival_function("p").alias("udf"),
+        chi2_isf_1df_col(f.col("p")).alias("col"),
+    ).collect()
+    assert all(abs(r.udf - r.col) < 1e-9 for r in rows), rows
+    df2 = spark.createDataFrame([(x,) for x in xs], "x double")
+    rows2 = df2.select(
+        chi2_survival_function("x").alias("udf"),
+        chi2_sf_1df_col(f.col("x")).alias("col"),
+    ).collect()
+    assert all(abs(r.udf - r.col) < 1e-9 for r in rows2), rows2
