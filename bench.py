@@ -76,6 +76,27 @@ HEADLINE = [
 ]
 
 
+def _prev_bench() -> tuple[int, dict, dict, object] | None:
+    """Latest BENCH_r{N}.json next to this file, or None."""
+    import glob
+    import re
+
+    best_n, best_path = -1, None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), p
+    if best_path is None:
+        return None
+    try:
+        with open(best_path) as fh:
+            d = json.load(fh)
+        return best_n, d.get("queries", {}), d.get("duckdb", {}), d.get("sf")
+    except Exception:  # noqa: BLE001 — a corrupt old record is not fatal
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session(app_name="gentropy_spark_bench")
@@ -85,57 +106,90 @@ def main() -> None:
     # engine, not first-call JIT latency.
     registry["q1_pricing_summary"].fn(spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = registry[name].fn
-        best = float("inf")
-        try:
-            for _ in range(2):  # min-of-2: shields the metric from CI noise
-                start = time.perf_counter()
-                df = fn(spark, sf_dir)
-                # Force full materialisation of every column.
-                df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - start)
-            timings[name] = round(best, 3)
-        except Exception as exc:  # noqa: BLE001 — one broken query must
-            # not zero the whole benchmark record (it did in r5).
-            errors[name] = str(exc).split("\n")[0][:200]
-        # Evict intermediates persisted by this query's operators so
-        # storage memory stays bounded across the sweep (the min-of-2
-        # pair above still shares its cache, as intended).
-        release_caches()
-
-    # DuckDB denominator: run each headline query's oracle SQL on the
-    # same parquet (single node, all cores) with the same min-of-2.
-    duck_timings: dict[str, float] = {}
+    # r9 variance control (r8 verdict item 7): the host drifted 1.6x
+    # between rounds, making raw round-over-round seconds meaningless.
+    # Both engines now run INTERLEAVED per query (S,D,S,D min-of-2), so
+    # each Spark/DuckDB pair sees the same seconds-scale host state and
+    # the per-query RATIO is robust to drift.
+    duck_con = None
     try:
         import duckdb
 
-        con = duckdb.connect()
+        duck_con = duckdb.connect()
         for t in (
             "region nation customer supplier part orders lineitem events "
             "documents embeddings"
         ).split():
-            con.execute(
+            duck_con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
-        for name in HEADLINE:
-            sql = registry[name].oracle
-            if sql is None or name not in timings:
-                continue
-            best = float("inf")
+    except Exception:  # noqa: BLE001
+        duck_con = None
+
+    timings: dict[str, float] = {}
+    duck_timings: dict[str, float] = {}
+    ratios: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        sql = registry[name].oracle
+        best_s = best_d = float("inf")
+        for _ in range(2):  # interleaved min-of-2 per engine
             try:
-                for _ in range(2):
+                start = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # Force full materialisation of every column.
+                df.write.format("noop").mode("overwrite").save()
+                best_s = min(best_s, time.perf_counter() - start)
+            except Exception as exc:  # noqa: BLE001 — one broken query
+                # must not zero the whole benchmark record (it did in r5).
+                errors[name] = str(exc).split("\n")[0][:200]
+                break
+            if duck_con is not None and sql is not None:
+                try:
                     start = time.perf_counter()
-                    con.execute(sql).fetchall()
-                    best = min(best, time.perf_counter() - start)
-                duck_timings[name] = round(best, 3)
-            except Exception as exc:  # noqa: BLE001
-                errors[f"duckdb:{name}"] = str(exc).split("\n")[0][:200]
-        con.close()
-    except Exception:
-        duck_timings = {}
+                    duck_con.execute(sql).fetchall()
+                    best_d = min(best_d, time.perf_counter() - start)
+                except Exception as exc:  # noqa: BLE001
+                    errors[f"duckdb:{name}"] = str(exc).split("\n")[0][:200]
+        if best_s < float("inf"):
+            timings[name] = round(best_s, 3)
+        if best_d < float("inf"):
+            duck_timings[name] = round(best_d, 3)
+            if best_d > 0:
+                ratios[name] = round(best_s / best_d, 3)
+        # Evict intermediates persisted by this query's operators so
+        # storage memory stays bounded across the sweep (the min-of-2
+        # pair above still shares its cache, as intended).
+        release_caches()
+    if duck_con is not None:
+        duck_con.close()
+
+    # Shared-subset ratio vs the previous round's record: same query
+    # keys, both engines, so the comparison is drift-normalised.
+    shared_vs_prev = None
+    prev = _prev_bench()
+    sf_now = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    if prev is not None and str(prev[3]) == sf_now:
+        prev_n, prev_q, prev_d = prev[0], prev[1], prev[2]
+        shared = sorted(
+            k for k in timings if k in duck_timings
+            and k in prev_q and k in prev_d and prev_d.get(k)
+        )
+        if shared:
+            prev_duck_total = sum(prev_d[k] for k in shared)
+            cur_duck_total = sum(duck_timings[k] for k in shared)
+            if prev_duck_total > 0 and cur_duck_total > 0:
+                shared_vs_prev = {
+                    "prev_round": prev_n,
+                    "n_shared": len(shared),
+                    "prev_ratio": round(
+                        sum(prev_q[k] for k in shared) / prev_duck_total, 3
+                    ),
+                    "current_ratio": round(
+                        sum(timings[k] for k in shared) / cur_duck_total, 3
+                    ),
+                }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark_on_common = sum(timings[k] for k in duck_timings)
@@ -151,6 +205,13 @@ def main() -> None:
                 "duckdb_total": round(duck_total, 3),
                 "spark_vs_duckdb": (
                     round(spark_on_common / duck_total, 3) if duck_total else None
+                ),
+                "per_query_ratio": ratios,
+                "interleaved": True,  # S,D,S,D per query (drift control)
+                **(
+                    {"shared_subset_ratio_vs_prev": shared_vs_prev}
+                    if shared_vs_prev
+                    else {}
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # Perf-profile flags. Parity profile (both off) is the
