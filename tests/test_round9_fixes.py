@@ -192,3 +192,150 @@ def test_chi2_udf_adapters_agree_with_column_kernels(spark):
         chi2_sf_1df_col(f.col("x")).alias("col"),
     ).collect()
     assert all(abs(r.udf - r.col) < 1e-9 for r in rows2), rows2
+
+
+# --- streaming upsert sink: crash between staging write and swap -----------
+def test_upsert_sink_crash_and_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Failure-path evidence for the foreachBatch MERGE sink (r8 verdict
+    item 9): inject a crash AFTER the staging write but BEFORE the
+    atomic swap while draining a second file. The target must (a)
+    survive the crash unchanged (the swap never happened, the backup
+    restore ran), and (b) after a plain re-drain over the same
+    checkpoint equal the batch dedup of ALL input — processed exactly
+    once, no double-counted n_dups, no lost keys."""
+    import pathlib
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from gentropy_spark.streaming.windowed import run_upsert_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    # Phase 1: drain the first file — clean baseline.
+    run_upsert_sink(spark, str(src), target_dir=target, checkpoint=ckpt)
+    base = {
+        (r.user_id, r.event_type, r.pos): (r.first_event_id, r.n_dups)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert base
+
+    # Second file: same natural keys, shifted surrogate ids — every key
+    # becomes a duplicate pair (n_dups must exactly double; min id must
+    # stay the original).
+    tbl = pq.read_table(src / "events.parquet")
+    shifted = tbl.set_column(
+        tbl.schema.get_field_index("event_id"),
+        "event_id",
+        pc.add(tbl.column("event_id"), 10_000_000),
+    )
+    pq.write_table(shifted, src / "events_b.parquet")
+
+    # Phase 2: drain with an injected crash between staging and swap.
+    orig_rename = pathlib.Path.rename
+    state = {"armed": True}
+
+    def flaky_rename(self, dst):
+        if state["armed"] and str(self).endswith("__upsert_staging"):
+            state["armed"] = False
+            raise OSError("injected crash before swap")
+        return orig_rename(self, dst)
+
+    pathlib.Path.rename = flaky_rename
+    try:
+        with _pytest.raises(Exception, match="injected crash|STREAM"):
+            run_upsert_sink(spark, str(src), target_dir=target, checkpoint=ckpt)
+    finally:
+        pathlib.Path.rename = orig_rename
+
+    # (a) Atomicity: the interrupted drain left the PHASE-1 target.
+    after_crash = {
+        (r.user_id, r.event_type, r.pos): (r.first_event_id, r.n_dups)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert after_crash == base
+
+    # Phase 3: plain re-drain over the SAME checkpoint.
+    run_upsert_sink(spark, str(src), target_dir=target, checkpoint=ckpt)
+    final = {
+        (r.user_id, r.event_type, r.pos): (r.first_event_id, r.n_dups)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert set(final) == set(base)
+    for key, (first_id, n) in base.items():
+        got_first, got_n = final[key]
+        assert got_first == first_id, key  # min id survives the merge
+        assert got_n == 2 * n, key  # each key seen exactly twice
+
+
+# --- salted join: measured skew evenness ------------------------------------
+def test_salted_join_spreads_hot_key_measured(spark):
+    """Skew posture, measured (r8 verdict item 5): one key owns 30% of
+    the probe side. With broadcast disabled (the regime salting exists
+    for) and AQE off (so runtime coalescing can't mask the raw shuffle
+    layout), the plain shuffle join lands every hot-key output row in
+    ONE partition; the salted join spreads it across n_salts
+    partitions. We assert on rows-per-output-partition — the direct
+    driver of task wall-time for a join — and on result equality."""
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.operators.reshape import salted_join
+
+    n, hot_share, n_keys = 200_000, 0.3, 1_000
+    left = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("id") % n_keys)
+        .alias("k"),
+    )
+    right = spark.range(n_keys).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("dim_val")
+    )
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # The test session runs 8 shuffle partitions; with only 8 buckets
+    # the 16 salt groups land lumpily (2-4 per bucket) and understate
+    # the spread. 64 partitions ~ a real cluster's task granularity.
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try:
+        def max_partition_rows(df):
+            sizes = (
+                df.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid")
+                .count()
+                .collect()
+            )
+            return max(r["count"] for r in sizes)
+
+        plain = left.join(right, on="k")
+        salted = salted_join(left, right, key="k", n_salts=16)
+
+        assert salted.count() == plain.count() == n
+        # checksum equality: same rows, not just same cardinality
+        chk = lambda df: df.agg(
+            F.sum(F.col("row_id") * F.col("dim_val"))
+        ).collect()[0][0]
+        assert chk(salted) == chk(plain)
+
+        hot_plain = max_partition_rows(plain)
+        hot_salted = max_partition_rows(salted)
+        # Plain: the hot key's ~30% of rows share one partition.
+        assert hot_plain >= int(n * hot_share * 0.95), hot_plain
+        # Salted: spread over 16 salts -> max partition carries a
+        # small multiple of the even share. >=4x improvement is the
+        # conservative bound (ideal is ~16x for the hot key).
+        assert hot_plain / hot_salted >= 4, (hot_plain, hot_salted)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
