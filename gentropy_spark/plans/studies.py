@@ -110,6 +110,80 @@ def _accession(key_col):
     return F.concat(F.lit("GCST"), F.lpad(key_col.cast("string"), 8, "0"))
 
 
+def split_ancestry_even(
+    pairs: DataFrame,
+    label_col: str = "ancestry_label",
+    count_col: str = "n_individuals",
+) -> DataFrame:
+    """Explode a multi-ancestry label into even-split per-ancestry rows.
+
+    Reference semantics (gwas_catalog/study_index.py:91,:118): split on
+    ', ' NOT inside parentheses; each part receives the TRUNCATED even
+    share count/k (the reference casts the double quotient to int).
+    Keeps all other columns. Factored out of q_gwas_study_ingest so the
+    edge cases (zero counts, in-parens commas, k∤n remainders) are
+    property-testable against the exact production expression.
+    """
+    label_parts = F.split(F.col(label_col), _ANC_SPLIT_RE)
+    others = [c for c in pairs.columns if c not in (label_col, count_col)]
+    return pairs.select(
+        *others,
+        F.explode(label_parts).alias("ancestry"),
+        (F.col(count_col) / F.size(label_parts))
+        .cast("long")
+        .alias("part_count"),
+    )
+
+
+def parse_sample_counts(
+    parsed: DataFrame,
+    study_col: str = "study_id",
+    size_col: str = "initial_sample_size",
+) -> DataFrame:
+    """Per-study n_cases / n_controls / n_samples from the free-text
+    initialSampleSize string.
+
+    Reference semantics (gwas_catalog/study_index.py:545): split the
+    string on ',\\s+' (in-number commas like '10,000' have no trailing
+    space and survive), strip remaining commas, extract the leading
+    integer, route by 'cases'/'controls' substring, sum per study.
+    Entries with no digits contribute NULL (excluded from sums).
+    """
+    return (
+        parsed.select(
+            study_col,
+            F.explode_outer(F.split(F.col(size_col), r",\s+")).alias(
+                "samples"
+            ),
+        )
+        .withColumn(
+            "n",
+            # try_cast: regexp_extract yields '' (not NULL) on
+            # no-match, and ANSI CAST('') throws — the oracle's
+            # NULLIF guard must map to NULL here too.
+            F.regexp_extract(
+                F.regexp_replace(F.col("samples"), ",", ""), r"[0-9]+", 0
+            ).try_cast("long"),
+        )
+        .groupBy(study_col)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("samples").contains("cases"), F.col("n"))
+                ),
+                F.lit(0),
+            ).alias("n_cases"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("samples").contains("controls"), F.col("n"))
+                ),
+                F.lit(0),
+            ).alias("n_controls"),
+            F.sum("n").alias("n_samples"),
+        )
+    )
+
+
 def _raw_gwas_studies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic GWAS-Catalog raw study table (one row per order)."""
     orders = read_table(spark, sf_dir, "orders")
@@ -315,18 +389,10 @@ def q_gwas_study_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = anc.select(
         "study_id", "stage", "ancestry_label", "n_individuals"
     ).distinct()
-    label_parts = F.split(F.col("ancestry_label"), _ANC_SPLIT_RE)
     # Even split with truncating division (reference casts the double
     # quotient to int, study_index.py:118); for positive ints cast-of-
     # double truncation == floor == DuckDB's // on the oracle side.
-    exploded = pairs.select(
-        "study_id",
-        "stage",
-        F.explode(label_parts).alias("ancestry"),
-        (F.col("n_individuals") / F.size(label_parts))
-        .cast("long")
-        .alias("part_count"),
-    )
+    exploded = split_ancestry_even(pairs)
     disc_by_anc = (
         exploded.filter(F.col("stage") == "initial")
         .groupBy("study_id", "ancestry")
@@ -414,39 +480,7 @@ def q_gwas_study_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("other_initial"),
         )
     )
-    samples = (
-        parsed.select(
-            "study_id",
-            F.explode_outer(
-                F.split(F.col("initial_sample_size"), r",\s+")
-            ).alias("samples"),
-        )
-        .withColumn(
-            "n",
-            # try_cast: regexp_extract yields '' (not NULL) on
-            # no-match, and ANSI CAST('') throws — the oracle's
-            # NULLIF guard must map to NULL here too.
-            F.regexp_extract(
-                F.regexp_replace(F.col("samples"), ",", ""), r"[0-9]+", 0
-            ).try_cast("long"),
-        )
-        .groupBy("study_id")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("samples").contains("cases"), F.col("n"))
-                ),
-                F.lit(0),
-            ).alias("n_cases"),
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("samples").contains("controls"), F.col("n"))
-                ),
-                F.lit(0),
-            ).alias("n_controls"),
-            F.sum("n").alias("n_samples"),
-        )
-    )
+    samples = parse_sample_counts(parsed)
     return (
         parsed.join(samples, on="study_id", how="left")
         .join(disc_csv, on="study_id", how="left")
@@ -742,6 +776,18 @@ def q_gwas_study_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     st_ass = assoc.join(F.broadcast(studies), on="study_id", how="inner")
+    return resolve_substudies(st_ass)
+
+
+def resolve_substudies(st_ass: DataFrame) -> DataFrame:
+    """Sub-study resolution + ambiguity flag over joined associations.
+
+    Input: (study_id, variant_id, sub_study_description, study_trait,
+    study_efo_csv). Factored out of q_gwas_study_split so the
+    trait/EFO disagreement and ambiguity-flag edge cases are
+    property-testable against the exact production expressions
+    (reference: study_splitter.py:21,:52,:66; associations.py:1194).
+    """
     parts = F.split(F.col("sub_study_description"), r"\|")
     a_trait = F.try_element_at(parts, F.lit(1))
     a_pvtext = F.try_element_at(parts, F.lit(2))
