@@ -233,3 +233,31 @@ def test_study_locus_qc_flags_exchange_budget(spark, sf_dir):
         assert counts.get("ShuffledHashJoin", 0) == 0, counts
     finally:
         release_caches()
+
+
+def test_gwas_study_ingest_scan_budget(spark, sf_dir):
+    """r9 scale-probe companion (docs/SCALE_PROBE.md): the GWAS study
+    assembly must read each parquet source ONCE — the ancestry base is
+    cached and feeds all four aggregates (discovery, replication,
+    LD-population, European deconvolution) through InMemoryTableScan,
+    and every study-keyed annotation joins back via broadcast. A
+    regression to per-aggregate lineitem re-scans fails here."""
+    from gentropy_spark.plans.studies import q_gwas_study_ingest
+    from gentropy_spark.session import release_caches
+
+    release_caches()
+    try:
+        counts = _physical_node_counts(q_gwas_study_ingest(spark, sf_dir))
+        n_parquet = sum(
+            v for k, v in counts.items()
+            if "Scan parquet" in k or k == "FileSourceScan"
+        )
+        # one lineitem scan (cache population) + one orders scan
+        assert n_parquet <= 2, f"parquet scanned {n_parquet}x: {counts}"
+        # the four ancestry aggregates all read the cached base
+        assert counts.get("InMemoryTableScan", 0) >= 3, counts
+        # all annotation joins broadcast — no sort-merge join of the
+        # study dimension at any scale
+        assert counts.get("SortMergeJoin", 0) == 0, counts
+    finally:
+        release_caches()
