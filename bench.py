@@ -92,6 +92,10 @@ def _prev_bench() -> tuple[int, dict, dict, object] | None:
     try:
         with open(best_path) as fh:
             d = json.load(fh)
+        # The driver records bench output under a {"parsed": ...}
+        # wrapper; a raw bench.py line has the payload at top level.
+        if "parsed" in d and isinstance(d["parsed"], dict):
+            d = d["parsed"]
         return best_n, d.get("queries", {}), d.get("duckdb", {}), d.get("sf")
     except Exception:  # noqa: BLE001 — a corrupt old record is not fatal
         return None
