@@ -779,11 +779,16 @@ FROM flagged
 
 
 def q_study_locus_qc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No cache on the parsed source (r9): the SQL references the view
+    # three times (clustered base, locus-breaker regions, study bits),
+    # but each consumer's signif filter and column set push down to its
+    # own pruned parquet scan, and AQE runs the three leaf stages
+    # CONCURRENTLY — measured faster at sf0.1 than serializing on a
+    # cache-materialization job, and the only posture that survives
+    # 100 TB (caching a full-width parse does not).
     from gentropy_spark.plans.genomics import sumstats
-    from gentropy_spark.session import track_cache
 
-    ss_all = track_cache(sumstats(spark, sf_dir))
-    ss_all.createOrReplaceTempView(_QC_FLAGS_SRC_VIEW)
+    sumstats(spark, sf_dir).createOrReplaceTempView(_QC_FLAGS_SRC_VIEW)
     return spark.sql(_study_locus_qc_spark_sql())
 
 

@@ -179,14 +179,15 @@ def test_l2g_feature_matrix_exchange_budget(spark, sf_dir):
     assert counts.get("Sort", 99) <= 17, f"sort count {counts.get('Sort')}"
 
 
-def test_study_locus_qc_flags_single_events_scan(spark, sf_dir):
-    """r8 shared-subplan fix: the 23-flag annotation previously
-    recomputed q_locus_breaker and q_pics_finemap as independent
-    subplans — three parquet scans of the events source. The rewrite
-    caches the parsed sumstats base and derives regions / PIP-mass /
-    dominance from it: at most ONE parquet scan of events may remain
-    in the executed plan (the cache-population scan), everything else
-    must read the InMemoryTableScan."""
+def test_study_locus_qc_flags_pruned_scans(spark, sf_dir):
+    """r9 scan posture: the sweep reads the events source through
+    exactly three PRUNED scans (clustered base, locus-breaker regions,
+    per-study bits), each with its significance filter PUSHED to the
+    parquet reader — the shape that survives 100 TB, where caching the
+    full-width parse (the r8 approach) would not. The r8 defect this
+    guards against — independent re-parses of the FULL source per
+    annotation — would show up as scans without pushed filters or as
+    extra scans beyond the three consumers."""
     from gentropy_spark.plans.variants import q_study_locus_qc_flags
     from gentropy_spark.session import release_caches
 
@@ -197,7 +198,14 @@ def test_study_locus_qc_flags_single_events_scan(spark, sf_dir):
         n_parquet = sum(
             v for k, v in counts.items() if "Scan parquet" in k or k == "FileSourceScan"
         )
-        assert n_parquet <= 1, f"events scanned {n_parquet}x: {counts}"
+        assert n_parquet <= 3, f"events scanned {n_parquet}x: {counts}"
+        import re
+
+        plan = _formatted(df)
+        pushed = len(
+            re.findall(r"PushedFilters: \[.*GreaterThanOrEqual\(value", plan)
+        )
+        assert pushed >= 3, f"signif pushdown missing: {pushed}\n{plan[:2000]}"
         # The dominance probe must be the range-window form — no
         # explode+join+distinct triple exchange for it.
         assert counts.get("Generate", 0) == 0, counts
