@@ -41,6 +41,8 @@ def sniff(payload: bytes) -> str:
         return "wav"
     if payload[:8] == PNG_SIGNATURE:
         return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return "unknown"
 
 
@@ -278,8 +280,9 @@ def decode_png(payload: bytes) -> dict:
 
 def decode_any(payload: bytes) -> dict:
     """Dispatch on magic bytes; unknown containers fall back to the
-    deterministic stub (the documented scope limit for entropy-coded
-    codecs — JPEG/MP4 need libs this container does not ship)."""
+    deterministic stub (the remaining scope limit is MP4/H.264 video
+    and progressive/arithmetic JPEG — baseline JPEG, PNG, PPM, BMP and
+    WAV all decode for real)."""
     kind = sniff(payload)
     try:
         if kind == "ppm":
@@ -290,6 +293,10 @@ def decode_any(payload: bytes) -> dict:
             return decode_wav(payload)
         if kind == "png":
             return decode_png(payload)
+        if kind == "jpeg":
+            from gentropy_spark.operators.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
     except Exception:  # noqa: BLE001 — corrupt media must not kill a batch
         pass
     return {

@@ -3,16 +3,18 @@
 Treat image/audio/video as opaque ``binary`` columns with typed
 metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
-r8/r9: the decode step is a REAL decoder for every container format
-the sandbox can parse without external libraries — PPM (P6), BMP
-(24-bit BI_RGB), WAV (PCM16) and PNG (stdlib zlib inflate + all five
-scanline filters, color types 0/2/3/4/6 at 8-bit depth), via
-operators/codecs.py (stdlib struct/wave/zlib + numpy) — dispatched on
-magic bytes. Entropy-coded codecs (JPEG/MP4) still fall back to the
-deterministic byte-derived stub (the documented scope limit: DCT /
-H.264 entropy decoding needs libs this container does not ship); a
-Pillow/ffmpeg decoder slots into ``codecs.decode_any``'s fallback
-branch without touching the plan, schema, or batch shape.
+r8/r9: the decode step is a REAL decoder for every image/audio
+format in scope — PPM (P6), BMP (24-bit BI_RGB), WAV (PCM16), PNG
+(stdlib zlib inflate + all five scanline filters, color types
+0/2/3/4/6 at 8-bit depth) and baseline JPEG (operators/jpeg.py:
+stream-table-driven Huffman decode + numpy IDCT, grayscale/YCbCr at
+any h×v sampling incl. 4:2:0, restart markers) — dispatched on magic
+bytes, stdlib + numpy only. The deterministic byte-derived stub now
+covers only MP4/H.264 video and progressive/arithmetic JPEG (the
+documented scope limit: an H.264 entropy decoder is genuinely out of
+scope for this container); an ffmpeg decoder slots into
+``codecs.decode_any``'s fallback branch without touching the plan,
+schema, or batch shape.
 """
 
 from __future__ import annotations

@@ -339,3 +339,89 @@ def test_salted_join_spreads_hot_key_measured(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+# --- baseline JPEG codec (operators/jpeg.py) --------------------------------
+def test_jpeg_flat_color_roundtrip_exact():
+    """A constant block is pure DC — it must survive quantization
+    exactly, in both 4:4:4 and 4:2:0."""
+    from gentropy_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    flat = np.full((16, 24, 3), [120, 60, 200], dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg_pixels(encode_jpeg(flat, quality=90)), flat
+    )
+    flat2 = np.full((20, 28, 3), [33, 99, 180], dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(flat2, quality=90, subsample=True))
+    assert np.array_equal(out, flat2)
+
+
+def _psnr(a, b):
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return 10 * np.log10(255**2 / mse) if mse else np.inf
+
+
+@pytest.mark.parametrize("subsample,floor", [(False, 45.0), (True, 38.0)])
+def test_jpeg_gradient_psnr(subsample, floor):
+    from gentropy_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    x = np.linspace(0, 255, 48)
+    grad = np.stack(np.meshgrid(x, x), -1).mean(-1)
+    img = np.stack([grad, grad[::-1], grad.T], -1).astype(np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(img, quality=90, subsample=subsample))
+    assert dec.shape == img.shape
+    assert _psnr(dec, img) >= floor
+
+
+def test_jpeg_noise_gray_and_odd_dims():
+    from gentropy_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    noise = _rng(5).integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(noise, quality=95))
+    assert dec.shape == noise.shape
+    assert _psnr(dec, noise) >= 30.0  # worst-case content at q=95
+
+    g = _rng(6).integers(0, 256, (17, 31), dtype=np.uint8)
+    meta = decode_jpeg(encode_jpeg(g, quality=90))
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (31, 17, 1)
+
+    odd = _rng(7).integers(0, 256, (13, 11, 3), dtype=np.uint8)
+    assert decode_jpeg_pixels(encode_jpeg(odd, quality=85)).shape == (13, 11, 3)
+
+
+def test_jpeg_unsupported_and_corrupt_fall_back_to_stub():
+    """Progressive SOF2 and truncated scans route to the stub through
+    decode_any; baseline decodes for real."""
+    from gentropy_spark.operators.codecs import decode_any
+    from gentropy_spark.operators.jpeg import encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8, 3), 77, np.uint8))
+    meta = decode_any(good)
+    assert meta["codec"] == "jpeg" and meta["mean_value"] == pytest.approx(77.0)
+
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive → stub
+    prog = bytearray(good)
+    idx = bytes(prog).find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    assert decode_any(bytes(prog))["codec"] == "stub"
+
+    assert decode_any(good[: len(good) // 2])["codec"] == "stub"
+
+
+def test_jpeg_through_mapinpandas_pipeline(spark):
+    from gentropy_spark.operators.jpeg import encode_jpeg
+    from gentropy_spark.operators.multimodal import decode_features
+
+    px = _rng(9).integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(px, quality=95)))],
+        "doc_id long, payload binary",
+    )
+    row = decode_features(df).collect()[0]
+    assert row.codec == "jpeg"
+    assert (row.width, row.height, row.n_channels) == (8, 8, 3)
+    assert row.mean_value == pytest.approx(float(px.mean()), abs=3.0)
