@@ -1,22 +1,25 @@
-"""Real media codecs for library-free container formats (r8, PNG r9).
+"""Real media codecs, library-free (r8: PPM/BMP/WAV; r9: PNG/JPEG/MP4).
 
-The sandbox ships no image/audio libraries, but PPM (P6), BMP
-(BITMAPINFOHEADER / 24-bit BI_RGB), WAV (PCM16) and — since r9 — PNG
-(zlib inflate + all five scanline filters, color types 0/2/3/4/6 at
-8-bit depth) are fully decodable with the stdlib + numpy. The
-multimodal pipeline's decode step is therefore a REAL decoder for
-those formats; the deterministic stub remains only for codecs whose
-entropy coding the stdlib cannot express (JPEG/MP4). Swapping in
-Pillow/ffmpeg later replaces ``decode_any``'s fallback branch without
-touching the mapInPandas contract (operators/multimodal.py).
+The sandbox ships no image/audio libraries, but with stdlib + numpy
+alone the decode step is REAL for: PPM (P6), BMP (BITMAPINFOHEADER /
+24-bit BI_RGB), WAV (PCM16), PNG (zlib inflate + all five scanline
+filters, color types 0/2/3/4/6 at 8-bit depth), baseline JPEG
+(operators/jpeg.py: stream-table-driven Huffman + numpy IDCT) and the
+MP4/ISO-BMFF CONTAINER (box parsing: duration timescale, track count,
+video track dims — sample data intentionally not decoded, mean_value
+NULL). The deterministic stub remains only for formats outside that
+scope (progressive/arithmetic JPEG, raw H.264 pixel decode); an
+ffmpeg-backed decoder slots into ``decode_any``'s fallback branch
+without touching the mapInPandas contract (operators/multimodal.py).
 
 All decoders take raw ``bytes`` and return a plain dict with the
 unified media schema:
-    codec: 'ppm' | 'bmp' | 'wav' | 'stub'
+    codec: 'ppm' | 'bmp' | 'wav' | 'png' | 'jpeg' | 'mp4' | 'stub'
     width, height: pixel dims (images; None for audio)
-    n_channels: samples per pixel / audio channels
-    sample_rate: audio frame rate (None for images)
-    mean_value: mean sample value over all channels (float)
+    n_channels: samples per pixel / audio channels / mp4 track count
+    sample_rate: audio frame rate / mp4 movie timescale (None: images)
+    mean_value: mean sample value over all channels (float; NULL when
+        sample data is not decoded — mp4, stub)
 """
 
 from __future__ import annotations
@@ -43,6 +46,8 @@ def sniff(payload: bytes) -> str:
         return "png"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
@@ -297,6 +302,8 @@ def decode_any(payload: bytes) -> dict:
             from gentropy_spark.operators.jpeg import decode_jpeg
 
             return decode_jpeg(payload)
+        if kind == "mp4":
+            return decode_mp4(payload)
     except Exception:  # noqa: BLE001 — corrupt media must not kill a batch
         pass
     return {
@@ -409,3 +416,117 @@ def encode_wav(samples: np.ndarray, rate: int = 16_000, channels: int = 1) -> by
         wf.setframerate(rate)
         wf.writeframes(samples.astype("<i2").tobytes())
     return buf.getvalue()
+
+
+# --- MP4 / ISO-BMFF container metadata (r9) ---------------------------------
+# Full H.264 pixel decode is genuinely out of scope for a stdlib-only
+# container, but the ISO base-media FILE FORMAT (ISO 14496-12) is pure
+# length-prefixed box parsing: duration, track count and the video
+# track's coded dimensions all live in plain big-endian headers. So the
+# multimodal decode step reports REAL container metadata for MP4 —
+# only the sample (pixel/audio) data stays undecoded (mean_value NULL,
+# like the stub path, which is the honest signal for "bytes not
+# decoded").
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the boxes in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        btype = payload[pos + 4 : pos + 8]
+        header = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            (size,) = struct.unpack_from(">Q", payload, pos + 8)
+            header = 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < header or pos + size > end:
+            raise ValueError("bad MP4 box size")
+        yield btype, pos + header, pos + size
+        pos += size
+
+
+def decode_mp4(payload: bytes) -> dict:
+    """ISO-BMFF metadata: movie duration, track count, video dims.
+
+    width/height come from the first video track's ``tkhd`` (16.16
+    fixed point); sample_rate carries the ``mvhd`` timescale (ticks/s)
+    — the closest audio-free analog of a rate in the unified schema;
+    n_channels carries the TRACK COUNT. mean_value is NULL: sample
+    data is intentionally not decoded.
+    """
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF container")
+    timescale = None
+    n_tracks = 0
+    width = height = None
+    moov = None
+    for btype, b0, b1 in _mp4_boxes(payload, 0, len(payload)):
+        if btype == b"moov":
+            moov = (b0, b1)
+            break
+    if moov is None:
+        raise ValueError("no moov box")
+    for btype, b0, b1 in _mp4_boxes(payload, *moov):
+        if btype == b"mvhd":
+            version = payload[b0]
+            off = b0 + (20 if version == 1 else 12)
+            (timescale,) = struct.unpack_from(">I", payload, off)
+        elif btype == b"trak":
+            n_tracks += 1
+            for t, t0, t1 in _mp4_boxes(payload, b0, b1):
+                if t == b"tkhd" and width is None:
+                    # width/height: last 8 bytes, 16.16 fixed point
+                    w_fx, h_fx = struct.unpack_from(">II", payload, t1 - 8)
+                    if w_fx and h_fx:
+                        width, height = w_fx >> 16, h_fx >> 16
+    return {
+        "codec": "mp4",
+        "width": width,
+        "height": height,
+        "n_channels": n_tracks,
+        "sample_rate": timescale,
+        "mean_value": None,  # sample data not decoded — honest NULL
+    }
+
+
+def encode_mp4_skeleton(
+    width: int = 640,
+    height: int = 360,
+    timescale: int = 1000,
+    n_tracks: int = 1,
+) -> bytes:
+    """Minimal valid ISO-BMFF skeleton (test support): ftyp + moov
+    with mvhd and ``n_tracks`` trak/tkhd boxes, no media data."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, timescale * 2)  # scale, duration
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume
+        + bytes(10)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)
+        + struct.pack(">I", n_tracks + 1),  # next track id
+    )
+    traks = b""
+    for tid in range(1, n_tracks + 1):
+        tkhd = box(
+            b"tkhd",
+            bytes(4)
+            + struct.pack(">IIII", 0, 0, tid, 0)
+            + struct.pack(">I", timescale * 2)
+            + bytes(8)
+            + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        traks += box(b"trak", tkhd)
+    return ftyp + box(b"moov", mvhd + traks)

@@ -9,8 +9,10 @@ format in scope — PPM (P6), BMP (24-bit BI_RGB), WAV (PCM16), PNG
 0/2/3/4/6 at 8-bit depth) and baseline JPEG (operators/jpeg.py:
 stream-table-driven Huffman decode + numpy IDCT, grayscale/YCbCr at
 any h×v sampling incl. 4:2:0, restart markers) — dispatched on magic
-bytes, stdlib + numpy only. The deterministic byte-derived stub now
-covers only MP4/H.264 video and progressive/arithmetic JPEG (the
+bytes, stdlib + numpy only. MP4/ISO-BMFF containers parse for real
+too (box walk: video dims, movie timescale, track count — sample
+data honestly NULL). The deterministic byte-derived stub now covers
+only progressive/arithmetic JPEG and raw H.264 pixel decode (the
 documented scope limit: an H.264 entropy decoder is genuinely out of
 scope for this container); an ffmpeg decoder slots into
 ``codecs.decode_any``'s fallback branch without touching the plan,

@@ -425,3 +425,37 @@ def test_jpeg_through_mapinpandas_pipeline(spark):
     assert row.codec == "jpeg"
     assert (row.width, row.height, row.n_channels) == (8, 8, 3)
     assert row.mean_value == pytest.approx(float(px.mean()), abs=3.0)
+
+
+# --- MP4 / ISO-BMFF container metadata --------------------------------------
+def test_mp4_container_metadata_parses():
+    from gentropy_spark.operators.codecs import decode_any, encode_mp4_skeleton
+
+    m = decode_any(encode_mp4_skeleton(1280, 720, 90000, n_tracks=2))
+    assert m["codec"] == "mp4"
+    assert (m["width"], m["height"]) == (1280, 720)
+    assert m["n_channels"] == 2  # track count
+    assert m["sample_rate"] == 90000  # movie timescale
+    assert m["mean_value"] is None  # sample data intentionally undecoded
+
+
+def test_mp4_truncated_falls_back_to_stub():
+    from gentropy_spark.operators.codecs import decode_any, encode_mp4_skeleton
+
+    payload = encode_mp4_skeleton()
+    assert decode_any(payload[:40])["codec"] == "stub"
+    # valid ftyp but no moov
+    assert decode_any(payload[:24])["codec"] == "stub"
+
+
+def test_mp4_through_mapinpandas_pipeline(spark):
+    from gentropy_spark.operators.codecs import encode_mp4_skeleton
+    from gentropy_spark.operators.multimodal import decode_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_mp4_skeleton(640, 360, 1000, 1)))],
+        "doc_id long, payload binary",
+    )
+    row = decode_features(df).collect()[0]
+    assert row.codec == "mp4" and (row.width, row.height) == (640, 360)
+    assert row.mean_value is None
