@@ -459,3 +459,74 @@ def test_mp4_through_mapinpandas_pipeline(spark):
     row = decode_features(df).collect()[0]
     assert row.codec == "mp4" and (row.width, row.height) == (640, 360)
     assert row.mean_value is None
+
+
+# --- static assets: Ensembl consequence table --------------------------------
+def test_variant_consequence_asset_reference_doctests():
+    """The reference's own doctest fixtures
+    (assets/variant_consequences.py): missense id/score, table size."""
+    from gentropy_spark.assets.variant_consequences import (
+        CONSEQUENCES,
+        map_score,
+        map_sequence_ontology,
+    )
+
+    so = map_sequence_ontology()
+    assert so["missense_variant"] == "SO_0001583"
+    assert len(so) == 41
+    assert map_score()["missense_variant"] == 0.68
+    # ranks are a dense 1..41 permutation-free sequence, impacts valid
+    assert [c.rank for c in CONSEQUENCES] == list(range(1, 42))
+    assert {c.impact for c in CONSEQUENCES} == {
+        "HIGH", "MODERATE", "LOW", "MODIFIER"
+    }
+    # the correct public Ensembl term (the reference file carries a
+    # find-and-replace typo here)
+    assert so["incomplete_terminal_codon_variant"] == "SO_0001626"
+
+
+# --- Ensembl REST client (offline, injectable transport) --------------------
+def test_ensembl_rsid_client_parses_and_batches():
+    from gentropy_spark.sources.ensembl_api import fetch_coordinates_from_rsids
+
+    calls = []
+
+    def fake_transport(batch):
+        calls.append(list(batch))
+        return {
+            rsid: {
+                "mappings": [
+                    {  # canonical chromosome: kept, two alts -> two ids
+                        "seq_region_name": "17",
+                        "start": 7041768,
+                        "allele_string": "G/C/T",
+                    },
+                    {  # patch scaffold: dropped
+                        "seq_region_name": "HSCHR17_1_CTG1",
+                        "start": 1,
+                        "allele_string": "G/C",
+                    },
+                ]
+            }
+            if rsid != "rs_unmapped"
+            else {"mappings": []}
+            for rsid in batch
+        }
+
+    rsids = [f"rs{i}" for i in range(5)] + ["rs_unmapped"]
+    got = fetch_coordinates_from_rsids(
+        rsids, batch_size=2, pause_time=0, transport=fake_transport
+    )
+    assert len(calls) == 3  # ceil(6/2) batches
+    assert got["rs0"] == ["17_7041768_G_C", "17_7041768_G_T"]
+    assert "rs_unmapped" not in got  # no-mapping rsIDs omitted
+
+
+def test_ensembl_rsid_client_wraps_batch_errors():
+    from gentropy_spark.sources.ensembl_api import fetch_coordinates_from_rsids
+
+    def boom(batch):
+        raise ConnectionError("offline")
+
+    with pytest.raises(RuntimeError, match="batch 1"):
+        fetch_coordinates_from_rsids(["rs1"], transport=boom)
