@@ -530,3 +530,32 @@ def test_ensembl_rsid_client_wraps_batch_errors():
 
     with pytest.raises(RuntimeError, match="batch 1"):
         fetch_coordinates_from_rsids(["rs1"], transport=boom)
+
+
+# --- cloud store wiring (sources/cloud.py) ----------------------------------
+def test_s3_config_from_file_env_and_conf(tmp_path, monkeypatch):
+    from gentropy_spark.sources.cloud import S3Config
+
+    cfg_path = tmp_path / "s3.json"
+    cfg_path.write_text(
+        '{"bucket_name": "b", "s3_host_port": 9000,'
+        ' "s3_host_url": "s3.local", "access_key_id": "ak",'
+        ' "secret_access_key": "sk"}'
+    )
+    cfg = S3Config.from_file(str(cfg_path))
+    assert cfg.bucket_name == "b" and cfg.endpoint == "s3.local:9000"
+    assert cfg.bucket_uri("data/x.parquet") == "s3a://b/data/x.parquet"
+    conf = cfg.hadoop_conf()
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "s3.local:9000"
+    assert conf["spark.hadoop.fs.s3a.connection.ssl.enabled"] == "false"
+
+    monkeypatch.setenv("AWS_S3_BUCKET_NAME", "envb")
+    monkeypatch.setenv("AWS_ENDPOINT_URL", "s3.example.com:9001")
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "id")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "sec")
+    env_cfg = S3Config.from_env()
+    assert (env_cfg.bucket_name, env_cfg.s3_host_port) == ("envb", 9001)
+
+    monkeypatch.delenv("AWS_S3_BUCKET_NAME")
+    with pytest.raises(ValueError, match="AWS_S3_BUCKET_NAME"):
+        S3Config.from_env()
