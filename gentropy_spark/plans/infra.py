@@ -130,6 +130,9 @@ def q_synthetic_sumstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(SyntheticSumstatsDataSource)
     except Exception:  # noqa: BLE001 — already registered in this session
         pass
+    # The reader implements pushFilters; a vanilla session (the driver
+    # contract runs one) rejects that unless the capability conf is on.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return (
         spark.read.format("synthetic_sumstats")
         .option("n_rows", SYNTH_N_ROWS)
