@@ -269,3 +269,22 @@ def test_gwas_study_ingest_scan_budget(spark, sf_dir):
         assert counts.get("SortMergeJoin", 0) == 0, counts
     finally:
         release_caches()
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Registry-wide scale-killer sweep (r9): no query plan may contain
+    a CartesianProduct. BroadcastNestedLoopJoin against broadcast
+    1-row aggregates is legitimate (scalar thresholds); an unbroadcast
+    cross product is never acceptable at 100 TB and fails here the
+    moment a join loses its equi-condition."""
+    from gentropy_spark.plans import full_registry
+    from gentropy_spark.session import release_caches
+
+    offenders = []
+    for name, spec in full_registry().items():
+        release_caches()
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        if "CartesianProduct" in plan.toString():
+            offenders.append(name)
+    release_caches()
+    assert not offenders, f"cartesian products in: {offenders}"
