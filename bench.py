@@ -112,9 +112,12 @@ def main() -> None:
 
     # r9 variance control (r8 verdict item 7): the host drifted 1.6x
     # between rounds, making raw round-over-round seconds meaningless.
-    # Both engines now run INTERLEAVED per query (S,D,S,D min-of-2), so
-    # each Spark/DuckDB pair sees the same seconds-scale host state and
-    # the per-query RATIO is robust to drift.
+    # Both engines now run ADJACENT per query (S,S then D,D min-of-2),
+    # so each Spark/DuckDB pair sees the same seconds-scale host state
+    # and the per-query RATIO is robust to drift. (A strict S,D,S,D
+    # interleave was measured to bias AGAINST Spark: the DuckDB burst
+    # between the two Spark repeats evicts the JVM's hot state, so the
+    # min-of-2 loses its warm repeat while DuckDB keeps its own.)
     duck_con = None
     try:
         import duckdb
@@ -138,7 +141,7 @@ def main() -> None:
         fn = registry[name].fn
         sql = registry[name].oracle
         best_s = best_d = float("inf")
-        for _ in range(2):  # interleaved min-of-2 per engine
+        for _ in range(2):  # Spark min-of-2 (warm repeat preserved)
             try:
                 start = time.perf_counter()
                 df = fn(spark, sf_dir)
@@ -149,13 +152,15 @@ def main() -> None:
                 # must not zero the whole benchmark record (it did in r5).
                 errors[name] = str(exc).split("\n")[0][:200]
                 break
-            if duck_con is not None and sql is not None:
+        if duck_con is not None and sql is not None and name not in errors:
+            for _ in range(2):  # DuckDB min-of-2, same host window
                 try:
                     start = time.perf_counter()
                     duck_con.execute(sql).fetchall()
                     best_d = min(best_d, time.perf_counter() - start)
                 except Exception as exc:  # noqa: BLE001
                     errors[f"duckdb:{name}"] = str(exc).split("\n")[0][:200]
+                    break
         if best_s < float("inf"):
             timings[name] = round(best_s, 3)
         if best_d < float("inf"):
@@ -211,7 +216,7 @@ def main() -> None:
                     round(spark_on_common / duck_total, 3) if duck_total else None
                 ),
                 "per_query_ratio": ratios,
-                "interleaved": True,  # S,D,S,D per query (drift control)
+                "adjacent_ab": True,  # S,S,D,D per query (drift control)
                 **(
                     {"shared_subset_ratio_vs_prev": shared_vs_prev}
                     if shared_vs_prev
