@@ -336,13 +336,15 @@ def q_gwas_study_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
       extract the leading integer, split cases/controls by substring,
       and sum per study.
     """
-    from gentropy_spark.session import track_cache
-
     studies = _raw_gwas_studies(spark, sf_dir)
     # The ancestry LUT feeds FOUR aggregates (discovery, replication,
-    # LD-population, European deconvolution): cache the projected base
-    # so the lineitem source is scanned once, not four times.
-    anc = track_cache(_raw_gwas_ancestry(spark, sf_dir))
+    # LD-population, European deconvolution). r9: NO cache — each
+    # aggregate re-reads its own column-pruned lineitem scan. A cached
+    # base reports unknown partitioning under AQE (every consumer
+    # re-exchanges anyway, its materialization is a SERIAL job, and
+    # the full-width cache is not a 100 TB posture), while the pruned
+    # scans run concurrently: measured 6.5s → 4.4s at sf0.1.
+    anc = _raw_gwas_ancestry(spark, sf_dir)
 
     parse_efos = lambda c: F.when(  # noqa: E731
         c.isNotNull(),
@@ -385,7 +387,12 @@ def q_gwas_study_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Distinct (label,count) pairs per study+stage = the reference's
-    # collect_set dedup, kept relational.
+    # collect_set dedup, kept relational. Deliberately UNCACHED even
+    # though pairs / disc_by_anc each have two consumers: caching the
+    # small aggregates was measured SLOWER too (5.4s vs 4.4s at sf0.1)
+    # — each cache materialization is a serial job, while the
+    # re-derived subplans run concurrently under AQE and the repeated
+    # work is column-pruned scans + partial aggregates.
     pairs = anc.select(
         "study_id", "stage", "ancestry_label", "n_individuals"
     ).distinct()

@@ -245,11 +245,13 @@ def test_study_locus_qc_flags_exchange_budget(spark, sf_dir):
 
 def test_gwas_study_ingest_scan_budget(spark, sf_dir):
     """r9 scale-probe companion (docs/SCALE_PROBE.md): the GWAS study
-    assembly must read each parquet source ONCE — the ancestry base is
-    cached and feeds all four aggregates (discovery, replication,
-    LD-population, European deconvolution) through InMemoryTableScan,
-    and every study-keyed annotation joins back via broadcast. A
-    regression to per-aggregate lineitem re-scans fails here."""
+    assembly reads the ancestry source through a BOUNDED set of
+    column-pruned lineitem scans (one per aggregate family — AQE runs
+    them concurrently; a cached base was measured SLOWER because its
+    materialization is serial and every consumer re-exchanges above
+    the cache anyway), and every study-keyed annotation joins back via
+    broadcast. A regression to unpruned rescans-per-column or
+    sort-merge study joins fails here."""
     from gentropy_spark.plans.studies import q_gwas_study_ingest
     from gentropy_spark.session import release_caches
 
@@ -260,10 +262,12 @@ def test_gwas_study_ingest_scan_budget(spark, sf_dir):
             v for k, v in counts.items()
             if "Scan parquet" in k or k == "FileSourceScan"
         )
-        # one lineitem scan (cache population) + one orders scan
-        assert n_parquet <= 2, f"parquet scanned {n_parquet}x: {counts}"
-        # the four ancestry aggregates all read the cached base
-        assert counts.get("InMemoryTableScan", 0) >= 3, counts
+        # ≤5 column-pruned lineitem scans (discovery csv, LD ppm,
+        # replication, European deconvolution, distinct-pairs reuse)
+        # + the orders scan. Caching any of the shared subplans was
+        # measured slower (serial materialization vs concurrent
+        # pruned scans) — see plans/studies.py.
+        assert n_parquet <= 6, f"parquet scanned {n_parquet}x: {counts}"
         # all annotation joins broadcast — no sort-merge join of the
         # study dimension at any scale
         assert counts.get("SortMergeJoin", 0) == 0, counts
