@@ -180,14 +180,13 @@ def test_l2g_feature_matrix_exchange_budget(spark, sf_dir):
 
 
 def test_study_locus_qc_flags_pruned_scans(spark, sf_dir):
-    """r9 scan posture: the sweep reads the events source through
-    exactly three PRUNED scans (clustered base, locus-breaker regions,
-    per-study bits), each with its significance filter PUSHED to the
-    parquet reader — the shape that survives 100 TB, where caching the
-    full-width parse (the r8 approach) would not. The r8 defect this
-    guards against — independent re-parses of the FULL source per
-    annotation — would show up as scans without pushed filters or as
-    extra scans beyond the three consumers."""
+    """r9 scan posture, second pass: the sweep reads the events source
+    through exactly ONE pruned scan at the locus-breaker threshold
+    (signif >= LB_BASELINE, the superset of the clump threshold), with
+    the significance filter PUSHED to the parquet reader — the shape
+    that survives 100 TB, where caching the full-width parse (the r8
+    approach) would not. A regression to per-annotation re-parses of
+    the source would show up as extra scans or a missing pushdown."""
     from gentropy_spark.plans.variants import q_study_locus_qc_flags
     from gentropy_spark.session import release_caches
 
@@ -198,31 +197,31 @@ def test_study_locus_qc_flags_pruned_scans(spark, sf_dir):
         n_parquet = sum(
             v for k, v in counts.items() if "Scan parquet" in k or k == "FileSourceScan"
         )
-        assert n_parquet <= 3, f"events scanned {n_parquet}x: {counts}"
+        assert n_parquet == 1, f"events scanned {n_parquet}x: {counts}"
         import re
 
         plan = _formatted(df)
         pushed = len(
             re.findall(r"PushedFilters: \[.*GreaterThanOrEqual\(value", plan)
         )
-        assert pushed >= 3, f"signif pushdown missing: {pushed}\n{plan[:2000]}"
-        # The dominance probe must be the range-window form — no
-        # explode+join+distinct triple exchange for it.
+        assert pushed >= 1, f"signif pushdown missing: {pushed}\n{plan[:2000]}"
+        # The susie-region annotation must be the window-flag form —
+        # no explode of collected region arrays.
         assert counts.get("Generate", 0) == 0, counts
     finally:
         release_caches()
 
 
 def test_study_locus_qc_flags_exchange_budget(spark, sf_dir):
-    """r9 single-exchange rewrite (r8 verdict item 1): every
-    point-keyed flag producer (lead rank, PICS PIP mass, dominance
-    RANGE probe, locus-any, duplicate-id) is a window riding the ONE
-    (study, contig) hash exchange of the clustered base; the only
-    other shuffles are the two tiny aggregate sides (SuSiE region
-    arrays per (study, contig), the per-study sumstats bit), both
-    broadcast back. Budget: ≤3 hash exchanges TOTAL — exactly one of
-    which carries the base — and exactly 2 broadcasts. The r8 shape
-    measured 8 hash exchanges."""
+    """r9 zero-join rewrite: the base rows are a subset of the
+    locus-breaker rows, so the whole 23-flag sweep is ONE scan at the
+    wider threshold -> ONE hash(study_id) exchange -> a window stack
+    (locus-breaker clustering, clump clustering, lead rank, PICS PIP
+    mass, prev/next-lead dominance, duplicate-id, per-study sumstats
+    bit all ride the same exchange via the subset-key rule). Budget:
+    exactly 1 exchange, 0 broadcasts, 0 joins of any kind. The r8
+    shape measured 8 hash exchanges; the first r9 pass 3 + 2
+    broadcasts."""
     from gentropy_spark.plans.variants import q_study_locus_qc_flags
     from gentropy_spark.session import release_caches
 
@@ -232,13 +231,13 @@ def test_study_locus_qc_flags_exchange_budget(spark, sf_dir):
         counts = _physical_node_counts(df)
         n_shuffle = counts.get("Exchange", 0)
         n_broadcast = counts.get("BroadcastExchange", 0)
-        assert n_shuffle <= 3, f"hash exchanges {n_shuffle}: {counts}"
-        assert n_broadcast == 2, f"broadcasts {n_broadcast}: {counts}"
-        # No joins other than the two broadcast-annotation joins: the
-        # per-flag left joins of r8 (sort-merge on point_id / locus
-        # keys) must not reappear.
-        assert counts.get("SortMergeJoin", 0) == 0, counts
-        assert counts.get("ShuffledHashJoin", 0) == 0, counts
+        assert n_shuffle == 1, f"hash exchanges {n_shuffle}: {counts}"
+        assert n_broadcast == 0, f"broadcasts {n_broadcast}: {counts}"
+        # No joins at all: the per-flag left joins of r8 (sort-merge
+        # on point_id / locus keys) and the first-pass broadcast
+        # annotation joins must not reappear.
+        for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+            assert counts.get(node, 0) == 0, counts
     finally:
         release_caches()
 

@@ -48,7 +48,7 @@ def test_flag_surface_covers_reference_enum(spark, sf_dir):
     # is what actually executes.
     from gentropy_spark.plans.variants import _study_locus_qc_spark_sql
 
-    sql = _study_locus_qc_spark_sql()
+    sql = _study_locus_qc_spark_sql(32)
     missing = {f for f in REFERENCE_FLAGS if f"'{f}'" not in sql}
     assert not missing, f"flags absent from the sweep: {missing}"
 
