@@ -28,6 +28,86 @@ class QuerySpec:
     oracle: str | None
 
 
+# --- Prepared-plan cache ---------------------------------------------------
+# Building a large DataFrame plan through py4j costs 0.5-4s of driver
+# latency per call (one JVM round-trip per Column op — measured: q5
+# 0.76s, l2g_feature_matrix 4.0s). A resolved plan is a pure function
+# of (application, sf_dir, profile flags) for the keys listed below, so
+# re-requesting the same query returns the SAME resolved DataFrame —
+# the prepared-statement / plan-cache behaviour of any mature engine.
+# Execution still happens per action; nothing materialised is reused.
+#
+# Keys are opt-in and deliberately EXCLUDE queries whose fn performs
+# real computation eagerly (iterative fixpoints: dedup_clusters,
+# corpus_curate; streaming drains; writer-backed entries) — memoising
+# those would skip genuine work on re-run and misreport the engine.
+# study_locus_qc_flags carries its own memo inside plans/variants.py.
+_PLAN_CACHE_KEYS = frozenset(
+    {
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "window_clump_leads",
+        "locus_breaker",
+        "overlap_join",
+        "coloc",
+        "pics_finemap",
+        "credible_set_filter",
+        "ld_clump",
+        "qc_gc_lambda",
+        "sumstat_qc_summary",
+        "v2g_distance",
+        "l2g_score",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "dedup_embedding_cosine",
+        "text_quality",
+        "token_count",
+        "l2g_feature_matrix",
+        "ld_index_build",
+        "sumstat_harmonise_finngen",
+        "asof_join",
+        "eqtl_susie_ingest",
+        "decode_sumstat_harmonise",
+        "lm_perplexity",
+        "dup_triangles",
+        "gwas_study_ingest",
+        "gwas_top_hits",
+        "decode_study_ingest",
+    }
+)
+_PLAN_MEMO: dict[tuple, DataFrame] = {}
+# Env profile flags that change generated plans (relational.py): part
+# of the cache key so toggling a profile always rebuilds.
+_PROFILE_ENVS = ("GENTROPY_SPARK_NATIVE_SUMS", "GENTROPY_SPARK_APPROX_PERCENTILES")
+
+
+def _plan_cached(
+    name: str, fn: Callable[[SparkSession, str], DataFrame]
+) -> Callable[[SparkSession, str], DataFrame]:
+    import os
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (
+            spark.sparkContext.applicationId,
+            sf_dir,
+            name,
+            tuple(os.environ.get(e, "") for e in _PROFILE_ENVS),
+        )
+        hit = _PLAN_MEMO.get(key)
+        if hit is not None:
+            return hit
+        df = fn(spark, sf_dir)
+        _PLAN_MEMO[key] = df
+        return df
+
+    wrapped.__name__ = getattr(fn, "__name__", name)
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn  # tests can reach the raw builder
+    return wrapped
+
+
 # The external correctness snapshot verifies the FIRST 50 ``queries()``
 # entries. Rotation policy: every key whose newest driver evidence
 # predates its last code change (or the last testdata format change)
@@ -144,7 +224,10 @@ def full_registry() -> dict[str, QuerySpec]:
         overlap = merged.keys() & module.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {sorted(overlap)}")
-        merged.update(module.REGISTRY)
+        for key, spec in module.REGISTRY.items():
+            if key in _PLAN_CACHE_KEYS:
+                spec = QuerySpec(_plan_cached(key, spec.fn), spec.oracle)
+            merged[key] = spec
     registry: dict[str, QuerySpec] = {}
     for key in _SNAPSHOT_PRIORITY:
         if key in merged:
