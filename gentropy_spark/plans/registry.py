@@ -83,10 +83,20 @@ _PLAN_MEMO: dict[tuple, DataFrame] = {}
 _PROFILE_ENVS = ("GENTROPY_SPARK_NATIVE_SUMS", "GENTROPY_SPARK_APPROX_PERCENTILES")
 
 
+# Wrapper identity must be stable across full_registry() calls (the
+# CLI step resolver compares fns by identity), so wrappers are built
+# once per (key, raw fn) and reused.
+_WRAPPER_MEMO: dict[tuple[str, Callable], Callable] = {}
+
+
 def _plan_cached(
     name: str, fn: Callable[[SparkSession, str], DataFrame]
 ) -> Callable[[SparkSession, str], DataFrame]:
     import os
+
+    cached = _WRAPPER_MEMO.get((name, fn))
+    if cached is not None:
+        return cached
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         key = (
@@ -105,6 +115,7 @@ def _plan_cached(
     wrapped.__name__ = getattr(fn, "__name__", name)
     wrapped.__doc__ = fn.__doc__
     wrapped.__wrapped__ = fn  # tests can reach the raw builder
+    _WRAPPER_MEMO[(name, fn)] = wrapped
     return wrapped
 
 
