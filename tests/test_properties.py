@@ -418,3 +418,44 @@ def test_panukbb_reconstruction_random_matrices(spark):
         E = E * sign
         np.fill_diagonal(E, 1.0)
         np.testing.assert_allclose(M, E, atol=1e-12, err_msg=f"trial {trial}")
+
+
+def test_dsum_split_identity_matches_decimal_sum(spark):
+    """Property: the split-sum dsum (plans/relational.py) is
+    bit-identical to CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+    for mixed-sign values, many groups, NULLs, and all-NULL groups —
+    the negative-value arithmetic-shift/AND identity and the NULL
+    propagation are exactly what the q1/q3/q5 parity rests on."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.plans.relational import DEC, _dsum
+
+    rng = random.Random(20260814)
+    rows = []
+    for g in range(40):
+        for _ in range(rng.randint(1, 60)):
+            if rng.random() < 0.05:
+                v = None
+            else:
+                v = rng.uniform(-1e6, 1e6) * (10 ** rng.randint(-6, 3))
+            rows.append((g, v))
+    rows.extend([(98, None), (99, -0.000001), (99, 0.0000015)])
+    df = spark.createDataFrame(rows, ["g", "x"])
+    got = (
+        df.groupBy("g").agg(_dsum(F.col("x")).alias("s")).orderBy("g").collect()
+    )
+    want = (
+        df.groupBy("g")
+        .agg(F.sum(F.col("x").cast(DEC)).cast("double").alias("s"))
+        .orderBy("g")
+        .collect()
+    )
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert a.g == b.g
+        # bit-identical, not approximately equal
+        assert (a.s is None) == (b.s is None), a.g
+        if a.s is not None:
+            assert a.s == b.s and str(a.s) == str(b.s), (a.g, a.s, b.s)
