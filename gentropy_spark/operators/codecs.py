@@ -3,12 +3,13 @@
 The sandbox ships no image/audio libraries, but with stdlib + numpy
 alone the decode step is REAL for: PPM (P6), BMP (BITMAPINFOHEADER /
 24-bit BI_RGB), WAV (PCM16), PNG (zlib inflate + all five scanline
-filters, color types 0/2/3/4/6 at 8-bit depth), baseline JPEG
-(operators/jpeg.py: stream-table-driven Huffman + numpy IDCT) and the
-MP4/ISO-BMFF CONTAINER (box parsing: duration timescale, track count,
-video track dims — sample data intentionally not decoded, mean_value
-NULL). The deterministic stub remains only for formats outside that
-scope (progressive/arithmetic JPEG, raw H.264 pixel decode); an
+filters, color types 0/2/3/4/6 at 8-bit depth), JPEG — baseline AND
+progressive/SOF2 with spectral selection + successive approximation
+(operators/jpeg.py: stream-table-driven Huffman + numpy IDCT) — and
+the MP4/ISO-BMFF CONTAINER (box parsing: duration timescale, track
+count, video track dims — sample data intentionally not decoded,
+mean_value NULL). The deterministic stub remains only for formats
+outside that scope (arithmetic-coded JPEG, raw H.264 pixel decode); an
 ffmpeg-backed decoder slots into ``decode_any``'s fallback branch
 without touching the mapInPandas contract (operators/multimodal.py).
 
@@ -286,8 +287,8 @@ def decode_png(payload: bytes) -> dict:
 def decode_any(payload: bytes) -> dict:
     """Dispatch on magic bytes; unknown containers fall back to the
     deterministic stub (the remaining scope limit is MP4/H.264 video
-    and progressive/arithmetic JPEG — baseline JPEG, PNG, PPM, BMP and
-    WAV all decode for real)."""
+    pixel data and arithmetic-coded JPEG — baseline AND progressive
+    JPEG, PNG, PPM, BMP and WAV all decode for real)."""
     kind = sniff(payload)
     try:
         if kind == "ppm":

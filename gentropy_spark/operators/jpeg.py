@@ -1,21 +1,30 @@
-"""Baseline JPEG codec (r9) — stdlib + numpy, no external libraries.
+"""JPEG codec (r9) — stdlib + numpy, no external libraries.
 
 Closes the last "partial" cell in the multimodal decode scope
-(r8 verdict "What's missing" #1): JFIF/baseline sequential DCT
-(SOF0), 8-bit, grayscale or YCbCr with arbitrary h×v sampling
-factors (4:4:4 / 4:2:2 / 4:2:0 …), restart markers, byte stuffing.
-Quantization AND Huffman tables are read from the stream (DQT/DHT),
-so the decoder is table-driven and decodes third-party baseline
-JPEGs, not just this module's encoder output. Progressive (SOF2),
-arithmetic coding, and 12-bit precision raise — ``codecs.decode_any``
-routes those to the stub.
+(r8 verdict "What's missing" #1): JFIF 8-bit, grayscale or YCbCr
+with arbitrary h×v sampling factors (4:4:4 / 4:2:2 / 4:2:0 …),
+restart markers, byte stuffing — BOTH baseline sequential DCT (SOF0)
+and progressive DCT (SOF2) with spectral selection and successive
+approximation (DC/AC first + refinement scans, EOB runs, per spec
+sections F.2 and G.2). Quantization AND Huffman tables are read from
+the stream (DQT/DHT), so the decoder is table-driven and decodes
+third-party JPEGs, not just this module's encoder output. All scans
+accumulate into per-component quantized-coefficient state; dequant +
+IDCT + upsample + color-convert happen once at EOI. Arithmetic
+coding, hierarchical mode, and 12-bit precision raise —
+``codecs.decode_any`` routes those to the stub.
 
-The encoder (test support, like encode_ppm/encode_bmp/encode_png) is
-4:4:4 baseline with the public Annex-K quantization and Huffman
-tables (ITU-T T.81), quality-scaled with the IJG curve. JPEG is
-lossy: round-trip tests assert dimensions/channels exactly and pixel
-content by PSNR, plus EXACT reconstruction for flat-color images
-(a constant block is pure DC, which survives quantization).
+The encoders (test support, like encode_ppm/encode_bmp/encode_png)
+are baseline (``encode_jpeg``) and progressive
+(``encode_jpeg_progressive``: interleaved DC first/refine scans plus
+per-component spectral-band AC first/refine scans) with the public
+Annex-K quantization and Huffman tables (ITU-T T.81), quality-scaled
+with the IJG curve. JPEG is lossy, but successive approximation is
+not: once every refinement scan ends at Al=0 the reconstructed
+coefficients equal the quantized originals, so tests can assert that
+the progressive and baseline encodings of an image decode to
+BYTE-IDENTICAL pixels (plus PSNR and flat-color exactness as in the
+baseline tests).
 
 Everything here derives from the public JPEG specification (ITU-T
 T.81 / ISO 10918-1, Annex K for the example tables).
@@ -232,13 +241,21 @@ def _extend(v: int, t: int) -> int:
 
 # --- decoder ----------------------------------------------------------------
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → (h, w) gray or (h, w, 3) RGB uint8 array."""
+    """Baseline or progressive JPEG → (h, w) gray / (h, w, 3) RGB uint8.
+
+    Every SOS scan decodes into per-component quantized-coefficient
+    arrays (zigzag order); dequantization, IDCT, chroma upsampling and
+    color conversion run once at EOI, so baseline (one full-band scan)
+    and progressive (many partial scans) share one reconstruction path.
+    """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    coeffs: list[np.ndarray] = []
+    pred: list[int] = []
     restart_interval = 0
     pos = 2
     n = len(payload)
@@ -249,6 +266,10 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI
+            if frame is None or not frame.get("seen_scan"):
+                raise ValueError("no scan data")
+            return _reconstruct(frame, coeffs, qt)
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
@@ -257,10 +278,9 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 pq, tq = seg[i] >> 4, seg[i] & 0x0F
                 if pq != 0:
                     raise ValueError("16-bit quant tables not supported")
-                tbl = np.frombuffer(seg, np.uint8, 64, i + 1).astype(np.float64)
-                raster = np.empty(64)
-                raster[ZIGZAG] = tbl
-                qt[tq] = raster.reshape(8, 8)
+                qt[tq] = np.frombuffer(seg, np.uint8, 64, i + 1).astype(
+                    np.float64
+                )
                 i += 65
         elif marker == 0xC4:  # DHT
             i = 0
@@ -273,7 +293,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                     bits, vals
                 )
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"{precision}-bit precision not supported")
@@ -285,96 +305,260 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "hmax": hmax, "vmax": vmax,
+                "mcus_x": mcus_x, "mcus_y": mcus_y,
+                "progressive": marker == 0xC2,
+                "seen_scan": False,
+            }
+            # Coefficient state in ZIGZAG index order, full MCU grid.
+            coeffs = [
+                np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
+                )
+                for c in comps
+            ]
+            pred = [0] * ncomp
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"non-baseline SOF FF{marker:02X} not supported"
+                f"unsupported SOF FF{marker:02X} (only SOF0/SOF2)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_sel = {}
+            scan_comps = []
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_sel[cs] = (tables >> 4, tables & 0x0F)
-            return _decode_scan(
-                payload, pos + seglen, frame, scan_sel, qt,
-                huff_dc, huff_ac, restart_interval,
+                ci = next(
+                    i for i, cc in enumerate(frame["comps"])
+                    if cc["id"] == cs
+                )
+                scan_comps.append((ci, tables >> 4, tables & 0x0F))
+            ss, se, ahl = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0x0F
+            if not frame["progressive"]:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_scan(
+                payload, pos + seglen, frame, coeffs, pred, scan_comps,
+                ss, se, ah, al, huff_dc, huff_ac, restart_interval,
             )
-        elif marker == 0xD9:  # EOI without scan
-            raise ValueError("no scan data")
+            frame["seen_scan"] = True
+            continue
         pos += seglen
     raise ValueError("truncated JPEG")
 
 
-def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-w // mcu_w)
-    mcus_y = -(-h // mcu_h)
-    planes = []
-    for c in comps:
-        pw, ph = mcus_x * 8 * c["h"], mcus_y * 8 * c["v"]
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
+def _scan_units(frame, scan_comps):
+    """The (component, block-row, block-col) sequence of one scan.
+
+    Interleaved scans (ns > 1) walk MCUs over the full padded grid;
+    single-component scans walk that component's own ceil(dims/8)
+    block grid (T.81 A.2.2 — no MCU padding).
+    """
+    comps = frame["comps"]
+    if len(scan_comps) > 1:
+        units = []
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                unit = []
+                for ci, td, ta in scan_comps:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit.append(
+                                (ci, td, ta,
+                                 my * c["v"] + by, mx * c["h"] + bx)
+                            )
+                units.append(unit)
+        return units
+    ci, td, ta = scan_comps[0]
+    c = comps[ci]
+    cw = -(-frame["w"] * c["h"] // frame["hmax"])
+    ch = -(-frame["h"] * c["v"] // frame["vmax"])
+    bw, bh = -(-cw // 8), -(-ch // 8)
+    return [
+        [(ci, td, ta, by, bx)] for by in range(bh) for bx in range(bw)
+    ]
+
+
+def _decode_scan(data, pos, frame, coeffs, pred, scan_comps,
+                 ss, se, ah, al, huff_dc, huff_ac, dri):
+    """Decode one entropy-coded scan into the coefficient state.
+
+    Returns the byte offset of the next marker. Dispatch per T.81:
+    full-band (baseline), DC first/refine, AC first/refine.
+    """
     reader = _BitReader(data, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if dri and mcu_count and mcu_count % dri == 0:
+    eobrun = 0
+    for ci, _, _ in scan_comps:
+        if ss == 0:
+            pred[ci] = 0
+    unit_count = 0
+    try:
+        for unit in _scan_units(frame, scan_comps):
+            if dri and unit_count and unit_count % dri == 0:
                 reader.sync_restart()
-                pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                td, ta = scan_sel[c["id"]]
-                dct, act = huff_dc[td], huff_ac[ta]
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64)
-                        try:
-                            t = reader.decode_symbol(dct)
-                            diff = _extend(reader.read_bits(t), t)
-                        except _RestartBoundary as exc:
-                            raise ValueError(
-                                "restart marker misaligned"
-                            ) from exc
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        coef = np.empty(64)
-                        coef[ZIGZAG] = zz
-                        block = _idct(coef.reshape(8, 8) * q) + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
-    # Upsample sampled-down components to full MCU-grid resolution.
+                eobrun = 0
+                for ci, _, _ in scan_comps:
+                    pred[ci] = 0
+            for ci, td, ta, by, bx in unit:
+                block = coeffs[ci][by, bx]
+                if ss == 0 and se == 63:  # baseline full band
+                    _block_full(reader, block, huff_dc[td], huff_ac[ta],
+                                pred, ci)
+                elif ss == 0 and ah == 0:  # DC first
+                    t = reader.decode_symbol(huff_dc[td])
+                    pred[ci] += _extend(reader.read_bits(t), t)
+                    block[0] = pred[ci] << al
+                elif ss == 0:  # DC refinement: one raw bit per block
+                    if reader.read_bit():
+                        block[0] |= 1 << al
+                elif ah == 0:  # AC first (spectral band, << Al)
+                    eobrun = _block_ac_first(
+                        reader, block, huff_ac[ta], ss, se, al, eobrun
+                    )
+                else:  # AC refinement
+                    eobrun = _block_ac_refine(
+                        reader, block, huff_ac[ta], ss, se, al, eobrun
+                    )
+            unit_count += 1
+    except _RestartBoundary as exc:
+        raise ValueError("restart marker misaligned") from exc
+    # Skip any padding bits / stray RSTn, land on the next real marker.
+    p = reader.pos
+    n = len(data)
+    while p < n - 1:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("truncated JPEG after scan")
+
+
+def _block_full(reader, block, dct, act, pred, ci):
+    """Baseline sequential block: DC diff + run-length AC (F.2.2)."""
+    t = reader.decode_symbol(dct)
+    pred[ci] += _extend(reader.read_bits(t), t)
+    block[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = reader.decode_symbol(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC index overflow")
+        block[k] = _extend(reader.read_bits(s), s)
+        k += 1
+
+
+def _block_ac_first(reader, block, act, ss, se, al, eobrun):
+    """Progressive AC first scan for one block (G.2.2): values are
+    point-transformed (<< Al on reconstruction); EOB symbols with
+    r < 15 start an EOB run of 2^r + appended-bits blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow in scan band")
+        block[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _block_ac_refine(reader, block, act, ss, se, al, eobrun):
+    """Progressive AC refinement for one block (G.2.3 / figure G.10).
+
+    History coefficients (already nonzero) receive a correction bit as
+    the scan advances past them; zero-history runs are consumed by the
+    symbol's run length; a newly-nonzero coefficient lands with
+    magnitude 1 << Al and its sign bit read right after the symbol.
+    """
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if block[k] != 0:
+                    if reader.read_bit() and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0:
+                if reader.read_bit() and (block[k] & p1) == 0:
+                    block[k] += p1 if block[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, coeffs, qt):
+    """Dequantize + IDCT every block (vectorized), upsample, convert."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     full = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
+        zz = coeffs[ci].astype(np.float64) * qt[c["tq"]]  # zigzag order
+        raster = np.zeros_like(zz)
+        raster[..., ZIGZAG] = zz
+        bh, bw = raster.shape[:2]
+        blocks = raster.reshape(bh, bw, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", _M.T, blocks, _M) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
@@ -435,11 +619,7 @@ def _marker(mk: int, payload: bytes = b"") -> bytes:
     return struct.pack(">BB", 0xFF, mk)
 
 
-def _encode_block(bw, block, q, dc_codes, ac_codes, pred):
-    coef = _fdct(block - 128.0)
-    zz = np.round(coef.reshape(-1)[ZIGZAG] / q.reshape(-1)[ZIGZAG]).astype(
-        np.int64
-    )
+def _encode_block(bw, zz, dc_codes, ac_codes, pred):
     diff = int(zz[0]) - pred
     t = int(diff).bit_length() if diff != 0 else 0
     length, code = dc_codes[t]
@@ -478,40 +658,26 @@ def encode_jpeg(
 
     ``subsample=True`` emits 4:2:0 (Y at 2×2 sampling, 2×2-mean
     chroma, 16×16 MCUs) so decoder tests cover the interleaved-MCU +
-    upsampling path; default is 4:4:4.
+    upsampling path; default is 4:4:4. Shares ``_plane_prep`` /
+    ``_quantized_coeffs`` with the progressive encoder, so the two
+    encodings carry IDENTICAL quantized coefficients and their decodes
+    compare byte-exact.
     """
-    gray = pixels.ndim == 2
-    h, w = pixels.shape[:2]
-    px = pixels.astype(np.float64)
-    if gray:
-        planes = [px]
-    else:
-        r, g, b = px[..., 0], px[..., 1], px[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y, cb, cr]
-    ql = _scaled_quant(QUANT_LUMA, quality)
-    qc = _scaled_quant(QUANT_CHROMA, quality)
-    quants = [ql] + ([qc, qc] if not gray else [])
-    sub = subsample and not gray
-    # Per-component sampling factors (h, v).
-    samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * len(planes)
-    hmax = max(s[0] for s in samp[: len(planes)])
-    vmax = max(s[1] for s in samp[: len(planes)])
+    frame, comp_planes, quants = _plane_prep(pixels, quality, subsample)
+    coeffs = _quantized_coeffs(frame, comp_planes, quants)
+    comps = frame["comps"]
+    ncomp = len(comps)
+    gray = ncomp == 1
 
     out = bytearray(b"\xff\xd8")  # SOI
-    zz_l = ql.reshape(8, 8)[np.unravel_index(ZIGZAG, (8, 8))]
+    zz_l = quants[0].reshape(8, 8)[np.unravel_index(ZIGZAG, (8, 8))]
     out += _marker(0xDB, bytes([0x00]) + bytes(zz_l.astype(np.uint8)))
     if not gray:
-        zz_c = qc.reshape(8, 8)[np.unravel_index(ZIGZAG, (8, 8))]
+        zz_c = quants[1].reshape(8, 8)[np.unravel_index(ZIGZAG, (8, 8))]
         out += _marker(0xDB, bytes([0x01]) + bytes(zz_c.astype(np.uint8)))
-    ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for cid in range(1, ncomp + 1):
-        tq = 0 if cid == 1 else 1
-        sh, sv = samp[cid - 1]
-        sof += bytes([cid, (sh << 4) | sv, tq])
+    sof = struct.pack(">BHHB", 8, frame["h"], frame["w"], ncomp)
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
     out += _marker(0xC0, sof)
     for tc_th, bits, vals in (
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -534,11 +700,45 @@ def encode_jpeg(
     ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
     codes = [(dc_l, ac_l)] + ([(dc_c, ac_c)] * 2 if not gray else [])
 
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    scan_comps = [(ci, 0, 0) for ci in range(ncomp)]
+    for unit in _scan_units(frame, scan_comps):
+        for ci, _, _, by, bx in unit:
+            pred[ci] = _encode_block(
+                bw, coeffs[ci][by, bx], codes[ci][0], codes[ci][1],
+                pred[ci],
+            )
+    bw.flush()
+    out += bw.out
+    out += _marker(0xD9)  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder (test support) --------------------------------------
+def _plane_prep(pixels: np.ndarray, quality: int, subsample: bool):
+    """Shared color-convert / downsample / pad step → per-component
+    MCU-grid planes plus the frame geometry dict (decoder-shaped, so
+    ``_scan_units`` drives encoder and decoder in the same order)."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    px = pixels.astype(np.float64)
+    if gray:
+        planes = [px]
+    else:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    sub = subsample and not gray
+    samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * len(planes)
+    hmax = max(s[0] for s in samp[: len(planes)])
+    vmax = max(s[1] for s in samp[: len(planes)])
     mcus_y = -(-h // (8 * vmax))
     mcus_x = -(-w // (8 * hmax))
-    # Downsample chroma (2×2 mean) when subsampling, then pad every
-    # plane to its own MCU-grid size by edge replication.
     comp_planes = []
+    comps = []
     for ci, p in enumerate(planes):
         sh, sv = samp[ci]
         if sub and ci > 0:
@@ -556,25 +756,217 @@ def encode_jpeg(
             p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
         )
         comp_planes.append(p)
+        comps.append({"id": ci + 1, "h": sh, "v": sv, "tq": 0 if ci == 0 else 1})
+    frame = {
+        "h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
+        "mcus_x": mcus_x, "mcus_y": mcus_y,
+    }
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    quants = [ql] + ([qc, qc] if not gray else [])
+    return frame, comp_planes, quants
 
-    bw = _BitWriter()
-    pred = [0] * ncomp
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci in range(ncomp):
-                sh, sv = samp[ci]
-                for by in range(sv):
-                    for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        block = comp_planes[ci][
-                            y0 : y0 + 8, x0 : x0 + 8
-                        ]
-                        pred[ci] = _encode_block(
-                            bw, block, quants[ci], codes[ci][0],
-                            codes[ci][1], pred[ci],
-                        )
-    bw.flush()
-    out += bw.out
+
+def _quantized_coeffs(frame, comp_planes, quants):
+    """FDCT + quantize every block → per-component (bh, bw, 64) int
+    arrays in ZIGZAG order (the decoder's coefficient-state shape)."""
+    out = []
+    for ci, p in enumerate(comp_planes):
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (
+            p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coef = np.einsum("ij,abjk,kl->abil", _M, blocks, _M.T)
+        raster = coef.reshape(bh, bw, 64)
+        q = quants[ci].reshape(64)
+        zz = np.round(raster[..., ZIGZAG] / q[ZIGZAG]).astype(np.int32)
+        out.append(zz)
+    return out
+
+
+def _sos_header(comps, scan_comps, ss, se, ah, al) -> bytes:
+    sos = bytes([len(scan_comps)])
+    for ci, td, ta in scan_comps:
+        sos += bytes([comps[ci]["id"], (td << 4) | ta])
+    sos += bytes([ss, se, (ah << 4) | al])
+    return sos
+
+
+def _encode_dc_first(bw, frame, coeffs, scan_comps, al, dc_codes):
+    pred = [0] * len(frame["comps"])
+    for unit in _scan_units(frame, scan_comps):
+        for ci, td, _, by, bx in unit:
+            v = int(coeffs[ci][by, bx, 0]) >> al  # arithmetic shift (G.1.2.1)
+            diff = v - pred[ci]
+            pred[ci] = v
+            t = abs(diff).bit_length()
+            length, code = dc_codes[td][t]
+            bw.write(code, length)
+            if t:
+                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+
+def _encode_dc_refine(bw, frame, coeffs, scan_comps, al):
+    for unit in _scan_units(frame, scan_comps):
+        for ci, _, _, by, bx in unit:
+            bw.write((int(coeffs[ci][by, bx, 0]) >> al) & 1, 1)
+
+
+def _encode_ac_first(bw, frame, coeffs, scan_comps, ss, se, al, ac_codes):
+    """Spectral-band first scan; per-block EOB (run length 1 — symbol
+    0x00, present in the Annex-K tables, which carry no longer-EOBRUN
+    codes)."""
+    for unit in _scan_units(frame, scan_comps):
+        for ci, _, ta, by, bx in unit:
+            block = coeffs[ci][by, bx]
+            codes = ac_codes[ta]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(block[k])
+                t = abs(v) >> al  # AC point transform truncates toward 0
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    length, code = codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    r -= 16
+                s = t.bit_length()
+                length, code = codes[(r << 4) | s]
+                bw.write(code, length)
+                tv = t if v > 0 else -t
+                bw.write(tv if tv > 0 else tv + (1 << s) - 1, s)
+                r = 0
+            if r > 0:
+                length, code = codes[0x00]  # EOB
+                bw.write(code, length)
+
+
+def _encode_ac_refine(bw, frame, coeffs, scan_comps, ss, se, al, ac_codes):
+    """Successive-approximation refinement scan (Ah = Al + 1), the
+    encoder mirror of ``_block_ac_refine``: correction bits for
+    history coefficients are buffered and flushed after the next
+    emitted symbol; ZRL is only emitted before the last newly-nonzero
+    coefficient; the block's tail folds into a run-1 EOB."""
+    for unit in _scan_units(frame, scan_comps):
+        for ci, _, ta, by, bx in unit:
+            block = coeffs[ci][by, bx]
+            codes = ac_codes[ta]
+            absval = [abs(int(block[k])) >> al for k in range(ss, se + 1)]
+            eob_pos = -1
+            for i, t in enumerate(absval):
+                if t == 1:
+                    eob_pos = i
+            r = 0
+            pending: list[int] = []
+            for i, t in enumerate(absval):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob_pos:
+                    length, code = codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    r -= 16
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                if t > 1:  # history coefficient: one correction bit
+                    pending.append(t & 1)
+                    continue
+                length, code = codes[(r << 4) | 1]
+                bw.write(code, length)
+                r = 0
+                bw.write(1 if int(block[ss + i]) > 0 else 0, 1)
+                for bit in pending:
+                    bw.write(bit, 1)
+                pending = []
+            if r > 0 or pending:
+                length, code = codes[0x00]  # EOB (run 1)
+                bw.write(code, length)
+                for bit in pending:
+                    bw.write(bit, 1)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    dc_al: int = 1,
+    ac_al: int = 2,
+    band_split: int = 5,
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → progressive (SOF2) JPEG.
+
+    Scan script: interleaved DC first at Al=``dc_al`` then DC
+    refinements down to 0; per component, AC first scans for the two
+    spectral bands [1..band_split] and [band_split+1..63] at
+    Al=``ac_al`` then refinements down to 0 — exercising every
+    progressive decode path (spectral selection, successive
+    approximation, EOB runs, refinement ZRL). Ends at Al=0, so the
+    coefficients — and therefore the pixels — reconstruct exactly as
+    the baseline encoding with the same quality.
+    """
+    frame, comp_planes, quants = _plane_prep(pixels, quality, subsample)
+    coeffs = _quantized_coeffs(frame, comp_planes, quants)
+    comps = frame["comps"]
+    ncomp = len(comps)
+    gray = ncomp == 1
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    zz_l = quants[0].reshape(8, 8)[np.unravel_index(ZIGZAG, (8, 8))]
+    out += _marker(0xDB, bytes([0x00]) + bytes(zz_l.astype(np.uint8)))
+    if not gray:
+        zz_c = quants[1].reshape(8, 8)[np.unravel_index(ZIGZAG, (8, 8))]
+        out += _marker(0xDB, bytes([0x01]) + bytes(zz_c.astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, frame["h"], frame["w"], ncomp)
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += _marker(0xC2, sof)  # SOF2: progressive
+    for tc_th, bits, vals in (
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    )[: 2 if gray else 4]:
+        out += _marker(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    dc_codes = {
+        0: _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        1: _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    }
+    ac_codes = {
+        0: _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+        1: _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    }
+
+    def scan(scan_comps, ss, se, ah, al, body):
+        out.extend(_marker(0xDA, _sos_header(comps, scan_comps, ss, se, ah, al)))
+        bw = _BitWriter()
+        body(bw)
+        bw.flush()
+        out.extend(bw.out)
+
+    dc_all = [(ci, 0 if ci == 0 else 1, 0) for ci in range(ncomp)]
+    scan(dc_all, 0, 0, 0, dc_al,
+         lambda bw: _encode_dc_first(bw, frame, coeffs, dc_all, dc_al, dc_codes))
+    for al in range(dc_al - 1, -1, -1):
+        scan(dc_all, 0, 0, al + 1, al,
+             lambda bw, al=al: _encode_dc_refine(bw, frame, coeffs, dc_all, al))
+    bands = [(1, band_split), (band_split + 1, 63)]
+    for ci in range(ncomp):
+        ta = 0 if ci == 0 else 1
+        sc = [(ci, 0, ta)]
+        for ss, se in bands:
+            scan(sc, ss, se, 0, ac_al,
+                 lambda bw, sc=sc, ss=ss, se=se: _encode_ac_first(
+                     bw, frame, coeffs, sc, ss, se, ac_al, ac_codes))
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            ta = 0 if ci == 0 else 1
+            sc = [(ci, 0, ta)]
+            for ss, se in bands:
+                scan(sc, ss, se, al + 1, al,
+                     lambda bw, sc=sc, ss=ss, se=se, al=al: _encode_ac_refine(
+                         bw, frame, coeffs, sc, ss, se, al, ac_codes))
     out += _marker(0xD9)  # EOI
     return bytes(out)

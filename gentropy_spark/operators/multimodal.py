@@ -8,11 +8,13 @@ format in scope — PPM (P6), BMP (24-bit BI_RGB), WAV (PCM16), PNG
 (stdlib zlib inflate + all five scanline filters, color types
 0/2/3/4/6 at 8-bit depth) and baseline JPEG (operators/jpeg.py:
 stream-table-driven Huffman decode + numpy IDCT, grayscale/YCbCr at
-any h×v sampling incl. 4:2:0, restart markers) — dispatched on magic
-bytes, stdlib + numpy only. MP4/ISO-BMFF containers parse for real
-too (box walk: video dims, movie timescale, track count — sample
-data honestly NULL). The deterministic byte-derived stub now covers
-only progressive/arithmetic JPEG and raw H.264 pixel decode (the
+any h×v sampling incl. 4:2:0, restart markers, baseline AND
+progressive/SOF2 with spectral selection + successive approximation)
+— dispatched on magic bytes, stdlib + numpy only. MP4/ISO-BMFF
+containers parse for real too (box walk: video dims, movie timescale,
+track count — sample data honestly NULL). The deterministic
+byte-derived stub now covers
+only arithmetic-coded JPEG and raw H.264 pixel decode (the
 documented scope limit: an H.264 entropy decoder is genuinely out of
 scope for this container); an ffmpeg decoder slots into
 ``codecs.decode_any``'s fallback branch without touching the plan,

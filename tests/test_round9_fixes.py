@@ -394,8 +394,8 @@ def test_jpeg_noise_gray_and_odd_dims():
 
 
 def test_jpeg_unsupported_and_corrupt_fall_back_to_stub():
-    """Progressive SOF2 and truncated scans route to the stub through
-    decode_any; baseline decodes for real."""
+    """Lossless SOF3 and truncated scans route to the stub through
+    decode_any; baseline and progressive decode for real."""
     from gentropy_spark.operators.codecs import decode_any
     from gentropy_spark.operators.jpeg import encode_jpeg
 
@@ -403,13 +403,110 @@ def test_jpeg_unsupported_and_corrupt_fall_back_to_stub():
     meta = decode_any(good)
     assert meta["codec"] == "jpeg" and meta["mean_value"] == pytest.approx(77.0)
 
-    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive → stub
+    # a baseline stream relabeled SOF2 is a valid single-full-band
+    # progressive frame — the r9 progressive decoder handles it
     prog = bytearray(good)
     idx = bytes(prog).find(b"\xff\xc0")
     prog[idx + 1] = 0xC2
-    assert decode_any(bytes(prog))["codec"] == "stub"
+    assert decode_any(bytes(prog))["codec"] == "jpeg"
+
+    # flip to SOF3 (lossless, genuinely unsupported) → stub
+    lossless = bytearray(good)
+    lossless[idx + 1] = 0xC3
+    assert decode_any(bytes(lossless))["codec"] == "stub"
 
     assert decode_any(good[: len(good) // 2])["codec"] == "stub"
+
+
+# --- progressive JPEG (SOF2) -------------------------------------------------
+def test_jpeg_progressive_identical_to_baseline():
+    """Successive approximation ending at Al=0 is lossless over the
+    quantized coefficients, so progressive and baseline encodings of
+    the same image must decode to byte-identical pixels."""
+    from gentropy_spark.operators.jpeg import (
+        decode_jpeg_pixels, encode_jpeg, encode_jpeg_progressive)
+
+    for shape, sub in [((33, 29, 3), False), ((16, 16), False),
+                       ((40, 37, 3), True), ((64, 48), False)]:
+        px = _rng(sum(shape)).integers(0, 256, size=shape, dtype=np.uint8)
+        b = decode_jpeg_pixels(encode_jpeg(px, quality=88, subsample=sub))
+        p = decode_jpeg_pixels(
+            encode_jpeg_progressive(px, quality=88, subsample=sub)
+        )
+        assert np.array_equal(b, p), f"{shape} sub={sub}"
+
+
+def test_jpeg_progressive_flat_exact_and_decode_any():
+    from gentropy_spark.operators.codecs import decode_any
+    from gentropy_spark.operators.jpeg import (
+        decode_jpeg_pixels, encode_jpeg_progressive)
+
+    flat = np.full((24, 24, 3), 130, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg_pixels(encode_jpeg_progressive(flat, quality=90)), flat
+    )
+    meta = decode_any(encode_jpeg_progressive(flat, quality=90))
+    assert meta["codec"] == "jpeg"
+    assert meta["mean_value"] == pytest.approx(130.0)
+
+
+def test_jpeg_progressive_randomized_content():
+    """Randomized sizes / content classes / scan scripts: impulse and
+    checkerboard images produce the sparse spectra that drive long
+    zero runs (EOB folding, refinement ZRL) — every decode must equal
+    the baseline decode bit-for-bit."""
+    from gentropy_spark.operators.jpeg import (
+        decode_jpeg_pixels, encode_jpeg, encode_jpeg_progressive)
+
+    rng = _rng(123)
+    for trial in range(16):
+        kind = trial % 3
+        h, w = int(rng.integers(8, 60)), int(rng.integers(8, 60))
+        color = bool(rng.integers(0, 2))
+        sub = color and bool(rng.integers(0, 2))
+        shape = (h, w, 3) if color else (h, w)
+        if kind == 0:
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        elif kind == 1:
+            px = np.full(shape, 128, dtype=np.uint8)
+            for _ in range(int(rng.integers(1, 6))):
+                px[int(rng.integers(0, h)), int(rng.integers(0, w))] = (
+                    rng.integers(0, 256)
+                )
+        else:
+            base = (
+                ((np.arange(h)[:, None] // 4 + np.arange(w)[None, :] // 4)
+                 % 2) * 255
+            ).astype(np.uint8)
+            px = np.stack([base] * 3, axis=-1) if color else base
+        q = int(rng.integers(60, 96))
+        kw = dict(
+            dc_al=int(rng.integers(0, 3)),
+            ac_al=int(rng.integers(0, 4)),
+            band_split=int(rng.integers(1, 63)),
+        )
+        b = decode_jpeg_pixels(encode_jpeg(px, quality=q, subsample=sub))
+        p = decode_jpeg_pixels(
+            encode_jpeg_progressive(px, quality=q, subsample=sub, **kw)
+        )
+        assert np.array_equal(b, p), (trial, shape, sub, q, kw)
+
+
+def test_jpeg_progressive_scan_scripts():
+    """Deeper approximation ladders and other band splits decode
+    identically — more refinement scans, same coefficients."""
+    from gentropy_spark.operators.jpeg import (
+        decode_jpeg_pixels, encode_jpeg, encode_jpeg_progressive)
+
+    px = _rng(77).integers(0, 256, size=(24, 31, 3), dtype=np.uint8)
+    b = decode_jpeg_pixels(encode_jpeg(px, quality=85))
+    for kw in (dict(dc_al=2, ac_al=3, band_split=2),
+               dict(dc_al=0, ac_al=1, band_split=20),
+               dict(dc_al=1, ac_al=2, band_split=62)):
+        p = decode_jpeg_pixels(
+            encode_jpeg_progressive(px, quality=85, **kw)
+        )
+        assert np.array_equal(b, p), kw
 
 
 def test_jpeg_through_mapinpandas_pipeline(spark):
