@@ -18,6 +18,7 @@ from gentropy_spark.functions.text import (
     quality_profile,
     token_count_bpe_ish,
     token_count_ws,
+    tokens,
 )
 from gentropy_spark.functions.xhash import (
     B2,
@@ -2074,3 +2075,305 @@ GROUP BY f.doc_id
 
 
 REGISTRY["dsir_importance"] = QuerySpec(q_dsir_importance, DSIR_SQL)
+
+
+# --- E33: exact duplicated-substring detection ----------------------------
+# Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better", public method) finds substrings of >= N tokens that occur
+# more than once in the corpus via a suffix array. A suffix array is a
+# single-machine structure; the distributed equivalent is positional
+# K-token window digests: every window occurrence hashed, occurrence
+# counts aggregated, windows with count > 1 marked duplicated. Shuffle
+# is proportional to corpus token count (no pair materialisation), the
+# same asymptotics as MinHash — the 100 TB-safe formulation.
+SUBSTR_K = 8  # duplicated-window length in tokens
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-duplicated-window profile (SURVEY E33).
+
+    Emits, per document, the number of K-token windows, how many of
+    them occur more than once corpus-wide (including elsewhere in the
+    same document), and the duplicated fraction — the per-doc signal
+    the Lee-et-al pipeline uses to cut duplicated spans.
+
+    Window digests are built per-row with slice/array_join inside one
+    isolated projection (token array materialised first — inlining the
+    tokenizer re-runs the regex per gram), so construction is
+    embarrassingly parallel: the only shuffles are the digest-count
+    aggregation and the per-doc rollup.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
+    # Spark's sequence(1, 0) generates a DESCENDING range, so short
+    # documents must map to an empty window list explicitly.
+    grams = F.when(
+        F.size(toks) >= SUBSTR_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (SUBSTR_K - 1)),
+            lambda i: F.md5(
+                F.array_join(F.slice(toks, i, SUBSTR_K), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = toked.select("doc_id", F.explode(grams).alias("h"))
+    cnt = sh.groupBy("h").agg(F.count("*").alias("n_occ"))
+    per_doc = (
+        sh.join(cnt, on="h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("nw"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("nd"),
+        )
+    )
+    n_win = F.coalesce(F.col("nw"), F.lit(0)).cast("int")
+    n_dup = F.coalesce(F.col("nd"), F.lit(0)).cast("int")
+    return (
+        docs.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            n_win.alias("n_windows"),
+            n_dup.alias("n_dup_windows"),
+            F.round(
+                n_dup.cast("double") / F.greatest(n_win, F.lit(1)), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, GREATEST(len(t) - {SUBSTR_K - 1}, 0)),
+           i -> md5(array_to_string(list_slice(t, i, i + {SUBSTR_K - 1}), ' '))
+         )) AS h
+  FROM toks
+),
+cnt AS (SELECT h, COUNT(*) AS n_occ FROM sh GROUP BY h),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS INT) AS nw,
+         CAST(SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS INT) AS nd
+  FROM sh s JOIN cnt c USING (h) GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.nw, 0) AS n_windows,
+       COALESCE(p.nd, 0) AS n_dup_windows,
+       ROUND(COALESCE(p.nd, 0) / GREATEST(COALESCE(p.nw, 0), 1), 6)
+         AS dup_fraction
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+REGISTRY["dedup_substring"] = QuerySpec(q_dedup_substring, DEDUP_SUBSTRING_SQL)
+
+
+# --- E34: Gopher-style document quality rules -----------------------------
+# Rule battery from Rae et al. 2021 ("Scaling Language Models: ...
+# Gopher", public method, Table A1): word-count bounds, mean-word-length
+# band, symbol-to-word ratio, alphabetic-word fraction, required-
+# stopword presence. Every signal is a JVM Column expression over two
+# materialised token arrays — one narrow projection, no shuffle at all
+# (the whole filter is map-side at any scale). Ratios are rounded to
+# 6 dp BEFORE thresholding so both engines make identical keep
+# decisions (repo parity convention).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+# The published rule is ">= 2 of the 8"; the synthetic corpus vocabulary
+# contains only 'the' from that list, so the registry query tunes the
+# threshold to 1 (thresholds are corpus-tuned in the paper as well) to
+# keep the decision discriminative rather than vacuously false.
+GOPHER_MIN_STOP_HITS = 1
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule flags + overall keep decision (E34)."""
+    docs = read_table(spark, sf_dir, "documents")
+    # Token arrays materialised once; inlining the splits into every
+    # consumer re-runs the regex per reference (measured 30x in E2).
+    base = docs.select(
+        "doc_id",
+        F.col("text"),
+        F.filter(
+            F.split(F.col("text"), "\\s+"), lambda x: x != F.lit("")
+        ).alias("_ws"),
+        tokens(F.col("text")).alias("_toks"),
+    )
+    ws = F.col("_ws")
+    n_words = F.size(ws)
+    denom = F.greatest(n_words, F.lit(1))
+    sum_len = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_alpha_words = F.size(F.filter(ws, lambda x: x.rlike("[a-zA-Z]")))
+    n_hash = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), "#", "")
+    )
+    n_ellipsis = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("\\.\\.\\."), 0)
+    )
+    n_stop = sum(
+        F.array_contains(F.col("_toks"), s).cast("int")
+        for s in GOPHER_STOPWORDS
+    )
+    scored = base.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        F.round(sum_len.cast("double") / denom, 6).alias("mean_word_len"),
+        F.round((n_hash + n_ellipsis).cast("double") / denom, 6).alias(
+            "symbol_ratio"
+        ),
+        F.round(n_alpha_words.cast("double") / denom, 6).alias(
+            "alpha_word_ratio"
+        ),
+        n_stop.cast("int").alias("n_stop_hits"),
+    )
+    flag_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    flag_mean = (F.col("mean_word_len") >= GOPHER_MIN_MEAN_LEN) & (
+        F.col("mean_word_len") <= GOPHER_MAX_MEAN_LEN
+    )
+    flag_symbol = F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO
+    flag_alpha = F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_RATIO
+    flag_stop = F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS
+    return scored.select(
+        "*",
+        flag_words.alias("flag_word_count"),
+        flag_mean.alias("flag_mean_len"),
+        flag_symbol.alias("flag_symbol"),
+        flag_alpha.alias("flag_alpha_words"),
+        flag_stop.alias("flag_stopwords"),
+        (flag_words & flag_mean & flag_symbol & flag_alpha & flag_stop).alias(
+            "keep"
+        ),
+    )
+
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"CAST(list_contains(toks, '{s}') AS INT)" for s in GOPHER_STOPWORDS
+)
+
+QUALITY_GOPHER_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws,
+         {TOKS_SQL} AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+    CAST(LEN(ws) AS INT) AS n_words,
+    ROUND(CAST(list_sum(list_transform(ws, x -> LENGTH(x))) AS DOUBLE)
+          / GREATEST(LEN(ws), 1), 6) AS mean_word_len,
+    ROUND(CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+               + LEN(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+          / GREATEST(LEN(ws), 1), 6) AS symbol_ratio,
+    ROUND(CAST(LEN(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+               AS DOUBLE) / GREATEST(LEN(ws), 1), 6) AS alpha_word_ratio,
+    CAST({_GOPHER_STOP_SQL} AS INT) AS n_stop_hits
+  FROM base
+)
+SELECT *,
+  n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+    AS flag_word_count,
+  mean_word_len >= {GOPHER_MIN_MEAN_LEN}::DOUBLE
+    AND mean_word_len <= {GOPHER_MAX_MEAN_LEN}::DOUBLE AS flag_mean_len,
+  symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}::DOUBLE AS flag_symbol,
+  alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO}::DOUBLE AS flag_alpha_words,
+  n_stop_hits >= {GOPHER_MIN_STOP_HITS} AS flag_stopwords,
+  (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+    AND (mean_word_len >= {GOPHER_MIN_MEAN_LEN}::DOUBLE
+         AND mean_word_len <= {GOPHER_MAX_MEAN_LEN}::DOUBLE)
+    AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}::DOUBLE
+    AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO}::DOUBLE
+    AND n_stop_hits >= {GOPHER_MIN_STOP_HITS} AS keep
+FROM scored
+"""
+
+REGISTRY["quality_gopher"] = QuerySpec(q_quality_gopher, QUALITY_GOPHER_SQL)
+
+
+# --- E35: per-document token entropy --------------------------------------
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) + diversity stats
+    (E35) — the standard low-diversity / generated-boilerplate signal.
+
+    H = ln(n) - SUM(c*ln(c))/n over per-doc token counts c: computed
+    from two sums so there is no per-row division inside the
+    aggregation. Two shuffles, both on high-cardinality keys
+    ((doc_id, tok) then doc_id) — scale-linear.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    counts = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c"))).alias("s"),
+        F.max("c").alias("max_c"),
+        F.count("*").alias("n_distinct"),
+    )
+    per_doc = agg.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_tokens"),
+        F.col("n_distinct").cast("int").alias("n_distinct"),
+        F.round(
+            F.log(F.col("n").cast("double")) - F.col("s") / F.col("n"), 6
+        ).alias("entropy"),
+        F.round(F.col("max_c").cast("double") / F.col("n"), 6).alias(
+            "max_tok_ratio"
+        ),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+            F.coalesce("max_tok_ratio", F.lit(0.0)).alias("max_tok_ratio"),
+        )
+    )
+
+
+DOC_ENTROPY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+),
+counts AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n,
+         SUM(CAST(c AS DOUBLE) * LN(c)) AS s,
+         MAX(c) AS max_c,
+         CAST(COUNT(*) AS INT) AS n_distinct
+  FROM counts GROUP BY doc_id
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(n AS INT) AS n_tokens,
+         n_distinct,
+         ROUND(LN(CAST(n AS DOUBLE)) - s / n, 6) AS entropy,
+         ROUND(CAST(max_c AS DOUBLE) / n, 6) AS max_tok_ratio
+  FROM agg
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_distinct, 0) AS n_distinct,
+       COALESCE(p.entropy, 0.0::DOUBLE) AS entropy,
+       COALESCE(p.max_tok_ratio, 0.0::DOUBLE) AS max_tok_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+REGISTRY["doc_entropy"] = QuerySpec(q_doc_entropy, DOC_ENTROPY_SQL)
