@@ -2377,3 +2377,358 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 REGISTRY["doc_entropy"] = QuerySpec(q_doc_entropy, DOC_ENTROPY_SQL)
+
+
+# --- E36: MinHash sketch-accuracy calibration -----------------------------
+# Evaluation harness for the E3 sketch: per LSH candidate pair, the
+# signature-estimated Jaccard (fraction of agreeing minima — the
+# textbook unbiased estimator) against the exact shingle Jaccard, with
+# the absolute error. This is the query an operator of a 100 TB dedup
+# pipeline runs to pick (num_hashes, bands) before committing a full
+# sweep; candidate generation reuses the banded-LSH shape, so cost is
+# bounded by the same candidate set as E3 (no all-pairs).
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated-vs-exact Jaccard per MinHash LSH candidate pair (E36)."""
+    from gentropy_spark.functions.xhash import band_bucket, poly_hash, seeded
+    from gentropy_spark.operators.dedup import shingles
+    from gentropy_spark.session import track_cache
+
+    docs = read_table(spark, sf_dir, "documents")
+    coeffs = seed_coeffs(MINHASH_NUM_HASHES)
+    # Shingle index feeds the signature agg AND the exact-verify joins.
+    sh = track_cache(shingles(docs, n=SHINGLE_N))
+    hashed = sh.withColumn("h", poly_hash(F.col("shingle")))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(seeded(F.col("h"), a, c)).alias(f"m{s}")
+            for s, (a, c) in enumerate(coeffs)
+        ]
+    )
+    sig = track_cache(sig)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        band_bucket(
+                            [
+                                F.col(f"m{band * MINHASH_ROWS_PER_BAND + r}")
+                                for r in range(MINHASH_ROWS_PER_BAND)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for band in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    # Estimator: fraction of agreeing signature components.
+    siga = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"m{s}").alias(f"a{s}") for s in range(MINHASH_NUM_HASHES)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"m{s}").alias(f"b{s}") for s in range(MINHASH_NUM_HASHES)],
+    )
+    n_match = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int")
+        for s in range(MINHASH_NUM_HASHES)
+    )
+    est = (
+        cand.join(siga, on="id_a")
+        .join(sigb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(n_match / F.lit(float(MINHASH_NUM_HASHES)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    # Exact Jaccard, LEFT-joined: a pure-hash-collision candidate with
+    # zero shared shingles must surface as exact 0.0, not vanish.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), on="id_a")
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+            on=["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    exact = (
+        est.join(inter, on=["id_a", "id_b"], how="left")
+        .join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a")),
+            on="id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b")),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.round(
+                F.coalesce(
+                    F.col("n_common")
+                    / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return exact.select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
+_CAL_MATCHES = " + ".join(
+    f"(CASE WHEN a.m{s} = b.m{s} THEN 1 ELSE 0 END)"
+    for s in range(MINHASH_NUM_HASHES)
+)
+
+MINHASH_CALIBRATION_SQL = f"""
+WITH {_SHINGLE_CTE},
+hashed AS (SELECT doc_id, {poly_hash_sql('shingle')} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+         {_MH_MINS}
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+{_MH_BANDS}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(({_CAL_MATCHES}) / {float(MINHASH_NUM_HASHES)}, 6)
+           AS est_jaccard
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+joined AS (
+  SELECT e.id_a, e.id_b, e.est_jaccard,
+         ROUND(COALESCE(
+           i.n_common / (sa.set_size + sb.set_size - i.n_common),
+           0.0::DOUBLE), 6) AS jaccard
+  FROM est e
+  LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+  JOIN sizes sa ON sa.doc_id = e.id_a
+  JOIN sizes sb ON sb.doc_id = e.id_b
+)
+SELECT id_a, id_b, est_jaccard, jaccard,
+       ROUND(ABS(est_jaccard - jaccard), 6) AS abs_err
+FROM joined
+"""
+
+REGISTRY["minhash_calibration"] = QuerySpec(
+    q_minhash_calibration, MINHASH_CALIBRATION_SQL
+)
+
+
+# --- E37: count-min-sketch heavy hitters ----------------------------------
+# Cormode & Muthukrishnan 2005 (public method). The sketch is a D x W
+# counter grid; every token increments one counter per row (seeded
+# affine rehash of the shared polynomial base hash); a token's estimate
+# is the MIN over its D counters — always >= the true count, inflated
+# only by collisions. The grid is tiny and mergeable (sum per cell), so
+# at 100 TB it aggregates map-side: shuffle is D x W cells per
+# partition, CONSTANT in corpus size — the whole point of sketching.
+# The query reports estimate-vs-truth per token; W is deliberately
+# smaller than the vocabulary so the collision inflation is exercised.
+CMS_D = 4
+CMS_W = 16
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch estimates vs exact token counts (E37)."""
+    from gentropy_spark.functions.xhash import poly_hash, seeded
+
+    coeffs = seed_coeffs(CMS_D)
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    # Exact counts double as the sketch feed: incrementing cell (d, b)
+    # once per occurrence == adding the token's total once — aggregate
+    # first so the fan-out below is vocab-sized, not corpus-sized.
+    tc = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("true_n"))
+        .withColumn("h", poly_hash(F.col("tok")))
+    )
+    placed = tc.select(
+        "tok",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (seeded(F.col("h"), a, c) % CMS_W).alias("bucket"),
+                    )
+                    for d, (a, c) in enumerate(coeffs)
+                ]
+            )
+        ).alias("db"),
+    ).select("tok", "true_n", "db.d", "db.bucket")
+    counters = placed.groupBy("d", "bucket").agg(
+        F.sum("true_n").alias("cell")
+    )
+    return (
+        placed.join(counters, on=["d", "bucket"])
+        .groupBy("tok", "true_n")
+        .agg(F.min("cell").alias("est"))
+        .select(
+            "tok",
+            F.col("true_n").cast("long").alias("true_n"),
+            F.col("est").cast("long").alias("est_n"),
+            (F.col("est") - F.col("true_n")).cast("long").alias("overcount"),
+        )
+    )
+
+
+_CMS_PLACED = "\n  UNION ALL\n".join(
+    f"  SELECT tok, true_n, {d} AS d, ({seeded_sql('h', a, c)}) % {CMS_W} AS bucket FROM tc"
+    for d, (a, c) in enumerate(seed_coeffs(CMS_D))
+)
+
+CMS_SQL = f"""
+WITH tok AS (SELECT unnest({TOKS_SQL}) AS tok FROM documents),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_n FROM tok GROUP BY tok),
+tc AS (SELECT tok, true_n, {poly_hash_sql('tok')} AS h FROM cnt),
+placed AS (
+{_CMS_PLACED}
+),
+counters AS (
+  SELECT d, bucket, CAST(SUM(true_n) AS BIGINT) AS cell
+  FROM placed GROUP BY 1, 2
+)
+SELECT p.tok, p.true_n,
+       CAST(MIN(c.cell) AS BIGINT) AS est_n,
+       CAST(MIN(c.cell) - p.true_n AS BIGINT) AS overcount
+FROM placed p JOIN counters c ON c.d = p.d AND c.bucket = p.bucket
+GROUP BY p.tok, p.true_n
+"""
+
+REGISTRY["cms_heavy_hitters"] = QuerySpec(q_cms_heavy_hitters, CMS_SQL)
+
+
+# --- E38: Zipf law fit over the corpus vocabulary -------------------------
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares Zipf fit: slope of ln(freq) on ln(rank) (E38).
+
+    The slope of the log-log rank/frequency line (~-1 for natural
+    language) is the standard corpus-health diagnostic for generated
+    or templated text. Ranks come from one vocab-bounded global sort;
+    the regression reduces via decimal-quantized sums (ln values
+    rounded to 6 dp first, per the repo's cross-engine ln convention;
+    addends rounded to 12 dp and summed exactly in DECIMAL so the
+    reduction is order-independent) — the same scale posture as E30.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = vocab.select(
+        "c", F.row_number().over(w).alias("rank")
+    ).select(
+        F.round(F.log(F.col("rank").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 6).alias("y"),
+        F.col("c"),
+    )
+    dq = lambda col: F.sum(F.round(col, 12).cast("decimal(38,12)")).cast(  # noqa: E731
+        "double"
+    )
+    agg = ranked.agg(
+        F.count("*").alias("nv"),
+        F.sum("c").alias("nt"),
+        dq(F.col("x")).alias("sx"),
+        dq(F.col("y")).alias("sy"),
+        dq(F.col("x") * F.col("x")).alias("sxx"),
+        dq(F.col("y") * F.col("y")).alias("syy"),
+        dq(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("nv").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / F.nullif(varx, F.lit(0.0))
+    return agg.select(
+        F.col("nv").cast("int").alias("n_vocab"),
+        F.col("nt").cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / n, 6
+        ).alias("zipf_intercept"),
+        F.round(
+            (cov * cov) / F.nullif(varx * vary, F.lit(0.0)), 6
+        ).alias("r2"),
+    )
+
+
+ZIPF_SQL = f"""
+WITH tok AS (SELECT unnest({TOKS_SQL}) AS tok FROM documents),
+vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+ranked AS (
+  SELECT ROUND(LN(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS DOUBLE)), 6) AS x,
+         ROUND(LN(CAST(c AS DOUBLE)), 6) AS y,
+         c
+  FROM vocab
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+         CAST(SUM(c) AS BIGINT) AS nt,
+         CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM ranked
+)
+SELECT CAST(nv AS INT) AS n_vocab,
+       nt AS n_tokens,
+       ROUND((nv * sxy - sx * sy) / NULLIF(nv * sxx - sx * sx, 0.0::DOUBLE), 6)
+         AS zipf_slope,
+       ROUND((sy - ((nv * sxy - sx * sy) / NULLIF(nv * sxx - sx * sx, 0.0::DOUBLE)) * sx) / nv, 6)
+         AS zipf_intercept,
+       ROUND(((nv * sxy - sx * sy) * (nv * sxy - sx * sy))
+             / NULLIF((nv * sxx - sx * sx) * (nv * syy - sy * sy), 0.0::DOUBLE), 6)
+         AS r2
+FROM agg
+"""
+
+REGISTRY["zipf_fit"] = QuerySpec(q_zipf_fit, ZIPF_SQL)

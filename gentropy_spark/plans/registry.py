@@ -132,6 +132,13 @@ _SNAPSHOT_PRIORITY = [
     "synthetic_sumstats",
     "upsert_sink_drain",
     "l2g_train_metrics",
+    # (a') late-r9 new operators — no driver evidence yet.
+    "dedup_substring",
+    "quality_gopher",
+    "doc_entropy",
+    "minhash_calibration",
+    "cms_heavy_hitters",
+    "zipf_fit",
     # (b) r9: values / plans changed this round — must re-certify.
     # qc_flags: single-exchange SQL-built rewrite (hash-identical by
     # design, re-prove it); multimodal trio + pics consumers: codec
@@ -179,12 +186,10 @@ _SNAPSHOT_PRIORITY = [
     "logsum",
     "meta_analysis",
     "mixture_rebalance",
-    "pack_sequences",
-    "pii_redact",
-    "q1_pricing_summary",
-    "retention_cohorts",
-    "sample_stratified",
-    "scd2_intervals",
+    # (tail keys pack_sequences / pii_redact / q1_pricing_summary /
+    # retention_cohorts / sample_stratified / scd2_intervals rotated
+    # out for the six late-r9 keys; all six remain covered by the
+    # in-repo sf0.001 parity sweep and rotate back next round.)
 ]
 
 
