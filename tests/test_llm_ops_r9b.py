@@ -1,0 +1,210 @@
+"""Late-r9 LLM-pipeline operators (E33-E38): independent python
+references at sf0.001 plus structural invariants.
+
+The DuckDB oracle gate already proves cross-engine value parity; these
+tests prove the SHARED algorithm is the intended one by recomputing it
+a third way (plain python) from the raw parquet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import duckdb
+import pytest
+
+TOK_RE = re.compile(r"[^a-z0-9]+")
+
+
+def _docs(sf_dir):
+    return duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+
+
+def _toks(text):
+    return [t for t in TOK_RE.split(text.lower()) if t]
+
+
+# --- E33 dedup_substring ---------------------------------------------------
+def test_dedup_substring_matches_python_reference(spark, sf_dir):
+    from gentropy_spark.plans.llm_pipeline import SUBSTR_K, q_dedup_substring
+
+    docs = _docs(sf_dir)
+    occ = Counter()
+    windows = {}
+    for doc_id, text in docs:
+        t = _toks(text)
+        ws = [
+            hashlib.md5(" ".join(t[i : i + SUBSTR_K]).encode()).hexdigest()
+            for i in range(len(t) - SUBSTR_K + 1)
+        ]
+        windows[doc_id] = ws
+        occ.update(ws)
+    expected = {
+        doc_id: (len(ws), sum(1 for h in ws if occ[h] > 1))
+        for doc_id, ws in windows.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_fraction"])
+        for r in q_dedup_substring(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for doc_id, (nw, nd) in expected.items():
+        gnw, gnd, frac = got[doc_id]
+        assert (gnw, gnd) == (nw, nd), doc_id
+        assert frac == pytest.approx(round(nd / max(nw, 1), 6), abs=1e-9)
+    # if the corpus carries exact-duplicate docs (sf-dependent), their
+    # windows must all be flagged (dup_fraction == 1)
+    texts = Counter(text for _, text in docs)
+    for d, t in docs:
+        if texts[t] > 1 and len(_toks(t)) >= SUBSTR_K:
+            assert got[d][2] == 1.0
+    # near-dup structure exists at every SF: some window repeats
+    assert any(nd > 0 for _, nd, _ in got.values())
+
+
+# --- E34 quality_gopher ----------------------------------------------------
+def test_quality_gopher_matches_python_reference(spark, sf_dir):
+    from gentropy_spark.plans import llm_pipeline as L
+
+    rows = {r["doc_id"]: r for r in L.q_quality_gopher(spark, sf_dir).collect()}
+    n_keep = 0
+    for doc_id, text in _docs(sf_dir):
+        ws = [w for w in re.split(r"\s+", text) if w]
+        toks = set(_toks(text))
+        n = len(ws)
+        denom = max(n, 1)
+        mean_len = round(sum(len(w) for w in ws) / denom, 6)
+        sym = round(
+            (text.count("#") + len(re.findall(r"\.\.\.", text))) / denom, 6
+        )
+        alpha = round(
+            sum(1 for w in ws if re.search("[a-zA-Z]", w)) / denom, 6
+        )
+        stop = sum(1 for s in L.GOPHER_STOPWORDS if s in toks)
+        r = rows[doc_id]
+        assert r["n_words"] == n
+        assert r["mean_word_len"] == pytest.approx(mean_len, abs=1e-9)
+        assert r["symbol_ratio"] == pytest.approx(sym, abs=1e-9)
+        assert r["alpha_word_ratio"] == pytest.approx(alpha, abs=1e-9)
+        assert r["n_stop_hits"] == stop
+        keep = (
+            L.GOPHER_MIN_WORDS <= n <= L.GOPHER_MAX_WORDS
+            and L.GOPHER_MIN_MEAN_LEN <= mean_len <= L.GOPHER_MAX_MEAN_LEN
+            and sym < L.GOPHER_MAX_SYMBOL_RATIO
+            and alpha >= L.GOPHER_MIN_ALPHA_RATIO
+            and stop >= L.GOPHER_MIN_STOP_HITS
+        )
+        assert r["keep"] == keep, doc_id
+        n_keep += keep
+    # the decision must be discriminative on the synthetic corpus
+    assert 0 < n_keep < len(rows)
+
+
+# --- E35 doc_entropy -------------------------------------------------------
+def test_doc_entropy_matches_python_reference(spark, sf_dir):
+    from gentropy_spark.plans.llm_pipeline import q_doc_entropy
+
+    rows = {r["doc_id"]: r for r in q_doc_entropy(spark, sf_dir).collect()}
+    for doc_id, text in _docs(sf_dir):
+        c = Counter(_toks(text))
+        n = sum(c.values())
+        r = rows[doc_id]
+        assert r["n_tokens"] == n
+        assert r["n_distinct"] == len(c)
+        if n:
+            h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+            assert r["entropy"] == pytest.approx(round(h, 6), abs=1e-6)
+            assert r["max_tok_ratio"] == pytest.approx(
+                round(max(c.values()) / n, 6), abs=1e-9
+            )
+
+
+# --- E36 minhash_calibration ----------------------------------------------
+def test_minhash_calibration_invariants(spark, sf_dir):
+    from gentropy_spark.plans.llm_pipeline import q_minhash_calibration
+
+    rows = q_minhash_calibration(spark, sf_dir).collect()
+    assert rows
+    texts = dict(_docs(sf_dir))
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["abs_err"] == pytest.approx(
+            round(abs(r["est_jaccard"] - r["jaccard"]), 6), abs=1e-9
+        )
+        # identical documents: identical shingle sets => identical
+        # signatures => both estimator and exact must be 1
+        if texts[r["id_a"]] == texts[r["id_b"]]:
+            assert r["est_jaccard"] == 1.0 and r["jaccard"] == 1.0
+    # the estimator must actually discriminate across candidates
+    assert len({r["est_jaccard"] for r in rows}) > 1
+
+
+# --- E37 cms_heavy_hitters -------------------------------------------------
+def test_cms_matches_python_reference(spark, sf_dir):
+    from gentropy_spark.functions.xhash import M1, seed_coeffs
+    from gentropy_spark.plans.llm_pipeline import (
+        CMS_D,
+        CMS_W,
+        q_cms_heavy_hitters,
+    )
+
+    def py_poly_hash(s, nchars=32, base=31, mod=M1):
+        h = 1
+        for k in range(nchars):
+            h = (h * base + (ord(s[k]) if k < len(s) else 0)) % mod
+        return (h * base + len(s)) % mod
+
+    true_n = Counter()
+    for _, text in _docs(sf_dir):
+        true_n.update(_toks(text))
+    coeffs = seed_coeffs(CMS_D)
+    grid = [[0] * CMS_W for _ in range(CMS_D)]
+    buckets = {}
+    for tok, n in true_n.items():
+        h = py_poly_hash(tok)
+        bs = [((h * a + c) % M1) % CMS_W for a, c in coeffs]
+        buckets[tok] = bs
+        for d, b in enumerate(bs):
+            grid[d][b] += n
+    rows = {r["tok"]: r for r in q_cms_heavy_hitters(spark, sf_dir).collect()}
+    assert set(rows) == set(true_n)
+    for tok, n in true_n.items():
+        est = min(grid[d][b] for d, b in enumerate(buckets[tok]))
+        r = rows[tok]
+        assert r["true_n"] == n
+        assert r["est_n"] == est
+        assert r["overcount"] == est - n
+        assert r["est_n"] >= r["true_n"]  # CMS one-sided error guarantee
+
+
+# --- E38 zipf_fit ----------------------------------------------------------
+def test_zipf_fit_matches_python_reference(spark, sf_dir):
+    from gentropy_spark.plans.llm_pipeline import q_zipf_fit
+
+    true_n = Counter()
+    for _, text in _docs(sf_dir):
+        true_n.update(_toks(text))
+    ranked = sorted(true_n.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [round(math.log(i + 1), 6) for i in range(len(ranked))]
+    ys = [round(math.log(c), 6) for _, c in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    (row,) = q_zipf_fit(spark, sf_dir).collect()
+    assert row["n_vocab"] == n
+    assert row["n_tokens"] == sum(true_n.values())
+    assert row["zipf_slope"] == pytest.approx(slope, abs=1e-5)
+    assert row["zipf_intercept"] == pytest.approx(intercept, abs=1e-5)
+    assert row["r2"] == pytest.approx(r2, abs=1e-5)
+    assert row["zipf_slope"] < 0  # frequency decreases with rank
