@@ -138,14 +138,6 @@ _M = _C * np.sqrt(2.0 / 8.0)
 _M[0, :] *= 1.0 / np.sqrt(2.0)
 
 
-def _fdct(block: np.ndarray) -> np.ndarray:
-    return _M @ block @ _M.T
-
-
-def _idct(coef: np.ndarray) -> np.ndarray:
-    return _M.T @ coef @ _M
-
-
 # --- Huffman machinery ------------------------------------------------------
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """Canonical JPEG Huffman assignment → {value: (length, code)}."""
@@ -354,6 +346,11 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             frame["seen_scan"] = True
             continue
         pos += seglen
+    # EOF without an explicit EOI: in-the-wild files are commonly
+    # truncated right after the last scan's entropy data. If every
+    # scan decoded, treat EOF as an implicit EOI rather than failing.
+    if frame is not None and frame.get("seen_scan"):
+        return _reconstruct(frame, coeffs, qt)
     raise ValueError("truncated JPEG")
 
 
@@ -366,7 +363,9 @@ def _scan_units(frame, scan_comps):
     """
     comps = frame["comps"]
     if len(scan_comps) > 1:
-        units = []
+        # Generator, not a list: a large progressive file re-walks this
+        # sequence once per scan, and materializing ~MCUs x blocks
+        # tuples per walk costs hundreds of MB on big images.
         for my in range(frame["mcus_y"]):
             for mx in range(frame["mcus_x"]):
                 unit = []
@@ -378,16 +377,16 @@ def _scan_units(frame, scan_comps):
                                 (ci, td, ta,
                                  my * c["v"] + by, mx * c["h"] + bx)
                             )
-                units.append(unit)
-        return units
+                yield unit
+        return
     ci, td, ta = scan_comps[0]
     c = comps[ci]
     cw = -(-frame["w"] * c["h"] // frame["hmax"])
     ch = -(-frame["h"] * c["v"] // frame["vmax"])
     bw, bh = -(-cw // 8), -(-ch // 8)
-    return [
-        [(ci, td, ta, by, bx)] for by in range(bh) for bx in range(bw)
-    ]
+    for by in range(bh):
+        for bx in range(bw):
+            yield [(ci, td, ta, by, bx)]
 
 
 def _decode_scan(data, pos, frame, coeffs, pred, scan_comps,
@@ -443,7 +442,10 @@ def _decode_scan(data, pos, frame, coeffs, pred, scan_comps,
                 continue
             return p
         p += 1
-    raise ValueError("truncated JPEG after scan")
+    # No marker before EOF — a truncated/EOI-less tail. The scan itself
+    # decoded completely, so report EOF and let the caller treat it as
+    # an implicit EOI.
+    return n
 
 
 def _block_full(reader, block, dct, act, pred, ci):

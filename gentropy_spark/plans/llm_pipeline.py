@@ -368,7 +368,9 @@ SELECT doc_id, n_chars,
   LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) / dc AS upper_ratio,
   LEN(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is')))
     / GREATEST(LEN(toks), 1) AS stop_ratio,
-  list_sum(list_transform(toks, x -> LENGTH(x)))::BIGINT
+  -- COALESCE: DuckDB list_sum([]) is NULL where Spark's F.aggregate
+  -- with init 0 yields 0 (same trap class as array_to_string([]))
+  COALESCE(list_sum(list_transform(toks, x -> LENGTH(x)))::BIGINT, 0)
     / GREATEST(LEN(toks), 1) AS mean_token_len
 FROM base
 """
@@ -2272,7 +2274,8 @@ WITH base AS (
 scored AS (
   SELECT doc_id,
     CAST(LEN(ws) AS INT) AS n_words,
-    ROUND(CAST(list_sum(list_transform(ws, x -> LENGTH(x))) AS DOUBLE)
+    ROUND(CAST(COALESCE(list_sum(list_transform(ws, x -> LENGTH(x))), 0)
+               AS DOUBLE)
           / GREATEST(LEN(ws), 1), 6) AS mean_word_len,
     ROUND(CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
                + LEN(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)

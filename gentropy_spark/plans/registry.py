@@ -109,6 +109,13 @@ def _plan_cached(
         if hit is not None:
             return hit
         df = fn(spark, sf_dir)
+        # Evict entries from other (stopped) SparkSessions: their
+        # DataFrames hold py4j references into dead JVM state, and a
+        # driver that recreates sessions would otherwise leak one
+        # entry per (appId, sf_dir, key, profile) forever.
+        app_id = key[0]
+        for stale in [k for k in _PLAN_MEMO if k[0] != app_id]:
+            del _PLAN_MEMO[stale]
         _PLAN_MEMO[key] = df
         return df
 

@@ -794,10 +794,16 @@ def q_gwas_study_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     st_ass = assoc.join(F.broadcast(studies), on="study_id", how="inner")
-    return resolve_substudies(st_ass)
+    # assoc is distinct on (study, variant, description) and the study
+    # dim is unique on study_id, so the joined rows are already
+    # distinct — skip the resolver's defensive 5-column re-dedup (a
+    # full-width hash aggregate + exchange over the joined payload).
+    return resolve_substudies(st_ass, assume_distinct=True)
 
 
-def resolve_substudies(st_ass: DataFrame) -> DataFrame:
+def resolve_substudies(
+    st_ass: DataFrame, *, assume_distinct: bool = False
+) -> DataFrame:
     """Sub-study resolution + ambiguity flag over joined associations.
 
     Input: (study_id, variant_id, sub_study_description, study_trait,
@@ -805,6 +811,10 @@ def resolve_substudies(st_ass: DataFrame) -> DataFrame:
     trait/EFO disagreement and ambiguity-flag edge cases are
     property-testable against the exact production expressions
     (reference: study_splitter.py:21,:52,:66; associations.py:1194).
+
+    ``assume_distinct=True`` lets a caller that already deduplicated
+    its association rows skip the input re-dedup; dense_rank itself is
+    duplicate-invariant, so this only changes work, never values.
     """
     parts = F.split(F.col("sub_study_description"), r"\|")
     a_trait = F.try_element_at(parts, F.lit(1))
@@ -824,7 +834,8 @@ def resolve_substudies(st_ass: DataFrame) -> DataFrame:
     # map-side partial combine — duplicates collapse before the
     # shuffle, where the previous formulation sorted every raw
     # association row (wide string payloads) under the window.
-    ranked = st_ass.distinct().withColumn(
+    base = st_ass if assume_distinct else st_ass.distinct()
+    ranked = base.withColumn(
         "sub_rank", F.dense_rank().over(w_split)
     ).withColumn("n_substudies", F.max("sub_rank").over(w_study))
     resolved = ranked.select(

@@ -208,3 +208,49 @@ def test_zipf_fit_matches_python_reference(spark, sf_dir):
     assert row["zipf_intercept"] == pytest.approx(intercept, abs=1e-5)
     assert row["r2"] == pytest.approx(r2, abs=1e-5)
     assert row["zipf_slope"] < 0  # frequency decreases with rank
+
+
+# --- empty/degenerate-document parity (review finding r9) -----------------
+def test_gopher_and_quality_parity_on_empty_docs(spark, tmp_path):
+    """DuckDB list_sum([]) is NULL while Spark F.aggregate init-0 is 0;
+    both oracles must COALESCE so an empty or whitespace-only document
+    keeps identical flags cross-engine (latent until a corpus refresh
+    ships such a doc — the oracle gate never sees one today)."""
+    import duckdb as dk
+    import pandas as pd
+
+    from gentropy_spark.plans import llm_pipeline as L
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["", "   \t  ", "### ... ###", "the quick brown fox " * 20],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [0, 6, 11, 400],
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet", index=False)
+    con = dk.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    for fn, sql in [
+        (L.q_quality_gopher, L.QUALITY_GOPHER_SQL),
+        (L.q_text_quality, L.TEXT_QUALITY_SQL),
+    ]:
+        sdf = fn(spark, str(d))
+        srows = {tuple(r)[0]: tuple(r)[1:] for r in sdf.collect()}
+        res = con.execute(sql)
+        cols = [c[0] for c in res.description]
+        assert cols == sdf.columns
+        drows = {r[0]: r[1:] for r in res.fetchall()}
+        assert srows.keys() == drows.keys()
+        for k in srows:
+            for sv, dv in zip(srows[k], drows[k]):
+                if isinstance(sv, float):
+                    assert dv == pytest.approx(sv, abs=1e-9), (fn.__name__, k)
+                else:
+                    assert sv == dv, (fn.__name__, k)

@@ -710,3 +710,24 @@ def test_jpeg_roundtrip_property(h, w, quality, subsample, seed):
     )
     assert dec.shape == (h, w, 3)
     assert abs(float(dec.mean()) - float(px.mean())) < 48.0
+
+
+# --- review r9b: EOI-stripped files decode (implicit EOI at EOF) ----------
+def test_jpeg_eoi_stripped_decodes_identically():
+    """In-the-wild JPEGs are commonly truncated right after the last
+    scan's entropy data; EOF must act as an implicit EOI for both
+    baseline and progressive streams (review finding r9b)."""
+    from gentropy_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    px = _rng(11).integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    for enc in (encode_jpeg, encode_jpeg_progressive):
+        b = enc(px)
+        assert b.endswith(b"\xff\xd9")
+        assert (decode_jpeg_pixels(b[:-2]) == decode_jpeg_pixels(b)).all()
+    # headerless / scanless garbage must still fail loudly
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(b"\xff\xd8\xff\xdb\x00\x04\x00\x00")
