@@ -2735,3 +2735,77 @@ FROM agg
 """
 
 REGISTRY["zipf_fit"] = QuerySpec(q_zipf_fit, ZIPF_SQL)
+
+
+# --- E39: bigram PMI collocations -----------------------------------------
+# Church & Hanks 1990 pointwise mutual information over adjacent token
+# pairs — the standard collocation / multi-word-expression miner a
+# tokenizer-training pipeline runs next to BPE (E31). Marginals are the
+# bigram table's own row/column sums, so the whole query is three
+# grouped aggregations on high-cardinality keys (pair, left word,
+# right word) — shuffle ∝ distinct bigrams, never corpus size.
+PMI_MIN_COUNT = 5
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked adjacent-token pairs with count >= PMI_MIN_COUNT."""
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i.cast("int")).alias("w1"),
+                F.element_at(toks, (i + 1).cast("int")).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = toked.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c12 = c12.persist()
+    left = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = c12.agg(F.sum("c12").alias("n"))
+    return (
+        c12.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(left, on="w1")
+        .join(right, on="w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("n_pair"),
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+BIGRAM_PMI_SQL = f"""
+WITH toks AS (SELECT {TOKS_SQL} AS t FROM documents),
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, GREATEST(len(t) - 1, 0))) AS u(i)
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+lft AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+rgt AS (SELECT w2, SUM(c12) AS c2 FROM c12 GROUP BY 1),
+tot AS (SELECT SUM(c12) AS n FROM c12)
+SELECT c.w1, c.w2, CAST(c.c12 AS BIGINT) AS n_pair,
+       ROUND(LN(CAST(c.c12 AS DOUBLE) * t.n / (l.c1 * r.c2)), 6) AS pmi
+FROM c12 c
+JOIN lft l USING (w1)
+JOIN rgt r USING (w2)
+CROSS JOIN tot t
+WHERE c.c12 >= {PMI_MIN_COUNT}
+"""
+
+REGISTRY["bigram_pmi"] = QuerySpec(q_bigram_pmi, BIGRAM_PMI_SQL)

@@ -146,6 +146,8 @@ _SNAPSHOT_PRIORITY = [
     "minhash_calibration",
     "cms_heavy_hitters",
     "zipf_fit",
+    "hll_distinct",
+    "bigram_pmi",
     # (b) r9: values / plans changed this round — must re-certify.
     # qc_flags: single-exchange SQL-built rewrite (hash-identical by
     # design, re-prove it); multimodal trio + pics consumers: codec

@@ -1261,3 +1261,123 @@ GROUP BY 1
 
 
 REGISTRY["dwell_time_stats"] = QuerySpec(q_dwell_time_stats, DWELL_SQL)
+
+
+# --- A23: HyperLogLog distinct-count sketch -------------------------------
+# Flajolet et al. 2007 (public method), built like A11/KMV on the
+# cross-engine polynomial hash so the whole sketch is bit-deterministic
+# and value-hash oracle-checkable (Spark's approx_count_distinct is an
+# opaque HLL++ — rows-only checkable). Register math stays in exact
+# integer/dyadic arithmetic: rho comes from the bit-length of the
+# sub-register hash (LENGTH(bin(w)) in BOTH engines), and the
+# indicator sum Σ 2^-M_j is a sum of dyadic rationals spanning < 53
+# bits, so double addition is EXACT and order-independent — no decimal
+# quantization needed. Registers are max-mergeable across partitions /
+# days / shards: the 100 TB rollup contract. m=64 keeps the register
+# fan small; the exact count rides the same shuffle for an observable
+# error column.
+HLL_M = 64  # registers (p=6)
+HLL_SUB_BITS = 25  # poly_hash < 2^31 → sub-register value < 2^25
+HLL_ALPHA = 0.709  # standard alpha_64
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL distinct-user estimate vs exact (A23)."""
+    from gentropy_spark.functions.xhash import poly_hash
+
+    ev = read_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type", F.col("user_id").cast("string").alias("uk")
+    ).withColumn("h", poly_hash(F.col("uk")))
+    # rho = leading-zero count of the 25-bit sub-register value + 1.
+    w = (F.col("h") / F.lit(HLL_M)).cast("long")
+    rho = F.when(w == 0, F.lit(HLL_SUB_BITS + 1)).otherwise(
+        F.lit(HLL_SUB_BITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        hashed.select(
+            "event_type",
+            (F.col("h") % HLL_M).alias("reg"),
+            rho.alias("rho"),
+            F.col("uk"),
+        )
+        .groupBy("event_type", "reg")
+        .agg(
+            F.max("rho").alias("m_j"),
+            F.count_distinct("uk").alias("n_keys"),
+        )
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_hit"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z_hit"),
+        F.sum("n_keys").alias("exact_distinct"),
+    )
+    zeros = F.lit(HLL_M) - F.col("n_hit")
+    z = F.col("z_hit") + zeros.cast("double")  # absent registers: 2^0
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / z
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.round(F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros), 6),
+    ).otherwise(F.round(raw, 6))
+    return agg.select(
+        "event_type",
+        F.col("n_hit").cast("int").alias("n_registers_hit"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        est.alias("est_distinct"),
+        F.round(
+            F.abs(est - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def _hll_sql() -> str:
+    from gentropy_spark.functions.xhash import poly_hash_sql
+
+    sub = HLL_SUB_BITS + 1
+    return f"""
+WITH hashed AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS uk,
+         {poly_hash_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+rho AS (
+  SELECT event_type, h % {HLL_M} AS reg, uk,
+         CASE WHEN h // {HLL_M} = 0 THEN {sub}
+              ELSE {sub} - LENGTH(bin(h // {HLL_M})) END AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT event_type, reg, MAX(rho) AS m_j,
+         COUNT(DISTINCT uk) AS n_keys
+  FROM rho GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS INT) AS n_hit,
+         SUM(POW(2.0, -m_j)) AS z_hit,
+         CAST(SUM(n_keys) AS BIGINT) AS exact_distinct
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT *,
+         CASE
+           WHEN {HLL_ALPHA * HLL_M * HLL_M}
+                / (z_hit + ({HLL_M} - n_hit)) <= {2.5 * HLL_M}
+                AND ({HLL_M} - n_hit) > 0
+           THEN ROUND({float(HLL_M)} * LN({float(HLL_M)}
+                      / ({HLL_M} - n_hit)), 6)
+           ELSE ROUND({HLL_ALPHA * HLL_M * HLL_M}
+                      / (z_hit + ({HLL_M} - n_hit)), 6)
+         END AS est_distinct
+  FROM agg
+)
+SELECT event_type, n_hit AS n_registers_hit, exact_distinct, est_distinct,
+       ROUND(ABS(est_distinct - exact_distinct) / exact_distinct, 6)
+         AS rel_err
+FROM est
+"""
+
+
+REGISTRY["hll_distinct"] = QuerySpec(q_hll_distinct, _hll_sql())

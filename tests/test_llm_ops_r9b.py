@@ -254,3 +254,81 @@ def test_gopher_and_quality_parity_on_empty_docs(spark, tmp_path):
                     assert dv == pytest.approx(sv, abs=1e-9), (fn.__name__, k)
                 else:
                     assert sv == dv, (fn.__name__, k)
+
+
+# --- A23 hll_distinct ------------------------------------------------------
+def test_hll_matches_python_reference(spark, sf_dir):
+    from gentropy_spark.functions.xhash import M1
+    from gentropy_spark.plans.relational import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_SUB_BITS,
+        q_hll_distinct,
+    )
+
+    def py_poly_hash(s, nchars=32, base=31, mod=M1):
+        h = 1
+        for k in range(nchars):
+            h = (h * base + (ord(s[k]) if k < len(s) else 0)) % mod
+        return (h * base + len(s)) % mod
+
+    ev = duckdb.sql(
+        f"SELECT event_type, CAST(user_id AS VARCHAR) FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    regs: dict[str, dict[int, int]] = {}
+    exact: dict[str, set] = {}
+    for et, uk in ev:
+        h = py_poly_hash(uk)
+        w = h // HLL_M
+        rho = (HLL_SUB_BITS + 1) if w == 0 else (
+            HLL_SUB_BITS + 1 - w.bit_length()
+        )
+        r = regs.setdefault(et, {})
+        j = h % HLL_M
+        r[j] = max(r.get(j, 0), rho)
+        exact.setdefault(et, set()).add(uk)
+    rows = {r["event_type"]: r for r in q_hll_distinct(spark, sf_dir).collect()}
+    assert set(rows) == set(regs)
+    for et, r in regs.items():
+        z = sum(2.0 ** -m for m in r.values()) + (HLL_M - len(r))
+        raw = HLL_ALPHA * HLL_M * HLL_M / z
+        zeros = HLL_M - len(r)
+        if raw <= 2.5 * HLL_M and zeros > 0:
+            est = round(HLL_M * math.log(HLL_M / zeros), 6)
+        else:
+            est = round(raw, 6)
+        got = rows[et]
+        assert got["n_registers_hit"] == len(r)
+        assert got["exact_distinct"] == len(exact[et])
+        assert got["est_distinct"] == pytest.approx(est, abs=1e-6)
+        # HLL with m=64 has ~13% standard error; 3 sigma bound
+        assert abs(est - len(exact[et])) / len(exact[et]) < 0.4
+
+
+# --- E39 bigram_pmi --------------------------------------------------------
+def test_bigram_pmi_matches_python_reference(spark, sf_dir):
+    from gentropy_spark.plans.llm_pipeline import PMI_MIN_COUNT, q_bigram_pmi
+
+    c12 = Counter()
+    for _, text in _docs(sf_dir):
+        t = _toks(text)
+        c12.update(zip(t, t[1:]))
+    c1 = Counter()
+    c2 = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        c2[w2] += c
+    n = sum(c12.values())
+    expected = {
+        (w1, w2): (c, round(math.log(c * n / (c1[w1] * c2[w2])), 6))
+        for (w1, w2), c in c12.items()
+        if c >= PMI_MIN_COUNT
+    }
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi"])
+        for r in q_bigram_pmi(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (c, pmi) in expected.items():
+        assert got[k][0] == c
+        assert got[k][1] == pytest.approx(pmi, abs=1e-6)
