@@ -332,3 +332,82 @@ def test_bigram_pmi_matches_python_reference(spark, sf_dir):
     for k, (c, pmi) in expected.items():
         assert got[k][0] == c
         assert got[k][1] == pytest.approx(pmi, abs=1e-6)
+
+
+# --- E40 ann_recall_eval ---------------------------------------------------
+def test_ann_recall_eval_consistent_with_components(spark, sf_dir):
+    from gentropy_spark.plans.llm_pipeline import (
+        q_ann_cosine_topk,
+        q_ann_ivf,
+        q_ann_lsh,
+        q_ann_recall_eval,
+    )
+
+    truth = {
+        (r["query_id"], r["corpus_id"])
+        for r in q_ann_cosine_topk(spark, sf_dir).collect()
+    }
+    retrieved = {
+        "lsh": {
+            (r["query_id"], r["corpus_id"])
+            for r in q_ann_lsh(spark, sf_dir).collect()
+        },
+        "ivf": {
+            (r["query_id"], r["corpus_id"])
+            for r in q_ann_ivf(spark, sf_dir).collect()
+        },
+    }
+    rows = q_ann_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == 2 * len({q for q, _ in truth})
+    for r in rows:
+        got = {
+            p for p in retrieved[r["method"]] if p[0] == r["query_id"]
+        }
+        hits = got & {p for p in truth if p[0] == r["query_id"]}
+        assert r["n_retrieved"] == len(got)
+        assert r["n_hit"] == len(hits)
+        assert r["recall_at_5"] == pytest.approx(
+            round(len(hits) / 5.0, 6), abs=1e-9
+        )
+        assert 0.0 <= r["recall_at_5"] <= 1.0
+
+
+# --- E41 dup_pagerank ------------------------------------------------------
+def test_dup_pagerank_matches_python_reference(spark, sf_dir):
+    from gentropy_spark.plans.llm_pipeline import (
+        PR_DAMP,
+        PR_ITERS,
+        q_dedup_minhash,
+        q_dup_pagerank,
+    )
+
+    pairs = [
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in q_dedup_minhash(spark, sf_dir).collect()
+    ]
+    edges: dict[int, list[tuple[int, float]]] = {}
+    for a, b, w in pairs:
+        edges.setdefault(a, []).append((b, w))
+        edges.setdefault(b, []).append((a, w))
+    wsum = {u: round(sum(w for _, w in nb), 6) for u, nb in edges.items()}
+    n = len(edges)
+    pr = {u: round(1.0 / n, 12) for u in edges}
+    for _ in range(PR_ITERS):
+        inflow: dict[int, float] = {u: 0.0 for u in edges}
+        for u, nb in edges.items():
+            for v, w in nb:
+                inflow[v] += round(pr[u] * w / wsum[u], 12)
+        pr = {
+            u: round((1.0 - PR_DAMP) / n + PR_DAMP * inflow[u], 12)
+            for u in edges
+        }
+    rows = {r["doc_id"]: r for r in q_dup_pagerank(spark, sf_dir).collect()}
+    assert set(rows) == set(edges)
+    total = 0.0
+    for u in edges:
+        assert rows[u]["degree"] == len(edges[u])
+        assert rows[u]["strength"] == pytest.approx(wsum[u], abs=1e-9)
+        assert rows[u]["pagerank"] == pytest.approx(round(pr[u], 6), abs=1e-6)
+        total += rows[u]["pagerank"]
+    # rank mass is conserved on a graph with no dangling nodes
+    assert total == pytest.approx(1.0, abs=1e-3)
