@@ -2809,3 +2809,231 @@ WHERE c.c12 >= {PMI_MIN_COUNT}
 """
 
 REGISTRY["bigram_pmi"] = QuerySpec(q_bigram_pmi, BIGRAM_PMI_SQL)
+
+
+# --- E40: ANN retrieval-quality evaluation --------------------------------
+# The eval harness an ANN deployment runs before trading brute force
+# for an index: recall@k of each approximate method (E6 LSH buckets,
+# E6b IVF probes) against the E5 brute-force ground truth. Composes
+# the three registered queries — truth is one exact top-k per query,
+# so the whole evaluation is two small joins on (query_id, corpus_id).
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of LSH- and IVF-ANN vs brute force (E40)."""
+    truth = q_ann_cosine_topk(spark, sf_dir).select("query_id", "corpus_id")
+    retrieved = (
+        q_ann_lsh(spark, sf_dir)
+        .select(F.lit("lsh").alias("method"), "query_id", "corpus_id")
+        .unionByName(
+            q_ann_ivf(spark, sf_dir).select(
+                F.lit("ivf").alias("method"), "query_id", "corpus_id"
+            )
+        )
+    )
+    hits = (
+        retrieved.join(
+            truth.withColumn("_hit", F.lit(1)),
+            on=["query_id", "corpus_id"],
+            how="left",
+        )
+        .groupBy("method", "query_id")
+        .agg(
+            F.count("*").alias("n_retrieved"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    # Base = every (method, query) cell: a query whose LSH bucket is
+    # empty must surface as recall 0, not vanish.
+    methods = spark.createDataFrame([("lsh",), ("ivf",)], ["method"])
+    base = truth.select("query_id").distinct().crossJoin(F.broadcast(methods))
+    return (
+        base.join(hits, on=["method", "query_id"], how="left")
+        .select(
+            "method",
+            "query_id",
+            F.coalesce(F.col("n_retrieved"), F.lit(0))
+            .cast("int")
+            .alias("n_retrieved"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(5.0), 6
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH truth AS ({ANN_TOPK_SQL}),
+lsh AS ({ANN_LSH_SQL}),
+ivf AS ({ANN_IVF_SQL}),
+retrieved AS (
+  SELECT 'lsh' AS method, query_id, corpus_id FROM lsh
+  UNION ALL
+  SELECT 'ivf' AS method, query_id, corpus_id FROM ivf
+),
+hits AS (
+  SELECT r.method, r.query_id,
+         COUNT(*) AS n_retrieved,
+         SUM(CASE WHEN t.corpus_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM retrieved r
+  LEFT JOIN truth t
+    ON t.query_id = r.query_id AND t.corpus_id = r.corpus_id
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT m.method, q.query_id
+  FROM (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') m
+  CROSS JOIN (SELECT DISTINCT query_id FROM truth) q
+)
+SELECT b.method, b.query_id,
+       CAST(COALESCE(h.n_retrieved, 0) AS INT) AS n_retrieved,
+       CAST(COALESCE(h.n_hit, 0) AS INT) AS n_hit,
+       ROUND(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall_at_5
+FROM base b
+LEFT JOIN hits h ON h.method = b.method AND h.query_id = b.query_id
+"""
+
+REGISTRY["ann_recall_eval"] = QuerySpec(q_ann_recall_eval, ANN_RECALL_SQL)
+
+
+# --- E41: PageRank over the duplicate-pair graph --------------------------
+# Brin & Page 1998 (public method), fixed-iteration power method over
+# the undirected MinHash near-dup graph — centrality as a
+# canonical-document policy (densest member of a dup family) next to
+# the min-label policy of E15. Deterministic and oracle-exact: ranks
+# are quantized to 12 dp each iteration and neighbor contributions
+# reduce through DECIMAL sums, so the synchronous update is
+# order-independent in both engines; the oracle unrolls the same
+# ITERS updates as chained CTEs. Per iteration: one equi-join on the
+# edge list + one groupBy — shuffle ∝ edges, the distributed PageRank
+# shape.
+PR_ITERS = 5
+PR_DAMP = 0.85
+
+
+def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration weighted PageRank over MinHash dup pairs (E41).
+
+    Edges are weighted by the verified Jaccard similarity (an
+    unweighted walk is degenerate on this graph: dup families are
+    uniform cliques, so every node gets 1/n); a node's outflow is
+    split proportionally to edge weight, so stronger duplicates
+    concentrate rank on the family's most-similar member.
+    """
+    pairs = q_dedup_minhash(spark, sf_dir).select("id_a", "id_b", "jaccard")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "jaccard",
+        )
+    ).distinct()
+    edges = edges.persist()
+    deg = edges.groupBy("id_a").agg(
+        F.count("*").alias("deg"),
+        # weights carry 6 dp, so the strength sum is exact in
+        # DECIMAL(38,6) — order-independent
+        F.sum(F.col("jaccard").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("wsum"),
+    )
+    nodes = deg.select(F.col("id_a").alias("node"), "deg", "wsum")
+    n_nodes = nodes.agg(F.count("*").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node",
+        "deg",
+        "wsum",
+        "n",
+        F.round(F.lit(1.0) / F.col("n"), 12).alias("pr"),
+    )
+    for _ in range(PR_ITERS):
+        # Truncate lineage per iteration (the dedup-fixpoint pattern,
+        # operators/dedup.py): pr feeds the next iteration TWICE, so
+        # an untruncated DAG doubles per round — 2^ITERS subplans.
+        pr = pr.localCheckpoint(eager=False)
+        contrib = (
+            pr.join(edges, on=pr["node"] == edges["id_a"])
+            .select(
+                F.col("id_b").alias("node"),
+                F.round(
+                    F.col("pr") * F.col("jaccard") / F.col("wsum"), 12
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(
+                F.sum(F.col("c").cast("decimal(38,12)"))
+                .cast("double")
+                .alias("inflow")
+            )
+        )
+        pr = (
+            pr.select("node", "deg", "wsum", "n")
+            .join(contrib, on="node", how="left")
+            .select(
+                "node",
+                "deg",
+                "wsum",
+                "n",
+                F.round(
+                    (1.0 - PR_DAMP) / F.col("n")
+                    + F.lit(PR_DAMP) * F.coalesce("inflow", F.lit(0.0)),
+                    12,
+                ).alias("pr"),
+            )
+        )
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").cast("int").alias("degree"),
+        F.round(F.col("wsum"), 6).alias("strength"),
+        F.round(F.col("pr"), 6).alias("pagerank"),
+    )
+
+
+def _pagerank_sql() -> str:
+    # MATERIALIZED is load-bearing: pr{{i}} references pr{{i-1}} twice
+    # (rank carrier + contribution scan), so DuckDB's default CTE
+    # inlining would expand 2^ITERS copies of the MinHash subplan —
+    # measured as a hang even at sf0.001.
+    it = """
+pr{i} AS MATERIALIZED (
+  SELECT p.node, p.deg, p.wsum, p.n,
+         ROUND((1.0 - {d}) / p.n + {d} * COALESCE(c.inflow, 0.0::DOUBLE), 12)
+           AS pr
+  FROM pr{j} p
+  LEFT JOIN (
+    SELECT e.id_b AS node,
+           CAST(SUM(CAST(ROUND(x.pr * e.jaccard / x.wsum, 12)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS inflow
+    FROM pr{j} x JOIN edges e ON e.id_a = x.node
+    GROUP BY 1
+  ) c USING (node)
+)"""
+    iters = ",".join(
+        it.format(i=i + 1, j=i, d=PR_DAMP) for i in range(PR_ITERS)
+    )
+    return f"""
+WITH mh AS MATERIALIZED (
+  SELECT id_a, id_b, jaccard FROM ({MINHASH_SQL}) _mh
+),
+edges AS (
+  SELECT id_a, id_b, jaccard FROM mh
+  UNION
+  SELECT id_b, id_a, jaccard FROM mh
+),
+degs AS (
+  SELECT id_a AS node, COUNT(*) AS deg,
+         CAST(SUM(CAST(jaccard AS DECIMAL(38,6))) AS DOUBLE) AS wsum
+  FROM edges GROUP BY 1
+),
+nn AS (SELECT COUNT(*) AS n FROM degs),
+pr0 AS (
+  SELECT node, deg, wsum, n, ROUND(1.0 / n, 12) AS pr
+  FROM degs CROSS JOIN nn
+),{iters}
+SELECT node AS doc_id, CAST(deg AS INT) AS degree,
+       ROUND(wsum, 6) AS strength,
+       ROUND(pr, 6) AS pagerank
+FROM pr{PR_ITERS}
+"""
+
+
+REGISTRY["dup_pagerank"] = QuerySpec(q_dup_pagerank, _pagerank_sql())

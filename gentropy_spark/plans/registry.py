@@ -148,6 +148,8 @@ _SNAPSHOT_PRIORITY = [
     "zipf_fit",
     "hll_distinct",
     "bigram_pmi",
+    "ann_recall_eval",
+    "dup_pagerank",
     # (b) r9: values / plans changed this round — must re-certify.
     # qc_flags: single-exchange SQL-built rewrite (hash-identical by
     # design, re-prove it); multimodal trio + pics consumers: codec
