@@ -3037,3 +3037,186 @@ FROM pr{PR_ITERS}
 
 
 REGISTRY["dup_pagerank"] = QuerySpec(q_dup_pagerank, _pagerank_sql())
+
+
+# --- E42: sliding-window document chunking --------------------------------
+# The standard pretraining prep step between curation and packing
+# (E17): split each document into fixed-size token windows with
+# overlap (stride < size), keeping per-chunk provenance. Pure
+# explode-over-sequence — embarrassingly parallel, no shuffle at all;
+# at 100 TB this is a map-only stage.
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunks with provenance (E42)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    # Chunk start positions 1, 1+stride, ... — the last window is
+    # allowed to be short (the tail chunk) but empty docs emit none.
+    starts = F.when(
+        n > 0,
+        F.sequence(
+            F.lit(1),
+            F.greatest(n - (CHUNK_SIZE - CHUNK_STRIDE), F.lit(1)),
+            F.lit(CHUNK_STRIDE),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = toked.select(
+        "doc_id",
+        n.alias("_n"),
+        F.explode(starts).alias("start_tok"),
+    ).withColumn(
+        # start positions are 1, 1+stride, ... so the index is exact
+        # integer arithmetic — no reliance on explode ordinals
+        "chunk_idx",
+        ((F.col("start_tok") - 1) / CHUNK_STRIDE).cast("int"),
+    )
+    ntok = F.least(
+        F.lit(CHUNK_SIZE), F.col("_n") - F.col("start_tok") + 1
+    )
+    return (
+        chunks.join(toked, on="doc_id")
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("start_tok").cast("int").alias("start_tok"),
+            ntok.cast("int").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("_toks"), F.col("start_tok"), ntok), " "
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+CHUNK_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+starts AS (
+  SELECT doc_id, t, LEN(t) AS n,
+         unnest(generate_series(
+           1,
+           GREATEST(LEN(t) - {CHUNK_SIZE - CHUNK_STRIDE}, 1),
+           {CHUNK_STRIDE}
+         )) AS start_tok
+  FROM toks WHERE LEN(t) > 0
+)
+SELECT doc_id,
+       CAST((start_tok - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(LEAST({CHUNK_SIZE}, n - start_tok + 1) AS INT) AS n_tokens,
+       md5(array_to_string(
+         list_slice(t, start_tok,
+                    start_tok + LEAST({CHUNK_SIZE}, n - start_tok + 1) - 1),
+         ' ')) AS chunk_hash
+FROM starts
+"""
+
+REGISTRY["chunk_documents"] = QuerySpec(q_chunk_documents, CHUNK_SQL)
+
+
+# --- E43: per-source distribution drift -----------------------------------
+# Corpus-governance diagnostic: KL(source ‖ corpus) and Jensen-Shannon
+# divergence of each source's unigram distribution against the whole
+# corpus, with add-one smoothing over the corpus vocabulary so the KL
+# is finite for vocabulary gaps. Everything reduces on (source, tok)
+# then (source): two high-cardinality-key shuffles; the per-source and
+# corpus totals broadcast. Log terms are quantized to 12 dp and summed
+# in DECIMAL so the reduction is order-independent (the E30/E38
+# convention).
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL / JS divergence vs the corpus (E43)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    sc = tok.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    sc = sc.persist()
+    corpus = sc.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    vocab = corpus.agg(
+        F.count("*").alias("v"), F.sum("c_t").alias("n_corpus")
+    )
+    src_tot = sc.groupBy("source").agg(F.sum("c_st").alias("n_src"))
+    # Dense (source x vocab) grid via cross of the source totals and
+    # the vocab (both tiny after aggregation) so zero-count cells get
+    # their smoothed probability.
+    grid = (
+        src_tot.crossJoin(corpus)
+        .join(sc, on=["source", "tok"], how="left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            "n_src",
+            F.coalesce(F.col("c_st"), F.lit(0)).alias("c_st"),
+            "c_t",
+            "v",
+            "n_corpus",
+        )
+    )
+    p = (F.col("c_st") + 1).cast("double") / (F.col("n_src") + F.col("v"))
+    q = (F.col("c_t") + 1).cast("double") / (
+        F.col("n_corpus") + F.col("v")
+    )
+    m = (p + q) / 2
+    dq = lambda col: F.sum(F.round(col, 12).cast("decimal(38,12)")).cast(  # noqa: E731
+        "double"
+    )
+    agg = grid.groupBy("source", "n_src").agg(
+        dq(p * F.log(p / q)).alias("kl"),
+        dq(p * F.log(p / m)).alias("js_p"),
+        dq(q * F.log(q / m)).alias("js_q"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_src").cast("long").alias("n_tokens"),
+        F.round(F.col("kl"), 6).alias("kl_vs_corpus"),
+        F.round((F.col("js_p") + F.col("js_q")) / 2, 6).alias(
+            "js_divergence"
+        ),
+    )
+
+
+SOURCE_DRIFT_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({TOKS_SQL}) AS tok FROM documents
+),
+sc AS (SELECT source, tok, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+corpus AS (SELECT tok, SUM(c_st) AS c_t FROM sc GROUP BY 1),
+vocab AS (SELECT COUNT(*) AS v, SUM(c_t) AS n_corpus FROM corpus),
+src_tot AS (SELECT source, SUM(c_st) AS n_src FROM sc GROUP BY 1),
+grid AS (
+  SELECT st.source, st.n_src,
+         COALESCE(s.c_st, 0) AS c_st, c.c_t, vb.v, vb.n_corpus
+  FROM src_tot st
+  CROSS JOIN corpus c
+  LEFT JOIN sc s ON s.source = st.source AND s.tok = c.tok
+  CROSS JOIN vocab vb
+),
+terms AS (
+  SELECT source, n_src,
+         CAST(c_st + 1 AS DOUBLE) / (n_src + v) AS p,
+         CAST(c_t + 1 AS DOUBLE) / (n_corpus + v) AS q
+  FROM grid
+),
+agg AS (
+  SELECT source, n_src,
+         CAST(SUM(CAST(ROUND(p * LN(p / q), 12) AS DECIMAL(38,12)))
+              AS DOUBLE) AS kl,
+         CAST(SUM(CAST(ROUND(p * LN(p / ((p + q) / 2)), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS js_p,
+         CAST(SUM(CAST(ROUND(q * LN(q / ((p + q) / 2)), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS js_q
+  FROM terms GROUP BY 1, 2
+)
+SELECT source,
+       CAST(n_src AS BIGINT) AS n_tokens,
+       ROUND(kl, 6) AS kl_vs_corpus,
+       ROUND((js_p + js_q) / 2, 6) AS js_divergence
+FROM agg
+"""
+
+REGISTRY["source_drift"] = QuerySpec(q_source_drift, SOURCE_DRIFT_SQL)

@@ -150,6 +150,8 @@ _SNAPSHOT_PRIORITY = [
     "bigram_pmi",
     "ann_recall_eval",
     "dup_pagerank",
+    "chunk_documents",
+    "source_drift",
     # (b) r9: values / plans changed this round — must re-certify.
     # qc_flags: single-exchange SQL-built rewrite (hash-identical by
     # design, re-prove it); multimodal trio + pics consumers: codec

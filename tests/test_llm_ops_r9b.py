@@ -411,3 +411,76 @@ def test_dup_pagerank_matches_python_reference(spark, sf_dir):
         total += rows[u]["pagerank"]
     # rank mass is conserved on a graph with no dangling nodes
     assert total == pytest.approx(1.0, abs=1e-3)
+
+
+# --- E42 chunk_documents ---------------------------------------------------
+def test_chunk_documents_matches_python_reference(spark, sf_dir):
+    from gentropy_spark.plans.llm_pipeline import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        q_chunk_documents,
+    )
+
+    expected = {}
+    for doc_id, text in _docs(sf_dir):
+        t = _toks(text)
+        if not t:
+            continue
+        last_start = max(len(t) - (CHUNK_SIZE - CHUNK_STRIDE), 1)
+        for start in range(1, last_start + 1, CHUNK_STRIDE):
+            ntok = min(CHUNK_SIZE, len(t) - start + 1)
+            h = hashlib.md5(
+                " ".join(t[start - 1 : start - 1 + ntok]).encode()
+            ).hexdigest()
+            expected[(doc_id, (start - 1) // CHUNK_STRIDE)] = (
+                start,
+                ntok,
+                h,
+            )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (
+            r["start_tok"],
+            r["n_tokens"],
+            r["chunk_hash"],
+        )
+        for r in q_chunk_documents(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # overlap invariant: consecutive chunks overlap by size - stride
+    assert CHUNK_SIZE > CHUNK_STRIDE
+
+
+# --- E43 source_drift ------------------------------------------------------
+def test_source_drift_matches_python_reference(spark, sf_dir):
+    from gentropy_spark.plans.llm_pipeline import q_source_drift
+
+    sc: dict[tuple, int] = Counter()
+    rows_raw = duckdb.sql(
+        f"SELECT source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    for src, text in rows_raw:
+        for t in _toks(text):
+            sc[(src, t)] += 1
+    corpus = Counter()
+    for (s, t), c in sc.items():
+        corpus[t] += c
+    v = len(corpus)
+    n_corpus = sum(corpus.values())
+    src_tot = Counter()
+    for (s, t), c in sc.items():
+        src_tot[s] += c
+    got = {r["source"]: r for r in q_source_drift(spark, sf_dir).collect()}
+    assert set(got) == set(src_tot)
+    for s, n_src in src_tot.items():
+        kl = js = 0.0
+        for t, c_t in corpus.items():
+            p = (sc.get((s, t), 0) + 1) / (n_src + v)
+            q = (c_t + 1) / (n_corpus + v)
+            m = (p + q) / 2
+            kl += p * math.log(p / q)
+            js += (p * math.log(p / m) + q * math.log(q / m)) / 2
+        r = got[s]
+        assert r["n_tokens"] == n_src
+        assert r["kl_vs_corpus"] == pytest.approx(kl, abs=1e-5)
+        assert r["js_divergence"] == pytest.approx(js, abs=1e-5)
+        assert r["kl_vs_corpus"] >= 0 and r["js_divergence"] >= 0
