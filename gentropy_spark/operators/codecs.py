@@ -47,6 +47,8 @@ def sniff(payload: bytes) -> str:
         return "png"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
     return "unknown"
@@ -288,7 +290,7 @@ def decode_any(payload: bytes) -> dict:
     """Dispatch on magic bytes; unknown containers fall back to the
     deterministic stub (the remaining scope limit is MP4/H.264 video
     pixel data and arithmetic-coded JPEG — baseline AND progressive
-    JPEG, PNG, PPM, BMP and WAV all decode for real)."""
+    JPEG, PNG, GIF, PPM, BMP and WAV all decode for real)."""
     kind = sniff(payload)
     try:
         if kind == "ppm":
@@ -299,6 +301,10 @@ def decode_any(payload: bytes) -> dict:
             return decode_wav(payload)
         if kind == "png":
             return decode_png(payload)
+        if kind == "gif":
+            from gentropy_spark.operators.gif import decode_gif
+
+            return decode_gif(payload)
         if kind == "jpeg":
             from gentropy_spark.operators.jpeg import decode_jpeg
 

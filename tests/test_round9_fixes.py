@@ -731,3 +731,53 @@ def test_jpeg_eoi_stripped_decodes_identically():
     # headerless / scanless garbage must still fail loudly
     with pytest.raises(ValueError):
         decode_jpeg_pixels(b"\xff\xd8\xff\xdb\x00\x04\x00\x00")
+
+
+# --- GIF codec (r9b): LZW decode + interlace + multi-frame ----------------
+def test_gif_gray_and_color_roundtrip():
+    from gentropy_spark.operators.gif import (
+        decode_gif,
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    g = _rng(5).integers(0, 256, size=(13, 9), dtype=np.uint8)
+    b = encode_gif(g)
+    px = decode_gif_pixels(b)
+    assert (px[:, :, 0] == g).all() and (px[:, :, 2] == g).all()
+    meta = decode_gif(b)
+    assert meta["codec"] == "gif"
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (9, 13, 1)
+    assert meta["mean_value"] == pytest.approx(float(px.mean()))
+
+
+def test_gif_interlaced_and_clear_spans():
+    from gentropy_spark.operators.gif import decode_gif_pixels, encode_gif
+
+    rng = _rng(6)
+    colors = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    c = colors[rng.integers(0, 7, size=(21, 17))]
+    assert (decode_gif_pixels(encode_gif(c, interlace=True)) == c).all()
+    # large image forces multiple CLEAR spans in the literal encoder
+    big = colors[rng.integers(0, 7, size=(64, 61))]
+    assert (decode_gif_pixels(encode_gif(big)) == big).all()
+
+
+def test_gif_through_decode_any_and_corrupt_fallback():
+    from gentropy_spark.operators.codecs import decode_any
+    from gentropy_spark.operators.gif import encode_gif
+
+    g = _rng(7).integers(0, 256, size=(8, 8), dtype=np.uint8)
+    meta = decode_any(encode_gif(g))
+    assert meta["codec"] == "gif"
+    assert meta["width"] == 8 and meta["n_channels"] == 3
+    # truncated payload routes to the stub, never raises
+    assert decode_any(encode_gif(g)[:20])["codec"] == "stub"
+
+
+def test_gif_too_many_colors_raises():
+    from gentropy_spark.operators.gif import encode_gif
+
+    rgb = _rng(8).integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        encode_gif(rgb)  # ~1024 distinct colors
