@@ -132,8 +132,10 @@ def decode_gif(payload: bytes) -> dict:
             break
         if block == 0x21:  # extension: label + sub-blocks
             pos += 1
-            while payload[pos] != 0:
+            while pos < len(payload) and payload[pos] != 0:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension")
             pos += 1
             continue
         if block != 0x2C:
@@ -181,8 +183,10 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
         pos += 1
         if block == 0x21:
             pos += 1
-            while payload[pos] != 0:
+            while pos < len(payload) and payload[pos] != 0:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension")
             pos += 1
             continue
         if block != 0x2C:

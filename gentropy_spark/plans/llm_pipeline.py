@@ -2763,8 +2763,9 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bg = toked.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
-    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c12 = c12.persist()
+    from gentropy_spark.session import track_cache
+
+    c12 = track_cache(bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
     left = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     right = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
     total = c12.agg(F.sum("c12").alias("n"))
@@ -2781,7 +2782,13 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.log(
                     F.col("c12").cast("double")
                     * F.col("n")
-                    / (F.col("c1") * F.col("c2"))
+                    # marginals cast BEFORE the product: BIGINT*BIGINT
+                    # overflows (ANSI throw) past ~3e9 occurrences —
+                    # reachable at the corpus scale this targets
+                    / (
+                        F.col("c1").cast("double")
+                        * F.col("c2").cast("double")
+                    )
                 ),
                 6,
             ).alias("pmi"),
@@ -2800,7 +2807,8 @@ lft AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
 rgt AS (SELECT w2, SUM(c12) AS c2 FROM c12 GROUP BY 1),
 tot AS (SELECT SUM(c12) AS n FROM c12)
 SELECT c.w1, c.w2, CAST(c.c12 AS BIGINT) AS n_pair,
-       ROUND(LN(CAST(c.c12 AS DOUBLE) * t.n / (l.c1 * r.c2)), 6) AS pmi
+       ROUND(LN(CAST(c.c12 AS DOUBLE) * t.n
+                / (CAST(l.c1 AS DOUBLE) * CAST(r.c2 AS DOUBLE))), 6) AS pmi
 FROM c12 c
 JOIN lft l USING (w1)
 JOIN rgt r USING (w2)
@@ -2908,6 +2916,10 @@ REGISTRY["ann_recall_eval"] = QuerySpec(q_ann_recall_eval, ANN_RECALL_SQL)
 # shape.
 PR_ITERS = 5
 PR_DAMP = 0.85
+# Teleport term as ONE shared double literal: python (1.0 - 0.85) is
+# 0.15000000000000002 while DuckDB's (1.0 - 0.85) is DECIMAL-exact
+# 0.15 — a 1-ulp divergence that can split the 12dp rounding.
+PR_TELEPORT = 0.15
 
 
 def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2920,14 +2932,17 @@ def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentrate rank on the family's most-similar member.
     """
     pairs = q_dedup_minhash(spark, sf_dir).select("id_a", "id_b", "jaccard")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("id_b").alias("id_a"),
-            F.col("id_a").alias("id_b"),
-            "jaccard",
-        )
-    ).distinct()
-    edges = edges.persist()
+    from gentropy_spark.session import track_cache
+
+    edges = track_cache(
+        pairs.unionByName(
+            pairs.select(
+                F.col("id_b").alias("id_a"),
+                F.col("id_a").alias("id_b"),
+                "jaccard",
+            )
+        ).distinct()
+    )
     deg = edges.groupBy("id_a").agg(
         F.count("*").alias("deg"),
         # weights carry 6 dp, so the strength sum is exact in
@@ -2974,7 +2989,7 @@ def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "wsum",
                 "n",
                 F.round(
-                    (1.0 - PR_DAMP) / F.col("n")
+                    F.lit(PR_TELEPORT) / F.col("n")
                     + F.lit(PR_DAMP) * F.coalesce("inflow", F.lit(0.0)),
                     12,
                 ).alias("pr"),
@@ -2996,7 +3011,7 @@ def _pagerank_sql() -> str:
     it = """
 pr{i} AS MATERIALIZED (
   SELECT p.node, p.deg, p.wsum, p.n,
-         ROUND((1.0 - {d}) / p.n + {d} * COALESCE(c.inflow, 0.0::DOUBLE), 12)
+         ROUND({t}::DOUBLE / p.n + {d} * COALESCE(c.inflow, 0.0::DOUBLE), 12)
            AS pr
   FROM pr{j} p
   LEFT JOIN (
@@ -3008,7 +3023,8 @@ pr{i} AS MATERIALIZED (
   ) c USING (node)
 )"""
     iters = ",".join(
-        it.format(i=i + 1, j=i, d=PR_DAMP) for i in range(PR_ITERS)
+        it.format(i=i + 1, j=i, d=PR_DAMP, t=PR_TELEPORT)
+        for i in range(PR_ITERS)
     )
     return f"""
 WITH mh AS MATERIALIZED (
@@ -3065,8 +3081,12 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(CHUNK_STRIDE),
         ),
     ).otherwise(F.array().cast("array<int>"))
+    # Carry the token array THROUGH the explode (no join back): the
+    # whole operator stays one narrow map-only pass — tokenization
+    # runs once and nothing shuffles.
     chunks = toked.select(
         "doc_id",
+        "_toks",
         n.alias("_n"),
         F.explode(starts).alias("start_tok"),
     ).withColumn(
@@ -3078,19 +3098,16 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = F.least(
         F.lit(CHUNK_SIZE), F.col("_n") - F.col("start_tok") + 1
     )
-    return (
-        chunks.join(toked, on="doc_id")
-        .select(
-            "doc_id",
-            F.col("chunk_idx").cast("int").alias("chunk_idx"),
-            F.col("start_tok").cast("int").alias("start_tok"),
-            ntok.cast("int").alias("n_tokens"),
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("_toks"), F.col("start_tok"), ntok), " "
-                )
-            ).alias("chunk_hash"),
-        )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        ntok.cast("int").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("start_tok"), ntok), " "
+            )
+        ).alias("chunk_hash"),
     )
 
 
@@ -3134,8 +3151,11 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("tok")
     )
-    sc = tok.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
-    sc = sc.persist()
+    from gentropy_spark.session import track_cache
+
+    sc = track_cache(
+        tok.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    )
     corpus = sc.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
     vocab = corpus.agg(
         F.count("*").alias("v"), F.sum("c_t").alias("n_corpus")
