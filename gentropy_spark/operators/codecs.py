@@ -231,12 +231,47 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass geometry: (col0, colstep, row0, rowstep) per pass.
+_ADAM7 = (
+    (0, 8, 0, 8),
+    (4, 8, 0, 8),
+    (0, 4, 4, 8),
+    (2, 4, 0, 4),
+    (0, 2, 2, 4),
+    (1, 2, 0, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_reassemble(
+    raw: bytes, width: int, height: int, channels: int
+) -> np.ndarray:
+    """Seven independently-filtered sub-images → full (h, stride)
+    array. Each non-empty pass carries its own scanline filters, so
+    _png_unfilter runs per pass and the pixels scatter to their
+    interlace positions."""
+    out = np.zeros((height, width * channels), dtype=np.uint8)
+    img = out.reshape(height, width, channels)
+    pos = 0
+    for col0, colstep, row0, rowstep in _ADAM7:
+        pw = -(-(width - col0) // colstep) if width > col0 else 0
+        ph = -(-(height - row0) // rowstep) if height > row0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * channels
+        nbytes = ph * (stride + 1)
+        sub = _png_unfilter(raw[pos : pos + nbytes], ph, stride, channels)
+        pos += nbytes
+        img[row0::rowstep, col0::colstep] = sub.reshape(ph, pw, channels)
+    return out
+
+
 def decode_png(payload: bytes) -> dict:
     """PNG via stdlib zlib + numpy filter reconstruction.
 
     Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA), non-interlaced. 16-bit and Adam7 raise
-    (decode_any routes those to the stub)."""
+    4 (gray+alpha), 6 (RGBA), both non-interlaced and Adam7
+    interlaced. 16-bit raises (decode_any routes it to the stub)."""
     import zlib
 
     if payload[:8] != PNG_SIGNATURE:
@@ -244,6 +279,7 @@ def decode_png(payload: bytes) -> dict:
     width = height = None
     channels = bit_depth = color_type = None
     palette = None
+    interlaced = False
     idat = bytearray()
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
@@ -252,13 +288,14 @@ def decode_png(payload: bytes) -> dict:
             )
             if bit_depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {bit_depth}")
-            if interlace != 0:
-                raise ValueError("Adam7 interlacing not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace {interlace}")
             if comp != 0 or filt != 0:
                 raise ValueError("non-standard PNG compression/filter")
             channels = _PNG_CHANNELS.get(color_type)
             if channels is None:
                 raise ValueError(f"unknown PNG color type {color_type}")
+            interlaced = interlace == 1
         elif ctype == b"PLTE":
             palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -267,7 +304,10 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError("missing IHDR/IDAT")
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    pixels = _png_unfilter(raw, height, stride, channels)
+    if interlaced:
+        pixels = _adam7_reassemble(raw, width, height, channels)
+    else:
+        pixels = _png_unfilter(raw, height, stride, channels)
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE")
@@ -360,24 +400,9 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(
-    pixels: np.ndarray,
-    color_type: int = 2,
-    filter_type: int | None = None,
-) -> bytes:
-    """uint8 pixel array → PNG bytes (exact inverse of decode_png).
-
-    ``pixels``: (h, w) for gray (color_type 0), (h, w, c) otherwise
-    (c = 2 gray+alpha, 3 RGB, 4 RGBA). ``filter_type`` fixes one
-    scanline filter for every row; None cycles 0..4 per row so a
-    single round-trip test exercises ALL five unfilter paths.
-    """
-    import zlib
-
-    if pixels.ndim == 2:
-        pixels = pixels[:, :, None]
+def _png_filter_rows(pixels: np.ndarray, filter_type: int | None) -> bytearray:
+    """Filter one sub-image's scanlines (shared by plain + Adam7)."""
     h, w, c = pixels.shape
-    pixels = pixels.astype(np.uint8)
     raw = bytearray()
     prev = np.zeros(w * c, dtype=np.uint8)
     for r in range(h):
@@ -405,7 +430,42 @@ def encode_png(
         raw.append(ft)
         raw.extend(filt.tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return raw
+
+
+def encode_png(
+    pixels: np.ndarray,
+    color_type: int = 2,
+    filter_type: int | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """uint8 pixel array → PNG bytes (exact inverse of decode_png).
+
+    ``pixels``: (h, w) for gray (color_type 0), (h, w, c) otherwise
+    (c = 2 gray+alpha, 3 RGB, 4 RGBA). ``filter_type`` fixes one
+    scanline filter for every row; None cycles 0..4 per row so a
+    single round-trip test exercises ALL five unfilter paths.
+    ``interlace`` writes Adam7: seven independently-filtered
+    sub-images in pass order.
+    """
+    import zlib
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    pixels = pixels.astype(np.uint8)
+    if interlace:
+        raw = bytearray()
+        for col0, colstep, row0, rowstep in _ADAM7:
+            sub = pixels[row0::rowstep, col0::colstep]
+            if sub.size == 0:
+                continue
+            raw += _png_filter_rows(sub, filter_type)
+    else:
+        raw = _png_filter_rows(pixels, filter_type)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         PNG_SIGNATURE
         + _png_chunk(b"IHDR", ihdr)

@@ -243,9 +243,69 @@ def _lzw_encode_literals(indices: np.ndarray, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
+def _lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Standard GIF LZW compressor: greedy longest-match dictionary,
+    variable code width growing at powers of two, CLEAR + rebuild at
+    4096 codes. Exercises the decoder's width-growth and
+    dictionary-reset paths, which the literal-only encoder never
+    reaches."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    width = min_code_size + 1
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    put(clear)
+    seq = b""
+    for v in indices.tolist():
+        cand = seq + bytes([int(v)])
+        if cand in table:
+            seq = cand
+            continue
+        put(table[seq])
+        # Register cand. Width must grow in LOCKSTEP with the decoder,
+        # whose dictionary lags this one by exactly one entry (it
+        # creates an entry only when it processes the NEXT code) — so
+        # where the decoder grows at its next_code == 2^width, the
+        # encoder's trigger is next_code == 2^width + 1.
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            put(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        seq = bytes([int(v)])
+    if seq:
+        put(table[seq])
+    put(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    pixels: np.ndarray, interlace: bool = False, compress: bool = False
+) -> bytes:
     """(h, w, 3) uint8 with <=256 distinct colors, or (h, w) gray →
-    single-frame GIF87a (test support: exact round-trip)."""
+    single-frame GIF87a (test support: exact round-trip).
+    ``compress=True`` uses the real dictionary LZW compressor (width
+    growth + 4096 reset) instead of the literal-only stream."""
     if pixels.ndim == 2:
         palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
         idx = pixels.astype(np.uint8)
@@ -265,7 +325,10 @@ def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
         for start, step in _INTERLACE_PASSES:
             order.extend(range(start, h, step))
         rows = rows[np.array(order)]
-    stream = _lzw_encode_literals(rows.reshape(-1), 8)
+    flat = rows.reshape(-1)
+    stream = (
+        _lzw_compress(flat, 8) if compress else _lzw_encode_literals(flat, 8)
+    )
     out = bytearray(b"GIF87a")
     out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # 256-color GCT
     out += palette.tobytes()
