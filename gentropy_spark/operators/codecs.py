@@ -78,12 +78,16 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def decode_ppm(payload: bytes) -> dict:
-    """Binary PPM (P6): header + raw interleaved RGB."""
+    """Binary PPM (P6): header + raw interleaved RGB (8- or 16-bit
+    big-endian samples per the netpbm spec)."""
     w, h, maxval, off = _ppm_header(payload)
-    if maxval >= 256:
-        raise ValueError("16-bit PPM not supported")
+    if maxval >= 65536:
+        raise ValueError("invalid PPM maxval")
     n = w * h * 3
-    px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=off)
+    if maxval >= 256:
+        px = np.frombuffer(payload, dtype=">u2", count=n, offset=off)
+    else:
+        px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=off)
     return {
         "codec": "ppm",
         "width": w,
@@ -244,34 +248,35 @@ _ADAM7 = (
 
 
 def _adam7_reassemble(
-    raw: bytes, width: int, height: int, channels: int
+    raw: bytes, width: int, height: int, bpp: int
 ) -> np.ndarray:
     """Seven independently-filtered sub-images → full (h, stride)
-    array. Each non-empty pass carries its own scanline filters, so
-    _png_unfilter runs per pass and the pixels scatter to their
+    array (``bpp`` = BYTES per pixel, so 16-bit depth reuses this
+    unchanged). Each non-empty pass carries its own scanline filters,
+    so _png_unfilter runs per pass and the pixels scatter to their
     interlace positions."""
-    out = np.zeros((height, width * channels), dtype=np.uint8)
-    img = out.reshape(height, width, channels)
+    out = np.zeros((height, width * bpp), dtype=np.uint8)
+    img = out.reshape(height, width, bpp)
     pos = 0
     for col0, colstep, row0, rowstep in _ADAM7:
         pw = -(-(width - col0) // colstep) if width > col0 else 0
         ph = -(-(height - row0) // rowstep) if height > row0 else 0
         if pw == 0 or ph == 0:
             continue
-        stride = pw * channels
+        stride = pw * bpp
         nbytes = ph * (stride + 1)
-        sub = _png_unfilter(raw[pos : pos + nbytes], ph, stride, channels)
+        sub = _png_unfilter(raw[pos : pos + nbytes], ph, stride, bpp)
         pos += nbytes
-        img[row0::rowstep, col0::colstep] = sub.reshape(ph, pw, channels)
+        img[row0::rowstep, col0::colstep] = sub.reshape(ph, pw, bpp)
     return out
 
 
 def decode_png(payload: bytes) -> dict:
     """PNG via stdlib zlib + numpy filter reconstruction.
 
-    Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA), both non-interlaced and Adam7
-    interlaced. 16-bit raises (decode_any routes it to the stub)."""
+    Supports bit depths 8 and 16 (big-endian samples), color types 0
+    (gray), 2 (RGB), 3 (palette, 8-bit only per spec), 4 (gray+alpha),
+    6 (RGBA), both non-interlaced and Adam7 interlaced."""
     import zlib
 
     if payload[:8] != PNG_SIGNATURE:
@@ -286,8 +291,10 @@ def decode_png(payload: bytes) -> dict:
             width, height, bit_depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if bit_depth != 8:
+            if bit_depth not in (8, 16):
                 raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+            if bit_depth == 16 and color_type == 3:
+                raise ValueError("16-bit palette PNG is not legal")
             if interlace not in (0, 1):
                 raise ValueError(f"unknown PNG interlace {interlace}")
             if comp != 0 or filt != 0:
@@ -303,11 +310,21 @@ def decode_png(payload: bytes) -> dict:
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+    # Filters operate on BYTES with the pixel byte-width as the left
+    # distance, so 16-bit depth reuses the same unfilter with
+    # bpp = channels * 2; samples then reinterpret as big-endian u16.
+    sample_bytes = bit_depth // 8
+    bpp = channels * sample_bytes
+    stride = width * bpp
     if interlaced:
-        pixels = _adam7_reassemble(raw, width, height, channels)
+        pixels = _adam7_reassemble(raw, width, height, bpp)
     else:
-        pixels = _png_unfilter(raw, height, stride, channels)
+        pixels = _png_unfilter(raw, height, stride, bpp)
+    if bit_depth == 16:
+        pixels = (
+            pixels.reshape(-1, 2).astype(np.uint16)[:, 0] * 256
+            + pixels.reshape(-1, 2)[:, 1]
+        )
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE")
@@ -453,7 +470,18 @@ def encode_png(
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, c = pixels.shape
-    pixels = pixels.astype(np.uint8)
+    if pixels.dtype == np.uint16:
+        # 16-bit: serialize big-endian sample bytes; filters see bytes
+        bit_depth = 16
+        pixels = (
+            pixels.astype(">u2")
+            .view(np.uint8)
+            .reshape(h, w, c * 2)
+        )
+        c *= 2
+    else:
+        bit_depth = 8
+        pixels = pixels.astype(np.uint8)
     if interlace:
         raw = bytearray()
         for col0, colstep, row0, rowstep in _ADAM7:
@@ -464,7 +492,7 @@ def encode_png(
     else:
         raw = _png_filter_rows(pixels, filter_type)
     ihdr = struct.pack(
-        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 1 if interlace else 0
     )
     return (
         PNG_SIGNATURE

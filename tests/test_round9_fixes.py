@@ -883,3 +883,32 @@ def test_gif_roundtrip_property(h, w, ncolors, seed, compress, interlace):
     img = colors[r.integers(0, ncolors, size=(h, w))]
     b = encode_gif(img, compress=compress, interlace=interlace)
     assert (decode_gif_pixels(b) == img).all()
+
+
+# --- 16-bit PNG / PPM depth support (r9b) ---------------------------------
+@pytest.mark.parametrize(
+    "color_type,channels", [(0, 1), (2, 3), (4, 2), (6, 4)]
+)
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_16bit_roundtrip(color_type, channels, interlace):
+    from gentropy_spark.operators.codecs import decode_png, encode_png
+
+    shape = (11, 7, channels) if channels > 1 else (11, 7)
+    px = _rng(color_type + interlace).integers(
+        0, 65536, size=shape, dtype=np.uint16
+    )
+    meta = decode_png(
+        encode_png(px, color_type=color_type, interlace=interlace)
+    )
+    assert meta["mean_value"] == pytest.approx(float(px.mean()))
+
+
+def test_ppm_16bit_big_endian():
+    from gentropy_spark.operators.codecs import decode_ppm
+
+    px = _rng(30).integers(0, 65536, size=(5, 4, 3), dtype=np.uint16)
+    payload = b"P6\n4 5\n65535\n" + px.astype(">u2").tobytes()
+    meta = decode_ppm(payload)
+    assert meta["codec"] == "ppm"
+    assert (meta["width"], meta["height"]) == (4, 5)
+    assert meta["mean_value"] == pytest.approx(float(px.mean()))
