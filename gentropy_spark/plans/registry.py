@@ -152,6 +152,7 @@ _SNAPSHOT_PRIORITY = [
     "dup_pagerank",
     "chunk_documents",
     "source_drift",
+    "multimodal_codec_verify",
     # (b) r9: values / plans changed this round — must re-certify.
     # qc_flags: single-exchange SQL-built rewrite (hash-identical by
     # design, re-prove it); multimodal trio + pics consumers: codec

@@ -319,3 +319,122 @@ def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["stream_sliding_agg"] = QuerySpec(q_stream_sliding_agg, HOPPING_SQL)
+
+
+# --- E12d: real-codec round-trip verification -----------------------------
+# The multimodal trio exercises the mapInPandas CONTRACT on text
+# payloads (stub branch). This query proves the REAL codecs inside the
+# distributed pipeline with a full oracle: per document, deterministic
+# pixel/sample data is derived from doc_id arithmetic, ENCODED to an
+# actual PNG / GIF / WAV container and DECODED back via decode_any —
+# all inside one Arrow-batched mapInPandas — while the DuckDB oracle
+# computes the expected metadata analytically (the integer sums are
+# exact in f64 in both engines, so ROUND(mean, 6) is hash-stable).
+# A codec bug, sniff bug or container-layout bug breaks the value hash.
+def q_multimodal_codec_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode_any round-trip metadata per doc (E12d)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("mean_value", T.DoubleType()),
+        ]
+    )
+
+    def roundtrip(batches):
+        import numpy as np
+
+        from gentropy_spark.operators.codecs import (
+            decode_any,
+            encode_png,
+            encode_wav,
+        )
+        from gentropy_spark.operators.gif import encode_gif
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].tolist():
+                k = d % 3
+                if k < 2:
+                    w = 4 + d % 5
+                    h = 3 + d % 4
+                    n = w * h * 3
+                    vals = (d * 7 + 13 * np.arange(n)) % 256
+                    px = vals.astype(np.uint8).reshape(h, w, 3)
+                    payload = (
+                        encode_png(px) if k == 0 else encode_gif(px, compress=True)
+                    )
+                else:
+                    ns = 32 + d % 7
+                    samples = (
+                        (d * 11 + 17 * np.arange(ns)) % 4096 - 2048
+                    ).astype(np.int16)
+                    payload = encode_wav(samples, rate=16_000, channels=1)
+                meta = decode_any(payload)
+                rows.append(
+                    (
+                        d,
+                        meta["codec"],
+                        meta["width"],
+                        meta["height"],
+                        meta["n_channels"],
+                        meta["sample_rate"],
+                        round(meta["mean_value"], 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "codec", "width", "height",
+                    "n_channels", "sample_rate", "mean_value",
+                ],
+            )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(roundtrip, schema)
+
+
+MULTIMODAL_VERIFY_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS k,
+         CAST(4 + doc_id % 5 AS INT) AS w,
+         CAST(3 + doc_id % 4 AS INT) AS h,
+         CAST(32 + doc_id % 7 AS INT) AS ns
+  FROM documents
+),
+img AS (
+  SELECT d.doc_id,
+         CASE WHEN k = 0 THEN 'png' ELSE 'gif' END AS codec,
+         w AS width, h AS height,
+         3 AS n_channels, CAST(NULL AS INT) AS sample_rate,
+         ROUND(AVG(CAST((d.doc_id * 7 + 13 * g.i) % 256 AS DOUBLE)), 6)
+           AS mean_value
+  FROM d, LATERAL unnest(generate_series(0, w * h * 3 - 1)) AS g(i)
+  WHERE k < 2
+  GROUP BY d.doc_id, k, w, h
+),
+wav AS (
+  SELECT d.doc_id, 'wav' AS codec,
+         ns AS width, CAST(NULL AS INT) AS height,
+         1 AS n_channels, 16000 AS sample_rate,
+         ROUND(AVG(ABS(CAST((d.doc_id * 11 + 17 * g.i) % 4096 - 2048
+                            AS DOUBLE))), 6) AS mean_value
+  FROM d, LATERAL unnest(generate_series(0, ns - 1)) AS g(i)
+  WHERE k = 2
+  GROUP BY d.doc_id, ns
+)
+SELECT * FROM img
+UNION ALL
+SELECT * FROM wav
+"""
+
+REGISTRY["multimodal_codec_verify"] = QuerySpec(
+    q_multimodal_codec_verify, MULTIMODAL_VERIFY_SQL
+)
