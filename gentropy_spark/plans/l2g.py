@@ -174,19 +174,28 @@ def q_l2g_coloc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Measured-gene lookup: rank genes within each contig, pick
     # rank = right_study % K + 1 (K = genes on that contig). Tiny →
-    # broadcast.
+    # broadcast. r10: the rank predicate is an EQUI-key, not a filter —
+    # joining on contig alone expanded every coloc row by genes/contig
+    # (~4k at sf0.1 → 2.4e9 intermediate rows, the hidden quadratic in
+    # this family) before the grank filter cut it back. Resolve gn via
+    # a per-contig count (one tiny broadcast), compute the target rank,
+    # then equi-join the ranked gene dim on (contig, grank).
     genes = gene_index(spark, sf_dir)
     wg = Window.partitionBy("contig").orderBy("gene_id")
-    wc = Window.partitionBy("contig")
     ranked = genes.select(
         "contig",
         "gene_id",
         F.row_number().over(wg).alias("grank"),
-        F.count("*").over(wc).alias("gn"),
     )
-    annotated = both.join(F.broadcast(ranked), on="contig").filter(
-        F.col("grank") == (F.col("right_study_id") % F.col("gn") + 1).cast("int")
-    ).withColumn("qtl_type", _qtl_type_col())
+    gn_dim = genes.groupBy("contig").agg(F.count("*").alias("gn"))
+    annotated = (
+        both.join(F.broadcast(gn_dim), on="contig")
+        .withColumn(
+            "grank", (F.col("right_study_id") % F.col("gn") + 1).cast("int")
+        )
+        .join(F.broadcast(ranked), on=["contig", "grank"])
+        .withColumn("qtl_type", _qtl_type_col())
+    )
 
     aggs = []
     for t in QTL_TYPES:

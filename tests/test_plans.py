@@ -164,15 +164,19 @@ def test_l2g_feature_matrix_exchange_budget(spark, sf_dir):
     """r7 exchange-sharing guard: the assembled feature matrix must stay
     within its shuffle budget. r6's assembly measured 30 shuffles + 12
     broadcasts and 22 sorts by this metric; the union-agg assembly +
-    fused footprint family brought it to 22 + 10 and 15 sorts. A
-    regression that reintroduces per-family re-aggregation or
-    full-outer-join assembly fails here before it ships."""
+    fused footprint family brought it to 22 + 10 and 15 sorts. r10's
+    measured-gene equi-join rework adds TWO bounded exchanges (the
+    per-contig gene-count dim: one 5-row groupBy + its broadcast) in
+    exchange for removing the contig-only join's O(rows x genes/contig)
+    expansion — 34 total, all small-side. A regression that
+    reintroduces per-family re-aggregation or full-outer-join assembly
+    fails here before it ships."""
     from gentropy_spark.plans.l2g import q_l2g_features
 
     counts = _physical_node_counts(q_l2g_features(spark, sf_dir))
     n_shuffle = counts.get("Exchange", 0)
     n_broadcast = counts.get("BroadcastExchange", 0)
-    assert n_shuffle + n_broadcast <= 33, (
+    assert n_shuffle + n_broadcast <= 34, (
         f"l2g_feature_matrix exchange budget blown: "
         f"{n_shuffle} shuffles + {n_broadcast} broadcasts"
     )
