@@ -295,3 +295,47 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
             offenders.append(name)
     release_caches()
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_pack_sequences_exchange_keyed_on_bucket(spark, sf_dir):
+    """r10 scale fix: the packing cumsum must NOT be a single-level
+    PARTITION BY source window (source is low-cardinality — one task
+    would sort a whole source's stream at 100 TB). The plan's data-side
+    exchange must be keyed on (source, __pack_bucket), and the window
+    sort must include the bucket."""
+    from gentropy_spark.plans.llm_pipeline import q_pack_sequences
+
+    plan = _formatted(q_pack_sequences(spark, sf_dir))
+    assert "__pack_bucket" in plan, plan
+    # the big-side exchange carries the bucket key
+    exch_lines = [
+        line
+        for line in plan.splitlines()
+        if "Arguments: hashpartitioning" in line
+    ]
+    assert any("__pack_bucket" in line for line in exch_lines), exch_lines
+    # offsets ride a broadcast, not a second big shuffle join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_no_driver_action_at_build(spark, sf_dir):
+    """r10: building the tfidf plan must not fire ANY Spark job —
+    the corpus size N ships as a broadcast 1-row aggregate inside the
+    plan, not a driver-side .count() (which was a full-scan job and a
+    barrier before the query even ran)."""
+    from gentropy_spark.plans.llm_pipeline import q_tfidf_topterms
+    from gentropy_spark.session import release_caches
+
+    release_caches()
+    sc = spark.sparkContext
+    sc.setJobGroup("tfidf-build", "plan build must not fire jobs")
+    try:
+        df = q_tfidf_topterms(spark, sf_dir)
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup("tfidf-build")
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    # spark.read.parquet fires ONE tiny footer/schema job per
+    # read_table — that is metadata, not a scan. The defect this pins
+    # against (docs.count() at build) fired a SECOND, full-scan job.
+    assert len(list(jobs)) <= 1, f"plan build fired extra jobs: {jobs}"
+    assert "tfidf" in df.columns
