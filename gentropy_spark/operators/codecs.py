@@ -452,14 +452,17 @@ def _png_filter_rows(pixels: np.ndarray, filter_type: int | None) -> bytearray:
 
 def encode_png(
     pixels: np.ndarray,
-    color_type: int = 2,
+    color_type: int | None = None,
     filter_type: int | None = None,
     interlace: bool = False,
 ) -> bytes:
     """uint8 pixel array → PNG bytes (exact inverse of decode_png).
 
     ``pixels``: (h, w) for gray (color_type 0), (h, w, c) otherwise
-    (c = 2 gray+alpha, 3 RGB, 4 RGBA). ``filter_type`` fixes one
+    (c = 2 gray+alpha, 3 RGB, 4 RGBA). ``color_type`` defaults from
+    the array shape; passing one that disagrees with the channel
+    count raises (the IHDR would declare a different stride than the
+    scanline data and decode garbage). ``filter_type`` fixes one
     scanline filter for every row; None cycles 0..4 per row so a
     single round-trip test exercises ALL five unfilter paths.
     ``interlace`` writes Adam7: seven independently-filtered
@@ -470,6 +473,17 @@ def encode_png(
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, c = pixels.shape
+    _CT_CHANNELS = {0: 1, 4: 2, 2: 3, 6: 4}
+    if color_type is None:
+        by_channels = {n: ct for ct, n in _CT_CHANNELS.items()}
+        if c not in by_channels:
+            raise ValueError(f"unsupported channel count {c}")
+        color_type = by_channels[c]
+    elif _CT_CHANNELS.get(color_type) != c:
+        raise ValueError(
+            f"color_type {color_type} expects "
+            f"{_CT_CHANNELS.get(color_type)} channels, got {c}"
+        )
     if pixels.dtype == np.uint16:
         # 16-bit: serialize big-endian sample bytes; filters see bytes
         bit_depth = 16

@@ -141,13 +141,19 @@ def q_synthetic_sumstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(SyntheticSumstatsDataSource)
     except Exception:  # noqa: BLE001 — already registered in this session
         pass
-    # The reader implements pushFilters; a vanilla session (the driver
-    # contract runs one) rejects that unless the capability conf is on.
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # A pushFilters-capable reader is rejected AT EXECUTION by the
+    # Python worker when spark.sql.python.filterPushdown.enabled is
+    # false (the driver contract runs a vanilla session where it is).
+    # Rather than flipping the shared session conf as a side effect —
+    # which would leak into every later query — select the matching
+    # reader capability per query from the conf as it already stands.
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    pushdown = str(spark.conf.get(conf_key, "false")).lower()
     return (
         spark.read.format("synthetic_sumstats")
         .option("n_rows", SYNTH_N_ROWS)
         .option("n_partitions", 8)
+        .option("pushdown", pushdown)
         .load()
     )
 

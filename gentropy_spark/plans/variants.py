@@ -617,9 +617,12 @@ def _study_locus_qc_spark_sql(n_parts: int) -> str:
     max_gap = int(PICS_TAU * _math.log(1.0 / LD_FLAG_R2))
     # Constant relations the zero-join formulation depends on (see
     # docstring items 2 and 3); fail LOUD if a constants change ever
-    # invalidates either reduction.
-    assert LB_FLANK_US < LB_DIST_US, "susie-region window reduction invalid"
-    assert max_gap < 2 * CLUMP_WINDOW_US, "prev/next dominance reduction invalid"
+    # invalidates either reduction. Explicit raises, not assert —
+    # these are load-bearing and must survive `python -O`.
+    if not LB_FLANK_US < LB_DIST_US:
+        raise ValueError("susie-region window reduction invalid")
+    if not max_gap < 2 * CLUMP_WINDOW_US:
+        raise ValueError("prev/next dominance reduction invalid")
     tau_f = repr(float(PICS_TAU))
     view = _QC_FLAGS_SRC_VIEW
     valid_list = ", ".join(f"'{c}'" for c in VALID_CONTIGS)
@@ -815,7 +818,8 @@ def q_study_locus_qc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from gentropy_spark.plans.genomics import sumstats
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     hit = _QC_FLAGS_DF_MEMO.get(key)
     if hit is not None:
         return hit
@@ -823,6 +827,12 @@ def q_study_locus_qc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.sql(
         _study_locus_qc_spark_sql(spark.sparkContext.defaultParallelism)
     )
+    # Same stale-app eviction as registry._plan_cached: entries from
+    # stopped applications hold dead py4j references — drop them so a
+    # driver that recreates SparkSessions doesn't leak one DataFrame
+    # per (app, sf_dir) forever.
+    for stale in [k for k in _QC_FLAGS_DF_MEMO if k[0] != app_id]:
+        del _QC_FLAGS_DF_MEMO[stale]
     _QC_FLAGS_DF_MEMO[key] = df
     return df
 

@@ -54,19 +54,21 @@ class _Partition(InputPartition):
         self.start, self.end = start, end
 
 
-class SyntheticSumstatsReader(DataSourceReader):
+class _SyntheticReaderBase(DataSourceReader):
+    """Generator reader WITHOUT a pushFilters override.
+
+    Spark's Python worker refuses any reader that overrides
+    ``pushFilters`` when ``spark.sql.python.filterPushdown.enabled``
+    is false (the driver contract runs a vanilla session where it IS
+    false). Splitting the capability into a subclass lets the
+    datasource serve both session shapes without mutating session
+    conf as a side effect of building one query.
+    """
+
     def __init__(self, options):
         self.n_rows = int(options.get("n_rows", 10_000))
         self.n_partitions = int(options.get("n_partitions", 8))
         self._study_eq: int | None = None
-
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        for f in filters:
-            if isinstance(f, EqualTo) and f.attribute == ("study_id",):
-                # handled here (partition pruning in read())
-                self._study_eq = int(f.value)
-            else:
-                yield f  # Spark re-applies what we don't handle
 
     def partitions(self) -> Sequence[_Partition]:
         per = max(1, self.n_rows // self.n_partitions)
@@ -85,6 +87,18 @@ class SyntheticSumstatsReader(DataSourceReader):
             yield _row(i)
 
 
+class SyntheticSumstatsReader(_SyntheticReaderBase):
+    """Pushdown-capable reader: prunes rows on ``study_id = k``."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("study_id",):
+                # handled here (partition pruning in read())
+                self._study_eq = int(f.value)
+            else:
+                yield f  # Spark re-applies what we don't handle
+
+
 class SyntheticSumstatsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -101,5 +115,11 @@ class SyntheticSumstatsDataSource(DataSource):
             ]
         )
 
-    def reader(self, schema: T.StructType) -> SyntheticSumstatsReader:
+    def reader(self, schema: T.StructType) -> _SyntheticReaderBase:
+        # option("pushdown", "false") selects the capability-free
+        # reader so the source loads under sessions where
+        # spark.sql.python.filterPushdown.enabled is off (same rows —
+        # Spark applies the filters itself, just without pruning).
+        if str(self.options.get("pushdown", "true")).lower() == "false":
+            return _SyntheticReaderBase(self.options)
         return SyntheticSumstatsReader(self.options)
