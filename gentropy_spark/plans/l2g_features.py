@@ -475,6 +475,265 @@ FROM with_mean
 """
 
 
+# --- distance feature family ------------------------------------------------
+# Reference: dataset/l2g_features/distance.py — the 8 named features
+# mapped at method/l2g/feature_factory.py:110-117:
+#   distanceSentinelTss           -> distance_sentinel_tss
+#   distanceSentinelTssNeighbourhood -> distance_sentinel_tss_nbh
+#   distanceSentinelFootprint     -> distance_sentinel_footprint
+#   distanceSentinelFootprintNeighbourhood -> distance_sentinel_footprint_nbh
+#   distanceTssMean               -> distance_tss_mean
+#   distanceTssMeanNeighbourhood  -> distance_tss_mean_nbh
+#   distanceFootprintMean         -> distance_footprint_mean
+#   distanceFootprintMeanNeighbourhood -> distance_footprint_mean_nbh
+# Semantics (distance.py:21-82 common_distance_feature_logic): score a
+# (variant, gene) pair as (W - |d| + 1), posterior-weight and SUM over
+# the credible set for Mean features, take the sentinel (lead) variant
+# unweighted for Sentinel features, then log-scale by log10(W + 1).
+# Mean features clamp < 0 to 0 (a posterior-weighted sum can land in
+# (0, 1)); sentinel scores are >= 1 so their log is never negative —
+# which is exactly why the reference only clamps the Mean classes.
+# Neighbourhood variants (:85-141) divide the UNCLAMPED local value by
+# the regional max over protein-coding genes at the locus, clamped to
+# [0, 1]; non-protein-coding genes get 0 (the reference's inner join
+# drops them; the wide matrix 0-fills).
+# Distance types: distanceFromTss -> |pos - gene_start| (TSS = grid
+# gene start); distanceFromFootprint -> 0 inside the gene body, else
+# the gap to the nearer edge — the same expressions v2g_distance uses.
+DIST_W_US = V2G_FLANK_US
+# ONE shared python literal for log10(W + 1): computing it as an
+# expression engine-side would be the float-literal parity trap.
+_LOG10_W1 = 9.857332496491587
+
+DIST_FEAT_COLS = [
+    "distance_sentinel_tss",
+    "distance_sentinel_tss_nbh",
+    "distance_sentinel_footprint",
+    "distance_sentinel_footprint_nbh",
+    "distance_tss_mean",
+    "distance_tss_mean_nbh",
+    "distance_footprint_mean",
+    "distance_footprint_mean_nbh",
+]
+
+
+def _d_fp() -> F.Column:
+    return F.greatest(
+        F.col("gene_start") - F.col("pos"),
+        F.col("pos") - F.col("gene_end"),
+        F.lit(0),
+    )
+
+
+def _d_tss() -> F.Column:
+    return F.abs(F.col("pos") - F.col("gene_start"))
+
+
+def _log_scale6(x: F.Column) -> F.Column:
+    """log10(x) / log10(W+1), 6dp — null when x is null or <= 0."""
+    return F.when(x > 0, F.round(F.log10(x) / _LOG10_W1, 6))
+
+
+def _dist_locals(
+    cs: DataFrame, leads: DataFrame, genes: DataFrame
+) -> DataFrame:
+    """Per (locus, gene): the four UNCLAMPED local distance features
+    (6dp), union-agg combined — one shuffle on the locus-gene key."""
+    # Mean half: posterior-weighted score sums over the credible set.
+    fp = _footprint_join(cs, genes)
+    score_fp = (F.lit(DIST_W_US) - _d_fp() + F.lit(1)) * F.col("pics_pp")
+    score_tss = F.when(
+        _d_tss() <= DIST_W_US,
+        (F.lit(DIST_W_US) - _d_tss() + F.lit(1)) * F.col("pics_pp"),
+    )
+    mean_agg = fp.groupBy(*_FEAT_KEY).agg(
+        F.sum(score_fp.cast(DEC12)).cast("double").alias("sum_fp"),
+        F.sum(score_tss.cast(DEC12)).cast("double").alias("sum_tss"),
+    )
+    mean6 = mean_agg.select(
+        *_FEAT_KEY,
+        _log_scale6(F.col("sum_tss")).alias("tss_mean6"),
+        _log_scale6(F.col("sum_fp")).alias("fp_mean6"),
+    )
+    # Sentinel half: unweighted lead-variant scores (>= 1, log >= 0).
+    sent_src = leads.select(*_LOCUS_KEY, F.col("lead_pos").alias("pos"))
+    sj = _footprint_join(sent_src, genes)
+    sent = sj.select(
+        *_FEAT_KEY,
+        F.when(
+            _d_tss() <= DIST_W_US,
+            _log_scale6(F.lit(DIST_W_US) - _d_tss() + F.lit(1)),
+        ).alias("sent_tss6"),
+        _log_scale6(F.lit(DIST_W_US) - _d_fp() + F.lit(1)).alias("sent_fp6"),
+    )
+    local_cols = ["tss_mean6", "fp_mean6", "sent_tss6", "sent_fp6"]
+    branches = [
+        mean6.select(
+            *_FEAT_KEY,
+            "tss_mean6",
+            "fp_mean6",
+            F.lit(None).cast("double").alias("sent_tss6"),
+            F.lit(None).cast("double").alias("sent_fp6"),
+        ),
+        sent.select(
+            *_FEAT_KEY,
+            F.lit(None).cast("double").alias("tss_mean6"),
+            F.lit(None).cast("double").alias("fp_mean6"),
+            "sent_tss6",
+            "sent_fp6",
+        ),
+    ]
+    return (
+        branches[0]
+        .unionByName(branches[1])
+        .groupBy(*_FEAT_KEY)
+        .agg(*[F.max(c).alias(c) for c in local_cols])
+    )
+
+
+def _dist_outputs(locals_df: DataFrame) -> DataFrame:
+    """Clamp locals, compute neighbourhood ratios — one locus window."""
+    w_loc = Window.partitionBy(*_LOCUS_KEY)
+
+    def nbh(local6: str) -> F.Column:
+        reg = F.max(F.when(_is_pc(), F.col(local6))).over(w_loc)
+        ratio = _trunc6(F.col(local6) / reg)
+        return (
+            F.when(
+                _is_pc()
+                & F.col(local6).isNotNull()
+                & reg.isNotNull()
+                & (reg != 0.0),
+                F.least(F.greatest(ratio, F.lit(0.0)), F.lit(1.0)),
+            )
+            .otherwise(F.lit(0.0))
+        )
+
+    def clamp0(local6: str) -> F.Column:
+        return F.when(F.col(local6) < 0, F.lit(0.0)).otherwise(
+            F.coalesce(F.col(local6), F.lit(0.0))
+        )
+
+    return locals_df.select(
+        *_FEAT_KEY,
+        F.coalesce(F.col("sent_tss6"), F.lit(0.0)).alias(
+            "distance_sentinel_tss"
+        ),
+        nbh("sent_tss6").alias("distance_sentinel_tss_nbh"),
+        F.coalesce(F.col("sent_fp6"), F.lit(0.0)).alias(
+            "distance_sentinel_footprint"
+        ),
+        nbh("sent_fp6").alias("distance_sentinel_footprint_nbh"),
+        clamp0("tss_mean6").alias("distance_tss_mean"),
+        nbh("tss_mean6").alias("distance_tss_mean_nbh"),
+        clamp0("fp_mean6").alias("distance_footprint_mean"),
+        nbh("fp_mean6").alias("distance_footprint_mean_nbh"),
+    )
+
+
+def q_l2g_distance_features(
+    spark: SparkSession,
+    sf_dir: str,
+    _cs: DataFrame | None = None,
+    _leads_df: DataFrame | None = None,
+) -> DataFrame:
+    from gentropy_spark.plans.l2g import gene_index
+
+    cs = _cs if _cs is not None else _credset(spark, sf_dir)
+    leads = _leads_df if _leads_df is not None else _leads(spark, sf_dir)
+    genes = gene_index(spark, sf_dir)
+    return _dist_outputs(_dist_locals(cs, leads, genes))
+
+
+def _dist_feat_sql() -> str:
+    from gentropy_spark.plans.genomics import WINDOW_CLUMP_SQL
+    from gentropy_spark.plans.l2g import GENE_INDEX_SQL
+
+    W = DIST_W_US
+    L = f"{_LOG10_W1!r}"
+    d_fp = "GREATEST(gene_start - pos, pos - gene_end, 0)"
+    d_tss = "ABS(pos - gene_start)"
+    d_fp_l = "GREATEST(gene_start - lead_pos, lead_pos - gene_end, 0)"
+    d_tss_l = "ABS(lead_pos - gene_start)"
+
+    def nbh(local6: str) -> str:
+        reg = (
+            f"MAX(CASE WHEN {_IS_PC_SQL} THEN {local6} END) "
+            f"OVER (PARTITION BY study_id, contig, cluster_seq)"
+        )
+        return (
+            f"CASE WHEN {_IS_PC_SQL} AND {local6} IS NOT NULL "
+            f"AND {reg} IS NOT NULL AND {reg} <> 0.0 "
+            f"THEN LEAST(GREATEST("
+            f"FLOOR({local6} / ({reg}) * 1000000.0) / 1000000.0, "
+            f"0.0::DOUBLE), 1.0::DOUBLE) ELSE 0.0::DOUBLE END"
+        )
+
+    def clamp0(local6: str) -> str:
+        return (
+            f"CASE WHEN {local6} < 0 THEN 0.0::DOUBLE "
+            f"ELSE COALESCE({local6}, 0.0::DOUBLE) END"
+        )
+
+    return f"""
+WITH credset AS ({_credset_sql()}),
+genes AS ({GENE_INDEX_SQL}),
+fp AS (
+  SELECT c.study_id, c.contig, c.cluster_seq, g.gene_id,
+         c.pos, c.pics_pp, g.gene_start, g.gene_end
+  FROM credset c JOIN genes g ON c.contig = g.contig
+  WHERE c.pos >= g.gene_start - {W} AND c.pos <= g.gene_end + {W}
+),
+mean_agg AS (
+  SELECT study_id, contig, cluster_seq, gene_id,
+    CAST(SUM(CAST(({W} - {d_fp} + 1) * pics_pp AS DECIMAL(38,12)))
+      AS DOUBLE) AS sum_fp,
+    CAST(SUM(CAST(CASE WHEN {d_tss} <= {W}
+      THEN ({W} - {d_tss} + 1) * pics_pp END AS DECIMAL(38,12)))
+      AS DOUBLE) AS sum_tss
+  FROM fp GROUP BY 1, 2, 3, 4
+),
+mean6 AS (
+  SELECT study_id, contig, cluster_seq, gene_id,
+    ROUND(LOG10(NULLIF(GREATEST(sum_tss, 0.0), 0.0)) / {L}, 6) AS tss_mean6,
+    ROUND(LOG10(NULLIF(GREATEST(sum_fp, 0.0), 0.0)) / {L}, 6) AS fp_mean6
+  FROM mean_agg
+),
+leads AS ({WINDOW_CLUMP_SQL}),
+sent AS (
+  SELECT l.study_id, l.contig, l.cluster_seq, g.gene_id,
+    CASE WHEN {d_tss_l} <= {W}
+      THEN ROUND(LOG10({W} - {d_tss_l} + 1) / {L}, 6) END AS sent_tss6,
+    ROUND(LOG10({W} - {d_fp_l} + 1) / {L}, 6) AS sent_fp6
+  FROM leads l JOIN genes g ON l.contig = g.contig
+  WHERE l.lead_pos >= g.gene_start - {W} AND l.lead_pos <= g.gene_end + {W}
+),
+locals6 AS (
+  SELECT study_id, contig, cluster_seq, gene_id,
+         MAX(tss_mean6) AS tss_mean6, MAX(fp_mean6) AS fp_mean6,
+         MAX(sent_tss6) AS sent_tss6, MAX(sent_fp6) AS sent_fp6
+  FROM (
+    SELECT *, NULL::DOUBLE AS sent_tss6, NULL::DOUBLE AS sent_fp6 FROM mean6
+    UNION ALL BY NAME
+    SELECT study_id, contig, cluster_seq, gene_id,
+           NULL::DOUBLE AS tss_mean6, NULL::DOUBLE AS fp_mean6,
+           sent_tss6, sent_fp6
+    FROM sent
+  ) GROUP BY 1, 2, 3, 4
+)
+SELECT study_id, contig, cluster_seq, gene_id,
+  COALESCE(sent_tss6, 0.0::DOUBLE) AS distance_sentinel_tss,
+  {nbh("sent_tss6")} AS distance_sentinel_tss_nbh,
+  COALESCE(sent_fp6, 0.0::DOUBLE) AS distance_sentinel_footprint,
+  {nbh("sent_fp6")} AS distance_sentinel_footprint_nbh,
+  {clamp0("tss_mean6")} AS distance_tss_mean,
+  {nbh("tss_mean6")} AS distance_tss_mean_nbh,
+  {clamp0("fp_mean6")} AS distance_footprint_mean,
+  {nbh("fp_mean6")} AS distance_footprint_mean_nbh
+FROM locals6
+"""
+
+
 # --- feature factory -------------------------------------------------------
 # Column groups each family contributes (0-fill defaults in the
 # assembled output and in the extended feature matrix).
