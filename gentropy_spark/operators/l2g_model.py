@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
-FEATURES = ['max_weight', 'rel_weight', 'n_hits', 'genes_in_flank', 'eqtl_h4_max', 'eqtl_h4_nbh', 'eqtl_clpp_max', 'eqtl_clpp_nbh', 'pqtl_h4_max', 'pqtl_h4_nbh', 'pqtl_clpp_max', 'pqtl_clpp_nbh', 'sqtl_h4_max', 'sqtl_h4_nbh', 'sqtl_clpp_max', 'sqtl_clpp_nbh', 'vep_max', 'vep_mean', 'vep_max_nbh', 'vep_mean_nbh', 'gene_count_w', 'protein_gene_count_w', 'is_protein_coding', 'credset_confidence', 'e2g_mean', 'e2g_mean_nbh']
+FEATURES = ['max_weight', 'rel_weight', 'n_hits', 'genes_in_flank', 'eqtl_h4_max', 'eqtl_h4_nbh', 'eqtl_clpp_max', 'eqtl_clpp_nbh', 'pqtl_h4_max', 'pqtl_h4_nbh', 'pqtl_clpp_max', 'pqtl_clpp_nbh', 'sqtl_h4_max', 'sqtl_h4_nbh', 'sqtl_clpp_max', 'sqtl_clpp_nbh', 'vep_max', 'vep_mean', 'vep_max_nbh', 'vep_mean_nbh', 'gene_count_w', 'protein_gene_count_w', 'is_protein_coding', 'credset_confidence', 'e2g_mean', 'e2g_mean_nbh', 'distance_sentinel_tss', 'distance_sentinel_tss_nbh', 'distance_sentinel_footprint', 'distance_sentinel_footprint_nbh', 'distance_tss_mean', 'distance_tss_mean_nbh', 'distance_footprint_mean', 'distance_footprint_mean_nbh']
 TREES = [{'feat': 'max_weight',
   'left': {'feat': 'max_weight',
            'left': {'leaf': -0.12},
@@ -72,80 +72,80 @@ TREES = [{'feat': 'max_weight',
            'left': {'leaf': -0.345785558},
            'right': {'leaf': -0.037023112},
            'thr': 0.7953455},
-  'right': {'feat': 'sqtl_h4_max',
-            'left': {'leaf': 0.347102511},
-            'right': {'leaf': 0.04708751},
-            'thr': 0.9979715},
+  'right': {'feat': 'distance_sentinel_tss',
+            'left': {'leaf': 0.347108673},
+            'right': {'leaf': 0.036906362},
+            'thr': 0.999957},
   'thr': 0.5},
  {'feat': 'max_weight',
   'left': {'feat': 'sqtl_clpp_max',
            'left': {'leaf': -0.331136787},
            'right': {'leaf': -0.027991547},
            'thr': 0.0188325},
-  'right': {'feat': 'pqtl_h4_max',
-            'left': {'leaf': 0.332864082},
-            'right': {'leaf': 0.036653919},
-            'thr': 0.9999175},
+  'right': {'feat': 'distance_sentinel_tss',
+            'left': {'leaf': 0.332860669},
+            'right': {'leaf': 0.035848339},
+            'thr': 0.999957},
   'thr': 0.5},
  {'feat': 'max_weight',
   'left': {'feat': 'vep_max',
            'left': {'leaf': -0.320729877},
            'right': {'leaf': -0.021117674},
            'thr': 0.455},
+  'right': {'feat': 'sqtl_h4_max',
+            'left': {'leaf': 0.32300457},
+            'right': {'leaf': 0.027565473},
+            'thr': 0.9979715},
+  'thr': 0.5},
+ {'feat': 'max_weight',
+  'left': {'feat': 'distance_sentinel_footprint',
+           'left': {'leaf': -0.312926792},
+           'right': {'leaf': -0.015898568},
+           'thr': 0.969289},
+  'right': {'feat': 'pqtl_h4_max',
+            'left': {'leaf': 0.315931468},
+            'right': {'leaf': 0.021270489},
+            'thr': 0.9999175},
+  'thr': 0.5},
+ {'feat': 'max_weight',
+  'left': {'feat': 'distance_sentinel_footprint',
+           'left': {'leaf': -0.306691645},
+           'right': {'leaf': -0.015672593},
+           'thr': 0.969289},
   'right': {'feat': 'eqtl_h4_max',
-            'left': {'leaf': 0.323007029},
-            'right': {'leaf': 0.028922774},
+            'left': {'leaf': 0.310663671},
+            'right': {'leaf': 0.016664244},
             'thr': 0.99978},
   'thr': 0.5},
  {'feat': 'max_weight',
   'left': {'feat': 'vep_max',
-           'left': {'leaf': -0.312919169},
-           'right': {'leaf': -0.020733009},
+           'left': {'leaf': -0.301334658},
+           'right': {'leaf': -0.011872978},
            'thr': 0.455},
   'right': {'feat': 'max_weight',
-            'left': {'leaf': 0.024015307},
-            'right': {'leaf': 0.315932689},
+            'left': {'leaf': 0.013795311},
+            'right': {'leaf': 0.306558065},
             'thr': 0.501422},
   'thr': 0.5},
  {'feat': 'max_weight',
   'left': {'feat': 'sqtl_clpp_max',
-           'left': {'leaf': -0.306696707},
-           'right': {'leaf': -0.015759303},
+           'left': {'leaf': -0.296314622},
+           'right': {'leaf': -0.008991902},
            'thr': 0.0188325},
-  'right': {'feat': 'sqtl_h4_max',
-            'left': {'leaf': 0.310664192},
-            'right': {'leaf': 0.020641193},
-            'thr': 0.9979715},
+  'right': {'feat': 'distance_sentinel_tss',
+            'left': {'leaf': 0.303162499},
+            'right': {'leaf': 0.011706465},
+            'thr': 0.999957},
   'thr': 0.5},
  {'feat': 'max_weight',
   'left': {'feat': 'sqtl_h4_max',
-           'left': {'leaf': -0.301338697},
-           'right': {'leaf': -0.011973786},
+           'left': {'leaf': -0.291206251},
+           'right': {'leaf': -0.006824058},
            'thr': 0.7953455},
-  'right': {'feat': 'pqtl_h4_max',
-            'left': {'leaf': 0.306561067},
-            'right': {'leaf': 0.015879137},
-            'thr': 0.9999175},
-  'thr': 0.5},
- {'feat': 'max_weight',
-  'left': {'feat': 'pqtl_h4_max',
-           'left': {'leaf': -0.296317909},
-           'right': {'leaf': -0.009124044},
-           'thr': 0.994302},
-  'right': {'feat': 'eqtl_h4_max',
-            'left': {'leaf': 0.303166625},
-            'right': {'leaf': 0.012425013},
-            'thr': 0.99978},
-  'thr': 0.5},
- {'feat': 'max_weight',
-  'left': {'feat': 'eqtl_h4_max',
-           'left': {'leaf': -0.291208932},
-           'right': {'leaf': -0.007013391},
-           'thr': 0.970348},
-  'right': {'feat': 'e2g_mean',
-            'left': {'leaf': 0.300141519},
-            'right': {'leaf': 0.009710825},
-            'thr': 0.8275},
+  'right': {'feat': 'sqtl_h4_max',
+            'left': {'leaf': 0.30013544},
+            'right': {'leaf': 0.008885533},
+            'thr': 0.9979715},
   'thr': 0.5}]
 
 

@@ -13,9 +13,26 @@ with identical output values:
 2. run the unbounded cumsum WITHIN (part, bucket) — bounded per-task
    sort, parallelism = #buckets, one exchange on (part, bucket);
 3. aggregate per-bucket totals (tiny: one row per (part, bucket)),
-   prefix-sum them per part on the aggregate (driver-scale window),
-   and broadcast-join the offsets back;
+   prefix-sum them per part on the aggregate (driver-scale window)
+   and join the offsets back on (part, bucket);
 4. final value = bucket prefix offset + within-bucket cumsum.
+
+Deliberate trade-off: the totals aggregate is written over the
+windowed intermediate, but Catalyst's column pruning specializes
+that branch into a NARROW second pass over the upstream plan (only
+(part, order, value) survive, the window/sort are elided, and the
+partial aggregation combines map-side so the branch shuffles only
+one row per bucket). The alternative — persisting the windowed
+stream to share one scan — would materialize the full 100 TB input;
+a pruned, map-combined recompute is the cheaper side of that trade,
+and callers with an expensive upstream can cache it themselves.
+
+The offsets join carries NO forced broadcast hint: the offsets
+relation has one row per (part, bucket) — ~1e7 rows at 100 TB, past
+any sane broadcast threshold — while at bench scale AQE sees the
+tiny runtime size and picks a broadcast join on its own. The big
+side is already hash-partitioned on the join key from step 2, so
+even the sort-merge fallback adds no new exchange of the data.
 
 Equivalent to the reference's single-partition packing semantics
 (conceptually ``dataset/`` batch assembly) but shaped for a
@@ -29,8 +46,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Order-key ticks per bucket. At 100 TB with ~1e11 docs this yields
-# ~1e7 buckets — the totals aggregate is ~1e7 rows (a broadcast-able
-# dim), while each within-bucket sort is <= 8192 rows.
+# ~1e7 buckets — each within-bucket sort is <= 8192 rows, and the
+# totals aggregate is ~1e7 rows (fine for a shuffled join; never
+# force-broadcast).
 DEFAULT_BUCKET_SPAN = 8192
 
 
@@ -47,6 +65,13 @@ def bucketed_cumsum(
     one task. Output values are bit-identical to the single-level
     ``Window.partitionBy(part).orderBy(order)`` cumsum.
 
+    PRECONDITION: ``part_col`` and ``order_col`` must be non-null.
+    The offsets join keys on them with plain equality, so a NULL in
+    either silently drops the row (where the single-level window
+    would keep NULL as a valid partition/order value). Callers own
+    the guarantee — the packer's (source, doc_id) keys are non-null
+    by construction.
+
     ``order_col`` must be integral (the bucket is ``order div span``).
     The helper column ``__pack_bucket`` is dropped before returning.
     """
@@ -59,10 +84,11 @@ def bucketed_cumsum(
     cum_in = df.withColumn("__pack_bucket", bucket).withColumn(
         "__cum_in", F.sum(value_col).over(within)
     )
-    totals = (
-        df.withColumn("__pack_bucket", bucket)
-        .groupBy(part_col, "__pack_bucket")
-        .agg(F.sum(value_col).alias("__btot"))
+    # Bucket totals: logically over cum_in; physically Catalyst prunes
+    # this branch to a narrow (part, order, value) pass with map-side
+    # partial aggregation — see the module docstring's trade-off note.
+    totals = cum_in.groupBy(part_col, "__pack_bucket").agg(
+        F.sum(value_col).alias("__btot")
     )
     prior = (
         Window.partitionBy(part_col)
@@ -75,7 +101,7 @@ def bucketed_cumsum(
         F.coalesce(F.sum("__btot").over(prior), F.lit(0)).alias("__offset"),
     )
     return (
-        cum_in.join(F.broadcast(offsets), on=[part_col, "__pack_bucket"])
+        cum_in.join(offsets, on=[part_col, "__pack_bucket"])
         .withColumn(out_col, (F.col("__offset") + F.col("__cum_in")).cast("long"))
         .drop("__pack_bucket", "__cum_in", "__offset")
     )

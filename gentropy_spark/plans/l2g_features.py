@@ -745,23 +745,40 @@ GENE_FEAT_COLS = [
     "credset_confidence",
 ]
 E2G_FEAT_COLS = ["e2g_mean", "e2g_mean_nbh"]
-EXT_FEAT_COLS = [*VEP_FEAT_COLS, *GENE_FEAT_COLS, *E2G_FEAT_COLS]
+EXT_FEAT_COLS = [
+    *VEP_FEAT_COLS,
+    *GENE_FEAT_COLS,
+    *E2G_FEAT_COLS,
+    *DIST_FEAT_COLS,
+]
 _INT_COLS = {"gene_count_w", "protein_gene_count_w"}
 
 
 def _fp_family(fp: DataFrame) -> DataFrame:
-    """VEP family + footprint gene features in ONE aggregation.
+    """VEP family + footprint gene features + distance-mean locals in
+    ONE aggregation.
 
-    ``q_l2g_vep_features``'s local aggregate and the gene family's
-    footprint-distinct share the same (locus, gene) groupBy over the
+    ``q_l2g_vep_features``'s local aggregate, the gene family's
+    footprint-distinct, and the distance family's posterior-weighted
+    score sums (r11) all share the same (locus, gene) groupBy over the
     same footprint join — fused here so the assembled matrix pays one
-    shuffle for both (the standalone registry entries keep their
+    shuffle for all three (the standalone registry entries keep their
     separate shapes for the per-family oracles). The protein-coding
     flag and credible-set confidence are pure projections of the
     grouped key, so they ride the VEP aggregate for free.
     """
+    score_fp = (F.lit(DIST_W_US) - _d_fp() + F.lit(1)) * F.col("pics_pp")
+    score_tss = F.when(
+        _d_tss() <= DIST_W_US,
+        (F.lit(DIST_W_US) - _d_tss() + F.lit(1)) * F.col("pics_pp"),
+    )
     j = fp.select(
-        *_LOCUS_KEY, "gene_id", _severity_col().alias("severity"), "pics_pp"
+        *_LOCUS_KEY,
+        "gene_id",
+        _severity_col().alias("severity"),
+        "pics_pp",
+        score_fp.alias("__score_fp"),
+        score_tss.alias("__score_tss"),
     )
     local = j.groupBy(*_FEAT_KEY).agg(
         F.max("severity").alias("vep_max"),
@@ -769,10 +786,14 @@ def _fp_family(fp: DataFrame) -> DataFrame:
         F.sum((F.col("severity") * F.col("pics_pp")).cast(DEC12))
         .cast("double")
         .alias("sum_ws"),
+        F.sum(F.col("__score_fp").cast(DEC12)).cast("double").alias("sum_fp"),
+        F.sum(F.col("__score_tss").cast(DEC12)).cast("double").alias("sum_tss"),
     )
     w_loc = Window.partitionBy(*_LOCUS_KEY)
     vep_mean = _trunc6(F.col("sum_ws") / F.col("n_v"))
-    scored = local.select(*_FEAT_KEY, "vep_max", vep_mean.alias("vep_mean"))
+    scored = local.select(
+        *_FEAT_KEY, "vep_max", vep_mean.alias("vep_mean"), "sum_fp", "sum_tss"
+    )
     reg_max = F.max(F.when(_is_pc(), F.col("vep_max"))).over(w_loc)
     reg_mean = F.max(F.when(_is_pc(), F.col("vep_mean"))).over(w_loc)
 
@@ -796,6 +817,10 @@ def _fp_family(fp: DataFrame) -> DataFrame:
             "is_protein_coding"
         ),
         conf_score.alias("credset_confidence"),
+        # distance-mean locals (6dp log-scaled, UNCLAMPED — the clamp
+        # and nbh ratio happen after assembly on one shared window)
+        _log_scale6(F.col("sum_tss")).alias("tss_mean6"),
+        _log_scale6(F.col("sum_fp")).alias("fp_mean6"),
     )
 
 
@@ -828,12 +853,18 @@ def _tss_counts(leads: DataFrame, genes: DataFrame) -> DataFrame:
     )
 
 
+# Raw (UNCLAMPED) distance locals carried through the factory union;
+# the clamp + neighbourhood ratios are computed after assembly on ONE
+# shared locus window (vs the standalone distance query's own window).
+_RAW_DIST_COLS = ["tss_mean6", "fp_mean6", "sent_tss6", "sent_fp6"]
+
+
 def assemble_locus_features(
     spark: SparkSession,
     sf_dir: str,
     _leads_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Feature factory: combine the three families on the locus-gene
+    """Feature factory: combine the four families on the locus-gene
     key, 0-filled (method/l2g/feature_factory.py role).
 
     Shared subplans (PICS credible set, gene footprint join, clump
@@ -844,6 +875,14 @@ def assemble_locus_features(
     value-identical while paying ONE shuffle where the join chain paid
     two shuffle-joins (each re-exchanging both sides — the window
     outputs are partitioned on the 3-column locus, the join key is 4).
+
+    The distance family (r11) is fused rather than appended: its
+    posterior-weighted mean sums ride the footprint family's groupBy
+    (same key, same join — zero extra exchanges), its sentinel half is
+    a broadcast leads x genes join (zero exchanges), and all four
+    neighbourhood ratios + clamps come from ONE locus window over the
+    assembled matrix — where the standalone ``l2g_distance_features``
+    query (kept for its per-family oracle) pays its own agg + window.
     """
     from gentropy_spark.plans.l2g import gene_index
 
@@ -857,11 +896,37 @@ def assemble_locus_features(
     leads = _leads_df if _leads_df is not None else _leads(spark, sf_dir)
     tss = _tss_counts(leads, genes)
     e2g = q_l2g_interval_features(spark, sf_dir, _cs=cs)
+    # Sentinel distance locals: lead variant x genes, broadcast join.
+    sent_src = leads.select(*_LOCUS_KEY, F.col("lead_pos").alias("pos"))
+    sent = _footprint_join(sent_src, genes).select(
+        *_FEAT_KEY,
+        F.when(
+            _d_tss() <= DIST_W_US,
+            _log_scale6(F.lit(DIST_W_US) - _d_tss() + F.lit(1)),
+        ).alias("sent_tss6"),
+        _log_scale6(F.lit(DIST_W_US) - _d_fp() + F.lit(1)).alias("sent_fp6"),
+    )
 
+    union_cols = [
+        *VEP_FEAT_COLS,
+        *GENE_FEAT_COLS,
+        *E2G_FEAT_COLS,
+        *_RAW_DIST_COLS,
+    ]
     fam_own = (
-        (fused, [*VEP_FEAT_COLS, "is_protein_coding", "credset_confidence"]),
+        (
+            fused,
+            [
+                *VEP_FEAT_COLS,
+                "is_protein_coding",
+                "credset_confidence",
+                "tss_mean6",
+                "fp_mean6",
+            ],
+        ),
         (tss, ["gene_count_w", "protein_gene_count_w"]),
         (e2g, E2G_FEAT_COLS),
+        (sent, ["sent_tss6", "sent_fp6"]),
     )
     branches = []
     for df, own in fam_own:
@@ -874,18 +939,61 @@ def assemble_locus_features(
                     else F.lit(None)
                     .cast("long" if c in _INT_COLS else "double")
                     .alias(c)
-                    for c in EXT_FEAT_COLS
+                    for c in union_cols
                 ],
             )
         )
-    unioned = branches[0].unionByName(branches[1]).unionByName(branches[2])
+    unioned = branches[0]
+    for b in branches[1:]:
+        unioned = unioned.unionByName(b)
     agg = unioned.groupBy(*_FEAT_KEY).agg(
-        *[F.max(c).alias(c) for c in EXT_FEAT_COLS]
+        *[F.max(c).alias(c) for c in union_cols]
     )
+
+    # One shared locus window: the four distance nbh ratios + clamps
+    # (identical expressions to _dist_outputs — pinned by the driver's
+    # l2g_feature_matrix oracle and the per-family parity test).
+    w_loc = Window.partitionBy(*_LOCUS_KEY)
+
+    def nbh(local6: str) -> F.Column:
+        reg = F.max(F.when(_is_pc(), F.col(local6))).over(w_loc)
+        ratio = _trunc6(F.col(local6) / reg)
+        return (
+            F.when(
+                _is_pc()
+                & F.col(local6).isNotNull()
+                & reg.isNotNull()
+                & (reg != 0.0),
+                F.least(F.greatest(ratio, F.lit(0.0)), F.lit(1.0)),
+            )
+            .otherwise(F.lit(0.0))
+        )
+
+    def clamp0(local6: str) -> F.Column:
+        return F.when(F.col(local6) < 0, F.lit(0.0)).otherwise(
+            F.coalesce(F.col(local6), F.lit(0.0))
+        )
+
+    dist_exprs = {
+        "distance_sentinel_tss": F.coalesce(F.col("sent_tss6"), F.lit(0.0)),
+        "distance_sentinel_tss_nbh": nbh("sent_tss6"),
+        "distance_sentinel_footprint": F.coalesce(
+            F.col("sent_fp6"), F.lit(0.0)
+        ),
+        "distance_sentinel_footprint_nbh": nbh("sent_fp6"),
+        "distance_tss_mean": clamp0("tss_mean6"),
+        "distance_tss_mean_nbh": nbh("tss_mean6"),
+        "distance_footprint_mean": clamp0("fp_mean6"),
+        "distance_footprint_mean_nbh": nbh("fp_mean6"),
+    }
     return agg.select(
         *_FEAT_KEY,
         *[
-            F.coalesce(F.col(c), F.lit(0) if c in _INT_COLS else F.lit(0.0)).alias(c)
+            dist_exprs[c].alias(c)
+            if c in dist_exprs
+            else F.coalesce(
+                F.col(c), F.lit(0) if c in _INT_COLS else F.lit(0.0)
+            ).alias(c)
             for c in EXT_FEAT_COLS
         ],
     )
@@ -899,12 +1007,14 @@ def _assemble_sql() -> str:
     return f"""
 WITH vep_f AS ({_vep_feat_sql()}),
 gene_f AS ({_gene_feat_sql()}),
-e2g_f AS ({_interval_feat_sql()})
+e2g_f AS ({_interval_feat_sql()}),
+dist_f AS ({_dist_feat_sql()})
 SELECT study_id, contig, cluster_seq, gene_id,
        {cols}
 FROM vep_f
 FULL JOIN gene_f USING (study_id, contig, cluster_seq, gene_id)
 FULL JOIN e2g_f USING (study_id, contig, cluster_seq, gene_id)
+FULL JOIN dist_f USING (study_id, contig, cluster_seq, gene_id)
 """
 
 
@@ -913,5 +1023,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "l2g_gene_features": QuerySpec(q_l2g_gene_features, _gene_feat_sql()),
     "l2g_interval_features": QuerySpec(
         q_l2g_interval_features, _interval_feat_sql()
+    ),
+    "l2g_distance_features": QuerySpec(
+        q_l2g_distance_features, _dist_feat_sql()
     ),
 }

@@ -63,9 +63,11 @@ def test_interval_features_locus_mean_centred(spark, sf_dir):
 def test_factory_assembles_all_families(spark, sf_dir):
     out = assemble_locus_features(spark, sf_dir)
     assert set(EXT_FEAT_COLS) <= set(out.columns)
-    assert set(VEP_FEAT_COLS + GENE_FEAT_COLS + E2G_FEAT_COLS) == set(
-        EXT_FEAT_COLS
-    )
+    from gentropy_spark.plans.l2g_features import DIST_FEAT_COLS
+
+    assert set(
+        VEP_FEAT_COLS + GENE_FEAT_COLS + E2G_FEAT_COLS + DIST_FEAT_COLS
+    ) == set(EXT_FEAT_COLS)
     # no nulls anywhere after 0-fill
     n_null = out.select(
         F.greatest(
