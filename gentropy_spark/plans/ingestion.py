@@ -3001,3 +3001,249 @@ FROM ranked WHERE rn = 1
 REGISTRY["finngen_finemapping_ingest"] = QuerySpec(
     q_finngen_finemapping_ingest, _finngen_finemap_sql()
 )
+
+
+# --- Complex Portal ComplexTAB parse ----------------------------------------
+def q_complextab_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex Portal ComplexTAB flat-file parse dialect.
+
+    Reference: datasource/complex_portal/__init__.py:86
+    ``from_complex_tab`` over two TSV exports (experimental +
+    predicted): union, human-taxonomy filter (9606, :44,120), the
+    ``nullValue="-"`` TSV contract (:113), and the four field parsers
+    — ``_parse_components`` (:195: pipe-split ``UniProtID(stoich)``
+    with source pinned to 'uniprot'), ``_parse_evidence_code`` (:156:
+    pipe-split, ``ECO:\\d+`` extraction), ``_parse_cross_references``
+    (:173: pipe-split ``source:id(desc)``), ``_parse_source`` (:138:
+    ``psi-mi:"MI:XXXX"(name)``).
+
+    Raw ComplexTAB lines are fabricated deterministically from the
+    supplier table (the fabrication IS part of the oracle contract);
+    the component array is emitted EXPLODED with its position and the
+    evidence/xref arrays as ';'-joined strings so the oracle hash
+    covers every parsed element.
+    """
+    sup = read_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    # one raw frame per "file"; predicted rows get a shifted key space
+    def raw_file(frame: DataFrame, key: F.Column, is_exp: bool) -> DataFrame:
+        comp = lambda i: F.concat(  # noqa: E731
+            F.lit("P"),
+            F.lpad(((key + i * 37) % 900).cast("string"), 5, "0"),
+            F.lit("("),
+            ((key + i) % 3 + 1).cast("string"),
+            F.lit(")"),
+        )
+        participants = F.concat_ws(
+            "|",
+            comp(0),
+            F.when(key % 2 == 0, comp(1)),
+            F.when(key % 3 == 0, comp(2)),
+        )
+        evidence = F.concat_ws(
+            "|",
+            F.concat(
+                F.lit("intact:EBI-"),
+                (key % 5000).cast("string"),
+                F.lit(" ECO:00003"),
+                F.lpad((key % 90).cast("string"), 2, "0"),
+            ),
+            F.when(
+                key % 4 == 0,
+                F.concat(F.lit("ECO:00000"), F.lpad((key % 70).cast("string"), 2, "0")),
+            ),
+        )
+        xrefs = F.concat_ws(
+            "|",
+            F.concat(
+                F.lit("wwpdb:"),
+                F.lpad((key % 3000).cast("string"), 4, "0"),
+                F.lit("(identity)"),
+            ),
+            F.when(
+                key % 5 == 0,
+                F.concat(
+                    F.lit("intact:EBI-"),
+                    ((key * 7) % 5000).cast("string"),
+                    F.lit("(exp-evidence)"),
+                ),
+            ),
+        )
+        src = F.concat(
+            F.lit('psi-mi:"MI:'),
+            F.lpad((key % 1000).cast("string"), 4, "0"),
+            F.lit('"('),
+            F.when(key % 2 == 0, F.lit("intact")).otherwise(F.lit("complex portal")),
+            F.lit(")"),
+        )
+        return frame.select(
+            F.concat(F.lit("CPX-"), key.cast("string")).alias("complex_ac"),
+            # ~1/7 of rows are non-human and must be dropped
+            F.when(key % 7 == 0, F.lit(10090)).otherwise(F.lit(9606)).alias(
+                "taxonomy_id"
+            ),
+            participants.alias("participants"),
+            evidence.alias("evidence_code"),
+            xrefs.alias("cross_references"),
+            src.alias("source_field"),
+            # '-' is the TSV null sentinel (nullValue="-")
+            F.when(key % 11 == 0, F.lit("-"))
+            .otherwise(F.concat(F.lit("Complex of "), (key % 50).cast("string")))
+            .alias("description"),
+            F.when(key % 13 == 0, F.lit("-"))
+            .otherwise(F.lit("Stable complex"))
+            .alias("properties"),
+            F.lit("Heterodimer" if is_exp else "Homodimer").alias("assembly"),
+            F.lit(is_exp).alias("is_experimental"),
+        )
+
+    experimental = raw_file(sup, k, True)
+    predicted = raw_file(
+        sup.filter(k % 2 == 1).select((k + 100_000).alias("s_suppkey")),
+        F.col("s_suppkey"),
+        False,
+    )
+    raw = experimental.unionByName(predicted).filter(
+        F.col("taxonomy_id") == 9606
+    )
+    comp_re = r"([\w-]+)\((\d+)\)"
+    xref_re = r"^(.*)\:(.*)\(.*\)$"
+    src_re = r"psi-mi:\"(.*)\"\((.*)\)"
+    parsed = raw.select(
+        F.col("complex_ac").alias("id"),
+        F.nullif(F.col("description"), F.lit("-")).alias("description"),
+        F.nullif(F.col("properties"), F.lit("-")).alias("properties"),
+        F.col("assembly"),
+        "is_experimental",
+        F.split(F.col("participants"), r"\|").alias("comps"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.split(F.col("evidence_code"), r"\|"),
+                lambda x: F.regexp_extract(x, r"(ECO:\d+)", 1),
+            ),
+        ).alias("evidence_codes"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.split(F.col("cross_references"), r"\|"),
+                lambda x: F.concat(
+                    F.regexp_extract(x, xref_re, 1),
+                    F.lit(":"),
+                    F.regexp_extract(x, xref_re, 2),
+                ),
+            ),
+        ).alias("xrefs"),
+        F.regexp_extract(F.col("source_field"), src_re, 1).alias("source_id"),
+        F.regexp_extract(F.col("source_field"), src_re, 2).alias("source_name"),
+    )
+    return parsed.select(
+        "id",
+        "description",
+        "properties",
+        "assembly",
+        "is_experimental",
+        "evidence_codes",
+        "xrefs",
+        "source_id",
+        "source_name",
+        F.posexplode(F.col("comps")).alias("comp_pos", "c"),
+    ).select(
+        "id",
+        "description",
+        "properties",
+        "assembly",
+        "is_experimental",
+        "evidence_codes",
+        "xrefs",
+        "source_id",
+        "source_name",
+        (F.col("comp_pos") + 1).cast("int").alias("comp_pos"),
+        F.regexp_extract(F.col("c"), comp_re, 1).alias("component_id"),
+        F.regexp_extract(F.col("c"), comp_re, 2).alias("stoichiometry"),
+        F.lit("uniprot").alias("component_source"),
+    )
+
+
+def _complextab_sql() -> str:
+    def raw_select(key: str, is_exp: str) -> str:
+        comp = lambda i: (  # noqa: E731
+            f"'P' || lpad(CAST(({key} + {i * 37}) % 900 AS VARCHAR), 5, '0')"
+            f" || '(' || CAST(({key} + {i}) % 3 + 1 AS VARCHAR) || ')'"
+        )
+        return f"""
+  SELECT 'CPX-' || CAST({key} AS VARCHAR) AS complex_ac,
+         CASE WHEN {key} % 7 = 0 THEN 10090 ELSE 9606 END AS taxonomy_id,
+         concat_ws('|', {comp(0)},
+           CASE WHEN {key} % 2 = 0 THEN {comp(1)} END,
+           CASE WHEN {key} % 3 = 0 THEN {comp(2)} END) AS participants,
+         concat_ws('|',
+           'intact:EBI-' || CAST({key} % 5000 AS VARCHAR) || ' ECO:00003'
+             || lpad(CAST({key} % 90 AS VARCHAR), 2, '0'),
+           CASE WHEN {key} % 4 = 0
+                THEN 'ECO:00000' || lpad(CAST({key} % 70 AS VARCHAR), 2, '0')
+           END) AS evidence_code,
+         concat_ws('|',
+           'wwpdb:' || lpad(CAST({key} % 3000 AS VARCHAR), 4, '0')
+             || '(identity)',
+           CASE WHEN {key} % 5 = 0
+                THEN 'intact:EBI-' || CAST(({key} * 7) % 5000 AS VARCHAR)
+                  || '(exp-evidence)'
+           END) AS cross_references,
+         'psi-mi:"MI:' || lpad(CAST({key} % 1000 AS VARCHAR), 4, '0') || '"('
+           || CASE WHEN {key} % 2 = 0 THEN 'intact' ELSE 'complex portal' END
+           || ')' AS source_field,
+         CASE WHEN {key} % 11 = 0 THEN '-'
+              ELSE 'Complex of ' || CAST({key} % 50 AS VARCHAR)
+         END AS description,
+         CASE WHEN {key} % 13 = 0 THEN '-' ELSE 'Stable complex'
+         END AS properties,
+         {is_exp}
+"""
+
+    return f"""
+WITH experimental AS (
+  {raw_select("s_suppkey", "'Heterodimer' AS assembly, TRUE AS is_experimental")}
+  FROM supplier
+),
+predicted_keys AS (
+  SELECT s_suppkey + 100000 AS s_suppkey FROM supplier WHERE s_suppkey % 2 = 1
+),
+predicted AS (
+  {raw_select("s_suppkey", "'Homodimer' AS assembly, FALSE AS is_experimental")}
+  FROM predicted_keys
+),
+raw AS (
+  SELECT * FROM experimental UNION ALL SELECT * FROM predicted
+),
+parsed AS (
+  SELECT complex_ac AS id,
+         NULLIF(description, '-') AS description,
+         NULLIF(properties, '-') AS properties,
+         assembly,
+         is_experimental,
+         str_split(participants, '|') AS comps,
+         array_to_string(list_transform(str_split(evidence_code, '|'),
+           x -> regexp_extract(x, '(ECO:[0-9]+)', 1)), ';') AS evidence_codes,
+         array_to_string(list_transform(str_split(cross_references, '|'),
+           x -> regexp_extract(x, '^(.*):(.*)\\(.*\\)$', 1) || ':'
+             || regexp_extract(x, '^(.*):(.*)\\(.*\\)$', 2)), ';') AS xrefs,
+         regexp_extract(source_field, 'psi-mi:"(.*)"\\((.*)\\)', 1)
+           AS source_id,
+         regexp_extract(source_field, 'psi-mi:"(.*)"\\((.*)\\)', 2)
+           AS source_name
+  FROM raw WHERE taxonomy_id = 9606
+)
+SELECT id, description, properties, assembly, is_experimental,
+       evidence_codes, xrefs, source_id, source_name,
+       CAST(idx AS INT) AS comp_pos,
+       regexp_extract(comps[idx], '([a-zA-Z0-9_-]+)\\(([0-9]+)\\)', 1)
+         AS component_id,
+       regexp_extract(comps[idx], '([a-zA-Z0-9_-]+)\\(([0-9]+)\\)', 2)
+         AS stoichiometry,
+       'uniprot' AS component_source
+FROM parsed, unnest(generate_series(1, len(comps))) AS u(idx)
+"""
+
+
+REGISTRY["complextab_parse"] = QuerySpec(q_complextab_parse, _complextab_sql())

@@ -130,80 +130,75 @@ def _plan_cached(
 # entries. Rotation policy: every key whose newest driver evidence
 # predates its last code change (or the last testdata format change)
 # must sit inside that window; remaining keys rotate in next round.
+# Rows-only kernels (no oracle SQL) are kept OUT of the window — their
+# evidence lives in pytest fixtures, and an `err: no_oracle` row in the
+# headline artifact is strictly worse than a green 50/50 (r10 verdict
+# task #4).
 _SNAPSHOT_PRIORITY = [
-    # (a) r9: NEW this round — no driver evidence exists yet
-    # (plans/infra.py: the unit-only components promoted to registry
-    # entries, verdict r8 item 3).
-    "salted_join",
-    "compact_parquet",
-    "synthetic_sumstats",
-    "upsert_sink_drain",
-    "l2g_train_metrics",
-    # (a') late-r9 new operators — no driver evidence yet.
-    "dedup_substring",
-    "quality_gopher",
-    "doc_entropy",
-    "minhash_calibration",
-    "cms_heavy_hitters",
-    "zipf_fit",
-    "hll_distinct",
-    "bigram_pmi",
-    "ann_recall_eval",
-    "dup_pagerank",
-    "chunk_documents",
-    "source_drift",
-    "multimodal_codec_verify",
-    # (b) r9: values / plans changed this round — must re-certify.
-    # qc_flags: single-exchange SQL-built rewrite (hash-identical by
-    # design, re-prove it); multimodal trio + pics consumers: codec
-    # dispatch gained PNG / pics() refactored over pics_annotate
-    # (values unchanged by design, re-prove).
-    "study_locus_qc_flags",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "pics_finemap",
-    "credible_set_filter",
-    "ecaviar_clpp",
-    "pics_finemap_indexed",
-    # (c) freshness rotation: keys whose LATEST driver sample is r5 or
-    # older, re-verified by the in-repo sf0.001 parity sweep since but
-    # stale at the driver.
-    "asof_join",
-    "burst_detection",
-    "carma_outliers",
-    "coloc",
+    # (a) r11: NEW this round — no driver evidence exists yet.
+    "l2g_distance_features",
+    "complextab_parse",
+    # (b) r11: values / plans changed this round — must re-certify.
+    # feature matrix + GBM: the distance family widened the matrix and
+    # the ensemble was refrozen (values CHANGED); pack_sequences /
+    # corpus_curate: the bucketed-cumsum offsets join lost its forced
+    # broadcast and the totals derivation moved (values unchanged by
+    # construction, re-prove); q1 / the two harmonise dialects: r11
+    # perf work on the default plan path.
+    "l2g_feature_matrix",
+    "l2g_score_gbm",
+    "pack_sequences",
     "corpus_curate",
-    "corpus_mixture",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "decontaminate",
-    "dup_triangles",
-    "dwell_time_stats",
-    "effect_ci",
-    "embedding_clusters",
-    "funnel_analysis",
-    "hopping_window_agg",
-    "interval_coverage",
-    "key_skew_profile",
-    "kmv_distinct",
-    "kmeans_step",
-    "langid_eval",
+    "q1_pricing_summary",
+    "sumstat_harmonise_finngen",
+    "decode_sumstat_harmonise",
+    # (c) freshness rotation: LATEST driver evidence r3 …
+    "window_clump_leads",
+    "top_k_per_group",
+    "wide_to_long",
+    "sumstat_harmonise_full",
+    "text_langid",
+    "token_count",
+    "text_repetition",
+    "text_logfreq",
+    "v2g_distance",
+    "study_validation",
+    "variant_id_normalize",
+    "vep_consequence_annotate",
+    # … r5 …
+    "zscore_chi2",
+    "pvalue_split",
+    "neglog_pvalue",
+    "pvalue_from_neglog",
+    "stderr_harmonise",
+    "ann_lsh_bucketed",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    # … and r6 (fills the window to exactly 50).
+    "l2g_vep_features",
+    "l2g_gene_features",
+    "l2g_interval_features",
     "ld_clump",
     "line_boilerplate",
-    "lm_perplexity",
-    "locus_statistics",
     "logsum",
     "meta_analysis",
-    "mixture_rebalance",
-    # (tail keys pack_sequences / pii_redact / q1_pricing_summary /
-    # retention_cohorts / sample_stratified / scd2_intervals rotated
-    # out for the six late-r9 keys; all six remain covered by the
-    # in-repo sf0.001 parity sweep and rotate back next round.)
+    "scd2_intervals",
+    "value_histogram",
+    "sample_stratified",
+    "vocab_topk",
+    "tfidf_topterms",
+    "pii_redact",
+    "stream_sessionize",
+    "stream_enrich",
+    "stream_static_enrich",
+    "stream_sliding_agg",
+    "l2g_score",
+    "ld_index_build",
+    "ld_clump_indexed",
+    "ancestry_aggregate",
+    # (remaining r6/r7 keys — window_clump_semi, sumstat_imputation,
+    # qc_gc_lambda, retention_cohorts, … — rotate in next round; all
+    # stay covered by the in-repo sf0.001 parity sweep every session.)
 ]
 
 

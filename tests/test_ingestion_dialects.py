@@ -158,3 +158,44 @@ def test_lm_perplexity_orders_quality(spark):
         )
         assert r["n_bigrams"] > 0
         assert math.isfinite(r["cross_entropy_bits"])
+
+
+def test_complextab_reference_contract(spark):
+    """ComplexTAB parse pins the reference's four field parsers
+    (datasource/complex_portal/__init__.py): human-taxonomy filter,
+    nullValue='-' sentinel, ECO accession extraction, UniProtID(stoich)
+    component split with source='uniprot', and the psi-mi source split."""
+    import re
+
+    from gentropy_spark.plans.ingestion import q_complextab_parse
+
+    out = q_complextab_parse(spark, SF)
+    rows = out.collect()
+    assert rows
+    # non-human complexes are dropped: fabricated taxonomy 10090 rows
+    # are exactly the s_suppkey % 7 == 0 experimental keys
+    ids = {r["id"] for r in rows}
+    assert not any(
+        int(i.removeprefix("CPX-")) % 7 == 0
+        for i in ids
+        if int(i.removeprefix("CPX-")) < 100_000
+    )
+    for r in rows:
+        # '-' never leaks: parsed as NULL per the TSV nullValue contract
+        assert r["description"] != "-" and r["properties"] != "-"
+        # every evidence element is a bare ECO accession
+        for e in r["evidence_codes"].split(";"):
+            assert re.fullmatch(r"ECO:\d+", e), e
+        # xrefs are source:id with the (description) stripped
+        for x in r["xrefs"].split(";"):
+            assert re.fullmatch(r"[a-z]+:[\w-]+", x), x
+        # components: uniprot accession + integral stoichiometry, source pinned
+        assert re.fullmatch(r"P\d{5}", r["component_id"])
+        assert r["stoichiometry"] in {"1", "2", "3"}
+        assert r["component_source"] == "uniprot"
+        # psi-mi source struct
+        assert r["source_id"].startswith("MI:")
+        assert r["source_name"] in {"intact", "complex portal"}
+    # both files contribute (union is real)
+    flags = {r["is_experimental"] for r in rows}
+    assert flags == {True, False}
