@@ -25,7 +25,9 @@ without the Hydra dependency:
 
 Each step is pure (reads tables, writes one output), exactly the
 reference's step contract; re-running a completed DAG is idempotent
-(overwrite mode).
+(overwrite mode). Users migrating an existing Hydra YAML translate it
+with ``python -m gentropy_spark.hydra_compat pipeline.yaml`` (all 36
+reference step names map to registry keys — see hydra_compat.py).
 """
 
 from __future__ import annotations

@@ -182,3 +182,92 @@ def test_full_post_gwas_pipeline_dag(tmp_path, spark):
     for step in cfg["steps"]:
         out = spark.read.parquet(str(tmp_path / "out" / step))
         assert out.count() > 0, step
+
+
+# --- r11: Hydra-YAML → JSON-DAG translator shim ----------------------------
+def test_hydra_shim_maps_every_step_to_a_registry_key():
+    """Every reference Hydra step name (config.py:784-893 cs.store
+    group='step') must map to a LIVE registry key."""
+    from gentropy_spark.hydra_compat import STEP_NAME_MAP
+    from gentropy_spark.plans import full_registry
+
+    reg = full_registry()
+    missing = {k: v for k, v in STEP_NAME_MAP.items() if v not in reg}
+    assert not missing, missing
+    assert len(STEP_NAME_MAP) == 36  # the reference registers 36 steps
+
+
+def test_hydra_shim_single_step_translation(tmp_path):
+    """A single-step Hydra run config (step._target_ + params) becomes a
+    one-step DAG: known params carried (with p-value → -log10 unit
+    conversion), path params dropped WITH a warning, and the produced
+    config validates + dry-runs through the real DAG runner."""
+    import math
+
+    from gentropy_spark.cli import run_dag
+    from gentropy_spark.config import validate_config
+    from gentropy_spark.hydra_compat import translate
+
+    cfg, warnings = translate(
+        {
+            "defaults": [{"session": "base_session"}, "_self_"],
+            "step": {
+                "_target_": (
+                    "gentropy.window_based_clumping.WindowBasedClumpingStep"
+                ),
+                "distance": 250_000,
+                "gwas_significance": 1e-8,
+                "summary_statistics_input_path": "gs://bucket/sumstats",
+            },
+        }
+    )
+    step = cfg["steps"]["window_clump_leads"]
+    assert step["query"] == "window_clump_leads"
+    assert step["params"]["window"] == 250_000
+    assert math.isclose(step["params"]["min_signif"], 8.0)
+    assert any("summary_statistics_input_path" in w for w in warnings)
+    cfg["out_dir"] = str(tmp_path / "out")
+    assert validate_config(cfg) == []
+    import json
+
+    p = tmp_path / "pipeline.json"
+    p.write_text(json.dumps(cfg))
+    assert run_dag(str(p), dry_run=True) == ["window_clump_leads"]
+
+
+def test_hydra_shim_multi_step_pipeline(tmp_path):
+    """Multi-step shape: reference step names + after-edges translate to
+    the DAG with dependencies preserved and topological dry-run order."""
+    import json
+
+    from gentropy_spark.cli import run_dag
+    from gentropy_spark.hydra_compat import translate
+
+    cfg, _ = translate(
+        {
+            "sf_dir": "/root/testdata/sf0.001",
+            "out_dir": str(tmp_path / "out"),
+            "steps": {
+                "clump": {"step": "window_based_clumping"},
+                "fm": {"step": "pics", "after": ["clump"], "tau": 2},
+                "score": {"step": "locus_to_gene", "after": ["fm"]},
+            },
+        }
+    )
+    assert cfg["steps"]["fm"] == {
+        "query": "pics_finemap",
+        "after": ["clump"],
+        "params": {"tau": 2},
+    }
+    p = tmp_path / "pipeline.json"
+    p.write_text(json.dumps(cfg))
+    assert run_dag(str(p), dry_run=True) == ["clump", "fm", "score"]
+
+
+def test_hydra_shim_unknown_step_raises():
+    import pytest
+
+    from gentropy_spark.hydra_compat import translate
+
+    with pytest.raises(ValueError, match="unknown Hydra step"):
+        translate({"step": "not_a_reference_step"})

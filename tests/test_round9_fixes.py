@@ -912,3 +912,60 @@ def test_ppm_16bit_big_endian():
     assert meta["codec"] == "ppm"
     assert (meta["width"], meta["height"]) == (4, 5)
     assert meta["mean_value"] == pytest.approx(float(px.mean()))
+
+
+def test_multimodal_stub_ledger_contract():
+    """r11 (verdict #9): the two DECLARED codec stubs — arithmetic-coded
+    JPEG and raw H.264 pixel data — must keep their NULL-metadata
+    contract: decode_any returns codec='stub' with every metadata field
+    NULL (never a fabricated decode), and MP4/H.264 containers return
+    real box metadata with mean_value NULL (sample data not decoded)."""
+    import struct
+
+    from gentropy_spark.operators.codecs import decode_any, decode_mp4
+
+    # Arithmetic-coded JPEG: SOI + SOF9 (extended sequential,
+    # arithmetic coding) frame header. decode_jpeg must raise and
+    # decode_any must land on the stub contract.
+    sof9 = (
+        b"\xff\xd8"  # SOI
+        + b"\xff\xc9" + struct.pack(">H", 11)  # SOF9, len
+        + bytes([8])  # precision
+        + struct.pack(">HH", 4, 4)  # h, w
+        + bytes([1, 1, 0x11, 0])  # 1 component
+        + b"\xff\xd9"  # EOI
+    )
+    out = decode_any(sof9)
+    assert out["codec"] == "stub"
+    assert all(
+        out[k] is None
+        for k in ("width", "height", "n_channels", "sample_rate", "mean_value")
+    )
+
+    # Raw Annex-B H.264 byte stream (start code + SPS NAL): no
+    # container, must be the stub — never a fake pixel decode.
+    annexb = b"\x00\x00\x00\x01\x67" + bytes(32)
+    out = decode_any(annexb)
+    assert out["codec"] == "stub"
+    assert out["mean_value"] is None
+
+    # H.264 inside MP4: box metadata is real (dims from tkhd), but
+    # mean_value stays NULL — the pixel decode is the declared stub.
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd = box(
+        b"mvhd",
+        bytes(1) + bytes(3) + bytes(8) + struct.pack(">I", 1000) + bytes(84),
+    )
+    tkhd_body = bytes(1) + bytes(3) + bytes(76) + struct.pack(
+        ">II", 64 << 16, 48 << 16
+    )
+    trak = box(b"trak", box(b"tkhd", tkhd_body))
+    payload = box(b"ftyp", b"isom\x00\x00\x02\x00isomavc1") + box(
+        b"moov", mvhd + trak
+    )
+    out = decode_mp4(payload)
+    assert out["codec"] == "mp4"
+    assert out["width"] == 64 and out["height"] == 48
+    assert out["mean_value"] is None
