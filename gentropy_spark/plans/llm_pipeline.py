@@ -14,8 +14,6 @@ from pyspark.sql import functions as F
 
 from gentropy_spark.functions.text import (
     normalized_fingerprint,
-    predict_lang,
-    quality_profile,
     token_count_bpe_ish,
     token_count_ws,
     tokens,
@@ -348,9 +346,51 @@ WHERE cosine >= {format(EMB_MIN_COSINE, ".17e")}
 
 # --- E7: text quality profile --------------------------------------------
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Values identical to ``quality_profile`` (the oracle is unchanged)
+    but STAGED: higher-order functions are not codegen-supported, so a
+    single projection re-evaluating ``tokens(text)`` under every HOF
+    consumer runs the tokenizer ~4x per row in interpreted mode. Three
+    projections — tokenize once, HOF aggregates over the column ref,
+    then pure-codegen ratios — keep each HOF evaluated once
+    (CollapseProject leaves multi-use non-cheap aliases alone)."""
+    from gentropy_spark.functions.text import EN_STOPWORDS
+
     docs = read_table(spark, sf_dir, "documents")
-    prof = quality_profile(F.col("text"))
-    return docs.select("doc_id", *[c.alias(k) for k, c in prof.items()])
+    toks_df = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("__toks")
+    )
+    stop_array = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    hof = toks_df.select(
+        "doc_id",
+        "text",
+        F.size(F.col("__toks")).alias("__n_tokens"),
+        F.size(
+            F.filter(
+                F.col("__toks"), lambda x: F.array_contains(stop_array, x)
+            )
+        ).alias("__n_stop"),
+        F.aggregate(
+            F.col("__toks"), F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("__sum_len"),
+    )
+    n_chars = F.length(F.col("text"))
+    denom_c = F.greatest(n_chars, F.lit(1))
+    denom_t = F.greatest(F.col("__n_tokens"), F.lit(1))
+
+    def cls(pattern_keep: str) -> F.Column:
+        return F.length(F.regexp_replace(F.col("text"), pattern_keep, ""))
+
+    return hof.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        F.col("__n_tokens").alias("n_tokens"),
+        (cls("[^a-zA-Z]") / denom_c).alias("alpha_ratio"),
+        (cls("[^0-9]") / denom_c).alias("digit_ratio"),
+        (cls("[^\\s]") / denom_c).alias("ws_ratio"),
+        (cls("[^A-Z]") / denom_c).alias("upper_ratio"),
+        (F.col("__n_stop") / denom_t).alias("stop_ratio"),
+        (F.col("__sum_len") / denom_t).alias("mean_token_len"),
+    )
 
 
 TEXT_QUALITY_SQL = f"""
@@ -378,8 +418,35 @@ FROM base
 
 # --- E8: language ID ------------------------------------------------------
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Values identical to ``predict_lang`` (oracle unchanged) but
+    staged like q_text_quality: one tokenize projection, one
+    four-HOF score projection, then a pure-codegen argmax — instead
+    of ~12 interpreted re-evaluations of the score subtrees inside a
+    single projection."""
+    from gentropy_spark.functions.text import STOPWORDS
+
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", predict_lang(F.col("text")).alias("pred_lang"))
+    toks_df = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    score_cols = []
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        score_cols.append(
+            F.size(
+                F.filter(F.col("__toks"), lambda x: F.array_contains(arr, x))
+            ).alias(f"__s_{lang}")
+        )
+    scored = toks_df.select("doc_id", *score_cols)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"__s_{lg}") for lg in langs])
+    pred = F.lit("und")
+    # Iterate langs in reverse-sorted order so the earliest name wins
+    # ties — identical to functions.text.predict_lang.
+    for lg in sorted(langs, reverse=True):
+        pred = F.when(F.col(f"__s_{lg}") == best, F.lit(lg)).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        F.when(best == 0, F.lit("und")).otherwise(pred).alias("pred_lang"),
+    )
 
 
 LANGID_SQL = f"""

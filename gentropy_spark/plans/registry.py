@@ -152,6 +152,9 @@ _SNAPSHOT_PRIORITY = [
     "q1_pricing_summary",
     "sumstat_harmonise_finngen",
     "decode_sumstat_harmonise",
+    # staged-HOF rewrite (values unchanged by construction, re-prove);
+    # text_langid sits in block (c) already.
+    "text_quality",
     # (c) freshness rotation: LATEST driver evidence r3 …
     "window_clump_leads",
     "top_k_per_group",
@@ -195,10 +198,10 @@ _SNAPSHOT_PRIORITY = [
     "l2g_score",
     "ld_index_build",
     "ld_clump_indexed",
-    "ancestry_aggregate",
-    # (remaining r6/r7 keys — window_clump_semi, sumstat_imputation,
-    # qc_gc_lambda, retention_cohorts, … — rotate in next round; all
-    # stay covered by the in-repo sf0.001 parity sweep every session.)
+    # (remaining r6/r7 keys — ancestry_aggregate, window_clump_semi,
+    # sumstat_imputation, qc_gc_lambda, retention_cohorts, … — rotate
+    # in next round; all stay covered by the in-repo sf0.001 parity
+    # sweep every session.)
 ]
 
 

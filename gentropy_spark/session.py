@@ -82,6 +82,10 @@ def get_session(
         .master(master or f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # (r11 note: a 64 KiB coalesce floor was trialled to keep
+        # CPU-dense small-byte stages parallel — measured a net LOSS at
+        # sf0.1: corpus_curate 9.5s -> 13.6s from task-overhead bloat in
+        # the iterative joins. The default 1 MiB floor stands.)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
