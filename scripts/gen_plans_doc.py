@@ -42,6 +42,12 @@ AUDIT = {
     "gwas_top_hits": "Split (dense_rank windows) feeding gap-sessionized clumping: the (study, contig) exchange is shared by the lag, cumsum and lead-rank windows.",
     "panukbb_ld_align": "Equi-join on (chromosome, position) with orientation filter; per-idx rank dedup rides one exchange; group-by-min dedup replaces nondeterministic dropDuplicates.",
     "decode_study_ingest": "Manifest regexp parse stays in codegen; aptamer aggregate joined on aptamer_id; complex dim broadcast.",
+    # r11 additions
+    "l2g_distance_features": "Mean half: one (locus, gene) partial-agg groupBy over the broadcast footprint join; sentinel half: broadcast leads x genes; union-agg combine; one locus window for the four nbh ratios.",
+    "l2g_feature_matrix": "r11 fused assembly: distance-mean sums ride the footprint family's groupBy, sentinel is a broadcast join, one shared locus window computes all four distance nbh ratios after the union-agg (+3 exchanges for 8 new features).",
+    "complextab_parse": "Pure regexp/split parse projection over the supplier scan; union of two fabricated files; posexplode for components; zero data-side joins.",
+    "text_quality": "Staged HOF projections: tokenize once, stopword/length HOF aggregates over the column ref, pure-codegen ratio projection; zero exchanges.",
+    "text_langid": "Same staging: one tokenize pass, four score HOFs evaluated once, codegen argmax; zero exchanges.",
 }
 
 
