@@ -322,6 +322,24 @@ def main() -> None:
                 "already the fast path (native-double profile saves "
                 "a further ~30%: GENTROPY_SPARK_NATIVE_SUMS=1)."
             ),
+            "gwas_study_ingest": (
+                "same row-group atom: the plan's 6 pruned lineitem "
+                "scans (deliberately uncached — measured faster than "
+                "any cached variant, tests pin the shape) each run as "
+                "ONE task at sf0.1; they overlap but the regex parse "
+                "per pass is single-threaded. Warm exec 3.7s across "
+                "~10 exchanges + 6 scans = stage constants, not "
+                "throughput."
+            ),
+            "coloc|lm_perplexity|dedup_ngram_jaccard|"
+            "decode_sumstat_harmonise": (
+                "13, 11, 3 and 2 exchanges respectively over "
+                "5k-600k-row inputs: wall time approximates "
+                "stage-count x the per-job constant plus single-task "
+                "row-group scans. Plans audited (docs/PLANS.md): "
+                "partial aggregation everywhere, dims broadcast, no "
+                "cartesian products, shingle index cached once."
+            ),
         },
     }
     here = os.path.dirname(os.path.abspath(__file__))
