@@ -1142,6 +1142,135 @@ FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
 """
 
 
+# --- E20b: Bloom-filter decontamination (r11) -------------------------------
+# The scale path of E20: at 100 TB the benchmark shingle set is still
+# broadcastable, but a corpus-side exact join ships every training
+# shingle through a hash probe of a (possibly multi-GB) set. A Bloom
+# filter compresses the benchmark side to a FIXED M-bit array built
+# with a bitwise-OR aggregate (fully partial-agg'able, one tiny
+# shuffle of <= M/32 words) and probed via a broadcast join on the
+# word index. The hash family is the repo's cross-engine polynomial
+# hash, so the filter's bits — and therefore its false positives —
+# are bit-identical in Spark and DuckDB: the query is oracle-EXACT,
+# not approximately checked.
+BLOOM_M_BITS = 1 << 17  # 131,072 bits -> 4,096 32-bit words
+BLOOM_WORD_BITS = 32
+BLOOM_K = 4
+_BLOOM_COEFFS = seed_coeffs(BLOOM_K)
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Bloom-probe contamination counts against the eval split.
+
+    Same shingle grammar and split as ``decontaminate``; emits the
+    Bloom hit count per training doc (>= the exact contaminated count;
+    the overshoot is the filter's deterministic false-positive mass).
+    """
+    from gentropy_spark.functions.xhash import poly_hash, seeded
+    from gentropy_spark.operators.dedup import shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(~F.expr(_BENCH_PRED))
+    bench = docs.filter(F.expr(_BENCH_PRED))
+    sh_bench = shingles(bench, n=DECON_NGRAM).select("shingle").distinct()
+
+    def positions(df: DataFrame) -> DataFrame:
+        h = poly_hash(F.col("shingle"))
+        return df.withColumn(
+            "pos",
+            F.explode(
+                F.array(
+                    *[seeded(h, a, c) % BLOOM_M_BITS for a, c in _BLOOM_COEFFS]
+                )
+            ),
+        )
+
+    bloom = (
+        positions(sh_bench)
+        .select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+    sh_train = shingles(train, n=DECON_NGRAM)
+    probe = positions(sh_train).select(
+        "doc_id",
+        "shingle",
+        F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("mask"),
+    )
+    hits = probe.join(F.broadcast(bloom), on="word_idx", how="left").select(
+        "doc_id",
+        "shingle",
+        (
+            F.col("word").isNotNull()
+            & (F.col("word").bitwiseAND(F.col("mask")) != 0)
+        )
+        .cast("int")
+        .alias("hit"),
+    )
+    per_sh = hits.groupBy("doc_id", "shingle").agg(
+        F.min("hit").alias("in_bloom")
+    )
+    return per_sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("in_bloom").alias("n_bloom_hits"),
+        F.round(F.sum("in_bloom") / F.count("*"), 6).alias(
+            "bloom_hit_ratio"
+        ),
+    )
+
+
+def _bloom_decon_sql() -> str:
+    pos_list = ", ".join(
+        f"(({seeded_sql('h', a, c)}) % {BLOOM_M_BITS})"
+        for a, c in _BLOOM_COEFFS
+    )
+    mask = f"(1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+sh AS ({_DECON_SHINGLE}),
+bh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0
+),
+bpos AS (
+  SELECT unnest([{pos_list}]) AS pos
+  FROM (SELECT {poly_hash_sql('shingle')} AS h FROM bh)
+),
+bloom AS (
+  SELECT pos // {BLOOM_WORD_BITS} AS word_idx, bit_or({mask}) AS word
+  FROM bpos GROUP BY 1
+),
+tpos AS (
+  SELECT doc_id, shingle, unnest([{pos_list}]) AS pos
+  FROM (
+    SELECT doc_id, shingle, {poly_hash_sql('shingle')} AS h
+    FROM sh WHERE NOT (doc_id % 10 = 0)
+  )
+),
+probe AS (
+  SELECT t.doc_id, t.shingle,
+         CASE WHEN b.word IS NOT NULL AND (b.word & {mask}) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM tpos t LEFT JOIN bloom b ON t.pos // {BLOOM_WORD_BITS} = b.word_idx
+),
+per_sh AS (
+  SELECT doc_id, shingle, MIN(hit) AS in_bloom FROM probe GROUP BY 1, 2
+)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(in_bloom) AS BIGINT) AS n_bloom_hits,
+       ROUND(SUM(in_bloom) / COUNT(*), 6) AS bloom_hit_ratio
+FROM per_sh GROUP BY 1
+"""
+
+
 # --- E21: PII redaction ----------------------------------------------------
 # Dialect-neutral patterns (identical semantics in Java regex and RE2).
 PII_PATTERNS = (
@@ -1199,6 +1328,9 @@ FROM documents
 REGISTRY.update(
     {
         "decontaminate": QuerySpec(q_decontaminate, DECON_SQL),
+        "bloom_decontaminate": QuerySpec(
+            q_bloom_decontaminate, _bloom_decon_sql()
+        ),
         "pii_redact": QuerySpec(q_pii_redact, _pii_sql()),
     }
 )

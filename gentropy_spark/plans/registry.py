@@ -138,6 +138,7 @@ _SNAPSHOT_PRIORITY = [
     # (a) r11: NEW this round — no driver evidence exists yet.
     "l2g_distance_features",
     "complextab_parse",
+    "bloom_decontaminate",
     # (b) r11: values / plans changed this round — must re-certify.
     # feature matrix + GBM: the distance family widened the matrix and
     # the ensemble was refrozen (values CHANGED); pack_sequences /
@@ -197,8 +198,7 @@ _SNAPSHOT_PRIORITY = [
     "stream_sliding_agg",
     "l2g_score",
     "ld_index_build",
-    "ld_clump_indexed",
-    # (remaining r6/r7 keys — ancestry_aggregate, window_clump_semi,
+    # (remaining r6/r7 keys — ld_clump_indexed, ancestry_aggregate, window_clump_semi,
     # sumstat_imputation, qc_gc_lambda, retention_cohorts, … — rotate
     # in next round; all stay covered by the in-repo sf0.001 parity
     # sweep every session.)

@@ -484,3 +484,34 @@ def test_source_drift_matches_python_reference(spark, sf_dir):
         assert r["kl_vs_corpus"] == pytest.approx(kl, abs=1e-5)
         assert r["js_divergence"] == pytest.approx(js, abs=1e-5)
         assert r["kl_vs_corpus"] >= 0 and r["js_divergence"] >= 0
+
+
+# --- r11: Bloom-filter decontamination --------------------------------------
+def test_bloom_decontaminate_dominates_exact(spark, sf_dir):
+    """The Bloom probe must never miss a truly contaminated shingle
+    (no false negatives — per-doc bloom hits >= exact contaminated
+    count), the overshoot is the deterministic false-positive mass,
+    and the filter's word table stays at its fixed size bound."""
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.plans.llm_pipeline import (
+        BLOOM_M_BITS,
+        BLOOM_WORD_BITS,
+        q_bloom_decontaminate,
+        q_decontaminate,
+    )
+
+    bloom = {
+        r["doc_id"]: r["n_bloom_hits"]
+        for r in q_bloom_decontaminate(spark, sf_dir).collect()
+    }
+    exact = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in q_decontaminate(spark, sf_dir).collect()
+    }
+    assert bloom.keys() == exact.keys()
+    assert all(bloom[d] >= exact[d] for d in exact)
+    # some docs ARE contaminated (the probe is not vacuous)
+    assert any(v > 0 for v in exact.values())
+    # fixed-size guarantee: the filter can never exceed M/word_bits words
+    assert BLOOM_M_BITS // BLOOM_WORD_BITS == 4096
