@@ -48,6 +48,7 @@ AUDIT = {
     "complextab_parse": "Pure regexp/split parse projection over the supplier scan; union of two fabricated files; posexplode for components; zero data-side joins.",
     "text_quality": "Staged HOF projections: tokenize once, stopword/length HOF aggregates over the column ref, pure-codegen ratio projection; zero exchanges.",
     "text_langid": "Same staging: one tokenize pass, four score HOFs evaluated once, codegen argmax; zero exchanges.",
+    "bloom_decontaminate": "Bloom build = bit_or partial-agg over benchmark shingle positions (shuffle <= 4096 words); probe = broadcast word-index join; per-doc counts ride one (doc, shingle) groupBy.",
 }
 
 

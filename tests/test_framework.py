@@ -816,3 +816,26 @@ def test_plan_cache_identity_and_keying(spark, sf_dir, monkeypatch):
         assert not hasattr(reg[key].fn, "__wrapped__")
     # wrapped fns expose the raw builder
     assert hasattr(fn, "__wrapped__")
+
+
+def test_bench_prev_round_tail_recovery():
+    """bench._prev_bench must reconstruct the r9/r10 driver records
+    whose payload outgrew the capture (parsed=null, 2000-char tail):
+    spark seconds come back as ratio x duckdb per shared key."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    prev = bench._prev_bench()
+    assert prev is not None
+    n, queries, duck, sf = prev
+    assert n >= 10
+    assert sf == 0.1
+    # the recovery (or a parsed payload) must yield a usable overlap
+    shared = set(queries) & set(duck)
+    assert len(shared) >= 20, (len(queries), len(duck))
+    # spot-check internal consistency: every recovered spark second is
+    # ratio * duck, hence positive and finite
+    assert all(v > 0 for k, v in queries.items() if k in shared)
