@@ -459,3 +459,54 @@ def test_dsum_split_identity_matches_decimal_sum(spark):
         assert (a.s is None) == (b.s is None), a.g
         if a.s is not None:
             assert a.s == b.s and str(a.s) == str(b.s), (a.g, a.s, b.s)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),    # order-key gap
+            st.sampled_from(["a", "b", "c"]),          # low-card part key
+            st.integers(min_value=-50, max_value=50),  # value (negatives ok)
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.sampled_from([1, 7, 64]),
+)
+def test_bucketed_cumsum_property(spark, rows, span):
+    """r11: two-level cumsum is row-identical to the single-level
+    window for arbitrary frames — irregular order-key gaps, negative
+    values, degenerate and large bucket spans. Order keys are unique
+    per part (cumulative gaps), matching both the packer's real
+    contract (doc_id) and the operator's documented non-null/ordered
+    semantics; with ties a row-level running sum is not well-defined
+    in EITHER form."""
+    from collections import defaultdict
+
+    from pyspark.sql import Window
+
+    from gentropy_spark.operators.packing import bucketed_cumsum
+
+    next_ord: dict[str, int] = defaultdict(int)
+    data = []
+    for gap, p, v in rows:
+        next_ord[p] += gap + 1  # strictly increasing per part
+        data.append((next_ord[p], p, v))
+    df = spark.createDataFrame(data, ["ord", "part", "val"])
+    got = {
+        (r["part"], r["ord"]): r["cum_tokens"]
+        for r in bucketed_cumsum(
+            df, "part", "ord", "val", bucket_span=span
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("part")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["part"], r["ord"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("val").over(w)).collect()
+    }
+    assert got == want
