@@ -93,10 +93,17 @@ def _prev_bench() -> tuple[int, dict, dict, object] | None:
     """Latest BENCH_r{N}.json next to this file, or None.
 
     Driver records wrap the payload as {"tail": <last-2000-chars>,
-    "parsed": <json-or-null>}. When parsed is null (the r9/r10 long
-    lines), reconstruct what the tail still carries: the "duckdb" and
-    "per_query_ratio" dicts are flat and sit at the line's end, and
-    spark seconds = ratio * duckdb per key.
+    "parsed": <json-or-null>}. Three shapes occur in the wild, newest
+    first:
+
+    1. parsed payload WITH a per-query "duckdb" dict (never emitted by
+       the slim stdout line, but tolerated),
+    2. parsed payload WITHOUT one (the r11+ slim line: per-query duck
+       seconds live only in the committed BENCH_FULL.json sibling) —
+       recover "duckdb" from BENCH_FULL.json when its round/sf match,
+    3. parsed=null with a 2000-char tail (the r9/r10 long lines) —
+       reconstruct from the flat "duckdb"/"per_query_ratio" dicts that
+       sit at the line's end (spark seconds = ratio * duckdb per key).
     """
     import glob
     import re
@@ -135,7 +142,30 @@ def _prev_bench() -> tuple[int, dict, dict, object] | None:
                 duck,
                 float(sf_m.group(1)) if sf_m else None,
             )
-        return best_n, d.get("queries", {}), d.get("duckdb", {}), d.get("sf")
+        queries = d.get("queries", {})
+        duck = d.get("duckdb", {})
+        if queries and not duck:
+            # Slim parsed payload (shape 2): the per-query duckdb dict
+            # was trimmed from the stdout line to stay under the
+            # driver's capture limit; the full payload is committed
+            # next to the record.  Only trust it when it plainly
+            # describes the SAME run: same sf and the query keys line
+            # up (BENCH_FULL.json is rewritten by every local bench
+            # run, so a stale one would disagree on the key set).
+            full_path = os.path.join(here, str(d.get("full") or "BENCH_FULL.json"))
+            try:
+                with open(full_path) as fh:
+                    full = json.load(fh)
+                full_duck = full.get("duckdb", {})
+                if (
+                    isinstance(full_duck, dict)
+                    and full.get("sf") == d.get("sf")
+                    and len(set(queries) & set(full_duck)) >= min(10, len(queries))
+                ):
+                    duck = full_duck
+            except Exception:  # noqa: BLE001 — sibling missing/corrupt
+                pass
+        return best_n, queries, duck, d.get("sf")
     except Exception:  # noqa: BLE001 — a corrupt old record is not fatal
         return None
 

@@ -818,24 +818,80 @@ def test_plan_cache_identity_and_keying(spark, sf_dir, monkeypatch):
     assert hasattr(fn, "__wrapped__")
 
 
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def test_bench_prev_round_tail_recovery():
-    """bench._prev_bench must reconstruct the r9/r10 driver records
-    whose payload outgrew the capture (parsed=null, 2000-char tail):
-    spark seconds come back as ratio x duckdb per shared key."""
-    import json
+    """bench._prev_bench must recover a usable (spark, duckdb) per-query
+    overlap from the latest driver record regardless of its shape:
+    parsed-with-duckdb, slim-parsed (duck dict only in BENCH_FULL.json),
+    or parsed=null tail reconstruction (r9/r10)."""
+    import glob
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    root = _repo_root()
+    sys.path.insert(0, root)
     import bench
 
+    if not glob.glob(os.path.join(root, "BENCH_r*.json")):
+        pytest.skip("no BENCH_r*.json driver records in this checkout")
     prev = bench._prev_bench()
     assert prev is not None
     n, queries, duck, sf = prev
-    assert n >= 10
-    assert sf == 0.1
+    assert n >= 1
     # the recovery (or a parsed payload) must yield a usable overlap
     shared = set(queries) & set(duck)
     assert len(shared) >= 20, (len(queries), len(duck))
     # spot-check internal consistency: every recovered spark second is
-    # ratio * duck, hence positive and finite
+    # positive and finite
     assert all(v > 0 for k, v in queries.items() if k in shared)
+
+
+def test_bench_prev_round_slim_parsed_record(tmp_path, monkeypatch):
+    """The r11 breakage class, pinned synthetically: a driver record
+    whose parsed payload carries "queries" but NO per-query "duckdb"
+    dict (the slim stdout line) must fall back to the sibling
+    BENCH_FULL.json — and must NOT trust a stale sibling whose sf or
+    key set disagrees."""
+    import importlib
+    import json
+    import sys
+
+    sys.path.insert(0, _repo_root())
+    import bench
+
+    q = {f"q{i}": 1.0 + i / 10 for i in range(25)}
+    d = {f"q{i}": 0.5 + i / 20 for i in range(25)}
+    slim = {
+        "n": 1,
+        "rc": 0,
+        "tail": "x",
+        "parsed": {"queries": q, "sf": 0.1, "full": "BENCH_FULL.json"},
+    }
+    (tmp_path / "BENCH_r99.json").write_text(json.dumps(slim))
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"queries": q, "duckdb": d, "sf": 0.1})
+    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    prev = bench._prev_bench()
+    assert prev is not None and prev[0] == 99
+    assert prev[1] == q and prev[2] == d and prev[3] == 0.1
+
+    # stale sibling: sf mismatch -> duck dict must come back empty
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"queries": q, "duckdb": d, "sf": 0.01})
+    )
+    importlib.invalidate_caches()
+    prev = bench._prev_bench()
+    assert prev is not None and prev[2] == {}
+
+    # stale sibling: disjoint key set -> rejected too
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"queries": q, "duckdb": {"other": 1.0}, "sf": 0.1})
+    )
+    prev = bench._prev_bench()
+    assert prev is not None and prev[2] == {}
