@@ -12,20 +12,22 @@ with identical output values:
    preserved across bucket boundaries by construction;
 2. run the unbounded cumsum WITHIN (part, bucket) — bounded per-task
    sort, parallelism = #buckets, one exchange on (part, bucket);
-3. aggregate per-bucket totals (tiny: one row per (part, bucket)),
-   prefix-sum them per part on the aggregate (driver-scale window)
-   and join the offsets back on (part, bucket);
+3. derive per-bucket totals from the cumsum output itself (the LAST
+   row's running sum per bucket), reduce to one row per
+   (part, bucket), prefix-sum per part (driver-scale window) and
+   join the offsets back on (part, bucket);
 4. final value = bucket prefix offset + within-bucket cumsum.
 
-Deliberate trade-off: the totals aggregate is written over the
-windowed intermediate, but Catalyst's column pruning specializes
-that branch into a NARROW second pass over the upstream plan (only
-(part, order, value) survive, the window/sort are elided, and the
-partial aggregation combines map-side so the branch shuffles only
-one row per bucket). The alternative — persisting the windowed
-stream to share one scan — would materialize the full 100 TB input;
-a pruned, map-combined recompute is the cheaper side of that trade,
-and callers with an expensive upstream can cache it themselves.
+Single-scan guarantee (r12, closes the r10/r11 double-scan
+advisory): both join sides descend from the IDENTICAL
+scan → exchange → sort → Window subtree (the totals are max_by over
+the cumsum column, not a fresh aggregate of the base table), so the
+physical plan shares ONE shuffle between them (ReusedExchange) and
+the upstream plan is evaluated once. Previously the totals were a
+separate SUM over the base — Catalyst pruned that branch narrow,
+but it was still a full second scan of the (possibly 5-way-join)
+upstream, which at 100 TB doubles the pipeline's I/O. A plan test
+pins the single-scan shape (tests/test_operators.py).
 
 The offsets join carries NO forced broadcast hint: the offsets
 relation has one row per (part, bucket) — ~1e7 rows at 100 TB, past
@@ -81,14 +83,45 @@ def bucketed_cumsum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum_in = df.withColumn("__pack_bucket", bucket).withColumn(
-        "__cum_in", F.sum(value_col).over(within)
+    # Explicit null-drop BEFORE the window (same rows the offsets
+    # join would drop anyway — see the PRECONDITION): with the filter
+    # already below both join branches, Catalyst doesn't need to
+    # inject asymmetric isnotnull constraints, the two branches'
+    # scan→filter→project→exchange subtrees canonicalize EQUAL, and
+    # the physical planner collapses them into one ReusedExchange.
+    cum_in = (
+        df.filter(F.col(part_col).isNotNull() & bucket.isNotNull())
+        .withColumn("__pack_bucket", bucket)
+        .withColumn("__cum_in", F.sum(value_col).over(within))
     )
-    # Bucket totals: logically over cum_in; physically Catalyst prunes
-    # this branch to a narrow (part, order, value) pass with map-side
-    # partial aggregation — see the module docstring's trade-off note.
-    totals = cum_in.groupBy(part_col, "__pack_bucket").agg(
-        F.sum(value_col).alias("__btot")
+    # Bucket total = the LAST row's running sum within the bucket —
+    # derived from the cumsum output itself, so the totals branch is
+    # the SAME scan → exchange → sort → Window subtree as the cumsum
+    # branch (canonically identical: both need exactly (part, order,
+    # value) below the window and both get the join's non-null filters
+    # pushed through the window's partition keys). The physical plan
+    # therefore reuses ONE shuffle for both join sides (ReusedExchange)
+    # and the upstream plan is scanned once — see the module
+    # docstring's single-scan guarantee. The reduction to one row per
+    # (part, bucket) runs exchange-free on the window's partitioning.
+    # max_by over a struct of EVERY column (not just __cum_in): the
+    # optimizer cannot decompose max_by(struct(...)), so the totals
+    # branch consumes the identical column set as the cumsum branch —
+    # without this, a payload column used only on the cumsum side
+    # (e.g. corpus_curate's pred_lang) gets pruned from the totals
+    # branch, the two exchange subtrees stop canonicalizing equal, and
+    # the reuse silently degrades to a full second evaluation of the
+    # upstream. The struct rides only the per-(part,bucket) partial
+    # aggregate — one row per bucket after map-side combine.
+    payload = [c for c in cum_in.columns if c not in (part_col, "__pack_bucket")]
+    totals = (
+        cum_in.groupBy(part_col, "__pack_bucket")
+        .agg(F.max_by(F.struct(*payload), F.col(order_col)).alias("__last"))
+        .select(
+            part_col,
+            "__pack_bucket",
+            F.col("__last.__cum_in").alias("__btot"),
+        )
     )
     prior = (
         Window.partitionBy(part_col)

@@ -570,3 +570,34 @@ def test_bucketed_cumsum_no_forced_broadcast(spark):
     assert "ResolvedHint" not in analyzed, analyzed
     assert "ResolvedHint" not in optimized, optimized
     assert "JoinHint" not in optimized or "JoinHint(leftHint=None, rightHint=None)" in optimized
+
+
+def test_bucketed_cumsum_single_scan_exchange_reuse(spark):
+    """r12 (verdict #5, closes the r10/r11 double-scan advisory): the
+    offsets branch derives bucket totals from the cumsum output
+    (max_by of the last row), so BOTH join sides descend from one
+    canonically-identical scan→exchange subtree and the executed plan
+    must contain a ReusedExchange — i.e. the (possibly 5-way-join)
+    upstream is evaluated ONCE. Pinned on the final AQE plan because
+    that is where stage reuse materializes."""
+    from gentropy_spark.operators.packing import bucketed_cumsum
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", (i * 7) % 13 + 1) for i in range(300)],
+        ["doc_id", "source", "n_tokens"],
+    )
+    out = bucketed_cumsum(df, "source", "doc_id", "n_tokens", bucket_span=16)
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    final_section = final.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final_section, final_section
+    # exactly one materialized big-side exchange on (source, bucket)
+    big_exchanges = [
+        line
+        for line in final_section.splitlines()
+        if "Exchange hashpartitioning(source" in line
+        and "__pack_bucket" in line
+        and "ReusedExchange" not in line
+    ]
+    assert len(big_exchanges) == 1, final_section
