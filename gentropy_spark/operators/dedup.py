@@ -328,14 +328,54 @@ def duplicate_clusters(
 
     Scale: each round is one equi-join (labels × symmetric edges, both
     partitioned on the join key) plus one partial-agg-friendly min
-    groupBy — never materialises a component's pair closure. Rounds =
+    groupBy — never materialises a component's pair closure, and (r12)
+    the iteration runs over the EDGE-INDUCED subgraph only, so round
+    cost scales with the duplicate fraction, not the corpus. Rounds =
     cluster diameter, which for near-dup clusters is small (they are
     dense by construction); ``localCheckpoint`` truncates lineage so
     plans stay constant-size across rounds. Raises rather than silently
     truncating if a pathological chain exceeds ``max_iters`` (same
     contract as operators/graph.py ontology_closure).
+
+    PRECONDITION: every id in ``edges`` must exist in ``docs`` — the
+    output is keyed on the corpus (edge-only ids are dropped by the
+    final left join). Every caller in this repo derives edges from the
+    same documents frame, which guarantees it.
     """
     nodes = docs.select(F.col(id_col).alias("id"))
+    lbl = edge_min_labels(edges, max_iters=max_iters, stats=stats)
+    # Per-cluster sizes on the CONVERGED LABEL SET (tiny), not a
+    # corpus-wide window: the old ``COUNT(*) OVER (PARTITION BY lbl)``
+    # sorted and exchanged the whole corpus to mostly count singletons.
+    # Sizes for edge clusters aggregate a few rows; isolated nodes are
+    # size-1 by definition (COALESCE below).
+    sized = lbl.join(
+        lbl.groupBy("lbl").agg(F.count("*").alias("__csize")), on="lbl"
+    )
+    # Rejoin the full corpus: isolated nodes (no duplicate edge) are
+    # their own singleton cluster. Left join keyed on the corpus id —
+    # the converged label set is tiny (edge endpoints only) and AQE
+    # broadcasts it.
+    return nodes.join(sized, on="id", how="left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("lbl", "id").alias("cluster_id"),
+        F.coalesce("__csize", F.lit(1)).alias("cluster_size"),
+        (F.col("id") == F.coalesce("lbl", "id")).alias("is_canonical"),
+    )
+
+
+def edge_min_labels(
+    edges: DataFrame,
+    max_iters: int = 25,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Converged min-label per EDGE ENDPOINT: (id, lbl) rows covering
+    exactly the ids that appear in ``edges`` (both directions), where
+    lbl is the minimum id of the node's connected component. The
+    fixpoint loop behind ``duplicate_clusters`` and
+    ``duplicate_drop_ids`` — iterates over the edge-induced subgraph
+    only, so round cost scales with the duplicate fraction, not the
+    corpus."""
     # The edge set joins into EVERY propagation round — without a
     # persist each round would re-execute the upstream pair pipeline
     # (for MinHash edges that's the full shingle/signature/verify DAG).
@@ -345,7 +385,9 @@ def duplicate_clusters(
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    lbl = nodes.select("id", F.col("id").alias("lbl"))
+    lbl = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
     lbl_type = dict(lbl.dtypes)["lbl"]
     rounds = 0
     for _ in range(max_iters):
@@ -370,10 +412,10 @@ def duplicate_clusters(
             .agg(F.min("lbl").alias("lbl"), F.max("prev").alias("prev"))
             .localCheckpoint(eager=True)
         )
-        # Null-safe comparison: an id that appears only in edges (not in
-        # nodes) gets its first label with prev = NULL; a plain != would
-        # evaluate to NULL there and under-count — the loop could declare
-        # convergence before propagation through such nodes completed.
+        # Null-safe comparison: an id reached for the first time this
+        # round carries prev = NULL; a plain != would evaluate to NULL
+        # there and under-count — the loop could declare convergence
+        # before propagation through such nodes completed.
         n_changed = new_lbl.filter(
             ~F.col("lbl").eqNullSafe(F.col("prev"))
         ).count()
@@ -382,14 +424,25 @@ def duplicate_clusters(
             break
     else:
         raise RuntimeError(
-            f"duplicate_clusters did not converge within {max_iters} rounds"
+            f"edge_min_labels did not converge within {max_iters} rounds"
         )
     if stats is not None:
         stats["rounds"] = rounds
-    w = Window.partitionBy("lbl")
-    return lbl.select(
-        F.col("id").alias(id_col),
-        F.col("lbl").alias("cluster_id"),
-        F.count("*").over(w).alias("cluster_size"),
-        (F.col("id") == F.col("lbl")).alias("is_canonical"),
+    return lbl
+
+
+def duplicate_drop_ids(
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """The NON-canonical duplicate ids — every edge endpoint whose
+    connected-component minimum is some other id. Curation pipelines
+    anti-join this (tiny: bounded by edge endpoints) instead of
+    inner-joining the full ``duplicate_clusters`` output, which avoids
+    dragging a corpus-wide join through the keep-filter chain just to
+    test ``is_canonical``."""
+    lbl = edge_min_labels(edges, max_iters=max_iters)
+    return lbl.filter(F.col("id") != F.col("lbl")).select(
+        F.col("id").alias(id_col)
     )

@@ -1353,12 +1353,19 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialisation round-trips — the difference between a pipeline
     and six jobs at 100 TB.
     """
+    from gentropy_spark.operators.dedup import duplicate_drop_ids
+
     docs = read_table(spark, sf_dir, "documents")
     qual = q_text_quality(spark, sf_dir).select(
         "doc_id", "n_tokens", "alpha_ratio"
     )
     lang = q_text_langid(spark, sf_dir)
-    clusters = q_dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    # is_canonical via ANTI-join on the non-canonical drop set (tiny:
+    # bounded by duplicate-edge endpoints, broadcast by AQE) — not an
+    # inner join against the full duplicate_clusters output, which
+    # would drag every corpus row through a cluster-size window just
+    # to test one boolean (r12; values identical by construction).
+    drop = duplicate_drop_ids(q_dedup_minhash(spark, sf_dir))
     decon = q_decontaminate(spark, sf_dir).select(
         "doc_id", "contamination_ratio"
     )
@@ -1366,12 +1373,11 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source")
         .join(qual, on="doc_id")
         .join(lang, on="doc_id")
-        .join(clusters, on="doc_id")
+        .join(drop, on="doc_id", how="left_anti")
         .join(decon, on="doc_id")  # inner: benchmark split drops out here
         .filter(
             (F.col("n_tokens") >= CURATE_MIN_TOKENS)
             & (F.col("alpha_ratio") >= CURATE_MIN_ALPHA)
-            & F.col("is_canonical")
             & (F.col("contamination_ratio") <= CURATE_MAX_CONTAMINATION)
         )
     )
