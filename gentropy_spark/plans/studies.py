@@ -400,7 +400,17 @@ def q_gwas_study_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quotient to int, study_index.py:118); for positive ints cast-of-
     # double truncation == floor == DuckDB's // on the oracle side.
     exploded = split_ancestry_even(pairs)
-    disc_by_anc = (
+    # r12: cache the (study, ancestry) sums — they feed BOTH the
+    # discovery CSV and the LD-panel ppm aggregate, and without the
+    # barrier the optimizer re-derives the whole scan→distinct→explode
+    # →sum chain per consumer (a full 4th corpus pass). Unlike the
+    # full-width row cache r9 rejected, this grain IS the output grain
+    # (≤ studies × 9 panels at any corpus size), so the serial
+    # materialization job is dimension-sized. Measured at sf0.1: one
+    # lineitem scan fewer, hashes unchanged.
+    from gentropy_spark.session import track_cache
+
+    disc_by_anc = track_cache(
         exploded.filter(F.col("stage") == "initial")
         .groupBy("study_id", "ancestry")
         .agg(F.sum("part_count").alias("sample_size"))

@@ -270,12 +270,14 @@ def test_gwas_study_ingest_scan_budget(spark, sf_dir):
             v for k, v in counts.items()
             if "Scan parquet" in k or k == "FileSourceScan"
         )
-        # ≤5 column-pruned lineitem scans (discovery csv, LD ppm,
-        # replication, European deconvolution, distinct-pairs reuse)
-        # + the orders scan. Caching any of the shared subplans was
-        # measured slower (serial materialization vs concurrent
-        # pruned scans) — see plans/studies.py.
+        # ≤6 column-pruned scans statically; at runtime the (study,
+        # ancestry) sums are cached (r12), so the discovery-CSV and
+        # LD-ppm consumers read the output-grain cache instead of two
+        # full explode→sum rescans — pinned via the InMemoryTableScan
+        # count below. Caching the RAW base remains rejected (serial
+        # corpus-sized materialization, r9 finding).
         assert n_parquet <= 6, f"parquet scanned {n_parquet}x: {counts}"
+        assert counts.get("InMemoryTableScan", 0) >= 2, counts
         # all annotation joins broadcast — no sort-merge join of the
         # study dimension at any scale
         assert counts.get("SortMergeJoin", 0) == 0, counts
