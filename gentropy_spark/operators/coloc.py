@@ -20,6 +20,7 @@ Input contract: one row per overlapping tag variant with columns
 
 from __future__ import annotations
 
+import functools
 import math
 from collections.abc import Sequence
 
@@ -100,7 +101,18 @@ def coloc(
     # partial-aggregate phase gets no combine benefit and its hash
     # tables dominate, while the max-join path spreads group state
     # across the join shuffle. Keep the max-shift aggregate-join.
-    base = overlaps.withColumn(
+    # Explicit null-drop on the group keys BEFORE the fork (r12):
+    # output-identical — the max-join below is null-unsafe on exactly
+    # these keys, so null-key rows never reached the result anyway —
+    # but with the filter already below both branches Catalyst doesn't
+    # inject asymmetric isnotnull constraints on the join side only,
+    # the max branch and the sum branch canonicalize EQUAL, and AQE
+    # materializes the overlap pipeline's shuffles once
+    # (ReusedExchange) instead of evaluating it twice.
+    nn = functools.reduce(
+        lambda a, b: a & b, (F.col(c).isNotNull() for c in group_cols)
+    )
+    base = overlaps.filter(nn).withColumn(
         "_sum_bf", F.col(left_logbf) + F.col(right_logbf)
     )
     mx = base.groupBy(*group_cols).agg(
