@@ -197,6 +197,11 @@ def translate(doc: dict[str, Any]) -> tuple[dict[str, Any], list[str]]:
         steps: dict[str, Any] = {}
         for sid, spec in doc["steps"].items():
             spec = dict(spec)
+            if "step" not in spec:
+                raise ValueError(
+                    f"step {sid!r}: missing 'step' key (every entry under"
+                    " 'steps:' must name the gentropy step to run)"
+                )
             engine_key = _resolve_step_name(spec.pop("step"))
             after = spec.pop("after", [])
             entry: dict[str, Any] = {"query": engine_key}
