@@ -1196,24 +1196,50 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word_idx")
         .agg(F.expr("bit_or(mask)").alias("word"))
     )
-    sh_train = shingles(train, n=DECON_NGRAM)
-    probe = positions(sh_train).select(
-        "doc_id",
-        "shingle",
-        F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word_idx"),
-        F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD_BITS} AS INT))"
-        ).alias("mask"),
+    # Probe side (r12): the filter is materialized as ONE dense
+    # word-array row (missing words = 0, identical to the old
+    # left-join-miss semantics) and each training shingle evaluates
+    # its K probes INLINE — a conjunction of K O(1) element_at
+    # lookups against the broadcast array. The previous shape
+    # exploded K position rows per shingle through a broadcast join,
+    # K-multiplying every row the probe stage carries; map-side
+    # partial aggregation hid the cost from the shuffle, not from the
+    # stage. All probe indices are in range by construction (the
+    # polynomial hash family is non-negative, pos < M bits).
+    n_words = BLOOM_M_BITS // BLOOM_WORD_BITS
+    bloom_arr = bloom.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.try_element_at(F.col("m"), i.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("bloom_words")
     )
-    hits = probe.join(F.broadcast(bloom), on="word_idx", how="left").select(
+    sh_train = shingles(train, n=DECON_NGRAM)
+    h_train = poly_hash(F.col("shingle"))
+    probe_pos = sh_train.select(
         "doc_id",
         "shingle",
-        (
-            F.col("word").isNotNull()
-            & (F.col("word").bitwiseAND(F.col("mask")) != 0)
-        )
-        .cast("int")
-        .alias("hit"),
+        *[
+            (seeded(h_train, a, c) % BLOOM_M_BITS).alias(f"__p{k}")
+            for k, (a, c) in enumerate(_BLOOM_COEFFS)
+        ],
+    )
+    in_bloom_sql = " AND ".join(
+        f"((element_at(bloom_words,"
+        f" CAST((__p{k} div {BLOOM_WORD_BITS}) + 1 AS INT))"
+        f" & shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(__p{k} % {BLOOM_WORD_BITS} AS INT))) <> 0)"
+        for k in range(len(_BLOOM_COEFFS))
+    )
+    hits = probe_pos.crossJoin(F.broadcast(bloom_arr)).select(
+        "doc_id",
+        "shingle",
+        F.expr(in_bloom_sql).cast("int").alias("hit"),
     )
     per_sh = hits.groupBy("doc_id", "shingle").agg(
         F.min("hit").alias("in_bloom")

@@ -513,5 +513,29 @@ def test_bloom_decontaminate_dominates_exact(spark, sf_dir):
     assert all(bloom[d] >= exact[d] for d in exact)
     # some docs ARE contaminated (the probe is not vacuous)
     assert any(v > 0 for v in exact.values())
+
+
+def test_bloom_probe_side_is_explode_free(spark, sf_dir):
+    """r12 (verdict #8): training shingles evaluate their K Bloom
+    probes INLINE against the broadcast dense word array — no
+    K-way position explode on the probe side. The only Generate
+    nodes allowed are the two shingle generators plus the (tiny)
+    bench-side position explode that builds the filter."""
+    from gentropy_spark.plans.llm_pipeline import (
+        BLOOM_M_BITS,
+        BLOOM_WORD_BITS,
+        q_bloom_decontaminate,
+    )
+
+    plan = (
+        q_bloom_decontaminate(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    n_generate = plan.count("Generate ")
+    assert n_generate <= 3, f"{n_generate} Generate nodes:\n{plan[:2000]}"
+    # the probe-side conjunction reads the broadcast array inline
+    assert "bloom_words" in plan
     # fixed-size guarantee: the filter can never exceed M/word_bits words
     assert BLOOM_M_BITS // BLOOM_WORD_BITS == 4096
