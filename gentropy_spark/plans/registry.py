@@ -135,73 +135,69 @@ def _plan_cached(
 # headline artifact is strictly worse than a green 50/50 (r10 verdict
 # task #4).
 _SNAPSHOT_PRIORITY = [
-    # (a) r11: NEW this round — no driver evidence exists yet.
-    "l2g_distance_features",
-    "complextab_parse",
-    "bloom_decontaminate",
-    # (b) r11: values / plans changed this round — must re-certify.
-    # feature matrix + GBM: the distance family widened the matrix and
-    # the ensemble was refrozen (values CHANGED); pack_sequences /
-    # corpus_curate: the bucketed-cumsum offsets join lost its forced
-    # broadcast and the totals derivation moved (values unchanged by
-    # construction, re-prove); q1 / the two harmonise dialects: r11
-    # perf work on the default plan path.
-    "l2g_feature_matrix",
-    "l2g_score_gbm",
-    "pack_sequences",
+    # (a) r12: values/plans CHANGED this round — must re-certify.
+    # gwas_study_ingest (output-grain ancestry cache), coloc +
+    # l2g_coloc_features (null-filter + exchange reuse in the coloc
+    # operator), corpus_curate (drop-set anti-join), pack_sequences
+    # (cumsum-derived bucket totals), dedup_clusters (edge-subgraph
+    # fixpoint + aggregate cluster sizes), bloom_decontaminate
+    # (explode-free inline probe). Values unchanged by construction —
+    # re-prove.
+    "gwas_study_ingest",
+    "coloc",
+    "l2g_coloc_features",
     "corpus_curate",
-    "q1_pricing_summary",
-    "sumstat_harmonise_finngen",
-    "decode_sumstat_harmonise",
-    # staged-HOF rewrite (values unchanged by construction, re-prove);
-    # text_langid sits in block (c) already.
-    "text_quality",
-    # (c) freshness rotation: LATEST driver evidence r3 …
-    "window_clump_leads",
-    "top_k_per_group",
-    "wide_to_long",
-    "sumstat_harmonise_full",
-    "text_langid",
-    "token_count",
-    "text_repetition",
-    "text_logfreq",
-    "v2g_distance",
-    "study_validation",
-    "variant_id_normalize",
-    "vep_consequence_annotate",
-    # … r5 …
-    "zscore_chi2",
-    "pvalue_split",
-    "neglog_pvalue",
-    "pvalue_from_neglog",
-    "stderr_harmonise",
-    "ann_lsh_bucketed",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    # … and r6 (fills the window to exactly 50).
-    "l2g_vep_features",
-    "l2g_gene_features",
-    "l2g_interval_features",
-    "ld_clump",
-    "line_boilerplate",
-    "logsum",
-    "meta_analysis",
-    "scd2_intervals",
-    "value_histogram",
-    "sample_stratified",
-    "vocab_topk",
-    "tfidf_topterms",
-    "pii_redact",
-    "stream_sessionize",
-    "stream_enrich",
-    "stream_static_enrich",
-    "stream_sliding_agg",
-    "l2g_score",
-    "ld_index_build",
-    # (remaining r6/r7 keys — ld_clump_indexed, ancestry_aggregate, window_clump_semi,
-    # sumstat_imputation, qc_gc_lambda, retention_cohorts, … — rotate
-    # in next round; all stay covered by the in-repo sf0.001 parity
-    # sweep every session.)
+    "pack_sequences",
+    "dedup_clusters",
+    "bloom_decontaminate",
+    # (b) freshness rotation, oldest driver evidence first: the full
+    # r6 cohort (5) …
+    "ancestry_aggregate",
+    "ld_clump_indexed",
+    "qc_gc_lambda",
+    "sumstat_imputation",
+    "window_clump_semi",
+    # … the full r7 cohort (30) …
+    "amino_acid_variants",
+    "biosample_index_merge",
+    "char_ngram_profile",
+    "decode_aptamer_ingest",
+    "eqtl_susie_ingest",
+    "finngen_finemapping_ingest",
+    "finngen_study_ingest",
+    "intervals_e2g_ingest",
+    "lm_perplexity",
+    "locus_statistics",
+    "lof_curation_ingest",
+    "merge_upsert",
+    "mixture_rebalance",
+    "qc_flag_accumulate",
+    "qc_mean_beta",
+    "qc_n_eff",
+    "qc_pz_consistency",
+    "retention_cohorts",
+    "rollup_aggregate",
+    "sanity_filter",
+    "signif_calibration",
+    "study_locus_id",
+    "sumstat_harmonise_ingest",
+    "sumstat_qc_summary",
+    "table_profile",
+    "target_index_build",
+    "trans_qtl_flag",
+    "ukb_ppp_harmonise",
+    "ukbiobank_study_ingest",
+    "vep_variant_index_ingest",
+    # … and the 8 alphabetically-first r8 keys (fills the window to
+    # exactly 50; the remaining 39 r8 keys rotate next round).
+    "allele_direction",
+    "bpe_pair_counts",
+    "complex_set_match",
+    "contig_validation",
+    "credible_set_confidence",
+    "credible_set_qc",
+    "decode_study_ingest",
+    "dedup_simhash_pairs",
 ]
 
 
