@@ -89,7 +89,7 @@ HEADLINE = [
 ]
 
 
-def _prev_bench() -> tuple[int, dict, dict, object] | None:
+def _prev_bench() -> tuple[int, dict, dict, object, str] | None:
     """Latest BENCH_r{N}.json next to this file, or None.
 
     Driver records wrap the payload as {"tail": <last-2000-chars>,
@@ -141,17 +141,25 @@ def _prev_bench() -> tuple[int, dict, dict, object] | None:
                 queries,
                 duck,
                 float(sf_m.group(1)) if sf_m else None,
+                "tail_reconstruction",
             )
         queries = d.get("queries", {})
         duck = d.get("duckdb", {})
+        duck_source = "record"
         if queries and not duck:
             # Slim parsed payload (shape 2): the per-query duckdb dict
             # was trimmed from the stdout line to stay under the
             # driver's capture limit; the full payload is committed
-            # next to the record.  Only trust it when it plainly
+            # next to the record.  Only trust it when it plausibly
             # describes the SAME run: same sf and the query keys line
-            # up (BENCH_FULL.json is rewritten by every local bench
-            # run, so a stale one would disagree on the key set).
+            # up. CAVEAT (r12): BENCH_FULL.json is rewritten by every
+            # local bench run, so between the driver's record and the
+            # next commit the sibling's duck seconds can come from a
+            # DIFFERENT run of the same round — the pairing is then
+            # approximate (host drift applies). The caller receives
+            # the provenance and a duckdb_total consistency ratio so
+            # the shared-subset comparison is labelled, not silently
+            # blended.
             full_path = os.path.join(here, str(d.get("full") or "BENCH_FULL.json"))
             try:
                 with open(full_path) as fh:
@@ -163,9 +171,19 @@ def _prev_bench() -> tuple[int, dict, dict, object] | None:
                     and len(set(queries) & set(full_duck)) >= min(10, len(queries))
                 ):
                     duck = full_duck
+                    duck_source = "full_sibling"
+                    prev_total = d.get("duckdb_total")
+                    if prev_total:
+                        shared_total = sum(
+                            v for k, v in full_duck.items() if k in queries
+                        )
+                        duck_source = (
+                            f"full_sibling(consistency="
+                            f"{shared_total / prev_total:.2f})"
+                        )
             except Exception:  # noqa: BLE001 — sibling missing/corrupt
                 pass
-        return best_n, queries, duck, d.get("sf")
+        return best_n, queries, duck, d.get("sf"), duck_source
     except Exception:  # noqa: BLE001 — a corrupt old record is not fatal
         return None
 
@@ -283,6 +301,14 @@ def main() -> None:
                     "current_ratio": round(
                         sum(timings[k] for k in shared) / cur_duck_total, 3
                     ),
+                    # Where the prev duck seconds came from: "record"
+                    # is exact; "full_sibling(...)" pairs the driver's
+                    # spark seconds with the committed BENCH_FULL run
+                    # of the same round (approximate under host drift —
+                    # the consistency value is sibling/record duck
+                    # totals); "tail_reconstruction" is the r9/r10
+                    # recovery path.
+                    "prev_duck_source": prev[4],
                 }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -353,22 +379,29 @@ def main() -> None:
                 "a further ~30%: GENTROPY_SPARK_NATIVE_SUMS=1)."
             ),
             "gwas_study_ingest": (
-                "same row-group atom: the plan's 6 pruned lineitem "
-                "scans (deliberately uncached — measured faster than "
-                "any cached variant, tests pin the shape) each run as "
-                "ONE task at sf0.1; they overlap but the regex parse "
-                "per pass is single-threaded. Warm exec 3.7s across "
-                "~10 exchanges + 6 scans = stage constants, not "
-                "throughput."
+                "same row-group atom: the remaining pruned lineitem "
+                "scans each run as ONE task at sf0.1; r12 caches the "
+                "output-grain (study, ancestry) sums so the "
+                "discovery-CSV and LD-ppm consumers share one "
+                "explode/sum pass (one fewer corpus scan; tests pin "
+                "the shape). The residual wall time is stage "
+                "constants + the single-threaded regex parse per "
+                "remaining pass, not throughput."
             ),
             "coloc|lm_perplexity|dedup_ngram_jaccard|"
             "decode_sumstat_harmonise": (
-                "13, 11, 3 and 2 exchanges respectively over "
-                "5k-600k-row inputs: wall time approximates "
-                "stage-count x the per-job constant plus single-task "
-                "row-group scans. Plans audited (docs/PLANS.md): "
-                "partial aggregation everywhere, dims broadcast, no "
-                "cartesian products, shingle index cached once."
+                "5 (r12, was 13: null-filtered group keys let AQE "
+                "reuse the overlap pipeline), 11, 3 and 2 exchanges "
+                "respectively over 5k-600k-row inputs: wall time "
+                "approximates stage-count x the per-job constant "
+                "plus single-task row-group scans. lm_perplexity "
+                "specifically measures 1.0-1.3s min-of-2 in "
+                "isolation and 1.3-1.7s after a long query train — "
+                "session GC/JIT state, not a plan change (r12 "
+                "re-probe; no commit touches it since r7). Plans "
+                "audited (docs/PLANS.md): partial aggregation "
+                "everywhere, dims broadcast, no cartesian products, "
+                "shingle index cached once."
             ),
         },
     }

@@ -841,8 +841,11 @@ def test_bench_prev_round_tail_recovery():
         pytest.skip("no BENCH_r*.json driver records in this checkout")
     prev = bench._prev_bench()
     assert prev is not None
-    n, queries, duck, sf = prev
+    n, queries, duck, sf, duck_source = prev
     assert n >= 1
+    assert duck_source in ("record", "tail_reconstruction") or duck_source.startswith(
+        "full_sibling"
+    )
     # the recovery (or a parsed payload) must yield a usable overlap
     shared = set(queries) & set(duck)
     assert len(shared) >= 20, (len(queries), len(duck))
@@ -880,6 +883,9 @@ def test_bench_prev_round_slim_parsed_record(tmp_path, monkeypatch):
     prev = bench._prev_bench()
     assert prev is not None and prev[0] == 99
     assert prev[1] == q and prev[2] == d and prev[3] == 0.1
+    # provenance: the duck dict came from the sibling, and the
+    # consistency ratio vs the record's duckdb_total is carried
+    assert prev[4].startswith("full_sibling"), prev[4]
 
     # stale sibling: sf mismatch -> duck dict must come back empty
     (tmp_path / "BENCH_FULL.json").write_text(
