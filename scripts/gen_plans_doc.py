@@ -15,7 +15,7 @@ AUDIT = {
     "window_clump_leads": "Single hash exchange on (study, contig) shared by the lag, ranking and aggregate windows.",
     "locus_breaker": "Same single-exchange sessionization shape.",
     "overlap_join": "Tiled interval join: explode to (contig, tile) keys -> hash join; first-shared-tile ownership, no distinct.",
-    "coloc": "Aggregate-join logsumexp: group maxima via partial-agg groupBy joined back (AQE broadcast); raw overlap rows never shuffle.",
+    "coloc": "Aggregate-join logsumexp: group maxima via partial-agg groupBy joined back (AQE broadcast); raw overlap rows never shuffle. r12: null-filtered group keys make the max and sum branches canonicalize equal, so the overlap pipeline materializes ONCE (ReusedExchange; exchanges 13 -> 5).",
     "pics_finemap": "Pure Column pipeline (erfc kernel); no UDF, no Python boundary.",
     "v2g_distance": "<=2 candidate tiles exploded per variant; broadcast gene index; range predicate after equi-join.",
     "dedup_minhash_lsh": "Persisted shingle index; banded signature equi-join; verification join is semi-join-pruned.",
@@ -30,7 +30,7 @@ AUDIT = {
     "merge_upsert": "Full-outer sort-merge on the key; change-set aggregation partial-agg'd before the join.",
     "decontaminate": "Benchmark shingles deduped small then broadcast; training side aggregates ride one shuffle.",
     "pii_redact": "Pure regexp projection over the scan: zero exchanges, full whole-stage codegen.",
-    "corpus_curate": "Six pipeline stages as ONE DAG: shared document scan, broadcast joins for small sides, final window pack.",
+    "corpus_curate": "Six pipeline stages as ONE DAG: shared document scan, broadcast joins for small sides, final two-level pack. r12: is_canonical via broadcast ANTI join on the tiny non-canonical drop set (no corpus-wide cluster window in the curation path).",
     "kmeans_step": "Broadcast centroids; HOF distances in codegen; one partial-agg groupBy for occupancy stats.",
     "hopping_window_agg": "Window-membership explode + partial-agg groupBy; shuffle = overlap factor, no range join.",
     "interval_coverage": "Cumulative-max island detection: one exchange, windows and aggregates share it.",
@@ -38,7 +38,7 @@ AUDIT = {
     "signif_calibration": "Rank windows (percent_rank/cume_dist/ntile) share one study exchange; decile pick rides it.",
     # r8 additions
     "study_locus_qc_flags": "r9 zero-join rewrite: ONE pruned pushdown scan at the locus-breaker threshold (the clump base is a subset), ONE hash(study_id) exchange, every annotation a window riding it via the subset-key rule (lb clustering, clump clustering, lead-rank, PICS PIP-mass, prev/next-lead dominance as O(n) running ignore-null frames, dup-id, per-study sumstats bit); no joins, no broadcasts, no arrays/HOFs in the flag projection; DataFrame memoised per (app, sf_dir).",
-    "gwas_study_ingest": "Study parse + four ancestry aggregates off one exploded LUT base; all joins keyed on study_id (high-card); metadata scale, no fact-side shuffle.",
+    "gwas_study_ingest": "Study parse + ancestry aggregates; r12: the (study, ancestry) sums are cached at output grain, so discovery-CSV and LD-ppm read the cache instead of re-deriving the explode/sum chain (one fewer corpus pass); all joins keyed on study_id (high-card).",
     "gwas_top_hits": "Split (dense_rank windows) feeding gap-sessionized clumping: the (study, contig) exchange is shared by the lag, cumsum and lead-rank windows.",
     "panukbb_ld_align": "Equi-join on (chromosome, position) with orientation filter; per-idx rank dedup rides one exchange; group-by-min dedup replaces nondeterministic dropDuplicates.",
     "decode_study_ingest": "Manifest regexp parse stays in codegen; aptamer aggregate joined on aptamer_id; complex dim broadcast.",
