@@ -333,6 +333,60 @@ def test_duplicate_clusters_no_edges(spark):
     assert all(r.cluster_id == r.doc_id and r.cluster_size == 1 for r in rows)
 
 
+def test_duplicate_clusters_long_chain_converges(spark):
+    """Worst-case topology for min-label propagation: a pure CHAIN
+    (diameter = n-1, nothing near-dup-clique-shaped about it). The
+    r12 edge-subgraph iteration must still deliver every node the
+    component minimum, in rounds bounded by the diameter — this is
+    the pathological case the max_iters guard exists for."""
+    from gentropy_spark.operators.dedup import duplicate_clusters, edge_min_labels
+
+    n = 9
+    docs = spark.createDataFrame([(i,) for i in range(n + 3)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in duplicate_clusters(docs, chain).collect()
+    }
+    for i in range(n):
+        assert out[i] == (0, n, i == 0)
+    for i in (n, n + 1, n + 2):  # isolated -> singleton
+        assert out[i] == (i, 1, True)
+    stats: dict = {}
+    labels = {
+        r.id: r.lbl for r in edge_min_labels(chain, stats=stats).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+    # label propagates >=1 hop per round; convergence detected within
+    # diameter + 1 rounds
+    assert stats["rounds"] <= n
+
+
+def test_duplicate_drop_ids_equals_non_canonical(spark):
+    """The curation drop set must be EXACTLY the non-canonical rows of
+    duplicate_clusters — the corpus_curate anti-join (r12) relies on
+    this equivalence for value-identity with the old inner-join path."""
+    from gentropy_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_drop_ids,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 17), (8, 9), (9, 8), (11, 12), (12, 13), (13, 11)],
+        "id_a long, id_b long",
+    )
+    want = {
+        r.doc_id
+        for r in duplicate_clusters(docs, edges).collect()
+        if not r.is_canonical
+    }
+    got = {r.doc_id for r in duplicate_drop_ids(edges).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_asof_join_no_prior_ref(spark, sf_dir):
     """Observations before any reference event carry NULL refs; every
     matched ref is the latest at-or-before one of the same user."""
