@@ -526,7 +526,12 @@ def test_bloom_probe_side_is_explode_free(spark, sf_dir):
         BLOOM_WORD_BITS,
         q_bloom_decontaminate,
     )
+    from gentropy_spark.session import release_caches
 
+    # cache-free plan: a live InMemoryRelation from an earlier test
+    # PRINTS its cached subtree (including its Generate), which would
+    # double-count nodes that execute once
+    release_caches()
     plan = (
         q_bloom_decontaminate(spark, sf_dir)
         ._jdf.queryExecution()
