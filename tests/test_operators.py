@@ -115,6 +115,43 @@ def test_logsumexp_reference_example(spark):
     assert round(r.logsum, 6) == 1.476557
 
 
+def test_coloc_null_group_keys_dropped_identically(spark):
+    """r12: coloc() filters null group keys BEFORE the fork (for
+    exchange reuse). That is output-identical by construction — the
+    max-table equi-join was already null-unsafe on those keys — and
+    this pins it: rows with a NULL key contribute to NO group, and
+    the non-null groups' posteriors are bit-identical to a frame
+    that never contained the null rows."""
+    from gentropy_spark.operators.coloc import coloc
+
+    clean = [
+        ("s1", "c1", 1.0, 2.0),
+        ("s1", "c1", 0.5, 0.1),
+        ("s2", "c1", 3.0, 0.2),
+    ]
+    with_nulls = clean + [
+        (None, "c1", 9.0, 9.0),
+        ("s1", None, 9.0, 9.0),
+    ]
+    schema = "left_study_id string, contig string, left_logbf double, right_logbf double"
+    out_clean = {
+        (r.left_study_id, r.contig): (r.n_overlapping, r.h0, r.h4)
+        for r in coloc(
+            spark.createDataFrame(clean, schema),
+            group_cols=["left_study_id", "contig"],
+        ).collect()
+    }
+    out_nulls = {
+        (r.left_study_id, r.contig): (r.n_overlapping, r.h0, r.h4)
+        for r in coloc(
+            spark.createDataFrame(with_nulls, schema),
+            group_cols=["left_study_id", "contig"],
+        ).collect()
+    }
+    assert out_clean == out_nulls
+    assert (None, "c1") not in out_nulls and ("s1", None) not in out_nulls
+
+
 def test_distribution_kernels_against_python(spark):
     df = spark.createDataFrame([(0.5,), (0.05,), (0.001,)], ["p"])
     rows = df.select(
