@@ -663,6 +663,27 @@ def test_bucketed_cumsum_no_forced_broadcast(spark):
     assert "JoinHint" not in optimized or "JoinHint(leftHint=None, rightHint=None)" in optimized
 
 
+def test_bucketed_cumsum_payload_column_keeps_reuse(spark):
+    """The regression the max_by(struct(...)) aggregate exists for: a
+    payload column consumed ONLY on the cumsum side (corpus_curate's
+    pred_lang) must not desynchronize column pruning between the two
+    join branches — reuse has to survive payload columns."""
+    from gentropy_spark.operators.packing import bucketed_cumsum
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"lang{i % 5}", (i * 7) % 13 + 1) for i in range(300)],
+        ["doc_id", "source", "lang", "n_tokens"],
+    )
+    out = bucketed_cumsum(df, "source", "doc_id", "n_tokens", bucket_span=16)
+    # consume the payload on the output side only
+    out = out.select("doc_id", "lang", "cum_tokens")
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    final_section = final.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final_section, final_section
+
+
 def test_bucketed_cumsum_single_scan_exchange_reuse(spark):
     """r12 (verdict #5, closes the r10/r11 double-scan advisory): the
     offsets branch derives bucket totals from the cumsum output
