@@ -83,6 +83,15 @@ def coloc(
     exchanged and sorted every raw overlap row by the group keys, which
     is the dominant cost at 100 TB.
     """
+    if not group_cols:
+        # The group-key null-filter, the max-join and the final
+        # aggregate all key on group_cols; an empty list would surface
+        # as an opaque join error (r13, was reduce() raising on an
+        # empty iterable).
+        raise ValueError(
+            "coloc() requires at least one group column; for a global "
+            "colocalisation add a constant key column"
+        )
     lp1, lp2, lp12 = math.log(prior_c1), math.log(prior_c2), math.log(prior_c12)
 
     # Deliberately NOT persisted: the max pass and the sum pass do scan
@@ -109,8 +118,12 @@ def coloc(
     # the max branch and the sum branch canonicalize EQUAL, and AQE
     # materializes the overlap pipeline's shuffles once
     # (ReusedExchange) instead of evaluating it twice.
+    # F.lit(True) initializer: empty group_cols degrades to a no-op
+    # filter instead of reduce() raising on an empty iterable (r13).
     nn = functools.reduce(
-        lambda a, b: a & b, (F.col(c).isNotNull() for c in group_cols)
+        lambda a, b: a & b,
+        (F.col(c).isNotNull() for c in group_cols),
+        F.lit(True),
     )
     base = overlaps.filter(nn).withColumn(
         "_sum_bf", F.col(left_logbf) + F.col(right_logbf)

@@ -47,7 +47,13 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    spread: bool = True,
+) -> DataFrame:
     """Distinct word n-gram shingles per document (one row per shingle).
 
     The token array is materialised in its own projection BEFORE the
@@ -63,15 +69,26 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     one-row-group file). The repartition is GUARDED by the source file
     count — a production corpus with >= defaultParallelism files
     already parallelizes at the scan, and re-shuffling 100 TB of raw
-    text to fix nothing would be the real scale bug.
+    text to fix nothing would be the real scale bug. Guard details
+    (r13): the spread is HASH partitioning on the id column, not
+    round-robin — round-robin repartition inserts a defensive full-row
+    local sort (spark.sql.execution.sortBeforeRepartition) whose cost
+    on raw text erased the win on warm runs (measured 2.8s rr vs 1.9s
+    hash vs 2.0s no-spread, bench-shaped min-of-2 at sf0.1); and
+    ``inputFiles() == []`` (local relations, derived plans, non-file
+    sources) means *unknown* layout, not "one file" — those inputs are
+    left alone rather than unconditionally shuffled. Callers that KNOW
+    their input is tiny (the decontamination eval split: broadcastable
+    by contract) pass ``spread=False`` and skip the exchange entirely.
     """
-    try:
-        n_files = len(df.inputFiles())
-        target = df.sparkSession.sparkContext.defaultParallelism
-    except Exception:  # noqa: BLE001 — exotic sources: leave layout alone
-        n_files, target = None, None
-    if n_files is not None and n_files < max(2, target // 2):
-        df = df.repartition(target)
+    if spread:
+        try:
+            n_files = len(df.inputFiles())
+            target = df.sparkSession.sparkContext.defaultParallelism
+        except Exception:  # noqa: BLE001 — exotic sources: leave layout alone
+            n_files, target = None, None
+        if n_files is not None and 1 <= n_files < max(2, target // 2):
+            df = df.repartition(target, F.col(id_col))
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     toks = F.col("_toks")
     # Guard: Spark's sequence(0, -1) would generate a DESCENDING range,
@@ -329,6 +346,7 @@ def duplicate_clusters(
     id_col: str = "doc_id",
     max_iters: int = 25,
     stats: dict | None = None,
+    assert_edges_covered: bool = False,
 ) -> DataFrame:
     """Connected components over verified duplicate pairs (SURVEY E15).
 
@@ -356,8 +374,27 @@ def duplicate_clusters(
     PRECONDITION: every id in ``edges`` must exist in ``docs`` — the
     output is keyed on the corpus (edge-only ids are dropped by the
     final left join). Every caller in this repo derives edges from the
-    same documents frame, which guarantees it.
+    same documents frame, which guarantees it. A violation is SILENT:
+    edge endpoints absent from ``docs`` (e.g. a stale or wider pair
+    table) vanish from the output with no error, and can leave a
+    cluster whose canonical id is one of the dropped rows. Set
+    ``assert_edges_covered=True`` to pay one anti-join count and raise
+    instead. ``duplicate_drop_ids`` shares this contract: a drop-list
+    built from stale edges names ids the corpus no longer has.
     """
+    if assert_edges_covered:
+        edge_ids = edges.select(F.col("id_a").alias("id")).union(
+            edges.select(F.col("id_b").alias("id"))
+        )
+        n_uncovered = edge_ids.join(
+            docs.select(F.col(id_col).alias("id")), on="id", how="left_anti"
+        ).count()
+        if n_uncovered:
+            raise ValueError(
+                f"duplicate_clusters: {n_uncovered} edge endpoint rows "
+                f"missing from docs.{id_col} — the edge table is stale "
+                "or wider than the corpus"
+            )
     nodes = docs.select(F.col(id_col).alias("id"))
     lbl = edge_min_labels(edges, max_iters=max_iters, stats=stats)
     # Per-cluster sizes on the CONVERGED LABEL SET (tiny), not a
@@ -457,7 +494,12 @@ def duplicate_drop_ids(
     anti-join this (tiny: bounded by edge endpoints) instead of
     inner-joining the full ``duplicate_clusters`` output, which avoids
     dragging a corpus-wide join through the keep-filter chain just to
-    test ``is_canonical``."""
+    test ``is_canonical``.
+
+    Shares ``duplicate_clusters``'s edges-within-corpus contract: if
+    ``edges`` carries ids the corpus no longer has (stale/wider pair
+    table), the drop list silently names them and the anti-join
+    silently ignores them — no error surfaces."""
     lbl = edge_min_labels(edges, max_iters=max_iters)
     return lbl.filter(F.col("id") != F.col("lbl")).select(
         F.col("id").alias(id_col)

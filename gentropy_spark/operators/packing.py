@@ -72,7 +72,11 @@ def bucketed_cumsum(
     either silently drops the row (where the single-level window
     would keep NULL as a valid partition/order value). Callers own
     the guarantee — the packer's (source, doc_id) keys are non-null
-    by construction.
+    by construction. Duplicate ``order_col`` values within a
+    ``part_col`` are supported for non-negative ``value_col`` (the
+    totals tie-break picks the max running sum among tied rows);
+    duplicates combined with negative values are undefined, exactly
+    as the single-level window cumsum is.
 
     ``order_col`` must be integral (the bucket is ``order div span``).
     The helper column ``__pack_bucket`` is dropped before returning.
@@ -113,10 +117,26 @@ def bucketed_cumsum(
     # the reuse silently degrades to a full second evaluation of the
     # upstream. The struct rides only the per-(part,bucket) partial
     # aggregate — one row per bucket after map-side combine.
+    # Tie-break (r13, closes the duplicate-order-key advisory): with
+    # duplicate order_col values inside a (part, bucket), max_by keyed
+    # on order_col alone picks an ARBITRARY row among the ties, whose
+    # __cum_in can undercount the true bucket total and silently
+    # corrupt every later bucket's offset. Keying on
+    # struct(order_col, __cum_in) picks the tied row with the LARGEST
+    # running sum — for non-negative value_col (the packer's domain:
+    # token counts) that is exactly the row whose frame includes all
+    # tied rows, i.e. the true bucket total. Ties combined with
+    # negative values remain undefined — but so is the single-level
+    # window cumsum itself under that input.
     payload = [c for c in cum_in.columns if c not in (part_col, "__pack_bucket")]
     totals = (
         cum_in.groupBy(part_col, "__pack_bucket")
-        .agg(F.max_by(F.struct(*payload), F.col(order_col)).alias("__last"))
+        .agg(
+            F.max_by(
+                F.struct(*payload),
+                F.struct(F.col(order_col), F.col("__cum_in")),
+            ).alias("__last")
+        )
         .select(
             part_col,
             "__pack_bucket",

@@ -1172,7 +1172,14 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     train = docs.filter(~F.expr(_BENCH_PRED))
     bench = docs.filter(F.expr(_BENCH_PRED))
-    sh_bench = shingles(bench, n=DECON_NGRAM).select("shingle").distinct()
+    # No distinct on the filter-build side (r13): bit_or absorbs
+    # duplicate shingles' masks, so deduplicating first only buys a
+    # full shuffle of the eval shingles to save re-ORing identical
+    # bits — the word-grain partial aggregate below already combines
+    # map-side. (The exact E20 path DOES need its distinct: it counts
+    # joined rows.) spread=False: the eval split is broadcastable by
+    # contract, re-spreading it is a wasted exchange.
+    sh_bench = shingles(bench, n=DECON_NGRAM, spread=False).select("shingle")
 
     def positions(df: DataFrame) -> DataFrame:
         h = poly_hash(F.col("shingle"))
@@ -1219,6 +1226,10 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("bloom_words")
     )
+    # NOT persisted (unlike the exact path, whose shingle index feeds
+    # two consumers): since r13 the probe aggregates straight to doc
+    # grain, sh_train has exactly ONE consumer, and a persist is pure
+    # materialisation overhead (measured +0.7s min-of-2 at sf0.1).
     sh_train = shingles(train, n=DECON_NGRAM)
     h_train = poly_hash(F.col("shingle"))
     probe_pos = sh_train.select(
@@ -1236,15 +1247,16 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" CAST(__p{k} % {BLOOM_WORD_BITS} AS INT))) <> 0)"
         for k in range(len(_BLOOM_COEFFS))
     )
+    # (doc_id, shingle) rows are DISTINCT by construction (shingles()
+    # explodes array_distinct grams), and the K-way AND is evaluated
+    # inline per row — so the old per-(doc, shingle) min-regroup was a
+    # redundant full-width shuffle of every training shingle row
+    # (removed r13). One doc_id-keyed partial aggregate remains.
     hits = probe_pos.crossJoin(F.broadcast(bloom_arr)).select(
         "doc_id",
-        "shingle",
-        F.expr(in_bloom_sql).cast("int").alias("hit"),
+        F.expr(in_bloom_sql).cast("int").alias("in_bloom"),
     )
-    per_sh = hits.groupBy("doc_id", "shingle").agg(
-        F.min("hit").alias("in_bloom")
-    )
-    return per_sh.groupBy("doc_id").agg(
+    return hits.groupBy("doc_id").agg(
         F.count("*").alias("n_shingles"),
         F.sum("in_bloom").alias("n_bloom_hits"),
         F.round(F.sum("in_bloom") / F.count("*"), 6).alias(
@@ -1379,26 +1391,73 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialisation round-trips — the difference between a pipeline
     and six jobs at 100 TB.
     """
+    from gentropy_spark.functions.text import STOPWORDS
     from gentropy_spark.operators.dedup import duplicate_drop_ids
 
     docs = read_table(spark, sf_dir, "documents")
-    qual = q_text_quality(spark, sf_dir).select(
-        "doc_id", "n_tokens", "alpha_ratio"
+    # Quality gate + language ID FUSED into the doc scan (r13): both
+    # are doc-grain projections over the same tokenize, so joining the
+    # standalone q_text_quality / q_text_langid outputs paid two extra
+    # documents scans plus two doc_id join exchanges for what one
+    # staged projection computes in place. Values identical to the
+    # join composition (same grain, same expressions — the per-field
+    # logic mirrors q_text_quality/q_text_langid; oracle unchanged).
+    # Staging rule as in q_text_quality: the 4 langid stopword HOFs
+    # live in their own projection so each evaluates once.
+    toks_df = docs.select(
+        "doc_id", "source", "text", tokens(F.col("text")).alias("__toks")
     )
-    lang = q_text_langid(spark, sf_dir)
+    langs = sorted(STOPWORDS)
+
+    def _score(lang: str) -> F.Column:
+        # closure, not a default arg: a two-parameter lambda would be
+        # called by F.filter as (element, index)
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(
+            F.filter(F.col("__toks"), lambda x: F.array_contains(arr, x))
+        ).alias(f"__s_{lang}")
+
+    hof = toks_df.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.col("__toks")).alias("n_tokens"),
+        *[_score(lang) for lang in langs],
+    )
+    best = F.greatest(*[F.col(f"__s_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in sorted(langs, reverse=True):
+        pred = F.when(F.col(f"__s_{lg}") == best, F.lit(lg)).otherwise(pred)
+    scanned = hof.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (
+            F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+            / F.greatest(F.length(F.col("text")), F.lit(1))
+        ).alias("alpha_ratio"),
+        F.when(best == 0, F.lit("und")).otherwise(pred).alias("pred_lang"),
+    )
     # is_canonical via ANTI-join on the non-canonical drop set (tiny:
     # bounded by duplicate-edge endpoints, broadcast by AQE) — not an
     # inner join against the full duplicate_clusters output, which
     # would drag every corpus row through a cluster-size window just
     # to test one boolean (r12; values identical by construction).
     drop = duplicate_drop_ids(q_dedup_minhash(spark, sf_dir))
-    decon = q_decontaminate(spark, sf_dir).select(
-        "doc_id", "contamination_ratio"
+    # Decontamination via the BLOOM probe (r13, was the exact 5-gram
+    # set join): the Bloom path is the scale posture E20b exists for —
+    # the eval side compresses to a fixed 4096-word broadcast array and
+    # the corpus side probes inline, replacing the exact path's
+    # benchmark-shingle broadcast hash join + hit regroup. No false
+    # negatives by construction, so the gate only gets (deterministic,
+    # cross-engine-identical) false-positive-stricter; the oracle SQL
+    # below uses the same bloom semantics, bit-identical. The exact
+    # variant stays registered as the `decontaminate` key.
+    decon = q_bloom_decontaminate(spark, sf_dir).select(
+        "doc_id", F.col("bloom_hit_ratio").alias("contamination_ratio")
     )
     kept = (
-        docs.select("doc_id", "source")
-        .join(qual, on="doc_id")
-        .join(lang, on="doc_id")
+        scanned
         .join(drop, on="doc_id", how="left_anti")
         .join(decon, on="doc_id")  # inner: benchmark split drops out here
         .filter(
@@ -1465,7 +1524,8 @@ reach(id, lbl) AS (
 clusters AS (
   SELECT id AS doc_id, id = MIN(lbl) AS is_canonical FROM reach GROUP BY id
 ),
-decon AS (SELECT doc_id, contamination_ratio FROM ({DECON_SQL})),
+decon AS (SELECT doc_id, bloom_hit_ratio AS contamination_ratio
+          FROM ({_bloom_decon_sql()})),
 kept AS (
   SELECT d.doc_id, d.source, q.n_tokens, l.pred_lang
   FROM documents d

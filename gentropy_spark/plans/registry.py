@@ -135,69 +135,71 @@ def _plan_cached(
 # headline artifact is strictly worse than a green 50/50 (r10 verdict
 # task #4).
 _SNAPSHOT_PRIORITY = [
-    # (a) r12: values/plans CHANGED this round — must re-certify.
-    # gwas_study_ingest (output-grain ancestry cache), coloc +
-    # l2g_coloc_features (null-filter + exchange reuse in the coloc
-    # operator), corpus_curate (drop-set anti-join), pack_sequences
-    # (cumsum-derived bucket totals), dedup_clusters (edge-subgraph
-    # fixpoint + aggregate cluster sizes), bloom_decontaminate
-    # (explode-free inline probe). Values unchanged by construction —
-    # re-prove.
-    "gwas_study_ingest",
-    "coloc",
-    "l2g_coloc_features",
+    # (a) r13: values/plans CHANGED this round — must re-certify.
+    # corpus_curate (bloom decontamination stage + fused quality/langid
+    # scan — ORACLE CHANGED to the bloom semantics), bloom_decontaminate
+    # (doc-grain probe aggregate, no build-side distinct),
+    # dedup_minhash_lsh + dedup_ngram_jaccard + dedup_simhash +
+    # dedup_simhash_pairs + dedup_clusters (shingles() hash-spread +
+    # inputFiles guard — values unchanged by construction),
+    # pack_sequences (bucket-total tie-break), coloc (group-key
+    # null-filter initializer — plan canonically unchanged),
+    # decontaminate (shares shingles()).
     "corpus_curate",
-    "pack_sequences",
-    "dedup_clusters",
     "bloom_decontaminate",
-    # (b) freshness rotation, oldest driver evidence first: the full
-    # r6 cohort (5) …
-    "ancestry_aggregate",
-    "ld_clump_indexed",
-    "qc_gc_lambda",
-    "sumstat_imputation",
-    "window_clump_semi",
-    # … the full r7 cohort (30) …
-    "amino_acid_variants",
-    "biosample_index_merge",
-    "char_ngram_profile",
-    "decode_aptamer_ingest",
-    "eqtl_susie_ingest",
-    "finngen_finemapping_ingest",
-    "finngen_study_ingest",
-    "intervals_e2g_ingest",
-    "lm_perplexity",
-    "locus_statistics",
-    "lof_curation_ingest",
-    "merge_upsert",
-    "mixture_rebalance",
-    "qc_flag_accumulate",
-    "qc_mean_beta",
-    "qc_n_eff",
-    "qc_pz_consistency",
-    "retention_cohorts",
-    "rollup_aggregate",
-    "sanity_filter",
-    "signif_calibration",
-    "study_locus_id",
-    "sumstat_harmonise_ingest",
-    "sumstat_qc_summary",
-    "table_profile",
-    "target_index_build",
-    "trans_qtl_flag",
-    "ukb_ppp_harmonise",
-    "ukbiobank_study_ingest",
-    "vep_variant_index_ingest",
-    # … and the 8 alphabetically-first r8 keys (fills the window to
-    # exactly 50; the remaining 39 r8 keys rotate next round).
-    "allele_direction",
-    "bpe_pair_counts",
-    "complex_set_match",
-    "contig_validation",
-    "credible_set_confidence",
-    "credible_set_qc",
-    "decode_study_ingest",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "dedup_simhash_pairs",
+    "dedup_clusters",
+    "pack_sequences",
+    "coloc",
+    "decontaminate",
+    # (b) freshness rotation: the FULL remaining r8 cohort (37 keys
+    # whose newest driver evidence is r8) — after this window every
+    # oracle key has a driver-green record from r9 or newer.
+    "direction_concordance",
+    "doc_fingerprint",
+    "drug_enrichment",
+    "dsir_importance",
+    "enrichment_odds_ratio",
+    "eqtl_study_ingest",
+    "eqtl_sumstat_ingest",
+    "evidence_vs_gold_standard",
+    "exclude_region",
+    "finngen_meta_study_ingest",
+    "finngen_sumstat_ingest",
+    "gnomad_variant_ingest",
+    "gwas_study_curation",
+    "gwas_study_split",
+    "gwas_sumstat_ingest",
+    "gwas_top_hits",
+    "harmonic_sum",
+    "interval_evidence",
+    "intervals_epiraction_ingest",
+    "l2g_gold_standard",
+    "ld_block_slice",
+    "locus_breaker",
+    "ontology_closure",
+    "ot_variant_to_vcf",
+    "overlap_join",
+    "pairwise_ld",
+    "panukbb_ld_align",
+    "pivot_wide",
+    "props_json_parse",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_decile_stats",
+    "stream_dedup",
+    "stream_window_agg",
+    "study_index_validate",
+    "ukb_ppp_study_ingest",
+    "variant_effect_normalise",
+    # (c) fills the window to exactly 50 with the three stalest-after-r8
+    # keys (r10 cohort, alphabetical).
+    "asof_join",
+    "bigram_pmi",
+    "burst_detection",
 ]
 
 

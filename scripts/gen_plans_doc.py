@@ -15,10 +15,10 @@ AUDIT = {
     "window_clump_leads": "Single hash exchange on (study, contig) shared by the lag, ranking and aggregate windows.",
     "locus_breaker": "Same single-exchange sessionization shape.",
     "overlap_join": "Tiled interval join: explode to (contig, tile) keys -> hash join; first-shared-tile ownership, no distinct.",
-    "coloc": "Aggregate-join logsumexp: group maxima via partial-agg groupBy joined back (AQE broadcast); raw overlap rows never shuffle. r12: null-filtered group keys make the max and sum branches canonicalize equal, so the overlap pipeline materializes ONCE (ReusedExchange; exchanges 13 -> 5).",
+    "coloc": "Aggregate-join logsumexp: group maxima via partial-agg groupBy joined back (AQE broadcast); raw overlap rows never shuffle. r12: null-filtered group keys make the max and sum branches canonicalize equal, so the overlap pipeline materializes ONCE at execution (ReusedExchange, pinned in tests). The exchange counts below are from the STATIC formatted plan, where the reuse is not yet applied: 4 nodes (2 hash + 2 broadcast); the r12 verdict prose counted the post-AQE stage graph (5 materialized exchanges, down from 13) -- both are correct for their plan phase (reconciled r13, verdict #6).",
     "pics_finemap": "Pure Column pipeline (erfc kernel); no UDF, no Python boundary.",
     "v2g_distance": "<=2 candidate tiles exploded per variant; broadcast gene index; range predicate after equi-join.",
-    "dedup_minhash_lsh": "Persisted shingle index; banded signature equi-join; verification join is semi-join-pruned.",
+    "dedup_minhash_lsh": "Persisted shingle index; banded signature equi-join; verification join is semi-join-pruned. r13: the few-file re-spread is HASH partitioning on doc_id (round-robin's defensive sortBeforeRepartition full-row sort cost ~0.5s/run warm) and fires only when file layout is KNOWN and under-split.",
     "ann_cosine_topk": "Unrolled 64-dim dot products (whole-stage codegen); per-query window ranking.",
     "dedup_embedding_cosine": "Arrow-batched packed-sign-bit UDF (constant codegen size) -> cached projection -> banded equi-join; UDF cosine verify.",
     "meta_analysis": "Partial-aggregable decimal sums per bucket; z emitted via IEEE-exact arithmetic.",
@@ -30,7 +30,7 @@ AUDIT = {
     "merge_upsert": "Full-outer sort-merge on the key; change-set aggregation partial-agg'd before the join.",
     "decontaminate": "Benchmark shingles deduped small then broadcast; training side aggregates ride one shuffle.",
     "pii_redact": "Pure regexp projection over the scan: zero exchanges, full whole-stage codegen.",
-    "corpus_curate": "Six pipeline stages as ONE DAG: shared document scan, broadcast joins for small sides, final two-level pack. r12: is_canonical via broadcast ANTI join on the tiny non-canonical drop set (no corpus-wide cluster window in the curation path).",
+    "corpus_curate": "Six pipeline stages as ONE DAG: shared document scan, broadcast joins for small sides, final two-level pack. r12: is_canonical via broadcast ANTI join on the tiny non-canonical drop set (no corpus-wide cluster window in the curation path). r13: the quality gate and language ID are FUSED into the document scan (one staged projection, zero joins -- was 2 scans + 2 doc_id joins), and decontamination runs the Bloom probe (E20b scale posture: fixed 4096-word broadcast array, no benchmark-shingle equi-join; oracle updated to the bloom semantics, bit-identical).",
     "kmeans_step": "Broadcast centroids; HOF distances in codegen; one partial-agg groupBy for occupancy stats.",
     "hopping_window_agg": "Window-membership explode + partial-agg groupBy; shuffle = overlap factor, no range join.",
     "interval_coverage": "Cumulative-max island detection: one exchange, windows and aggregates share it.",
@@ -48,7 +48,7 @@ AUDIT = {
     "complextab_parse": "Pure regexp/split parse projection over the supplier scan; union of two fabricated files; posexplode for components; zero data-side joins.",
     "text_quality": "Staged HOF projections: tokenize once, stopword/length HOF aggregates over the column ref, pure-codegen ratio projection; zero exchanges.",
     "text_langid": "Same staging: one tokenize pass, four score HOFs evaluated once, codegen argmax; zero exchanges.",
-    "bloom_decontaminate": "Bloom build = bit_or partial-agg over benchmark shingle positions (shuffle <= 4096 words); probe = broadcast word-index join; per-doc counts ride one (doc, shingle) groupBy.",
+    "bloom_decontaminate": "Bloom build = bit_or partial-agg over benchmark shingle positions (shuffle <= 4096 words, no build-side distinct -- bit_or absorbs duplicates); probe = K inline element_at lookups against the ONE-row broadcast dense word array; per-doc counts ride ONE doc_id groupBy (r13: the per-(doc, shingle) min-regroup was redundant -- shingles() emits distinct pairs).",
 }
 
 

@@ -114,14 +114,21 @@ def main() -> None:
     from gentropy_spark.session import get_session, release_caches
 
     heavy_mode = "--heavy" in sys.argv
+    # --keys=a,b,c : probe a named set (r13 verdict #3 — the remaining
+    # >2x >=1s queries get their floor theory MEASURED, not argued).
+    keys_arg = next(
+        (a.split("=", 1)[1] for a in sys.argv if a.startswith("--keys=")),
+        None,
+    )
     with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
         full = json.load(fh)
     ratios = full["per_query_ratio"]
-    worst = (
-        list(HEAVY)
-        if heavy_mode
-        else sorted(ratios, key=lambda k: -ratios[k])[:N_WORST]
-    )
+    if keys_arg:
+        worst = keys_arg.split(",")
+    elif heavy_mode:
+        worst = list(HEAVY)
+    else:
+        worst = sorted(ratios, key=lambda k: -ratios[k])[:N_WORST]
 
     spark = get_session(app_name="gentropy_sf1_ab")
     registry = full_registry()
@@ -152,7 +159,39 @@ def main() -> None:
     finally:
         shutil.rmtree(big_dir, ignore_errors=True)
 
-    if heavy_mode:
+    if keys_arg:
+        lines = [
+            "",
+            f"## Targeted A/B at {REP}x sf0.1 (r13, verdict #3; staged in "
+            f"{stage_s:.0f}s)",
+            "",
+            "The remaining >2x >=1s sf0.1 queries, floor theory measured:",
+            "both engines, bench measurement method, min-of-2, adjacent",
+            "S,S then D,D. A ratio that does not shrink toward <=2 at 10x",
+            "is a named plan finding, not a floor.",
+            "",
+            "| query | sf0.1 S/D (ratio) | 10x S/D (ratio) | shrink |",
+            "|---|---|---|---|",
+        ]
+        for name, s0, d0, r0, s1, d1, r1 in rows:
+            lines.append(
+                f"| {name} | {s0:.2f}/{d0:.3f} ({r0:.1f}x) | "
+                f"{s1:.2f}/{d1:.3f} ({r1:.1f}x) | {r0 / r1:.1f}x |"
+            )
+        lines.append("")
+        if findings:
+            lines.append(
+                "**Non-shrinking ratios (real plan findings, not floors): "
+                + ", ".join(findings)
+                + "**"
+            )
+        else:
+            lines.append(
+                "Every targeted ratio shrinks with scale — the sf0.1 "
+                "overshoots are per-job constants, not plan defects."
+            )
+        marker = "## Targeted A/B at "
+    elif heavy_mode:
         lines = [
             "",
             f"## Heavy/iterative pipelines at {REP}x sf0.1 (r12; staged "
