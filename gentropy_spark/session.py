@@ -87,6 +87,15 @@ def get_session(
         # sf0.1: corpus_curate 9.5s -> 13.6s from task-overhead bloat in
         # the iterative joins. The default 1 MiB floor stands.)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # (r13 note: AQE's SMJ->shuffled-hash conversion
+        # (maxShuffledHashJoinLocalMapThreshold) was trialled for the
+        # coloc 10x shape — 64 MiB OOM'd 32 concurrent local hash-map
+        # builds (the threshold compares COMPRESSED shuffle bytes, the
+        # UnsafeHashedRelation inflates several-fold), and the probe
+        # then disproved the sort-bottleneck theory entirely: a
+        # max-pass-free direct logsumexp that removes the join outright
+        # measured SLOWER at 10x (208s vs 198s). The conversion stays
+        # off; docs/SCALE_PROBE.md records the A/B.)
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
