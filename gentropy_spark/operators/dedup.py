@@ -438,8 +438,16 @@ def edge_min_labels(
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    lbl = sym.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("lbl")
+    # Seeded init (r13): start every node at min(self, neighbours) —
+    # the same groupBy shuffle the old `.distinct()` node-set build
+    # paid, but it bakes the first propagation round into the
+    # initialization, saving one full join+aggregate+checkpoint round
+    # per call (rounds = diameter, and near-dup cluster diameters are
+    # small, so one round is a real fraction).
+    lbl = (
+        sym.groupBy("src")
+        .agg(F.least(F.min("dst"), F.col("src")).alias("lbl"))
+        .select(F.col("src").alias("id"), "lbl")
     )
     lbl_type = dict(lbl.dtypes)["lbl"]
     rounds = 0

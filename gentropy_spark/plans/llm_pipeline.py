@@ -1095,7 +1095,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(~F.expr(_BENCH_PRED))
     bench = docs.filter(F.expr(_BENCH_PRED))
     sh_train = track_cache(shingles(train, n=DECON_NGRAM))
-    sh_bench = shingles(bench, n=DECON_NGRAM).select("shingle").distinct()
+    # spread=False: the eval split is broadcastable by contract (r13,
+    # same reasoning as the bloom build side).
+    sh_bench = (
+        shingles(bench, n=DECON_NGRAM, spread=False).select("shingle").distinct()
+    )
     per_doc = sh_train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     hits = (
         sh_train.join(F.broadcast(sh_bench), on="shingle")
