@@ -105,8 +105,12 @@ def _ab(spark, registry, name: str, sf_dir: str) -> tuple[float, float]:
 # for these is not a ratio floor but whether the ITERATIVE and
 # multi-stage shapes (fixpoint rounds, banded LSH, 34-feature fused
 # matrix) stay sublinear in wall time as data grows.
-HEAVY = ("dedup_minhash_lsh", "dedup_clusters", "corpus_curate",
-         "l2g_feature_matrix")
+# l2g_feature_matrix is EXCLUDED since r13: its DuckDB leg is
+# unfinishable at 10x (r12 run aborted after >25 min, >=250x
+# super-linear — spill-bound single-node join/window stack; the
+# documented abort in docs/SCALE_PROBE.md stands as its evidence,
+# with the Spark side sublinear on the same staging).
+HEAVY = ("dedup_minhash_lsh", "dedup_clusters", "corpus_curate")
 
 
 def main() -> None:
@@ -194,14 +198,19 @@ def main() -> None:
     elif heavy_mode:
         lines = [
             "",
-            f"## Heavy/iterative pipelines at {REP}x sf0.1 (r12; staged "
+            f"## Heavy/iterative pipelines at {REP}x sf0.1 (staged "
             f"in {stage_s:.0f}s)",
             "",
             "The scaling question for these is SUBLINEARITY of Spark's",
             "wall time on 10x the documents/facts — fixpoint rounds,",
-            "banded LSH, and the fused 34-feature matrix must not grow",
+            "banded LSH, and the full curation chain must not grow",
             "super-linearly. `growth` = spark 10x / spark sf0.1 (10.0",
-            "would be linear).",
+            "would be linear). l2g_feature_matrix is excluded since",
+            "r13: its DuckDB leg is unfinishable at 10x (the r12 run",
+            "aborted it after >25 min, >=250x super-linear — a",
+            "spill-bound single-node join/window stack — while the",
+            "same 10x staging ran the Spark side sublinearly); that",
+            "one-sided result stands as its scale evidence.",
             "",
             "| pipeline | sf0.1 S/D | 10x S/D | spark growth |",
             "|---|---|---|---|",
@@ -259,9 +268,16 @@ def main() -> None:
     doc = os.path.join(REPO, "docs", "SCALE_PROBE.md")
     with open(doc) as fh:
         existing = fh.read()
-    if marker in existing:  # replace the previous run's section
-        existing = existing[: existing.index(marker)].rstrip() + "\n"
-        existing = existing.rstrip("\n") + "\n"
+    if marker in existing:
+        # Replace ONLY the previous run's section — up to the next
+        # "## " heading, not to EOF (r13: the old to-EOF truncation
+        # silently deleted every section written after this mode's).
+        start = existing.index(marker)
+        nxt = existing.find("\n## ", start + 1)
+        tail = existing[nxt + 1:] if nxt != -1 else ""
+        existing = (
+            existing[:start].rstrip("\n") + "\n" + tail.rstrip("\n") + "\n"
+        )
     with open(doc, "w") as fh:
         fh.write(existing.rstrip("\n") + "\n" + "\n".join(lines) + "\n")
     print(f"wrote {doc}", flush=True)

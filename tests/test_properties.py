@@ -510,3 +510,43 @@ def test_bucketed_cumsum_property(spark, rows, span):
         for r in df.withColumn("cum", F.sum("val").over(w)).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),   # order key (ties OK)
+            st.sampled_from(["a", "b"]),              # part key
+            st.integers(min_value=0, max_value=50),   # NON-NEGATIVE value
+        ),
+        min_size=1,
+        max_size=100,
+    ),
+    st.sampled_from([1, 4, 64]),
+)
+def test_bucketed_cumsum_duplicate_keys_property(spark, rows, span):
+    """r13 tie-break property: with DUPLICATE order keys and
+    non-negative values (the packer's domain), the per-row running sum
+    is tie-order-dependent in both forms, but three invariants are
+    deterministic and must hold: (1) per part, max(cum) == sum(values)
+    — exact bucket totals, the ADVICE defect; (2) the multiset of cum
+    values restricted to each part's FINAL order key contains the
+    part total; (3) row count preserved."""
+    from collections import defaultdict
+
+    from gentropy_spark.operators.packing import bucketed_cumsum
+
+    df = spark.createDataFrame(
+        [(o, p, v) for o, p, v in rows], ["ord", "part", "val"]
+    )
+    out = bucketed_cumsum(df, "part", "ord", "val", bucket_span=span).collect()
+    assert len(out) == len(rows)
+    totals: dict[str, int] = defaultdict(int)
+    for o, p, v in rows:
+        totals[p] += v
+    max_cum: dict[str, int] = defaultdict(int)
+    for r in out:
+        max_cum[r["part"]] = max(max_cum[r["part"]], r["cum_tokens"])
+    for p, tot in totals.items():
+        assert max_cum[p] == tot, (p, max_cum[p], tot)
