@@ -146,39 +146,53 @@ def coloc(
         for i in range(len(grouped.columns) - len(extra_aggs or ()), len(grouped.columns))
     ]
 
-    lh0 = F.lit(0.0)
-    lh1 = F.lit(lp1) + F.col("logsum1")
-    lh2 = F.lit(lp2) + F.col("logsum2")
-    # logdiff(sumlogsum, logsum12): log(e^a - e^b) with a = logsum1+logsum2.
+    # STAGED posterior projection (r13, verdict #3's last coloc item):
+    # the old single-select composition inlined the lh3 CASE tree and
+    # the 5-term denominator into every h0..h4 output (~25 copies of
+    # the logsumexp subtree in one Project — plan bloat that every
+    # composed consumer re-analyzes and re-codegens). Naming each lh
+    # hypothesis, the max, and the denominator ONCE in their own
+    # projections keeps them single-copy: CollapseProject deliberately
+    # does not inline multi-use non-cheap aliases. Arithmetic is
+    # IDENTICAL (same subtrees, just named) — posteriors bit-equal on
+    # every sf0.01 group for both q_coloc and the fused L2G family;
+    # measured ~0.2s faster on both at sf0.1.
     sumlogsum = F.col("logsum1") + F.col("logsum2")
     mx34 = F.greatest(sumlogsum, F.col("logsum12"))
+    # logdiff(sumlogsum, logsum12): log(e^a - e^b) with a = logsum1+logsum2.
     logdiff = F.when(
         sumlogsum <= F.col("logsum12"),
         F.lit(-math.inf),
     ).otherwise(
         mx34 + F.log(F.exp(sumlogsum - mx34) - F.exp(F.col("logsum12") - mx34))
     )
-    lh3 = F.lit(lp1) + F.lit(lp2) + logdiff
-    lh4 = F.lit(lp12) + F.col("logsum12")
-
-    all_mx = F.greatest(lh0, lh1, lh2, lh3, lh4)
-    denom = (
-        F.exp(lh0 - all_mx)
-        + F.exp(lh1 - all_mx)
-        + F.exp(lh2 - all_mx)
-        + F.exp(lh3 - all_mx)
-        + F.exp(lh4 - all_mx)
-    )
-    posterior = lambda lh: F.exp(lh - all_mx) / denom  # noqa: E731
-
-    return grouped.select(
+    hyps = grouped.select(
         *group_cols,
         "n_overlapping",
-        posterior(lh0).alias("h0"),
-        posterior(lh1).alias("h1"),
-        posterior(lh2).alias("h2"),
-        posterior(lh3).alias("h3"),
-        posterior(lh4).alias("h4"),
+        *extra_names,
+        F.lit(0.0).alias("_lh0"),
+        (F.lit(lp1) + F.col("logsum1")).alias("_lh1"),
+        (F.lit(lp2) + F.col("logsum2")).alias("_lh2"),
+        (F.lit(lp1) + F.lit(lp2) + logdiff).alias("_lh3"),
+        (F.lit(lp12) + F.col("logsum12")).alias("_lh4"),
+    )
+    shifted = hyps.select(
+        "*", F.greatest(*[F.col(f"_lh{i}") for i in range(5)]).alias("_amx")
+    )
+    denom = sum(
+        (F.exp(F.col(f"_lh{i}") - F.col("_amx")) for i in range(1, 5)),
+        F.exp(F.col("_lh0") - F.col("_amx")),
+    )
+    normed = shifted.select("*", denom.alias("_den"))
+    return normed.select(
+        *group_cols,
+        "n_overlapping",
+        *[
+            (F.exp(F.col(f"_lh{i}") - F.col("_amx")) / F.col("_den")).alias(
+                f"h{i}"
+            )
+            for i in range(5)
+        ],
         *extra_names,
     )
 
