@@ -47,6 +47,32 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def spread_if_narrow(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Hash-repartition an UNDER-PARTITIONED file source so CPU-heavy
+    per-row kernels (tokenize/gram/hash, higher-order stopword scans)
+    parallelize instead of running in one row-group-sized task.
+
+    Guarded by the source file count: a production corpus with >=
+    defaultParallelism files already parallelizes at the scan, and
+    re-shuffling 100 TB of raw text to fix nothing would be the real
+    scale bug. HASH partitioning on ``id_col``, not round-robin —
+    round-robin inserts a defensive full-row local sort
+    (spark.sql.execution.sortBeforeRepartition) whose cost on raw text
+    erases the win (r13 measurement in the ``shingles`` docstring).
+    ``inputFiles() == []`` (local relations, derived plans, non-file
+    sources) means *unknown* layout, not "one file" — those inputs are
+    left alone rather than unconditionally shuffled.
+    """
+    try:
+        n_files = len(df.inputFiles())
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001 — exotic sources: leave layout alone
+        return df
+    if 1 <= n_files < max(2, target // 2):
+        return df.repartition(target, F.col(id_col))
+    return df
+
+
 def shingles(
     df: DataFrame,
     text_col: str = "text",
@@ -82,13 +108,7 @@ def shingles(
     by contract) pass ``spread=False`` and skip the exchange entirely.
     """
     if spread:
-        try:
-            n_files = len(df.inputFiles())
-            target = df.sparkSession.sparkContext.defaultParallelism
-        except Exception:  # noqa: BLE001 — exotic sources: leave layout alone
-            n_files, target = None, None
-        if n_files is not None and 1 <= n_files < max(2, target // 2):
-            df = df.repartition(target, F.col(id_col))
+        df = spread_if_narrow(df, id_col)
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     toks = F.col("_toks")
     # Guard: Spark's sequence(0, -1) would generate a DESCENDING range,
@@ -467,11 +487,16 @@ def edge_min_labels(
             F.lit(None).cast(lbl_type).alias("prev"),
         )
         self_rows = lbl.select("id", "lbl", F.col("lbl").alias("prev"))
+        # LAZY checkpoint (r14): the change-count below is this
+        # round's first action, so it materialises the checkpoint and
+        # counts in ONE job — eager=True spent a separate job per
+        # round materialising before the count re-scanned it
+        # (measured ~0.3s/round of pure job latency at sf0.1).
         new_lbl = (
             self_rows.union(prop)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"), F.max("prev").alias("prev"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # Null-safe comparison: an id reached for the first time this
         # round carries prev = NULL; a plain != would evaluate to NULL
