@@ -35,6 +35,7 @@ import os
 import time
 
 from gentropy_spark.plans import full_registry
+from gentropy_spark.plans.registry import _PLAN_CACHE_KEYS
 from gentropy_spark.session import get_session, release_caches
 
 # Headline set: one per operator family (SURVEY §2 A/C/D/E).
@@ -87,6 +88,46 @@ HEADLINE = [
     "gwas_top_hits",
     "decode_study_ingest",
 ]
+
+
+_DEC_SUM_PREFIX = "CAST(SUM(CAST("
+_DEC_SUM_SUFFIX = " AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def _to_native_sums(sql: str) -> str:
+    """Rewrite the oracle's parity decimal-sum casts to native double
+    sums: CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) -> SUM(x).
+
+    Keeps the benchmark SYMMETRIC under GENTROPY_SPARK_NATIVE_SUMS=1
+    (r13 advice): the Spark side times native double sums, so the
+    DuckDB denominator must too — the decimal casts exist only for the
+    value-hash gate, which runs in a separate process on the parity
+    profile and is untouched by this rewrite. Paren-aware (the inner
+    expression may contain nested parens); any non-matching text is
+    left verbatim.
+    """
+    out = []
+    i = 0
+    while True:
+        j = sql.find(_DEC_SUM_PREFIX, i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i:j])
+        k = j + len(_DEC_SUM_PREFIX)
+        depth = 0
+        while k < len(sql) and (depth > 0 or not sql.startswith(_DEC_SUM_SUFFIX, k)):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        if k >= len(sql):  # unbalanced — bail out verbatim
+            out.append(sql[j:])
+            return "".join(out)
+        inner = sql[j + len(_DEC_SUM_PREFIX): k]
+        out.append(f"SUM({inner})")
+        i = k + len(_DEC_SUM_SUFFIX)
 
 
 def _prev_bench() -> tuple[int, dict, dict, object, str] | None:
@@ -247,9 +288,16 @@ def main() -> None:
     duck_timings: dict[str, float] = {}
     ratios: dict[str, float] = {}
     errors: dict[str, str] = {}
+    native = os.environ.get("GENTROPY_SPARK_NATIVE_SUMS", "") == "1"
     for name in HEADLINE:
         fn = registry[name].fn
         sql = registry[name].oracle
+        if native and sql is not None:
+            # Symmetric profile: the Spark side runs native double
+            # sums, so the timed DuckDB SQL must too (see
+            # _to_native_sums; the correctness gate elsewhere still
+            # runs the parity profile on the unmodified oracle).
+            sql = _to_native_sums(sql)
         best_s = best_d = float("inf")
         for _ in range(2):  # Spark min-of-2 (warm repeat preserved)
             try:
@@ -359,6 +407,13 @@ def main() -> None:
         "approx_percentiles": os.environ.get(
             "GENTROPY_SPARK_APPROX_PERCENTILES", ""
         ) == "1",
+        # Prepared-plan provenance (r13 verdict item 7): how many timed
+        # keys hit the registry's plan memo on their warm repeat; the
+        # per-key map is in BENCH_FULL.json. Plan construction only —
+        # execution always runs (registry.py _PLAN_CACHE_KEYS).
+        "plan_cache_keys": sum(
+            1 for k in timings if k in _PLAN_CACHE_KEYS
+        ),
         "full": "BENCH_FULL.json",
         **({"errors": errors} if errors else {}),
     }
@@ -370,6 +425,21 @@ def main() -> None:
         "queries": timings,
         "duckdb": duck_timings,
         "per_query_ratio": ratios,
+        # Per-key prepared-plan provenance: true = the resolved
+        # DataFrame plan is memoized per (app, sf_dir, profile), so
+        # the min-of-2's warm run excludes py4j plan construction
+        # (legitimate prepared-statement behaviour; execution still
+        # runs per action). "pairs-only" = corpus_curate memoizes just
+        # its MinHash pair subplan (r14); the rest of its eager fn
+        # rebuilds every call.
+        "plan_cache": {
+            **{k: (k in _PLAN_CACHE_KEYS) for k in timings},
+            **(
+                {"corpus_curate": "pairs-only"}
+                if "corpus_curate" in timings
+                else {}
+            ),
+        },
         # Why the >2x per-query ratios are floor-bound, not plan-bound
         # (plans audited in docs/PLANS.md; exchange budgets pinned in
         # tests/test_plans.py):

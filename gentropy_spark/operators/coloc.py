@@ -202,6 +202,7 @@ def ecaviar_clpp(
     group_cols: Sequence[str],
     left_pp: str = "left_pp",
     right_pp: str = "right_pp",
+    extra_aggs: Sequence | None = None,
 ) -> DataFrame:
     """eCAVIAR colocalisation posterior probability per overlap group.
 
@@ -211,4 +212,39 @@ def ecaviar_clpp(
     return overlaps.groupBy(*group_cols).agg(
         F.count("*").alias("n_overlapping"),
         F.sum(F.col(left_pp) * F.col(right_pp)).alias("clpp"),
+        *(extra_aggs or ()),
     )
+
+
+def beta_ratio_sign_avg(
+    left_beta: str = "left_beta", right_beta: str = "right_beta"
+) -> F.Column:
+    """Average sign of the left/right beta ratio across a locus pair.
+
+    Reference: dataset/study_locus_overlap.py:55-84
+    ``calculate_beta_ratio`` — rows where either beta is NULL or zero
+    are dropped, then ``avg(signum(left_beta / right_beta))`` per
+    overlapping pair; method/colocalisation.py joins the result into
+    BOTH methods' outputs (:183 eCAVIAR, :445 COLOC, :638 COLOC_PIP)
+    as the public schema's ``betaRatioSignAverage`` column
+    (assets/schemas/colocalisation.json:77).
+
+    Here the same statistic folds into the EXISTING per-pair
+    aggregation as one conditional average instead of the reference's
+    second groupBy + left join: avg() ignores NULLs, so an
+    invalid-beta tag contributes nothing and an all-invalid pair
+    yields NULL — exactly the left-join-miss semantics — with zero
+    extra shuffles. signum(l/r) is computed as the sign of the
+    product (the guard has already excluded zeros), which avoids the
+    division and cross-engine signum() return-type differences.
+    """
+    valid = (
+        F.col(left_beta).isNotNull()
+        & F.col(right_beta).isNotNull()
+        & (F.col(left_beta) != 0)
+        & (F.col(right_beta) != 0)
+    )
+    sign = F.when(
+        F.col(left_beta) * F.col(right_beta) > 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    return F.avg(F.when(valid, sign)).alias("beta_ratio_sign_avg")

@@ -403,17 +403,23 @@ def duplicate_clusters(
     built from stale edges names ids the corpus no longer has.
     """
     if assert_edges_covered:
-        edge_ids = edges.select(F.col("id_a").alias("id")).union(
-            edges.select(F.col("id_b").alias("id"))
+        # DISTINCT before the anti-join: a stale id repeated across
+        # many edges would otherwise be counted once per edge row,
+        # overstating the problem (and the distinct also cheapens the
+        # check — the anti-join probes unique ids only).
+        edge_ids = (
+            edges.select(F.col("id_a").alias("id"))
+            .union(edges.select(F.col("id_b").alias("id")))
+            .distinct()
         )
         n_uncovered = edge_ids.join(
             docs.select(F.col(id_col).alias("id")), on="id", how="left_anti"
         ).count()
         if n_uncovered:
             raise ValueError(
-                f"duplicate_clusters: {n_uncovered} edge endpoint rows "
-                f"missing from docs.{id_col} — the edge table is stale "
-                "or wider than the corpus"
+                f"duplicate_clusters: {n_uncovered} distinct edge "
+                f"endpoint ids missing from docs.{id_col} — the edge "
+                "table is stale or wider than the corpus"
             )
     nodes = docs.select(F.col(id_col).alias("id"))
     lbl = edge_min_labels(edges, max_iters=max_iters, stats=stats)

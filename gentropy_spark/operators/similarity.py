@@ -247,6 +247,7 @@ def embedding_dup_pairs(
     block_col: str | None = "label",
     min_cosine: float = 0.95,
     dim: int | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within explicit blocks.
 
@@ -254,7 +255,18 @@ def embedding_dup_pairs(
     dedup where a block key already exists and is high-cardinality).
     For unblocked corpora use ``lsh_dup_pairs`` — a low-cardinality
     block key here means O(Σ block²) pairs.
+
+    ``block_col=None`` is a FULL cross join — O(n²) at corpus scale —
+    and must be opted into explicitly with ``allow_quadratic=True``
+    (r14 guard: the docstring warning alone did not stop a caller
+    from quietly going quadratic).
     """
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "embedding_dup_pairs with block_col=None is a full O(n^2) "
+            "cross join; pass allow_quadratic=True for a deliberately "
+            "tiny input, or use lsh_dup_pairs for unblocked corpora"
+        )
     cols = [F.col(id_col), as_double(F.col(vec)).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("block"))

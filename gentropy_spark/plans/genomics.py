@@ -23,7 +23,7 @@ from gentropy_spark.operators.clumping import (
     window_clump,
 )
 from gentropy_spark.operators.finemapping import carma_like, pics, susie_like
-from gentropy_spark.operators.coloc import coloc, ecaviar_clpp
+from gentropy_spark.operators.coloc import beta_ratio_sign_avg, coloc, ecaviar_clpp
 from gentropy_spark.operators.overlaps import overlap_join, overlap_length
 from gentropy_spark.plans.registry import QuerySpec
 from gentropy_spark.sources.readers import read_table, ts_micros
@@ -222,12 +222,18 @@ def _tag_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("signif") / F.sum(F.col("signif").cast(DEC)).over(w).cast("double"),
         )
     )
+    # Synthetic per-tag effect size: the repo-wide beta convention
+    # (stats_kernel.py B4, (value - 150)/100) — feeds the
+    # betaRatioSignAverage directionality column both colocalisation
+    # methods emit (reference dataset/study_locus_overlap.py:55-84).
+    beta = (F.col("signif") - 150.0) / 100.0
     left = tags.filter(F.col("study_id") % 2 == 0).select(
         "contig",
         "bucket",
         F.col("study_id").alias("left_study_id"),
         F.col("logbf").alias("left_logbf"),
         F.col("pp").alias("left_pp"),
+        beta.alias("left_beta"),
     )
     right = tags.filter(F.col("study_id") % 2 == 1).select(
         "contig",
@@ -235,13 +241,14 @@ def _tag_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("study_id").alias("right_study_id"),
         F.col("logbf").alias("right_logbf"),
         F.col("pp").alias("right_pp"),
+        beta.alias("right_beta"),
     )
     return left.join(right, on=["contig", "bucket"], how="inner")
 
 
 TAG_OVERLAPS_SQL = f"""
   WITH tags AS (
-    SELECT contig, study_id,
+    SELECT contig, study_id, signif,
            pos // {TAG_BUCKET_US} AS bucket,
            signif / 10.0 AS logbf,
            signif / CAST(SUM(CAST(signif AS DECIMAL(38,6)))
@@ -250,7 +257,9 @@ TAG_OVERLAPS_SQL = f"""
   )
   SELECT l.contig, l.bucket,
          l.study_id AS left_study_id, l.logbf AS left_logbf, l.pp AS left_pp,
-         r.study_id AS right_study_id, r.logbf AS right_logbf, r.pp AS right_pp
+         (l.signif - 150.0) / 100.0 AS left_beta,
+         r.study_id AS right_study_id, r.logbf AS right_logbf, r.pp AS right_pp,
+         (r.signif - 150.0) / 100.0 AS right_beta
   FROM tags l
   JOIN tags r ON l.contig = r.contig AND l.bucket = r.bucket
   WHERE l.study_id % 2 = 0 AND r.study_id % 2 = 1
@@ -262,6 +271,7 @@ def q_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = coloc(
         _tag_overlaps(spark, sf_dir),
         group_cols=["left_study_id", "right_study_id", "contig"],
+        extra_aggs=[beta_ratio_sign_avg()],
     )
     return out.select(
         "left_study_id",
@@ -269,6 +279,7 @@ def q_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contig",
         "n_overlapping",
         *[F.round(F.col(h), 6).alias(h) for h in ("h0", "h1", "h2", "h3", "h4")],
+        F.round(F.col("beta_ratio_sign_avg"), 6).alias("beta_ratio_sign_avg"),
     )
 
 
@@ -285,6 +296,10 @@ enriched AS (
 grouped AS (
   SELECT left_study_id, right_study_id, contig, mx_l, mx_r, mx_s,
     COUNT(*) AS n_overlapping,
+    AVG(CASE WHEN left_beta <> 0 AND right_beta <> 0
+             THEN CASE WHEN left_beta * right_beta > 0
+                       THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END
+        END) AS beta_ratio_sign_avg,
     LN(SUM(EXP(left_logbf - mx_l))) + mx_l AS logsum1,
     LN(SUM(EXP(right_logbf - mx_r))) + mx_r AS logsum2,
     LN(SUM(EXP(sum_bf - mx_s))) + mx_s AS logsum12
@@ -293,6 +308,7 @@ grouped AS (
 ),
 hyps AS (
   SELECT left_study_id, right_study_id, contig, n_overlapping,
+    beta_ratio_sign_avg,
     0.0 AS lh0,
     LN(1e-4) + logsum1 AS lh1,
     LN(1e-4) + logsum2 AS lh2,
@@ -319,7 +335,8 @@ SELECT left_study_id, right_study_id, contig, n_overlapping,
   ROUND(EXP(lh1 - mx) / denom, 6) AS h1,
   ROUND(EXP(lh2 - mx) / denom, 6) AS h2,
   ROUND(EXP(lh3 - mx) / denom, 6) AS h3,
-  ROUND(EXP(lh4 - mx) / denom, 6) AS h4
+  ROUND(EXP(lh4 - mx) / denom, 6) AS h4,
+  ROUND(beta_ratio_sign_avg, 6) AS beta_ratio_sign_avg
 FROM post
 """
 
@@ -329,6 +346,7 @@ def q_ecaviar(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ecaviar_clpp(
         _tag_overlaps(spark, sf_dir),
         group_cols=["left_study_id", "right_study_id", "contig"],
+        extra_aggs=[beta_ratio_sign_avg()],
     )
     return out.select(
         "left_study_id",
@@ -336,6 +354,7 @@ def q_ecaviar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contig",
         "n_overlapping",
         F.round(F.col("clpp"), 6).alias("clpp"),
+        F.round(F.col("beta_ratio_sign_avg"), 6).alias("beta_ratio_sign_avg"),
     )
 
 
@@ -343,7 +362,11 @@ ECAVIAR_SQL = f"""
 WITH pairs AS ({TAG_OVERLAPS_SQL})
 SELECT left_study_id, right_study_id, contig,
        COUNT(*) AS n_overlapping,
-       ROUND(SUM(left_pp * right_pp), 6) AS clpp
+       ROUND(SUM(left_pp * right_pp), 6) AS clpp,
+       ROUND(AVG(CASE WHEN left_beta <> 0 AND right_beta <> 0
+                      THEN CASE WHEN left_beta * right_beta > 0
+                                THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END
+                 END), 6) AS beta_ratio_sign_avg
 FROM pairs
 GROUP BY 1, 2, 3
 """
@@ -1015,8 +1038,11 @@ def q_finemap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     and report credible-set accuracy / lead accuracy / sensitivity /
     false-positive rate per method. Driver-side numpy by nature
     (iterative per-region fits over a ~60-variant matrix — the same
-    posture as the reference harness); seeded, so byte-reproducible.
-    Rows-only: the simulation loop is not SQL-expressible."""
+    posture as the reference harness); seeded, so byte-reproducible —
+    which is why the oracle is a pinned-fixture VALUES literal (see
+    FINEMAP_CALIBRATION_SQL) rather than rows-only: the simulation
+    loop itself is not SQL-expressible, but its deterministic report
+    row is hash-gateable."""
     from gentropy_spark.operators.finemap_sim import run_finemap_calibration
 
     rows = []
@@ -1042,4 +1068,23 @@ def q_finemap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REGISTRY["finemap_calibration"] = QuerySpec(q_finemap_calibration, None)
+# Hash-gated since r14 (was rows-only): the simulation is fully seeded
+# and sf-independent, so its report row is a frozen fixture — the
+# oracle pins the expected metrics as a VALUES literal and the driver's
+# value-hash gate now catches any drift in the SuSiE-inf/CARMA kernels
+# or the calibration harness (verdict item 9; the metrics are already
+# quantized by the fn). Regenerate by running the key and updating
+# this literal IF a deliberate kernel change shifts them.
+FINEMAP_CALIBRATION_SQL = """
+SELECT * FROM (VALUES
+  ('susie_inf', 13::BIGINT, 18::BIGINT, 26::BIGINT,
+   0.0::DOUBLE, 1.0::DOUBLE, 1.0::DOUBLE, 0.692308::DOUBLE),
+  ('carma', 4::BIGINT, 4::BIGINT, 8::BIGINT,
+   0.0::DOUBLE, 1.0::DOUBLE, 1.0::DOUBLE, 0.5::DOUBLE)
+) AS t(method, successful_runs, number_of_cs, expected_results,
+       false_positives, accuracy, accuracy_lead, sensitivity)
+"""
+
+REGISTRY["finemap_calibration"] = QuerySpec(
+    q_finemap_calibration, FINEMAP_CALIBRATION_SQL
+)

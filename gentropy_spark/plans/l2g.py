@@ -851,6 +851,176 @@ REGISTRY["l2g_score_gbm"] = QuerySpec(
 )
 
 
+def q_l2g_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-prediction feature contributions for the frozen L2G GBM.
+
+    Reference: dataset/l2g_prediction.py:180-303 ``L2GPrediction
+    .explain`` (shap.TreeExplainer over a random background sample).
+    Here: EXACT closed-form interventional TreeSHAP over the frozen
+    depth-2 ensemble with the full frozen training matrix as the
+    background (operators/l2g_model.py shap_ast) — deterministic, so
+    the contributions are value-hash oracle-checkable, and additive in
+    margin space (shap_base + sum(shap_*) == margin, the SHAP
+    local-accuracy axiom, property-tested). Features the ensemble
+    never splits on have identically-zero contributions and are
+    omitted from the output.
+    """
+    from gentropy_spark.operators.l2g_model import (
+        FEATURES,
+        margin_udf,
+        shap_columns,
+    )
+
+    feats = q_l2g_features(spark, sf_dir)
+    phis, base = shap_columns()
+    margin = margin_udf()(*[F.col(c) for c in FEATURES])
+    return feats.select(
+        "point_id",
+        "study_id",
+        "gene_id",
+        F.round(margin, 6).alias("margin"),
+        F.lit(base).alias("shap_base"),
+        *[
+            F.round(phis[g], 6).alias(f"shap_{g}")
+            for g in sorted(phis)
+        ],
+    )
+
+
+def _l2g_explain_sql() -> str:
+    from gentropy_spark.operators.l2g_model import margin_sql, shap_sql_exprs
+
+    phis, base = shap_sql_exprs()
+    shap_cols = ",\n       ".join(
+        f"ROUND({phis[g]}, 6) AS shap_{g}" for g in sorted(phis)
+    )
+    return f"""
+WITH feats AS ({L2G_FEAT_SQL})
+SELECT point_id, study_id, gene_id,
+       ROUND({margin_sql()}, 6) AS margin,
+       {format(base, '.17e')} AS shap_base,
+       {shap_cols}
+FROM feats
+"""
+
+
+REGISTRY["l2g_explain"] = QuerySpec(q_l2g_explain, _l2g_explain_sql())
+
+
+# --- evidence-string export -------------------------------------------------
+_EVIDENCE_L2G_THRESHOLD = 0.05
+
+
+def q_l2g_evidence_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2G predictions -> disease/target evidence strings.
+
+    Reference: dataset/l2g_prediction.py:108-178
+    ``to_disease_target_evidence`` — score-thresholded predictions
+    joined to the study index, diseaseIds exploded to one evidence row
+    per (target, disease), constant datasourceId/datatypeId, the
+    publicationDate kept as curationDate only when it parses as a
+    date, and pubmedId wrapped as the literature list only when
+    present. Study metadata is synthesized from ``customer`` (study
+    index = customer keys, the study_validation convention; diseases =
+    the EFO keyspace drug_enrichment established). ``literature`` is
+    emitted flattened (single pubmed id or NULL) — the repo-wide
+    array_join convention for oracle-hashed list outputs.
+    """
+    scored = q_l2g_score_gbm(spark, sf_dir).filter(
+        F.col("l2g_score") >= _EVIDENCE_L2G_THRESHOLD
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey") % 120
+    efo = F.concat(F.lit("EFO_"), F.lpad(ck.cast("string"), 7, "0"))
+    efo2 = F.concat(
+        F.lit("EFO_"), F.lpad(F.expr("c_custkey % 120 div 3").cast("string"), 7, "0")
+    )
+    pub_date = F.when(
+        F.col("c_custkey") % 7 == 0, F.lit("not curated")
+    ).otherwise(
+        F.concat(
+            F.lit("20"),
+            F.lpad((F.col("c_custkey") % 25).cast("string"), 2, "0"),
+            F.lit("-06-1"),
+            (F.col("c_custkey") % 9).cast("string"),
+        )
+    )
+    pubmed = F.when(
+        F.col("c_custkey") % 5 != 0,
+        ((F.col("c_custkey") * 37) % 100000).cast("string"),
+    )
+    study_index = cust.select(
+        F.col("c_custkey").alias("study_id"),
+        F.when(ck % 3 == 0, F.array(efo, efo2))
+        .otherwise(F.array(efo))
+        .alias("disease_ids"),
+        F.when(
+            pub_date.rlike(r"\d{4}-\d{2}-\d{2}"), pub_date
+        ).alias("curation_date"),
+        pubmed.alias("literature"),
+    )
+    return (
+        scored.join(study_index, on="study_id", how="inner")
+        .select(
+            F.lit("genetic_association").alias("datatype_id"),
+            F.lit("gwas_credible_sets").alias("datasource_id"),
+            F.col("gene_id").alias("target_from_source_id"),
+            F.explode(F.col("disease_ids")).alias(
+                "disease_from_source_mapped_id"
+            ),
+            F.col("l2g_score").alias("resource_score"),
+            "curation_date",
+            F.col("point_id").alias("study_locus_id"),
+            "study_id",
+            "literature",
+        )
+    )
+
+
+def _l2g_evidence_sql() -> str:
+    gbm = _l2g_gbm_sql().replace("{L2G_FEAT_SQL}", L2G_FEAT_SQL)
+    return f"""
+WITH scored AS ({gbm}),
+study_index AS (
+  SELECT c_custkey AS study_id,
+         CASE WHEN (c_custkey % 120) % 3 = 0
+              THEN ['EFO_' || lpad(CAST(c_custkey % 120 AS VARCHAR), 7, '0'),
+                    'EFO_' || lpad(CAST((c_custkey % 120) // 3 AS VARCHAR), 7, '0')]
+              ELSE ['EFO_' || lpad(CAST(c_custkey % 120 AS VARCHAR), 7, '0')]
+         END AS disease_ids,
+         CASE WHEN regexp_matches(
+                CASE WHEN c_custkey % 7 = 0 THEN 'not curated'
+                     ELSE '20' || lpad(CAST(c_custkey % 25 AS VARCHAR), 2, '0')
+                          || '-06-1' || CAST(c_custkey % 9 AS VARCHAR) END,
+                '\\d{{4}}-\\d{{2}}-\\d{{2}}')
+              THEN CASE WHEN c_custkey % 7 = 0 THEN 'not curated'
+                        ELSE '20' || lpad(CAST(c_custkey % 25 AS VARCHAR), 2, '0')
+                             || '-06-1' || CAST(c_custkey % 9 AS VARCHAR) END
+         END AS curation_date,
+         CASE WHEN c_custkey % 5 <> 0
+              THEN CAST((c_custkey * 37) % 100000 AS VARCHAR) END AS literature
+  FROM customer
+)
+SELECT 'genetic_association' AS datatype_id,
+       'gwas_credible_sets' AS datasource_id,
+       s.gene_id AS target_from_source_id,
+       unnest(i.disease_ids) AS disease_from_source_mapped_id,
+       s.l2g_score AS resource_score,
+       i.curation_date,
+       s.point_id AS study_locus_id,
+       s.study_id,
+       i.literature
+FROM scored s
+JOIN study_index i USING (study_id)
+WHERE s.l2g_score >= {_EVIDENCE_L2G_THRESHOLD}
+"""
+
+
+REGISTRY["l2g_evidence_export"] = QuerySpec(
+    q_l2g_evidence_export, _l2g_evidence_sql()
+)
+
+
 # --- H77: ChEMBL drug-target enrichment ------------------------------------
 _DRUG_SUPPORT_THR = 0.5
 _DRUG_PHASES = (2, 3, 4)

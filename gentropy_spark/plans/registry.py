@@ -135,71 +135,70 @@ def _plan_cached(
 # headline artifact is strictly worse than a green 50/50 (r10 verdict
 # task #4).
 _SNAPSHOT_PRIORITY = [
-    # (a) r13: values/plans CHANGED this round — must re-certify.
-    # corpus_curate (bloom decontamination stage + fused quality/langid
-    # scan — ORACLE CHANGED to the bloom semantics), bloom_decontaminate
-    # (doc-grain probe aggregate, no build-side distinct),
-    # dedup_minhash_lsh + dedup_ngram_jaccard + dedup_simhash +
-    # dedup_simhash_pairs + dedup_clusters (shingles() hash-spread +
-    # inputFiles guard — values unchanged by construction),
-    # pack_sequences (bucket-total tie-break), coloc (group-key
-    # null-filter initializer — plan canonically unchanged),
-    # decontaminate (shares shingles()).
+    # (a) r14: values/plans CHANGED this round -- must re-certify.
+    # coloc + ecaviar_clpp (NEW beta_ratio_sign_avg column -- ORACLE
+    # CHANGED), l2g_explain + l2g_evidence_export (new keys),
+    # finemap_calibration (promoted rows-only -> pinned-fixture oracle),
+    # corpus_curate (persisted scored-doc projection + spread scan +
+    # broadcast anti-join + prepared pair plan -- values unchanged),
+    # dedup_clusters / embedding_clusters (edge_min_labels lazy
+    # checkpoint), l2g_coloc_features + l2g_feature_matrix (consume the
+    # r13 coloc staged projection + the extra_aggs plumbing -- the r13
+    # advice backlog).
     "corpus_curate",
-    "bloom_decontaminate",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_clusters",
-    "pack_sequences",
     "coloc",
-    "decontaminate",
-    # (b) freshness rotation: the FULL remaining r8 cohort (37 keys
-    # whose newest driver evidence is r8) — after this window every
-    # oracle key has a driver-green record from r9 or newer.
-    "direction_concordance",
-    "doc_fingerprint",
-    "drug_enrichment",
-    "dsir_importance",
-    "enrichment_odds_ratio",
-    "eqtl_study_ingest",
-    "eqtl_sumstat_ingest",
-    "evidence_vs_gold_standard",
-    "exclude_region",
-    "finngen_meta_study_ingest",
-    "finngen_sumstat_ingest",
-    "gnomad_variant_ingest",
-    "gwas_study_curation",
-    "gwas_study_split",
-    "gwas_sumstat_ingest",
-    "gwas_top_hits",
-    "harmonic_sum",
-    "interval_evidence",
-    "intervals_epiraction_ingest",
-    "l2g_gold_standard",
-    "ld_block_slice",
-    "locus_breaker",
-    "ontology_closure",
-    "ot_variant_to_vcf",
-    "overlap_join",
-    "pairwise_ld",
-    "panukbb_ld_align",
-    "pivot_wide",
-    "props_json_parse",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q_decile_stats",
-    "stream_dedup",
-    "stream_window_agg",
-    "study_index_validate",
-    "ukb_ppp_study_ingest",
-    "variant_effect_normalise",
-    # (c) fills the window to exactly 50 with the three stalest-after-r8
-    # keys (r10 cohort, alphabetical).
-    "asof_join",
-    "bigram_pmi",
-    "burst_detection",
+    "ecaviar_clpp",
+    "l2g_explain",
+    "l2g_evidence_export",
+    "finemap_calibration",
+    "dedup_clusters",
+    "embedding_clusters",
+    "l2g_coloc_features",
+    "l2g_feature_matrix",
+    # (b) freshness rotation, stalest-first: the FULL remaining r10
+    # cohort (37 keys) plus the 3 alphabetically-first r11 keys --
+    # after this window min(last-driver-green) >= r11 everywhere
+    # (r13 verdict item 10).
+    "ann_recall_eval",
+    "carma_outliers",
+    "chunk_documents",
+    "cms_heavy_hitters",
+    "compact_parquet",
+    "corpus_mixture",
+    "credible_set_filter",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_substring",
+    "doc_entropy",
+    "dup_pagerank",
+    "dup_triangles",
+    "dwell_time_stats",
+    "effect_ci",
+    "funnel_analysis",
+    "hll_distinct",
+    "hopping_window_agg",
+    "interval_coverage",
+    "key_skew_profile",
+    "kmeans_step",
+    "kmv_distinct",
+    "langid_eval",
+    "minhash_calibration",
+    "multimodal_codec_verify",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "pics_finemap",
+    "pics_finemap_indexed",
+    "quality_gopher",
+    "salted_join",
+    "source_drift",
+    "study_locus_qc_flags",
+    "synthetic_sumstats",
+    "upsert_sink_drain",
+    "zipf_fit",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
 ]
 
 

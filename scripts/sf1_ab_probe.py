@@ -93,6 +93,10 @@ def _ab(spark, registry, name: str, sf_dir: str) -> tuple[float, float]:
         best_s = min(best_s, time.perf_counter() - t0)
     con = _duck_con(sf_dir)
     sql = registry[name].oracle
+    if os.environ.get("GENTROPY_SPARK_NATIVE_SUMS", "") == "1" and sql is not None:
+        from bench import _to_native_sums
+
+        sql = _to_native_sums(sql)  # symmetric profile, see bench.py
     for _ in range(2):
         t0 = time.perf_counter()
         con.execute(f"SELECT bit_xor(hash(t)) FROM ({sql}) t").fetchall()
@@ -129,11 +133,19 @@ def main() -> None:
     ratios = full["per_query_ratio"]
     if keys_arg:
         worst = keys_arg.split(",")
+        unknown = [k for k in worst if k not in full_registry() or k not in ratios]
+        if unknown:
+            raise SystemExit(
+                f"unknown --keys (not in registry + per_query_ratio): {unknown}"
+            )
     elif heavy_mode:
         worst = list(HEAVY)
     else:
         worst = sorted(ratios, key=lambda k: -ratios[k])[:N_WORST]
 
+    # Same profile as bench.py (r13 advice: probe and bench timings
+    # must share one sum profile to be comparable).
+    os.environ.setdefault("GENTROPY_SPARK_NATIVE_SUMS", "1")
     spark = get_session(app_name="gentropy_sf1_ab")
     registry = full_registry()
     registry["q1_pricing_summary"].fn(spark, BASE_SF).collect()  # warm

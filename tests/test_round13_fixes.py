@@ -39,9 +39,7 @@ def test_shingles_spread_is_hash_partitioned_on_file_source(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert len(docs.inputFiles()) == 1  # the premise of the guard
-    plan = shingles(docs)._sc._jvm.PythonSQLUtils.explainString(
-        shingles(docs)._jdf.queryExecution(), "formatted"
-    ) if False else shingles(docs)._jdf.queryExecution().executedPlan().toString()
+    plan = shingles(docs)._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(doc_id" in plan, plan
     assert "roundrobinpartitioning" not in plan.lower(), plan
 
