@@ -24,7 +24,7 @@ import functools
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -37,16 +37,15 @@ def grouped_logsumexp(df: DataFrame, group_cols: Sequence[str], value_col: str) 
     """logsumexp(value) per group (SURVEY §2.G2).
 
     Reference: common/stats.py:23 ``get_logsum`` (numpy UDF) — here a
-    max-shifted two-aggregate composition expressed as AGGREGATE-JOIN
-    (r3, replacing window-max): the max pass and the sum pass are both
-    partial-aggregation friendly, so only per-partition partials ever
-    shuffle and the raw rows are never exchanged — the window form
-    shuffled + sorted the full input by the group keys. The tiny max
-    table joins back by group key (AQE broadcasts it when small).
+    max-shifted window + aggregate over ONE exchange (r14, same regime
+    flip as ``coloc``'s inline note: the r3 aggregate-join only wins
+    while the max table broadcasts; once the group count grows past
+    the broadcast threshold the join sorts the full input anyway and
+    pays a second 60M-row build — measured 3.8x slower at 10x).
     """
-    mx = df.groupBy(*group_cols).agg(F.max(value_col).alias("_mx"))
+    w = Window.partitionBy(*group_cols)
     return (
-        df.join(mx, on=list(group_cols))
+        df.withColumn("_mx", F.max(value_col).over(w))
         .groupBy(*group_cols, "_mx")
         .agg(
             (
@@ -66,6 +65,7 @@ def coloc(
     prior_c2: float = 1e-4,
     prior_c12: float = 1e-5,
     extra_aggs: Sequence | None = None,
+    max_strategy: str = "window",
 ) -> DataFrame:
     """COLOC H0..H4 posterior probabilities per overlap group.
 
@@ -75,18 +75,18 @@ def coloc(
     metric into THIS aggregation instead of scanning the overlap
     pipeline a second time.
 
-    Scale shape (r3 — aggregate-join, replacing window-max): the group
-    maxima come from a partial-agg-friendly groupBy whose output is one
-    tiny row per group, joined back by group key (AQE broadcasts it
-    when small); the logsumexp sums then combine map-side too. Nothing
-    but per-partition partials ever shuffles — the window form
-    exchanged and sorted every raw overlap row by the group keys, which
-    is the dominant cost at 100 TB.
+    Scale shape (r14 — window-max over ONE exchange, replacing the r3
+    aggregate-join): the three group maxima ride one unordered window
+    over one hash exchange of the overlap rows, and the logsumexp
+    groupBy reuses the same partitioning exchange-free. The r3
+    agg-join held only while the max table stayed broadcastable; the
+    10x probe measured its SortMergeJoin regime at 3.8x the window
+    form's wall (see the inline note below).
     """
     if not group_cols:
-        # The group-key null-filter, the max-join and the final
+        # The group-key null-filter, the max window and the final
         # aggregate all key on group_cols; an empty list would surface
-        # as an opaque join error (r13, was reduce() raising on an
+        # as an opaque analysis error (r13, was reduce() raising on an
         # empty iterable).
         raise ValueError(
             "coloc() requires at least one group column; for a global "
@@ -94,30 +94,14 @@ def coloc(
         )
     lp1, lp2, lp12 = math.log(prior_c1), math.log(prior_c2), math.log(prior_c12)
 
-    # Deliberately NOT persisted: the max pass and the sum pass do scan
-    # the overlap pipeline twice, but caching it pins an
-    # InMemoryRelation into every downstream plan, which blocks column
-    # pruning/filter pushdown for composed consumers (the L2G coloc
-    # feature family) — measured 2-6x slower WITH the cache at sf0.1.
-    # Recomputing the narrow overlap join is cheaper than scanning the
-    # materialised blocks; on a cluster the real coloc step reads an
-    # already-materialised overlap table anyway.
-    #
-    # Also evaluated and REJECTED (r6): constant-shift logsumexp
+    # Evaluated and REJECTED (r6): constant-shift logsumexp
     # (domain-bounded logbf would allow skipping the max pass for a
-    # single-pass aggregate). Hash-exact at sf0.1, but 2.5x SLOWER on
-    # the fused L2G path: group count ~= row count here, so the
-    # partial-aggregate phase gets no combine benefit and its hash
-    # tables dominate, while the max-join path spreads group state
-    # across the join shuffle. Keep the max-shift aggregate-join.
-    # Explicit null-drop on the group keys BEFORE the fork (r12):
-    # output-identical — the max-join below is null-unsafe on exactly
-    # these keys, so null-key rows never reached the result anyway —
-    # but with the filter already below both branches Catalyst doesn't
-    # inject asymmetric isnotnull constraints on the join side only,
-    # the max branch and the sum branch canonicalize EQUAL, and AQE
-    # materializes the overlap pipeline's shuffles once
-    # (ReusedExchange) instead of evaluating it twice.
+    # single-pass aggregate) — hash-exact but slower on the fused L2G
+    # path, and re-measured slower again on the r13 10x probe.
+    # Explicit null-drop on the group keys (r12): output-identical —
+    # the window and aggregate are null-grouping where the old max
+    # join was null-unsafe, so the filter preserves the published
+    # null-key semantics (such rows never reached the result).
     # F.lit(True) initializer: empty group_cols degrades to a no-op
     # filter instead of reduce() raising on an empty iterable (r13).
     nn = functools.reduce(
@@ -128,12 +112,49 @@ def coloc(
     base = overlaps.filter(nn).withColumn(
         "_sum_bf", F.col(left_logbf) + F.col(right_logbf)
     )
-    mx = base.groupBy(*group_cols).agg(
-        F.max(left_logbf).alias("_mx_l"),
-        F.max(right_logbf).alias("_mx_r"),
-        F.max("_sum_bf").alias("_mx_s"),
-    )
-    enriched = base.join(mx, on=list(group_cols))
+    # WINDOW-max shift (r14, replacing the r3 aggregate-join): all
+    # three group maxima ride ONE unordered window over ONE exchange
+    # of the overlap rows, and the logsumexp groupBy reuses that same
+    # partitioning exchange-free. The r3 aggregate-join was the right
+    # call while the max table stayed broadcastable, but its own 10x
+    # probe showed the regime flip: at ~60M groups AQE degrades the
+    # max join to a SortMergeJoin that sorts the full overlap input
+    # anyway — exactly the cost the window pays — PLUS builds and
+    # sorts a 60M-row max table. Measured head-to-head on the staged
+    # 10x harness (docs/SCALE_PROBE.md r14): 161.6s (agg-join) ->
+    # 42.2s (window), DuckDB 52.6s — coloc crosses BELOW the oracle
+    # at scale — and the window form is also faster at sf0.1
+    # (1.16 -> 0.86s standalone). Posteriors bit-identical on all
+    # 5,950 sf0.01 groups.
+    # Both regimes measured (adjacent A/B, min-of-3, sf0.1 + staged
+    # 10x): "window" wins standalone and at scale (coloc 1.6 -> 1.2s
+    # at sf0.1; 161.6 -> 42.2s at 10x where agg_join's max join is an
+    # SMJ); "agg_join" wins inside the FUSED L2G feature family
+    # (l2g_coloc_features 3.1 vs 5.1s) where the qtl-family coloc
+    # subtrees share canonically-equal exchanges that AQE materializes
+    # once — the window's sort node sits above the shared exchange and
+    # breaks that reuse. Values are bit-identical either way; callers
+    # pick the regime that matches their composition.
+    if max_strategy == "window":
+        w = Window.partitionBy(*group_cols)
+        enriched = base.select(
+            "*",
+            F.max(left_logbf).over(w).alias("_mx_l"),
+            F.max(right_logbf).over(w).alias("_mx_r"),
+            F.max("_sum_bf").over(w).alias("_mx_s"),
+        )
+    elif max_strategy == "agg_join":
+        mx = base.groupBy(*group_cols).agg(
+            F.max(left_logbf).alias("_mx_l"),
+            F.max(right_logbf).alias("_mx_r"),
+            F.max("_sum_bf").alias("_mx_s"),
+        )
+        enriched = base.join(mx, on=list(group_cols))
+    else:
+        raise ValueError(
+            f"max_strategy must be 'window' or 'agg_join', got "
+            f"{max_strategy!r}"
+        )
     grouped = enriched.groupBy(*group_cols, "_mx_l", "_mx_r", "_mx_s").agg(
         F.count("*").alias("n_overlapping"),
         _logsumexp_agg(F.col(left_logbf), F.col("_mx_l")).alias("logsum1"),
@@ -248,3 +269,73 @@ def beta_ratio_sign_avg(
         F.col(left_beta) * F.col(right_beta) > 0, F.lit(1.0)
     ).otherwise(F.lit(-1.0))
     return F.avg(F.when(valid, sign)).alias("beta_ratio_sign_avg")
+
+
+def append_study_metadata(
+    coloc_df: DataFrame,
+    study_locus: DataFrame,
+    study_index: DataFrame,
+    *,
+    metadata_cols: Sequence[str],
+    colocalisation_side: str = "right",
+    locus_id_col: str = "study_locus_id",
+    study_id_col: str = "study_id",
+) -> DataFrame:
+    """Append study metadata to one side of a colocalisation table.
+
+    Reference: dataset/colocalisation.py:130-183
+    ``Colocalisation.append_study_metadata`` — the (locus -> study ->
+    metadata) bridge joined back onto ``{side}_study_locus_id``. The
+    bridge is built DISTINCT and broadcast (locus/study dimensions are
+    small relative to the coloc pair table), so the pair table is
+    never shuffled; column names come out as ``{side}_{col}`` in this
+    repo's snake_case convention (the reference camelCases).
+    """
+    if colocalisation_side not in ("right", "left"):
+        raise ValueError(
+            "colocalisation_side must be either 'right' or 'left', got "
+            f"{colocalisation_side!r}"
+        )
+    side = colocalisation_side
+    cols = [study_id_col, *metadata_cols]
+    bridge = (
+        study_locus.select(locus_id_col, study_id_col)
+        .join(F.broadcast(study_index.select(study_id_col, *metadata_cols)), study_id_col)
+        .distinct()
+        .select(
+            F.col(locus_id_col).alias(f"{side}_{locus_id_col}"),
+            *[F.col(c).alias(f"{side}_{c}") for c in cols],
+        )
+    )
+    # Mirror the reference's studyType-collision rule: a requested
+    # metadata column replaces a same-named column already present on
+    # that side of the pair table.
+    drop = [
+        f"{side}_{c}" for c in cols if f"{side}_{c}" in coloc_df.columns
+    ]
+    return F.broadcast(bridge).join(
+        coloc_df.drop(*drop), on=f"{side}_{locus_id_col}", how="right"
+    )
+
+
+def drop_trans_effects(
+    coloc_df: DataFrame,
+    study_locus: DataFrame,
+    *,
+    locus_id_col: str = "study_locus_id",
+    is_trans_col: str = "is_trans_qtl",
+) -> DataFrame:
+    """Keep only cis-QTL colocalisation rows (right side not trans).
+
+    Reference: dataset/colocalisation.py:185-210
+    ``Colocalisation.drop_trans_effects`` — NULL ``isTransQtl`` counts
+    as cis (the reference's ``~col | col.isNull()`` predicate), and
+    the filter is a broadcast semi-join on the right locus id so the
+    pair table is never shuffled.
+    """
+    cis = study_locus.filter(
+        (~F.col(is_trans_col)) | F.col(is_trans_col).isNull()
+    ).select(F.col(locus_id_col).alias(f"right_{locus_id_col}"))
+    return coloc_df.join(
+        F.broadcast(cis), on=f"right_{locus_id_col}", how="left_semi"
+    )

@@ -165,6 +165,10 @@ def q_l2g_coloc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_aggs=[
             F.sum(F.col("left_pp") * F.col("right_pp")).alias("clpp_raw")
         ],
+        # agg_join regime: inside the fused qtl-family composition the
+        # shared-exchange reuse beats the standalone window form by
+        # ~1.6x at sf0.1 — see coloc()'s regime note.
+        max_strategy="agg_join",
     ).select(
         "left_study_id",
         "right_study_id",

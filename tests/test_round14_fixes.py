@@ -173,3 +173,49 @@ def test_to_native_sums_rewrites_parity_casts():
     v2 = con.execute(out).fetchall()[0]
     for p, q in zip(v1, v2):
         assert abs(p - q) < 1e-6
+
+
+# --- composable post-coloc annotation surfaces -------------------------------
+def test_append_study_metadata_and_drop_trans_effects(spark):
+    from gentropy_spark.operators.coloc import (
+        append_study_metadata,
+        drop_trans_effects,
+    )
+
+    coloc_df = spark.createDataFrame(
+        [(1, 10, 0.9), (2, 20, 0.8), (3, 30, 0.7)],
+        "left_study_locus_id long, right_study_locus_id long, h4 double",
+    )
+    study_locus = spark.createDataFrame(
+        [(10, 100, False), (20, 200, True), (30, 300, None)],
+        "study_locus_id long, study_id long, is_trans_qtl boolean",
+    )
+    study_index = spark.createDataFrame(
+        [(100, "ENSG1", "eqtl"), (200, "ENSG2", "pqtl"), (300, None, "gwas")],
+        "study_id long, gene_id string, study_type string",
+    )
+    out = append_study_metadata(
+        coloc_df,
+        study_locus,
+        study_index,
+        metadata_cols=["gene_id", "study_type"],
+        colocalisation_side="right",
+    )
+    rows = {r["right_study_locus_id"]: r for r in out.collect()}
+    assert rows[10]["right_gene_id"] == "ENSG1"
+    assert rows[20]["right_study_type"] == "pqtl"
+    assert rows[30]["right_gene_id"] is None
+    assert out.count() == 3  # right join preserves every coloc row
+
+    with pytest.raises(ValueError, match="colocalisation_side"):
+        append_study_metadata(
+            coloc_df, study_locus, study_index,
+            metadata_cols=["gene_id"], colocalisation_side="middle",
+        )
+
+    # trans filter: right locus 20 is trans; NULL (30) counts as cis.
+    kept = sorted(
+        r["right_study_locus_id"]
+        for r in drop_trans_effects(coloc_df, study_locus).collect()
+    )
+    assert kept == [10, 30]
