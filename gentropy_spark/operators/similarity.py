@@ -482,3 +482,153 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+def sq_l2_pairs_udf():
+    """Arrow-batched pairwise squared-L2 — the PQ encode/ADC kernel.
+
+    Same parity discipline as ``cosine_pairs_udf``: the accumulation
+    loops dimensions left-to-right in float64, matching the oracle's
+    ``list_dot_product(d, d)`` over the element-wise difference list,
+    and rounding stays OUTSIDE in the JVM."""
+
+    @pandas_udf("double")
+    def _l2(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(va.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
+        acc = np.zeros(A.shape[0])
+        for i in range(A.shape[1]):
+            d = A[:, i] - B[:, i]
+            acc += d * d
+        return pd.Series(acc)
+
+    return _l2
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_subvectors: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "vec",
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (SURVEY E6
+    scale path #3, after LSH banding and IVF-Flat).
+
+    The 100 TB memory argument IVF cannot make: PQ stores each corpus
+    vector as ``n_subvectors`` one-byte codes (64 float64 dims -> 8
+    bytes, a 64x shrink), so the candidate scan reads codes + a tiny
+    per-query lookup table instead of raw vectors — this is the
+    standard billion-scale ANN layout (Jégou et al., IEEE TPAMI 2011,
+    "Product quantization for nearest neighbor search"; the FAISS
+    IVF-PQ family). Search cost per (query, corpus) pair is
+    ``n_subvectors`` table lookups, not a ``dim``-wide dot product.
+
+    Deterministic, engine-portable codebooks (the ivf_topk trick): the
+    per-subspace codebooks are the subvectors of the ``n_codes``
+    lowest-id corpus vectors — no k-means RNG — so both engines encode
+    identically and the whole operator is value-hash oracle-checkable.
+    Exactness discipline: per-subspace distances are ROUND(...,6)
+    BEFORE the argmin (rank-on-rounded rule) and the ADC sum
+    accumulates in DECIMAL(38,6) (order-independent, exact on rounded
+    inputs), so ranking is bit-stable across partitionings and
+    engines. The returned candidates carry their exact cosine too —
+    the standard PQ-then-exact-rerank output.
+
+    Scale shape: codebooks broadcast (n_subvectors x n_codes rows);
+    encoding is one explode + broadcast join + argmin window keyed by
+    (corpus_id, subvector) — embarrassingly parallel; the ADC join
+    fans the code table out by the (tiny, broadcast) per-query lookup
+    table and reduces with a decimal sum. Never a cross join against
+    raw corpus vectors.
+    """
+    sub = dim // n_subvectors
+    l2 = sq_l2_pairs_udf()
+
+    c = corpus.select(F.col(corpus_id), as_double(F.col(vec)).alias("cv"))
+    q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("qv"))
+    # Codebooks: subvectors of the n_codes lowest-id corpus vectors.
+    seeds = (
+        c.orderBy(F.col(corpus_id).asc())
+        .limit(n_codes)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col(corpus_id).asc()))
+            .alias("code"),
+            "cv",
+        )
+    )
+    m_arr = F.array(*[F.lit(m) for m in range(n_subvectors)])
+    codebook = seeds.select(
+        "code", F.explode(m_arr).alias("m"), F.col("cv").alias("seedv")
+    ).select(
+        "m",
+        "code",
+        F.slice(F.col("seedv"), F.col("m") * sub + 1, sub).alias("bookv"),
+    )
+    # Encode: argmin_code L2^2(subvector, codebook[m][code]).
+    c_sub = c.select(
+        F.col(corpus_id), F.explode(m_arr).alias("m"), "cv"
+    ).select(
+        corpus_id, "m", F.slice(F.col("cv"), F.col("m") * sub + 1, sub).alias("subv")
+    )
+    enc_scored = c_sub.join(F.broadcast(codebook), on="m").withColumn(
+        "d", F.round(l2(F.col("subv"), F.col("bookv")), 6)
+    )
+    w_enc = Window.partitionBy(corpus_id, "m").orderBy(
+        F.col("d").asc(), F.col("code").asc()
+    )
+    codes = (
+        enc_scored.withColumn("_r", F.row_number().over(w_enc))
+        .filter(F.col("_r") == 1)
+        .select(corpus_id, "m", "code")
+    )
+    # Per-query ADC lookup table: partial distance to every codeword.
+    q_sub = q.select(
+        F.col(query_id), F.explode(m_arr).alias("m"), "qv"
+    ).select(
+        query_id, "m", F.slice(F.col("qv"), F.col("m") * sub + 1, sub).alias("qsubv")
+    )
+    lookup = q_sub.join(F.broadcast(codebook), on="m").select(
+        query_id,
+        "m",
+        "code",
+        F.round(l2(F.col("qsubv"), F.col("bookv")), 6).alias("pdist"),
+    )
+    # ADC: sum the per-subvector partials over the code table.
+    adc = (
+        codes.join(F.broadcast(lookup), on=["m", "code"])
+        .groupBy(query_id, corpus_id)
+        .agg(
+            F.sum(F.col("pdist").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("adc_dist")
+        )
+    )
+    w_rank = Window.partitionBy(query_id).orderBy(
+        F.col("adc_dist").asc(), F.col(corpus_id).asc()
+    )
+    top = (
+        adc.withColumn("pq_rank", F.row_number().over(w_rank))
+        .filter(F.col("pq_rank") <= k)
+    )
+    # Exact rerank annotation on the k winners only.
+    return (
+        top.join(c, on=corpus_id)
+        .join(F.broadcast(q), on=query_id)
+        .select(
+            query_id,
+            corpus_id,
+            "pq_rank",
+            "adc_dist",
+            F.round(cosine_pairs_udf()(F.col("qv"), F.col("cv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )

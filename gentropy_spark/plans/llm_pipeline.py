@@ -807,6 +807,110 @@ WHERE rank <= 5
 REGISTRY["ann_ivf_topk"] = QuerySpec(q_ann_ivf, ANN_IVF_SQL)
 
 
+# --- E6c: product-quantization ANN (asymmetric distance) -------------------
+PQ_N_SUBVECTORS = 8
+PQ_N_CODES = 16
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k (operators/similarity.py pq_topk): 64 float dims
+    compress to 8 one-byte codes per corpus vector — the
+    billion-scale ANN memory layout (Jégou et al. 2011) — searched via
+    per-query lookup tables, with exact cosine annotated on the k
+    winners (the standard PQ-then-rerank output)."""
+    from gentropy_spark.operators.similarity import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
+    )
+    return pq_topk(
+        queries,
+        corpus,
+        n_subvectors=PQ_N_SUBVECTORS,
+        n_codes=PQ_N_CODES,
+        k=5,
+        dim=EMB_DIM,
+    )
+
+
+def _pq_sql() -> str:
+    sub = EMB_DIM // PQ_N_SUBVECTORS
+    l2 = (
+        "list_dot_product("
+        "list_transform(generate_series(1, {n}), i -> {a}[i] - {b}[i]), "
+        "list_transform(generate_series(1, {n}), i -> {a}[i] - {b}[i]))"
+    )
+    return f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (SELECT vec_id AS corpus_id, v FROM vecs WHERE vec_id >= 10),
+queries AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < 10),
+ms AS (SELECT unnest(generate_series(0, {PQ_N_SUBVECTORS - 1})) AS m),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY corpus_id) AS code, v
+  FROM corpus ORDER BY corpus_id LIMIT {PQ_N_CODES}
+),
+codebook AS (
+  SELECT ms.m, s.code, s.v[ms.m * {sub} + 1 : ms.m * {sub} + {sub}] AS bookv
+  FROM seeds s, ms
+),
+c_sub AS (
+  SELECT c.corpus_id, ms.m,
+         c.v[ms.m * {sub} + 1 : ms.m * {sub} + {sub}] AS subv
+  FROM corpus c, ms
+),
+enc_scored AS (
+  SELECT cs.corpus_id, cs.m, cb.code,
+         ROUND({l2.format(n=sub, a='cs.subv', b='cb.bookv')}, 6) AS d
+  FROM c_sub cs JOIN codebook cb ON cs.m = cb.m
+),
+codes AS (
+  SELECT corpus_id, m, code
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY corpus_id, m
+                                     ORDER BY d, code) AS r
+        FROM enc_scored)
+  WHERE r = 1
+),
+q_sub AS (
+  SELECT q.query_id, ms.m,
+         q.v[ms.m * {sub} + 1 : ms.m * {sub} + {sub}] AS qsubv
+  FROM queries q, ms
+),
+lookup AS (
+  SELECT qs.query_id, qs.m, cb.code,
+         ROUND({l2.format(n=sub, a='qs.qsubv', b='cb.bookv')}, 6) AS pdist
+  FROM q_sub qs JOIN codebook cb ON qs.m = cb.m
+),
+adc AS (
+  SELECT l.query_id, c.corpus_id,
+         CAST(SUM(CAST(l.pdist AS DECIMAL(38,6))) AS DOUBLE) AS adc_dist
+  FROM codes c JOIN lookup l ON c.m = l.m AND c.code = l.code
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT query_id, corpus_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, corpus_id) AS INT)
+           AS pq_rank
+  FROM adc
+)
+SELECT t.query_id, t.corpus_id, t.pq_rank, t.adc_dist,
+       ROUND(list_dot_product(q.v, c.v)
+             / (SQRT(list_dot_product(q.v, q.v))
+                * SQRT(list_dot_product(c.v, c.v))), 6) AS cosine
+FROM top t
+JOIN corpus c USING (corpus_id)
+JOIN queries q USING (query_id)
+WHERE t.pq_rank <= 5
+"""
+
+
+REGISTRY["ann_pq_topk"] = QuerySpec(q_ann_pq, _pq_sql())
+
+
 # --- E15: duplicate clusters (connected components over verified pairs) ---
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash pair candidates → transitive duplicate clusters with one

@@ -15,7 +15,7 @@ AUDIT = {
     "window_clump_leads": "Single hash exchange on (study, contig) shared by the lag, ranking and aggregate windows.",
     "locus_breaker": "Same single-exchange sessionization shape.",
     "overlap_join": "Tiled interval join: explode to (contig, tile) keys -> hash join; first-shared-tile ownership, no distinct.",
-    "coloc": "Aggregate-join logsumexp: group maxima via partial-agg groupBy joined back (AQE broadcast); raw overlap rows never shuffle. r12: null-filtered group keys make the max and sum branches canonicalize equal, so the overlap pipeline materializes ONCE at execution (ReusedExchange, pinned in tests). The exchange counts below are from the STATIC formatted plan, where the reuse is not yet applied: 4 nodes (2 hash + 2 broadcast); the r12 verdict prose counted the post-AQE stage graph (5 materialized exchanges, down from 13) -- both are correct for their plan phase (reconciled r13, verdict #6).",
+    "coloc": "Window-max logsumexp (r14): all three group maxima ride ONE unordered window over ONE hash exchange of the overlap rows; the logsumexp aggregate reuses the same partitioning exchange-free, so the plan is scan -> join -> exchange -> sort+window -> aggregate, no max join at all. Chosen by 10x measurement (161.6s agg-join vs 42.2s window at ~60M groups, where the old max join degraded to an SMJ; Spark crosses BELOW the DuckDB oracle at sf1). The fused L2G family still runs the aggregate-join regime via coloc(max_strategy=...) -- broadcastable max table + shared-exchange reuse win inside that composition.",
     "pics_finemap": "Pure Column pipeline (erfc kernel); no UDF, no Python boundary.",
     "v2g_distance": "<=2 candidate tiles exploded per variant; broadcast gene index; range predicate after equi-join.",
     "dedup_minhash_lsh": "Persisted shingle index; banded signature equi-join; verification join is semi-join-pruned. r13: the few-file re-spread is HASH partitioning on doc_id (round-robin's defensive sortBeforeRepartition full-row sort cost ~0.5s/run warm) and fires only when file layout is KNOWN and under-split.",
@@ -30,7 +30,7 @@ AUDIT = {
     "merge_upsert": "Full-outer sort-merge on the key; change-set aggregation partial-agg'd before the join.",
     "decontaminate": "Benchmark shingles deduped small then broadcast; training side aggregates ride one shuffle.",
     "pii_redact": "Pure regexp projection over the scan: zero exchanges, full whole-stage codegen.",
-    "corpus_curate": "Six pipeline stages as ONE DAG: shared document scan, broadcast joins for small sides, final two-level pack. r12: is_canonical via broadcast ANTI join on the tiny non-canonical drop set (no corpus-wide cluster window in the curation path). r13: the quality gate and language ID are FUSED into the document scan (one staged projection, zero joins -- was 2 scans + 2 doc_id joins), and decontamination runs the Bloom probe (E20b scale posture: fixed 4096-word broadcast array, no benchmark-shingle equi-join; oracle updated to the bloom semantics, bit-identical).",
+    "corpus_curate": "Six pipeline stages as ONE DAG: shared document scan, broadcast joins for small sides, final two-level pack. r12: is_canonical via broadcast ANTI join on the tiny non-canonical drop set (no corpus-wide cluster window in the curation path). r13: the quality gate and language ID are FUSED into the document scan (one staged projection, zero joins -- was 2 scans + 2 doc_id joins), and decontamination runs the Bloom probe (E20b scale posture: fixed 4096-word broadcast array, no benchmark-shingle equi-join; oracle updated to the bloom semantics, bit-identical). r14: the scored-doc projection is persisted (track_cache) -- predicate pushdown was substituting the sampling key's interpreted langid HOF chain down into the scan Filter and re-evaluating it per row (3.8s single-task CPU on the event-log timeline); the cache-fill plan has no downstream predicates, the spread repartition parallelizes the fill, and both cumsum fork branches read the cache. Pair table via the prepared-plan memo; drop-set anti-join broadcast explicitly.",
     "kmeans_step": "Broadcast centroids; HOF distances in codegen; one partial-agg groupBy for occupancy stats.",
     "hopping_window_agg": "Window-membership explode + partial-agg groupBy; shuffle = overlap factor, no range join.",
     "interval_coverage": "Cumulative-max island detection: one exchange, windows and aggregates share it.",

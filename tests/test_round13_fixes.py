@@ -294,15 +294,38 @@ def test_ecaviar_does_not_fork_the_overlap_pipeline(spark, sf_dir):
     assert plan.count("Aggregate") == 1, plan
 
 
-def test_coloc_keeps_reused_exchange_after_r13_touch(spark, sf_dir):
-    """operators/coloc.py changed this round (empty-group_cols guard +
-    F.lit(True) filter initializer). BooleanSimplification must fold
-    the literal so the max/sum branches still canonicalize equal and
-    the overlap pipeline materializes once (the r12 fix holds)."""
+def test_coloc_window_regime_single_exchange(spark, sf_dir):
+    """r14 replaced the aggregate-join max shift with window-max for
+    the standalone coloc: the r12/r13 ReusedExchange engineering is
+    MOOT there because the plan no longer forks — the three maxima
+    ride one unordered window and the logsumexp groupBy reuses its
+    partitioning. Pin the new invariant: the overlap rows are hashed
+    on the group keys exactly ONCE, and there is no join above the
+    overlap join (the max join is gone)."""
     from gentropy_spark.plans.genomics import q_coloc
 
     df = q_coloc(spark, sf_dir)
     df.collect()  # finalize THIS QueryExecution's adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning(left_study_id") == 1, final
+    assert "Window" in final
+
+
+def test_coloc_agg_join_regime_still_reuses_exchange(spark, sf_dir):
+    """The fused-L2G regime (max_strategy='agg_join') keeps the r12
+    ReusedExchange property: the max and sum branches canonicalize
+    equal and the overlap pipeline materializes once."""
+    from gentropy_spark.operators.coloc import coloc
+    from gentropy_spark.plans.genomics import _tag_overlaps
+
+    df = coloc(
+        _tag_overlaps(spark, sf_dir),
+        group_cols=["left_study_id", "right_study_id", "contig"],
+        max_strategy="agg_join",
+    )
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan.split("== Initial Plan ==")[0], plan

@@ -219,3 +219,47 @@ def test_append_study_metadata_and_drop_trans_effects(spark):
         for r in drop_trans_effects(coloc_df, study_locus).collect()
     )
     assert kept == [10, 30]
+
+
+# --- PQ ANN sanity -----------------------------------------------------------
+def test_pq_topk_shape_and_selfmatch(spark, sf_dir):
+    from gentropy_spark.operators.similarity import pq_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
+    )
+    # ADC is asymmetric (query vs the QUANTIZED corpus vector), so a
+    # generic self pair carries its own quantization error — but a
+    # CODEBOOK SEED's subvectors are codewords, so querying a seed
+    # vector must find itself at ADC distance exactly 0, rank 1.
+    seed_id = corpus.agg(F.min("corpus_id")).collect()[0][0]
+    queries = corpus.filter(F.col("corpus_id") == seed_id).select(
+        F.col("corpus_id").alias("query_id"), "vec"
+    )
+    out = pq_topk(queries, corpus, k=3).collect()
+    assert len(out) == 3
+    by_rank = {r["pq_rank"]: r for r in out}
+    assert by_rank[1]["corpus_id"] == seed_id
+    assert by_rank[1]["adc_dist"] == 0.0
+    assert by_rank[1]["cosine"] == 1.0
+    assert all(r["adc_dist"] >= 0.0 for r in out)
+
+
+# --- lint: no plan-level caller of the driver-side LD densifier --------------
+def test_no_plan_calls_locus_numpy_matrix():
+    """operators/ld_backend.py locus_numpy_matrix is a deliberate
+    driver-side per-locus densifier (the reference's own posture) —
+    any batch path in plans/ must route through the distributed
+    locus_dense_matrices (operators/ld_matrix.py) instead. Source
+    lint per the r13 verdict's anti-pattern note."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "gentropy_spark")
+    offenders = []
+    for p in glob.glob(os.path.join(root, "plans", "*.py")):
+        if "locus_numpy_matrix" in open(p).read():
+            offenders.append(os.path.basename(p))
+    assert offenders == [], offenders
