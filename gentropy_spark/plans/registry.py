@@ -144,7 +144,10 @@ _SNAPSHOT_PRIORITY = [
     # dedup_clusters / embedding_clusters (edge_min_labels lazy
     # checkpoint), l2g_coloc_features + l2g_feature_matrix (consume the
     # r13 coloc staged projection + the extra_aggs plumbing -- the r13
-    # advice backlog).
+    # advice backlog), ann_pq_topk (NEW key this round -- no driver
+    # evidence yet; displaces ann_lsh_bucketed, whose r11 evidence
+    # stays within the min>=r11 freshness bar).
+    "ann_pq_topk",
     "corpus_curate",
     "coloc",
     "ecaviar_clpp",
@@ -156,7 +159,7 @@ _SNAPSHOT_PRIORITY = [
     "l2g_coloc_features",
     "l2g_feature_matrix",
     # (b) freshness rotation, stalest-first: the FULL remaining r10
-    # cohort (37 keys) plus the 3 alphabetically-first r11 keys --
+    # cohort (37 keys) plus the 2 alphabetically-first r11 keys --
     # after this window min(last-driver-green) >= r11 everywhere
     # (r13 verdict item 10).
     "ann_recall_eval",
@@ -198,7 +201,6 @@ _SNAPSHOT_PRIORITY = [
     "zipf_fit",
     "ann_cosine_topk",
     "ann_ivf_topk",
-    "ann_lsh_bucketed",
 ]
 
 
