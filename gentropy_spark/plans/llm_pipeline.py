@@ -3705,3 +3705,414 @@ FROM agg
 """
 
 REGISTRY["source_drift"] = QuerySpec(q_source_drift, SOURCE_DRIFT_SQL)
+
+
+# --- E44: BM25 retrieval top-k ---------------------------------------------
+# Okapi BM25 (Robertson & Spark Jones probabilistic relevance): the
+# retrieval primitive behind retrieval-based data selection and
+# nearest-benchmark decontamination triage. Constants are precomputed
+# python doubles interpolated into BOTH engines (never re-derived as
+# an expression on one side — the 1.0-0.85 ulp lesson).
+BM25_K1 = 1.2
+BM25_K1P1 = 2.2  # k1 + 1, precomputed (NOT written as 1.2 + 1 anywhere)
+BM25_B = 0.75
+BM25_ONE_MINUS_B = 0.25
+BM25_TOP_K = 5
+
+
+def _gram_terms(df: DataFrame, id_col: str, alias: str) -> DataFrame:
+    """Non-distinct word n-gram terms (one row per OCCURRENCE).
+
+    Same staged-projection gram builder as operators/dedup.shingles —
+    tokens materialised once, grams as an array transform — but
+    WITHOUT the per-doc array_distinct: BM25 needs the true term
+    frequency, not the shingle set.
+    """
+    from gentropy_spark.functions.text import tokens
+
+    n = SHINGLE_N
+    toked = df.select(F.col(id_col), tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at(toks, (i + k + 1).cast("int"))
+                    for k in range(n)
+                ],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toked.select(F.col(id_col), F.explode(grams).alias(alias))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval: benchmark docs as queries vs the training
+    corpus (SURVEY E44).
+
+    Terms are word 3-gram shingles (the dedup machinery's unit), NOT
+    single tokens: the synthetic corpus has a ~31-word vocabulary in
+    which every word is a stopword (df > N/2, idf ~ 0), so token-grain
+    postings would be a 40M-row join scoring nothing — shingle terms
+    have a 27k vocabulary with max df 24/4500 at sf0.1 (measured), a
+    227k-row join, and genuinely discriminative idf. This is also the
+    retrieval unit that matters for near-duplicate triage and
+    retrieval-based decontamination.
+
+    The inverted-index join shape: postings (term -> doc tf) are a
+    partial-agg groupBy over ONE corpus scan; the query term set is
+    aggregated tiny and BROADCAST into the postings join, so the only
+    wide exchange carries rows for terms the queries actually use.
+    df is computed on the query-term slice of the postings (semi-join
+    first, then count) — at a 100 TB corpus with a bounded query set,
+    the df aggregate is query-vocabulary-grain, not corpus-vocabulary-
+    grain. Corpus stats (N, avgdl) ride a broadcast 1-row aggregate
+    (the lm_perplexity pattern), never a driver-side count.
+
+    Cross-engine exactness: per-term contributions are ROUND(.,6)'d,
+    summed as DECIMAL(38,6) (order-free), idf's ln is IEEE-identical,
+    and the per-query ranking orders on the rounded score with a
+    doc_id tie-break.
+    """
+    from pyspark.sql import Window
+
+    from gentropy_spark.operators.dedup import spread_if_narrow
+    from gentropy_spark.session import track_cache
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = spread_if_narrow(docs.filter(~F.expr(_BENCH_PRED)), "doc_id")
+    tf = track_cache(
+        _gram_terms(train, "doc_id", "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = track_cache(tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+    stats = dl.agg(
+        F.count("*").alias("n_train"),
+        (
+            F.sum("dl").cast("double") / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    # Query side: small by contract (the benchmark split) — no spread.
+    qterms = (
+        _gram_terms(
+            docs.filter(F.expr(_BENCH_PRED)).withColumnRenamed(
+                "doc_id", "query_id"
+            ),
+            "query_id",
+            "token",
+        )
+        .distinct()
+    )
+    qtok = qterms.select("token").distinct()
+    # df over the query-term slice only — correct (df counts ALL
+    # training docs containing the term) and bounded by |query vocab|.
+    tf_q = tf.join(F.broadcast(qtok), on="token")
+    df_ = tf_q.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_train") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(BM25_ONE_MINUS_B)
+        + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    contrib = F.round((idf * F.col("tf")) * F.lit(BM25_K1P1) / norm, 6)
+    scored = (
+        tf_q.join(F.broadcast(qterms), on="token")
+        .join(df_, on="token")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("c").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("bm25")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
+BM25_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, {TOKS_SQL} AS t FROM documents
+  WHERE NOT ({_BENCH_PRED})
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, GREATEST(len(t) - {SHINGLE_N - 1}, 0)),
+           i -> {_SHINGLE_CAT})) AS token
+  FROM toked
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+stats AS (
+  SELECT COUNT(*) AS n_train,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+qtoked AS (
+  SELECT doc_id AS query_id, {TOKS_SQL} AS t FROM documents
+  WHERE {_BENCH_PRED}
+),
+qterms AS (
+  SELECT DISTINCT query_id,
+         unnest(list_transform(
+           generate_series(1, GREATEST(len(t) - {SHINGLE_N - 1}, 0)),
+           i -> {_SHINGLE_CAT})) AS token
+  FROM qtoked
+),
+qtok AS (SELECT DISTINCT token FROM qterms),
+tf_q AS (SELECT tf.* FROM tf JOIN qtok USING (token)),
+df AS (SELECT token, COUNT(*) AS df FROM tf_q GROUP BY 1),
+contr AS (
+  SELECT q.query_id, t.doc_id,
+         ROUND((LN(1.0::DOUBLE + (s.n_train - d.df + 0.5::DOUBLE)
+                   / (d.df + 0.5::DOUBLE)) * t.tf) * {BM25_K1P1!r}::DOUBLE
+               / (t.tf + {BM25_K1!r}::DOUBLE * ({BM25_ONE_MINUS_B!r}::DOUBLE
+                  + {BM25_B!r}::DOUBLE
+                    * (CAST(l.dl AS DOUBLE) / s.avgdl))), 6) AS c
+  FROM tf_q t
+  JOIN qterms q USING (token)
+  JOIN df d USING (token)
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id,
+         ROUND(CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE), 6) AS bm25
+  FROM contr GROUP BY 1, 2
+)
+SELECT query_id, doc_id, bm25,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {BM25_TOP_K}
+"""
+
+
+REGISTRY["bm25_topk"] = QuerySpec(q_bm25_topk, BM25_SQL)
+
+
+# --- E45: SemDeDup centroid-cluster pruning --------------------------------
+# Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication"): cluster embeddings, then prune
+# within-cluster semantic duplicates, keeping — among near-dups — the
+# examples FARTHEST from the centroid (they carry the most signal).
+SEMDEDUP_EPS = 0.3  # within-cluster cosine above this = semantic dup
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruning over the embeddings table (SURVEY E45).
+
+    Assignment reuses the kmeans_step convention (deterministic
+    centroids = the K lowest vec_ids, broadcast; 6dp-rounded distances
+    before the argmin). Within each cluster, members are ordered by
+    keep-priority (dist2 DESC, vec_id — farthest-from-centroid kept
+    first, the published heuristic); a member is PRUNED if its cosine
+    to any higher-priority member reaches SEMDEDUP_EPS. The pair join
+    is an equi-join on centroid_id — never a corpus cross join — so
+    pair work is sum(|cluster|^2), which the published algorithm
+    bounds by scaling K with the corpus (fixed cluster occupancy).
+    Cosine rides the Arrow-batched pair kernel (constant plan size,
+    left-to-right float64 — bit-identical to list_dot_product).
+    """
+    from pyspark.sql import Window
+
+    from gentropy_spark.operators.similarity import (
+        as_double,
+        cosine_pairs_udf,
+    )
+    from gentropy_spark.session import track_cache
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "dist2", F.round(d2, 6)
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("dist2", "centroid_id")
+    w_prio = Window.partitionBy("centroid_id").orderBy(
+        F.col("dist2").desc(), F.col("vec_id")
+    )
+    assigned = track_cache(
+        scored.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .withColumn("priority", F.row_number().over(w_prio))
+        .select("vec_id", "centroid_id", "dist2", "priority", "v")
+    )
+    lo = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("priority").alias("pa"),
+        F.col("v").alias("va"),
+    )
+    hi = assigned.select(
+        "centroid_id",
+        F.col("priority").alias("pb"),
+        F.col("v").alias("vb"),
+    )
+    cos = cosine_pairs_udf()
+    pruned = (
+        lo.join(hi, on="centroid_id")
+        .filter(F.col("pb") < F.col("pa"))
+        .withColumn("cos", F.round(cos(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= F.lit(SEMDEDUP_EPS))
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("pruned", F.lit(True))
+    )
+    return (
+        assigned.join(pruned, on="vec_id", how="left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "dist2",
+            "priority",
+            F.coalesce(~F.col("pruned"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS c FROM vecs
+          WHERE vec_id < {KMEANS_K}),
+scored AS (
+  SELECT vecs.vec_id, cents.centroid_id,
+         ROUND(list_sum(list_transform(list_zip(v, c),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist2
+  FROM vecs CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, centroid_id, dist2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
+              ORDER BY dist2 DESC, vec_id) AS INT) AS priority
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, centroid_id) AS rk
+    FROM scored
+  ) WHERE rk = 1
+),
+av AS (SELECT a.*, v.v FROM assigned a JOIN vecs v USING (vec_id)),
+pruned AS (
+  SELECT DISTINCT x.vec_id
+  FROM av x JOIN av y
+    ON x.centroid_id = y.centroid_id AND y.priority < x.priority
+  WHERE ROUND(list_dot_product(x.v, y.v)
+        / (SQRT(list_dot_product(x.v, x.v))
+           * SQRT(list_dot_product(y.v, y.v))), 6)
+        >= {SEMDEDUP_EPS!r}::DOUBLE
+)
+SELECT a.vec_id, a.centroid_id, a.dist2, a.priority,
+       p.vec_id IS NULL AS keep
+FROM assigned a LEFT JOIN pruned p ON p.vec_id = a.vec_id
+"""
+
+
+REGISTRY["semdedup_prune"] = QuerySpec(q_semdedup_prune, SEMDEDUP_SQL)
+
+
+# --- E46: model-based quality classifier (hashing-trick linear scorer) -----
+# fastText/DCLM-style quality filtering (Joulin et al. 2017; the DCLM
+# pipeline's model-based filter): a linear bag-of-words classifier
+# over HASHED token buckets (Weinberger et al. 2009 hashing trick).
+# The scoring plumbing — cross-engine token hashing, exact integer
+# weight accumulation, one sigmoid — is real and scale-correct; the
+# WEIGHTS are a declared deterministic stand-in (an LCG over the
+# bucket id), since no trained artifact ships with the repo. Swapping
+# in trained weights = replacing one integer expression with a
+# broadcast lookup join.
+QCLS_BUCKETS = 512
+QCLS_A = 1_103_515_245  # public LCG multiplier (glibc)
+QCLS_C = 12_345
+QCLS_M = 2_147_483_647
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bag-of-words linear quality score per document (E46).
+
+    token -> poly_hash % buckets -> integer weight w_int(bucket) via
+    LCG. The per-doc logit is computed EXACTLY in int64 — sum(tf *
+    w_int) with tf*w_int < 2^41 — and converted to double ONCE:
+    logit = S/(M*L) - 0.5 (algebraically sum(tf*(w_int/M - 0.5))/L),
+    so no float accumulation order exists to diverge across engines
+    or partitionings. score = sigmoid(logit) rounded 6dp. Zero UDFs,
+    one partial-agg groupBy on doc_id — the same single-shuffle shape
+    as token_count, at any corpus size.
+    """
+    from gentropy_spark.functions.text import tokens
+    from gentropy_spark.functions.xhash import poly_hash
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    bucket = poly_hash(F.col("token"), nchars=16) % QCLS_BUCKETS
+    w_int = (bucket * F.lit(QCLS_A).cast("long") + F.lit(QCLS_C)) % F.lit(
+        QCLS_M
+    ).cast("long")
+    per_doc = tok.select("doc_id", w_int.alias("w")).groupBy("doc_id").agg(
+        F.sum("w").alias("s"), F.count("*").alias("n_tokens")
+    )
+    logit = (
+        F.col("s").cast("double")
+        / (F.lit(QCLS_M).cast("long") * F.col("n_tokens"))
+    ) - F.lit(0.5)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        score.alias("quality_score"),
+        (score >= F.lit(0.5)).alias("keep"),
+    )
+
+
+_QCLS_BUCKET_SQL = f"(({poly_hash_sql('token', 16)}) % {QCLS_BUCKETS})"
+
+QCLS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS token FROM documents
+),
+wt AS (
+  SELECT doc_id,
+         (({_QCLS_BUCKET_SQL}) * {QCLS_A} + {QCLS_C}) % {QCLS_M} AS w
+  FROM tok
+),
+per_doc AS (
+  SELECT doc_id, SUM(w) AS s, COUNT(*) AS n_tokens FROM wt GROUP BY 1
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         ROUND(1.0::DOUBLE / (1.0::DOUBLE + EXP(-(
+           CAST(s AS DOUBLE) / ({QCLS_M} * n_tokens) - 0.5::DOUBLE
+         ))), 6) AS quality_score
+  FROM per_doc
+)
+SELECT doc_id, n_tokens, quality_score,
+       quality_score >= 0.5::DOUBLE AS keep
+FROM scored
+"""
+
+
+REGISTRY["quality_classifier"] = QuerySpec(q_quality_classifier, QCLS_SQL)

@@ -144,10 +144,17 @@ _SNAPSHOT_PRIORITY = [
     # dedup_clusters / embedding_clusters (edge_min_labels lazy
     # checkpoint), l2g_coloc_features + l2g_feature_matrix (consume the
     # r13 coloc staged projection + the extra_aggs plumbing -- the r13
-    # advice backlog), ann_pq_topk (NEW key this round -- no driver
-    # evidence yet; displaces ann_lsh_bucketed, whose r11 evidence
-    # stays within the min>=r11 freshness bar).
+    # advice backlog), ann_pq_topk + bm25_topk + semdedup_prune +
+    # quality_classifier (NEW keys this round -- no driver evidence
+    # yet; they displace ann_lsh_bucketed / ann_cosine_topk /
+    # ann_ivf_topk, whose r11 evidence stays within the min>=r11
+    # freshness bar, and zipf_fit, the one r10 key deferred to r15 --
+    # certifying a never-certified key outranks refreshing a stale
+    # green one).
     "ann_pq_topk",
+    "bm25_topk",
+    "semdedup_prune",
+    "quality_classifier",
     "corpus_curate",
     "coloc",
     "ecaviar_clpp",
@@ -158,10 +165,11 @@ _SNAPSHOT_PRIORITY = [
     "embedding_clusters",
     "l2g_coloc_features",
     "l2g_feature_matrix",
-    # (b) freshness rotation, stalest-first: the FULL remaining r10
-    # cohort (37 keys) plus the 2 alphabetically-first r11 keys --
-    # after this window min(last-driver-green) >= r11 everywhere
-    # (r13 verdict item 10).
+    # (b) freshness rotation, stalest-first: the remaining r10 cohort
+    # (36 of 37 keys; zipf_fit defers to r15) -- after this window
+    # min(last-driver-green) >= r11 for every key except zipf_fit
+    # (r13 verdict item 10, traded one slot for the four new-key
+    # certifications above).
     "ann_recall_eval",
     "carma_outliers",
     "chunk_documents",
@@ -198,9 +206,6 @@ _SNAPSHOT_PRIORITY = [
     "study_locus_qc_flags",
     "synthetic_sumstats",
     "upsert_sink_drain",
-    "zipf_fit",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
 ]
 
 

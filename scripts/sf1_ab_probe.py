@@ -133,10 +133,18 @@ def main() -> None:
     ratios = full["per_query_ratio"]
     if keys_arg:
         worst = keys_arg.split(",")
-        unknown = [k for k in worst if k not in full_registry() or k not in ratios]
+        # Fail fast on typos (r13 advice) — registry membership is the
+        # validity check; per_query_ratio membership is NOT required
+        # (new non-headline keys are probed fresh).
+        unknown = [k for k in worst if k not in full_registry()]
         if unknown:
+            raise SystemExit(f"unknown --keys (not in registry): {unknown}")
+        no_oracle = [
+            k for k in worst if full_registry()[k].oracle is None
+        ]
+        if no_oracle:
             raise SystemExit(
-                f"unknown --keys (not in registry + per_query_ratio): {unknown}"
+                f"--keys without a DuckDB oracle (no A/B leg): {no_oracle}"
             )
     elif heavy_mode:
         worst = list(HEAVY)

@@ -153,3 +153,46 @@ def test_finemap_simulation_carma_calibration():
     c = run_finemap_calibration(n_iter=8, method="carma")
     assert c["successful_runs"] >= 3
     assert c["accuracy"] >= 0.75
+
+
+def _fixture_hash(df):
+    """Quantized sorted-row md5 — the same canonicalization idea as the
+    driver's value-hash gate, applied to a rows-only kernel."""
+    import hashlib
+
+    def q(v):
+        if isinstance(v, float):
+            r = round(v, 6)
+            if r == 0.0:
+                r = 0.0  # normalize -0.0
+            return format(r, ".6f")
+        return str(v)
+
+    rows = df.collect()
+    canon = sorted("|".join(q(v) for v in row) for row in rows)
+    return len(rows), hashlib.md5("\n".join(canon).encode()).hexdigest()
+
+
+def test_susie_step_fixture_hash_gate(spark):
+    """r13 verdict item 9: rows-only kernels get a pinned value gate.
+
+    The SuSiE finemapper step is deterministic (seeded clustering,
+    fixed iteration caps), so its full credible-set table at sf0.001,
+    quantized to 6dp, has ONE correct md5. Any numeric regression in
+    the SuSiE kernel, the clustering, or the purity joins breaks this
+    hash the way an oracle mismatch would.
+    """
+    from gentropy_spark.plans.genomics import q_susie_finemapper_step
+
+    n, h = _fixture_hash(
+        q_susie_finemapper_step(spark, "/root/testdata/sf0.001")
+    )
+    assert (n, h) == (132, "075c6ce8d8f3c44ec83c3fb9d00dd9f3")
+
+
+def test_susie_inf_fixture_hash_gate(spark):
+    """Same gate for the per-variant SuSiE-inf PIP table."""
+    from gentropy_spark.plans.genomics import q_susie_inf
+
+    n, h = _fixture_hash(q_susie_inf(spark, "/root/testdata/sf0.001"))
+    assert (n, h) == (136, "822d7bebab8a7287808966a5626a99c0")
