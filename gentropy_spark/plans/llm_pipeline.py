@@ -4116,3 +4116,147 @@ FROM scored
 
 
 REGISTRY["quality_classifier"] = QuerySpec(q_quality_classifier, QCLS_SQL)
+
+
+# --- E47: full BPE trainer loop --------------------------------------------
+BPE_TRAIN_MERGES = 4
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE merge loop (Sennrich et al. 2016) — K merge
+    iterations over the word-frequency dictionary, extending
+    bpe_pair_counts (one pair-statistics pass) to the actual trainer.
+
+    Scale design is the classic one: the only corpus-sized work is the
+    ONE word-count aggregation (shuffle ∝ distinct vocabulary); every
+    merge iteration then operates on the aggregated dictionary, so the
+    loop cost is K × O(|vocab| × max word length) regardless of corpus
+    size. Each iteration is a declarative stage — adjacent-pair counts
+    from the symbolized words, the argmax pair via a deterministic
+    sort-limit (count DESC, pair ASC), and a greedy left-to-right
+    merge via space-sentinel string replace (the non-overlapping
+    left-to-right semantics of replace() IS the BPE merge order; the
+    pattern re-emits its boundary spaces so runs like 'l l l l'
+    cascade correctly in one pass). The merged pair broadcasts as a
+    1-row build side; nothing collects to the driver.
+
+    Output: one row per merge step — (step, merged_pair, pair_count),
+    the merge table a BPE tokenizer ships as its model artifact.
+    """
+    from gentropy_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    word_freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    state = word_freq.select(
+        "n",
+        F.array_join(
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            ),
+            " ",
+        ).alias("sym"),
+    )
+    merges = None
+    for step in range(1, BPE_TRAIN_MERGES + 1):
+        # Guard BEFORE the sequence: sequence(1, 0) would generate a
+        # DESCENDING range (the shingles lesson).
+        pairs = (
+            state.filter(F.size(F.split(F.col("sym"), " ")) >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(sym, ' ')) - 1),"
+                        " i -> concat(element_at(split(sym, ' '), i), ' ',"
+                        "             element_at(split(sym, ' '), i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").cast("bigint").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("pair"))
+            .limit(1)
+        )
+        merge_row = best.select(
+            F.lit(step).alias("step"),
+            F.col("pair").alias("merged_pair"),
+            "pair_count",
+        )
+        merges = (
+            merge_row if merges is None else merges.unionByName(merge_row)
+        )
+        merged = F.replace(F.col("_bp"), F.lit(" "), F.lit(""))
+        state = (
+            state.crossJoin(
+                F.broadcast(best.select(F.col("pair").alias("_bp")))
+            )
+            .select(
+                "n",
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("_bp"), F.lit(" ")),
+                        F.concat(F.lit(" "), merged, F.lit(" ")),
+                    )
+                ).alias("sym"),
+            )
+        )
+    return merges
+
+
+def _bpe_train_sql() -> str:
+    """K chained merge stages; every state/best CTE is MATERIALIZED —
+    each stage references its predecessor twice (pair scan + next
+    state), which would otherwise inline 2^K copies of the feeder
+    (the dup_pagerank lesson)."""
+    parts = [
+        f"WITH words AS (SELECT unnest({TOKS_SQL}) AS word FROM documents),",
+        "word_freq AS (SELECT word, COUNT(*) AS n FROM words GROUP BY 1),",
+        "st0 AS MATERIALIZED (",
+        "  SELECT n, array_to_string(list_transform(",
+        "    generate_series(1, len(word)), i -> word[i:i]), ' ') AS sym",
+        "  FROM word_freq",
+        "),",
+    ]
+    for k in range(1, BPE_TRAIN_MERGES + 1):
+        prev = f"st{k - 1}"
+        parts += [
+            f"p{k} AS (",
+            "  SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count FROM (",
+            "    SELECT n, unnest(list_transform(",
+            "      generate_series(1, len(s) - 1),",
+            "      i -> s[i] || ' ' || s[i+1])) AS pair",
+            f"    FROM (SELECT n, string_split(sym, ' ') AS s FROM {prev})",
+            "    WHERE len(s) >= 2",
+            "  ) GROUP BY 1",
+            "),",
+            f"b{k} AS MATERIALIZED (",
+            f"  SELECT pair, pair_count FROM p{k}",
+            "  ORDER BY pair_count DESC, pair LIMIT 1",
+            "),",
+            f"st{k} AS MATERIALIZED (",
+            "  SELECT n, trim(replace(' ' || sym || ' ',",
+            "    ' ' || b.pair || ' ',",
+            "    ' ' || replace(b.pair, ' ', '') || ' ')) AS sym",
+            f"  FROM {prev}, b{k} b",
+            "),",
+        ]
+    selects = [
+        f"SELECT {k} AS step, pair AS merged_pair, pair_count FROM b{k}"
+        for k in range(1, BPE_TRAIN_MERGES + 1)
+    ]
+    # Drop the trailing comma of the last CTE.
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+BPE_TRAIN_SQL = _bpe_train_sql()
+
+REGISTRY["bpe_train"] = QuerySpec(q_bpe_train, BPE_TRAIN_SQL)

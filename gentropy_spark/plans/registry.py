@@ -145,16 +145,17 @@ _SNAPSHOT_PRIORITY = [
     # checkpoint), l2g_coloc_features + l2g_feature_matrix (consume the
     # r13 coloc staged projection + the extra_aggs plumbing -- the r13
     # advice backlog), ann_pq_topk + bm25_topk + semdedup_prune +
-    # quality_classifier (NEW keys this round -- no driver evidence
-    # yet; they displace ann_lsh_bucketed / ann_cosine_topk /
+    # quality_classifier + bpe_train (NEW keys this round -- no driver
+    # evidence yet; they displace ann_lsh_bucketed / ann_cosine_topk /
     # ann_ivf_topk, whose r11 evidence stays within the min>=r11
-    # freshness bar, and zipf_fit, the one r10 key deferred to r15 --
-    # certifying a never-certified key outranks refreshing a stale
-    # green one).
+    # freshness bar, and zipf_fit + salted_join, the two r10 keys
+    # deferred to r15 -- certifying a never-certified key outranks
+    # refreshing a stale green one).
     "ann_pq_topk",
     "bm25_topk",
     "semdedup_prune",
     "quality_classifier",
+    "bpe_train",
     "corpus_curate",
     "coloc",
     "ecaviar_clpp",
@@ -166,10 +167,10 @@ _SNAPSHOT_PRIORITY = [
     "l2g_coloc_features",
     "l2g_feature_matrix",
     # (b) freshness rotation, stalest-first: the remaining r10 cohort
-    # (36 of 37 keys; zipf_fit defers to r15) -- after this window
-    # min(last-driver-green) >= r11 for every key except zipf_fit
-    # (r13 verdict item 10, traded one slot for the four new-key
-    # certifications above).
+    # (35 of 37 keys; zipf_fit + salted_join defer to r15) -- after
+    # this window min(last-driver-green) >= r11 for every key except
+    # the two deferrals (r13 verdict item 10, two slots traded for the
+    # five new-key certifications above).
     "ann_recall_eval",
     "carma_outliers",
     "chunk_documents",
@@ -201,7 +202,6 @@ _SNAPSHOT_PRIORITY = [
     "pics_finemap",
     "pics_finemap_indexed",
     "quality_gopher",
-    "salted_join",
     "source_drift",
     "study_locus_qc_flags",
     "synthetic_sumstats",

@@ -71,3 +71,24 @@ def test_quality_classifier_score_bounds(spark):
         assert lo - 1e-6 <= r.quality_score <= hi + 1e-6
         assert r.keep == (r.quality_score >= 0.5)
         assert r.n_tokens > 0
+
+
+def test_bpe_train_merge_invariants(spark):
+    """Every new pair created by a merge sits inside an occurrence of
+    the merged pair, so the argmax pair count is NON-INCREASING across
+    steps — the core monotonicity of the BPE trainer."""
+    from gentropy_spark.plans.llm_pipeline import (
+        BPE_TRAIN_MERGES,
+        q_bpe_train,
+    )
+
+    rows = sorted(q_bpe_train(spark, SF).collect(), key=lambda r: r.step)
+    assert [r.step for r in rows] == list(range(1, BPE_TRAIN_MERGES + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.pair_count >= b.pair_count
+    merged = set()
+    for r in rows:
+        # a merge is two space-separated symbols, never re-merged
+        assert " " in r.merged_pair and r.merged_pair not in merged
+        merged.add(r.merged_pair)
+        assert r.pair_count > 0
