@@ -3913,6 +3913,14 @@ REGISTRY["bm25_topk"] = QuerySpec(q_bm25_topk, BM25_SQL)
 # within-cluster semantic duplicates, keeping — among near-dups — the
 # examples FARTHEST from the centroid (they carry the most signal).
 SEMDEDUP_EPS = 0.3  # within-cluster cosine above this = semantic dup
+# Target cluster occupancy: K = max(KMEANS_K, ceil(n / TARGET_OCC)), so
+# within-cluster pair work stays ~n * TARGET_OCC / 2 — LINEAR in the
+# corpus — instead of quadratic under a fixed K. This is exactly how
+# the published algorithm scales (cluster count grows with the data).
+# At sf<=0.1 (n <= 2000 <= 8*256) the formula yields K = KMEANS_K, so
+# small-scale outputs are unchanged; the 10x probe measured the fixed-K
+# form NOT shrinking (15.8x -> 22.2x) and this form shrinking.
+SEMDEDUP_TARGET_OCC = 256
 
 
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3920,15 +3928,17 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Assignment reuses the kmeans_step convention (deterministic
     centroids = the K lowest vec_ids, broadcast; 6dp-rounded distances
-    before the argmin). Within each cluster, members are ordered by
+    before the argmin), with K ADAPTIVE to the corpus size (see
+    SEMDEDUP_TARGET_OCC — K rides a broadcast 1-row aggregate, no
+    driver-side count). Within each cluster, members are ordered by
     keep-priority (dist2 DESC, vec_id — farthest-from-centroid kept
     first, the published heuristic); a member is PRUNED if its cosine
     to any higher-priority member reaches SEMDEDUP_EPS. The pair join
-    is an equi-join on centroid_id — never a corpus cross join — so
-    pair work is sum(|cluster|^2), which the published algorithm
-    bounds by scaling K with the corpus (fixed cluster occupancy).
-    Cosine rides the Arrow-batched pair kernel (constant plan size,
-    left-to-right float64 — bit-identical to list_dot_product).
+    is an equi-join on centroid_id — never a corpus cross join — and
+    adaptive K bounds expected occupancy, so pair work is linear in
+    the corpus at fixed TARGET_OCC. Cosine rides the Arrow-batched
+    pair kernel (constant plan size, left-to-right float64 —
+    bit-identical to list_dot_product).
     """
     from pyspark.sql import Window
 
@@ -3940,8 +3950,16 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    k_row = vecs.agg(
+        F.greatest(
+            F.lit(KMEANS_K).cast("long"),
+            F.ceil(F.count("*") / F.lit(float(SEMDEDUP_TARGET_OCC))),
+        ).alias("_k")
+    )
+    cents = (
+        vecs.crossJoin(F.broadcast(k_row))
+        .filter(F.col("vec_id") < F.col("_k"))
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("c"))
     )
     d2 = F.aggregate(
         F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
@@ -3996,8 +4014,11 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_SQL = f"""
 WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS centroid_id, v AS c FROM vecs
-          WHERE vec_id < {KMEANS_K}),
+kv AS (SELECT GREATEST({KMEANS_K}, CAST(CEIL(
+         COUNT(*) / {float(SEMDEDUP_TARGET_OCC)!r}::DOUBLE) AS BIGINT))
+         AS k FROM vecs),
+cents AS (SELECT vec_id AS centroid_id, v AS c FROM vecs, kv
+          WHERE vec_id < kv.k),
 scored AS (
   SELECT vecs.vec_id, cents.centroid_id,
          ROUND(list_sum(list_transform(list_zip(v, c),

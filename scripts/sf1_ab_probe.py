@@ -184,10 +184,13 @@ def main() -> None:
         shutil.rmtree(big_dir, ignore_errors=True)
 
     if keys_arg:
+        # Marker "## Keyed A/B" is RESERVED for this mode — the doc
+        # also carries hand-written "## Targeted A/B ..." narrative
+        # sections that a --keys rerun must never section-replace
+        # (it did, twice, in r14).
         lines = [
             "",
-            f"## Targeted A/B at {REP}x sf0.1 (r13, verdict #3; staged in "
-            f"{stage_s:.0f}s)",
+            f"## Keyed A/B at {REP}x sf0.1 (staged in {stage_s:.0f}s)",
             "",
             "The remaining >2x >=1s sf0.1 queries, floor theory measured:",
             "both engines, bench measurement method, min-of-2, adjacent",
@@ -214,7 +217,7 @@ def main() -> None:
                 "Every targeted ratio shrinks with scale — the sf0.1 "
                 "overshoots are per-job constants, not plan defects."
             )
-        marker = "## Targeted A/B at "
+        marker = "## Keyed A/B at "
     elif heavy_mode:
         lines = [
             "",
