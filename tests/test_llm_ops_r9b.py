@@ -340,6 +340,7 @@ def test_ann_recall_eval_consistent_with_components(spark, sf_dir):
         q_ann_cosine_topk,
         q_ann_ivf,
         q_ann_lsh,
+        q_ann_pq,
         q_ann_recall_eval,
     )
 
@@ -356,9 +357,13 @@ def test_ann_recall_eval_consistent_with_components(spark, sf_dir):
             (r["query_id"], r["corpus_id"])
             for r in q_ann_ivf(spark, sf_dir).collect()
         },
+        "pq": {
+            (r["query_id"], r["corpus_id"])
+            for r in q_ann_pq(spark, sf_dir).collect()
+        },
     }
     rows = q_ann_recall_eval(spark, sf_dir).collect()
-    assert len(rows) == 2 * len({q for q, _ in truth})
+    assert len(rows) == 3 * len({q for q, _ in truth})
     for r in rows:
         got = {
             p for p in retrieved[r["method"]] if p[0] == r["query_id"]
