@@ -196,3 +196,25 @@ def test_susie_inf_fixture_hash_gate(spark):
 
     n, h = _fixture_hash(q_susie_inf(spark, "/root/testdata/sf0.001"))
     assert (n, h) == (136, "822d7bebab8a7287808966a5626a99c0")
+
+
+def test_rows_only_fixture_hash_gates(spark):
+    """Every remaining rows-only registry key gets the same pinned
+    value gate (r13 verdict item 9, extended r14): the kernels are
+    seeded and iteration-capped, so their full sf0.001 outputs have
+    ONE correct md5 each. The driver still records these keys
+    rows-only (the iterative loops are not SQL-expressible), but any
+    numeric drift now fails pytest the way an oracle mismatch would.
+    """
+    from gentropy_spark.plans.registry import full_registry
+
+    reg = full_registry()
+    pinned = {
+        "carma_finemap": (389, "09211a4fb0cc1dac34ee7942e57d9e38"),
+        "carma_shotgun_finemap": (136, "edfda6817d6581188a1e44c0be10fd8e"),
+        "susie_like_finemap": (389, "cd355051da7265bc5877ff5db78c9da5"),
+        "l2g_train_metrics": (1, "321ba94fd3e1310bb2308a63531e3252"),
+    }
+    for key, expected in pinned.items():
+        got = _fixture_hash(reg[key].fn(spark, "/root/testdata/sf0.001"))
+        assert got == expected, f"{key}: {got} != {expected}"
