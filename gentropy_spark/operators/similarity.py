@@ -186,6 +186,35 @@ def cosine_pairs_udf():
     return _cos
 
 
+def l2_pairs_udf():
+    """Arrow-batched pairwise squared-L2 — the assignment kernel for
+    centroid quantizers (kmeans convention).
+
+    Same parity argument as ``cosine_pairs_udf``: the per-dimension
+    accumulation is left-to-right float64 ((a-b)^2 added dim by dim),
+    bit-identical to the interpreted ``F.aggregate(zip_with(...))``
+    form and to DuckDB's ``list_sum(list_transform(...))``; rounding
+    stays OUTSIDE in the JVM. The HOF form evaluates INTERPRETED per
+    row — fine at (corpus x 8) cells, a single-task stall at
+    (200k x 782) cells (measured in the 100x probe) — while this
+    kernel is vectorized per Arrow batch and constant plan size.
+    """
+
+    @pandas_udf("double")
+    def _l2(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(va.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
+        acc = np.zeros(A.shape[0])
+        for i in range(A.shape[1]):
+            d = A[:, i] - B[:, i]
+            acc += d * d
+        return pd.Series(acc)
+
+    return _l2
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

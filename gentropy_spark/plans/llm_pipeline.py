@@ -3728,6 +3728,7 @@ BM25_K1P1 = 2.2  # k1 + 1, precomputed (NOT written as 1.2 + 1 anywhere)
 BM25_B = 0.75
 BM25_ONE_MINUS_B = 0.25
 BM25_TOP_K = 5
+BM25_MAX_QUERY_DOCS = 10_000
 
 
 def _gram_terms(df: DataFrame, id_col: str, alias: str) -> DataFrame:
@@ -3786,6 +3787,13 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed as DECIMAL(38,6) (order-free), idf's ln is IEEE-identical,
     and the per-query ranking orders on the rounded score with a
     doc_id tie-break.
+
+    Bounded-queries contract (the cosine_topk guard, measured reason:
+    the 100x replication probe): the broadcast query-term set and the
+    postings join both scale with |queries| x |query vocab|, so an
+    unbounded query side degrades toward all-pairs scoring. The guard
+    job is O(BM25_MAX_QUERY_DOCS) — a limit-count on the id column,
+    not a corpus pass.
     """
     from pyspark.sql import Window
 
@@ -3793,6 +3801,19 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gentropy_spark.session import track_cache
 
     docs = read_table(spark, sf_dir, "documents")
+    n_q = (
+        docs.filter(F.expr(_BENCH_PRED))
+        .select("doc_id")
+        .limit(BM25_MAX_QUERY_DOCS + 1)
+        .count()
+    )
+    if n_q > BM25_MAX_QUERY_DOCS:
+        raise ValueError(
+            f"bm25_topk is a bounded-query retrieval kernel "
+            f"(> {BM25_MAX_QUERY_DOCS} query docs); shard the query set "
+            f"or use the dedup/decontaminate pair producers for "
+            f"corpus-vs-corpus overlap"
+        )
     train = spread_if_narrow(docs.filter(~F.expr(_BENCH_PRED)), "doc_id")
     tf = track_cache(
         _gram_terms(train, "doc_id", "token")
@@ -3952,13 +3973,17 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from gentropy_spark.operators.dedup import spread_if_narrow
     from gentropy_spark.operators.similarity import (
         as_double,
         cosine_pairs_udf,
+        l2_pairs_udf,
     )
     from gentropy_spark.session import track_cache
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread_if_narrow(
+        read_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     k_row = vecs.agg(
         F.greatest(
@@ -3971,13 +3996,12 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < F.col("_k"))
         .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("c"))
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # Arrow-batched assignment distance: the interpreted HOF form is
+    # fine at (n x 8) cells but single-task-stalls at (200k x 782)
+    # under adaptive K (measured in the 100x probe). Values identical
+    # (left-to-right float64, rounded in the JVM).
     scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-        "dist2", F.round(d2, 6)
+        "dist2", F.round(l2_pairs_udf()(F.col("v"), F.col("c")), 6)
     )
     w_assign = Window.partitionBy("vec_id").orderBy("dist2", "centroid_id")
     w_prio = Window.partitionBy("centroid_id").orderBy(
@@ -4291,3 +4315,65 @@ def _bpe_train_sql() -> str:
 BPE_TRAIN_SQL = _bpe_train_sql()
 
 REGISTRY["bpe_train"] = QuerySpec(q_bpe_train, BPE_TRAIN_SQL)
+
+
+# --- E48: deterministic epoch shuffle + sharding ----------------------------
+EPOCH_SHUFFLE_SHARDS = 8
+EPOCH_SHUFFLE_EPOCH = 3  # fixed probe epoch; epoch is a free parameter
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-wise global shuffle + shard assignment
+    (SURVEY E48) — the training-data loader contract: every epoch is a
+    DIFFERENT pseudorandom permutation of the corpus, yet each is
+    byte-reproducible from (doc_id, epoch) alone, so any worker can
+    recompute its shard without coordination (the Grain / tf.data
+    deterministic-shuffle design).
+
+    position key = poly_hash(doc_id || ':' || epoch) — the cross-engine
+    Horner hash, so permutations match DuckDB bit-for-bit; shard = key
+    % n_shards; within-shard order = one window over the shard
+    partition (shuffle ∝ corpus, partitioned by shard — at cluster
+    scale each shard sorts independently; no global sort, no driver
+    state). Ties (hash collisions) break by doc_id.
+    """
+    from pyspark.sql import Window
+
+    from gentropy_spark.functions.xhash import poly_hash
+
+    docs = read_table(spark, sf_dir, "documents")
+    key = poly_hash(
+        F.concat_ws(":", F.col("doc_id"), F.lit(EPOCH_SHUFFLE_EPOCH)),
+        nchars=24,
+    )
+    keyed = docs.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        (key % EPOCH_SHUFFLE_SHARDS).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("int").alias("position"),
+    )
+
+
+_EPOCH_KEY_SQL = poly_hash_sql(
+    f"(doc_id || ':' || {EPOCH_SHUFFLE_EPOCH})", 24
+)
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, {_EPOCH_KEY_SQL} AS shuffle_key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(shuffle_key % {EPOCH_SHUFFLE_SHARDS} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY shuffle_key % {EPOCH_SHUFFLE_SHARDS}
+         ORDER BY shuffle_key, doc_id) AS INT) AS position
+FROM keyed
+"""
+
+REGISTRY["epoch_shuffle"] = QuerySpec(q_epoch_shuffle, EPOCH_SHUFFLE_SQL)

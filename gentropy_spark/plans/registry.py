@@ -145,17 +145,19 @@ _SNAPSHOT_PRIORITY = [
     # checkpoint), l2g_coloc_features + l2g_feature_matrix (consume the
     # r13 coloc staged projection + the extra_aggs plumbing -- the r13
     # advice backlog), ann_pq_topk + bm25_topk + semdedup_prune +
-    # quality_classifier + bpe_train (NEW keys this round -- no driver
-    # evidence yet; they displace ann_lsh_bucketed / ann_cosine_topk /
-    # ann_ivf_topk, whose r11 evidence stays within the min>=r11
-    # freshness bar, and zipf_fit + salted_join, the two r10 keys
-    # deferred to r15 -- certifying a never-certified key outranks
-    # refreshing a stale green one).
+    # quality_classifier + bpe_train + epoch_shuffle (NEW keys this
+    # round -- no driver evidence yet; they displace ann_lsh_bucketed
+    # / ann_cosine_topk / ann_ivf_topk, whose r11 evidence stays
+    # within the min>=r11 freshness bar, and zipf_fit / salted_join /
+    # synthetic_sumstats, three r10 keys deferred to r15, each with
+    # strong standing pytest coverage -- certifying a never-certified
+    # key outranks refreshing a stale green one).
     "ann_pq_topk",
     "bm25_topk",
     "semdedup_prune",
     "quality_classifier",
     "bpe_train",
+    "epoch_shuffle",
     "corpus_curate",
     "coloc",
     "ecaviar_clpp",
@@ -167,10 +169,11 @@ _SNAPSHOT_PRIORITY = [
     "l2g_coloc_features",
     "l2g_feature_matrix",
     # (b) freshness rotation, stalest-first: the remaining r10 cohort
-    # (35 of 37 keys; zipf_fit + salted_join defer to r15) -- after
-    # this window min(last-driver-green) >= r11 for every key except
-    # the two deferrals (r13 verdict item 10, two slots traded for the
-    # five new-key certifications above).
+    # (34 of 37 keys; zipf_fit + salted_join + synthetic_sumstats
+    # defer to r15) -- after this window min(last-driver-green) >= r11
+    # for every key except the three deferrals (r13 verdict item 10;
+    # three slots traded for the six new-key certifications above, and
+    # every deferral is value-exact in the committed r14 sf0.1 sweep).
     "ann_recall_eval",
     "carma_outliers",
     "chunk_documents",
@@ -204,7 +207,6 @@ _SNAPSHOT_PRIORITY = [
     "quality_gopher",
     "source_drift",
     "study_locus_qc_flags",
-    "synthetic_sumstats",
     "upsert_sink_drain",
 ]
 

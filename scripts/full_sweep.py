@@ -1,0 +1,126 @@
+"""Full-registry value-exact sweep vs the DuckDB oracle at one SF.
+
+The committed artifact (docs/SWEEP_r{N}_sf01.json) is the standing
+evidence for keys outside the driver's 50-key correctness window:
+every oracle key compared sorted-row/sorted-column exact, rows-only
+keys executed and counted. Mirrors the driver's compare (NaN
+normalized, isoformat timestamps) in a vanilla-shape session.
+
+Run: python scripts/full_sweep.py [--sf-dir DIR] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--note", default="")
+    args = ap.parse_args()
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from gentropy_spark.plans import full_registry
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count()}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+        )
+    reg = full_registry()
+    per_key: dict[str, dict] = {}
+    fails: list[str] = []
+    n_ok = n_rows_only = 0
+    t_start = time.perf_counter()
+    for name, spec in reg.items():
+        t0 = time.perf_counter()
+        try:
+            sdf = spec.fn(spark, args.sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            if spec.oracle is None:
+                n_rows_only += 1
+                per_key[name] = {
+                    "status": "rows_only",
+                    "rows": len(srows),
+                    "sec": round(time.perf_counter() - t0, 2),
+                }
+                continue
+            res = con.execute(spec.oracle)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            scols = sdf.columns
+            si = sorted(range(len(scols)), key=lambda i: scols[i])
+            di = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            ok = sorted(scols) == sorted(dcols) and sorted(
+                (tuple(_norm(r[i]) for i in si) for r in srows), key=repr
+            ) == sorted(
+                (tuple(_norm(r[i]) for i in di) for r in drows), key=repr
+            )
+        except Exception as exc:  # noqa: BLE001
+            per_key[name] = {
+                "status": "error",
+                "err": str(exc).split("\n")[0][:200],
+            }
+            fails.append(name)
+            continue
+        per_key[name] = {
+            "status": "exact" if ok else "MISMATCH",
+            "rows": len(srows),
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+        if ok:
+            n_ok += 1
+        else:
+            fails.append(name)
+    payload = {
+        "head_note": args.note
+        or (
+            "full-registry value-exact sweep at sf0.1 (vanilla-shape "
+            "session, 48g driver, sorted-row compare vs DuckDB oracle)"
+        ),
+        "sf": 0.1,
+        "oracle_ok": n_ok,
+        "rows_only": n_rows_only,
+        "fails": fails,
+        "wall_sec": round(time.perf_counter() - t_start, 1),
+        "per_key": per_key,
+    }
+    out = args.out or "docs/SWEEP_sf01.json"
+    with open(out, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(f"oracle_ok={n_ok} rows_only={n_rows_only} fails={fails} -> {out}")
+
+
+if __name__ == "__main__":
+    main()

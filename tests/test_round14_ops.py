@@ -92,3 +92,33 @@ def test_bpe_train_merge_invariants(spark):
         assert " " in r.merged_pair and r.merged_pair not in merged
         merged.add(r.merged_pair)
         assert r.pair_count > 0
+
+
+def test_epoch_shuffle_is_a_permutation_and_epoch_sensitive(spark):
+    from gentropy_spark.plans.llm_pipeline import (
+        EPOCH_SHUFFLE_SHARDS,
+        q_epoch_shuffle,
+    )
+    import gentropy_spark.plans.llm_pipeline as lp
+
+    rows = q_epoch_shuffle(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    # a permutation: every doc exactly once, positions contiguous per shard
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.shard < EPOCH_SHUFFLE_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.position)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # a DIFFERENT epoch gives a different permutation (same doc set)
+    old = lp.EPOCH_SHUFFLE_EPOCH
+    try:
+        lp.EPOCH_SHUFFLE_EPOCH = old + 1
+        rows2 = q_epoch_shuffle(spark, SF).collect()
+    finally:
+        lp.EPOCH_SHUFFLE_EPOCH = old
+    assert {(r.doc_id, r.shard, r.position) for r in rows2} != {
+        (r.doc_id, r.shard, r.position) for r in rows
+    }
