@@ -30,6 +30,13 @@ AUDIT = {
     "merge_upsert": "Full-outer sort-merge on the key; change-set aggregation partial-agg'd before the join.",
     "decontaminate": "Benchmark shingles deduped small then broadcast; training side aggregates ride one shuffle.",
     "pii_redact": "Pure regexp projection over the scan: zero exchanges, full whole-stage codegen.",
+    "bm25_topk": "Inverted-index retrieval: postings from ONE corpus scan (partial-agg tf), broadcast query-term set, df on the query-vocabulary slice only, broadcast 1-row (N, avgdl); per-term contributions 6dp-rounded then DECIMAL-summed; bounded-query guard (BM25_MAX_QUERY_DOCS) keeps the broadcast side small by contract.",
+    "semdedup_prune": "Adaptive-K centroid assignment (K = ceil(n/256) via broadcast 1-row aggregate) -> Arrow-batched l2_pairs_udf distance (the interpreted HOF form single-task-stalled at 200k x 782 in the 100x probe) -> within-cluster equi-join pairs (never a corpus cross join) -> Arrow cosine verify. Pair work linear in corpus at fixed target occupancy.",
+    "quality_classifier": "Zero UDFs: cross-engine Horner hash to 512 buckets, integer LCG weights, EXACT int64 logit accumulation (S/(M*L) - 0.5 -- no float sum order exists), one sigmoid projection, one partial-agg groupBy on doc_id.",
+    "bpe_train": "K=4 declarative merge stages over the aggregated word dictionary (corpus-sized work = ONE vocab groupBy); per stage: adjacent-pair partial-agg counts, deterministic sort-limit argmax broadcast as a 1-row build side, space-sentinel replace merge. Loop cost independent of corpus size.",
+    "epoch_shuffle": "Hash-keyed permutation: one projection (Horner hash of doc_id:epoch), shard-partitioned window for positions -- no global sort, shuffle only on the shard key.",
+    "ann_pq_topk": "PQ encode via per-subspace codebook broadcast + ROUND-before-argmin; ADC distances DECIMAL-summed per (query, corpus) pair so ranking is partition-order-free; exact-cosine rerank only on the k winners.",
+    "finemap_calibration": "Driver-side seeded simulation by nature (the reference harness posture); report row pinned as a VALUES-literal oracle.",
     "corpus_curate": "Six pipeline stages as ONE DAG: shared document scan, broadcast joins for small sides, final two-level pack. r12: is_canonical via broadcast ANTI join on the tiny non-canonical drop set (no corpus-wide cluster window in the curation path). r13: the quality gate and language ID are FUSED into the document scan (one staged projection, zero joins -- was 2 scans + 2 doc_id joins), and decontamination runs the Bloom probe (E20b scale posture: fixed 4096-word broadcast array, no benchmark-shingle equi-join; oracle updated to the bloom semantics, bit-identical). r14: the scored-doc projection is persisted (track_cache) -- predicate pushdown was substituting the sampling key's interpreted langid HOF chain down into the scan Filter and re-evaluating it per row (3.8s single-task CPU on the event-log timeline); the cache-fill plan has no downstream predicates, the spread repartition parallelizes the fill, and both cumsum fork branches read the cache. Pair table via the prepared-plan memo; drop-set anti-join broadcast explicitly.",
     "kmeans_step": "Broadcast centroids; HOF distances in codegen; one partial-agg groupBy for occupancy stats.",
     "hopping_window_agg": "Window-membership explode + partial-agg groupBy; shuffle = overlap factor, no range join.",
