@@ -122,3 +122,48 @@ def test_epoch_shuffle_is_a_permutation_and_epoch_sensitive(spark):
     assert {(r.doc_id, r.shard, r.position) for r in rows2} != {
         (r.doc_id, r.shard, r.position) for r in rows
     }
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_semdedup_assignment_is_arrow_not_hof(spark):
+    """Scale-posture pin (the 100x finding): the centroid-assignment
+    distance must ride the Arrow-batched l2 kernel — an interpreted
+    `aggregate(zip_with(...))` HOF in the assignment projection
+    single-task-stalls at adaptive-K scale. Also pins the broadcast
+    shape: centroids and the K row are broadcast, never shuffled."""
+    from gentropy_spark.plans.llm_pipeline import q_semdedup_prune
+
+    plan = _formatted(q_semdedup_prune(spark, SF))
+    assert "ArrowEvalPython" in plan, plan[:2000]
+    assert "aggregate(zip_with" not in plan
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row K + centroid builds
+
+
+def test_bm25_broadcasts_query_side_and_prunes_scan(spark):
+    """The postings join must BROADCAST the (tiny by contract) query
+    term set — a shuffled query side would re-exchange the corpus-
+    sized postings — and the documents scan must prune to the two
+    referenced columns."""
+    from gentropy_spark.plans.llm_pipeline import q_bm25_topk
+
+    plan = _formatted(q_bm25_topk(spark, SF))
+    assert plan.count("BroadcastExchange") >= 2  # qtok, qterms (+stats)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_epoch_shuffle_single_exchange(spark):
+    """One shuffle on the shard key; the position window must reuse
+    it — a global sort would serialize the permutation."""
+    from gentropy_spark.plans.llm_pipeline import q_epoch_shuffle
+
+    plan = _formatted(q_epoch_shuffle(spark, SF))
+    import re
+
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex == 1, f"expected 1 exchange, got {n_ex}:\n{plan}"
