@@ -318,6 +318,33 @@ def append_study_metadata(
     )
 
 
+def annotate_study_type(
+    locus_df: DataFrame,
+    study_index: DataFrame,
+    *,
+    study_id_col: str = "study_id",
+    study_type_col: str = "study_type",
+) -> DataFrame:
+    """Annotate a study-locus table with its study's type.
+
+    Reference: dataset/study_locus.py:233 ``annotate_study_type`` —
+    drop any stale ``studyType`` column, then LEFT join the study
+    index's ``study_type_lut()`` (study_index.py:226, a 2-column
+    (studyId, studyType) projection) on ``studyId``. Loci whose study
+    is absent from the index keep a NULL type (a left join, never a
+    filter — the MISSING_STUDY case is a separate QC verb).
+
+    Spark-first shape: the LUT is a dimension (one row per study), so
+    it broadcasts — the locus fact table is never shuffled. This is
+    the StudyLocus-side sibling of ``append_study_metadata`` above
+    (which serves the colocalisation table's left/right sides).
+    """
+    lut = study_index.select(study_id_col, study_type_col)
+    return locus_df.drop(study_type_col).join(
+        F.broadcast(lut), on=study_id_col, how="left"
+    )
+
+
 def drop_trans_effects(
     coloc_df: DataFrame,
     study_locus: DataFrame,

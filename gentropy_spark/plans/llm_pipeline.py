@@ -3792,8 +3792,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100x replication probe): the broadcast query-term set and the
     postings join both scale with |queries| x |query vocab|, so an
     unbounded query side degrades toward all-pairs scoring. The guard
-    job is O(BM25_MAX_QUERY_DOCS) — a limit-count on the id column,
-    not a corpus pass.
+    is LAZY (r14 advisory): a limit-bounded 1-row count of query ids
+    rides the stats build side, and a raise_error branch guards the
+    avgdl every scored row consumes — so building/explaining the plan
+    stays job-free like every other q_* builder, and the bound is
+    enforced at execution before any postings work completes. The
+    guard subplan is O(BM25_MAX_QUERY_DOCS), not a corpus pass.
     """
     from pyspark.sql import Window
 
@@ -3805,15 +3809,14 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.expr(_BENCH_PRED))
         .select("doc_id")
         .limit(BM25_MAX_QUERY_DOCS + 1)
-        .count()
+        .agg(F.count("*").alias("_nq"))
     )
-    if n_q > BM25_MAX_QUERY_DOCS:
-        raise ValueError(
-            f"bm25_topk is a bounded-query retrieval kernel "
-            f"(> {BM25_MAX_QUERY_DOCS} query docs); shard the query set "
-            f"or use the dedup/decontaminate pair producers for "
-            f"corpus-vs-corpus overlap"
-        )
+    guard_msg = (
+        f"bm25_topk is a bounded-query retrieval kernel "
+        f"(> {BM25_MAX_QUERY_DOCS} query docs); shard the query set "
+        f"or use the dedup/decontaminate pair producers for "
+        f"corpus-vs-corpus overlap"
+    )
     train = spread_if_narrow(docs.filter(~F.expr(_BENCH_PRED)), "doc_id")
     tf = track_cache(
         _gram_terms(train, "doc_id", "token")
@@ -3821,11 +3824,26 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     dl = track_cache(tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")))
-    stats = dl.agg(
-        F.count("*").alias("n_train"),
-        (
-            F.sum("dl").cast("double") / F.count("*").cast("double")
-        ).alias("avgdl"),
+    stats = (
+        dl.agg(
+            F.count("*").alias("n_train"),
+            (
+                F.sum("dl").cast("double") / F.count("*").cast("double")
+            ).alias("avgdl"),
+        )
+        .crossJoin(F.broadcast(n_q))
+        .select(
+            "n_train",
+            # F.when short-circuits, so raise_error only fires when the
+            # bound is actually exceeded — at execution, not build.
+            F.when(
+                F.col("_nq") <= F.lit(BM25_MAX_QUERY_DOCS), F.col("avgdl")
+            )
+            .otherwise(
+                F.raise_error(F.lit(guard_msg)).cast("double")
+            )
+            .alias("avgdl"),
+        )
     )
     # Query side: small by contract (the benchmark split) — no spread.
     qterms = (
@@ -3964,12 +3982,22 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side count). Within each cluster, members are ordered by
     keep-priority (dist2 DESC, vec_id — farthest-from-centroid kept
     first, the published heuristic); a member is PRUNED if its cosine
-    to any higher-priority member reaches SEMDEDUP_EPS. The pair join
-    is an equi-join on centroid_id — never a corpus cross join — and
-    adaptive K bounds expected occupancy, so pair work is linear in
-    the corpus at fixed TARGET_OCC. Cosine rides the Arrow-batched
-    pair kernel (constant plan size, left-to-right float64 —
-    bit-identical to list_dot_product).
+    to any higher-priority member reaches SEMDEDUP_EPS. The
+    WITHIN-CLUSTER pair join is an equi-join on centroid_id — never a
+    corpus cross join — and adaptive K bounds expected occupancy, so
+    that leg's pair work is linear in the corpus at fixed TARGET_OCC.
+    The ASSIGNMENT leg is not: it is an n x K broadcast crossJoin,
+    i.e. O(n^2 / TARGET_OCC) distance evaluations under adaptive K,
+    with a broadcast centroid side that grows O(n / TARGET_OCC) —
+    fine to ~10M vectors (K ~ 40k centroids x 782 floats ~ 128 MB
+    broadcast), after which assignment needs its own index (sampled /
+    LSH-bucketed centroid join, the FAISS two-level pattern) rather
+    than a broadcast. The 100x probe measured the whole key 8.1x for
+    100x data — assignment's quadratic term is not yet dominant at
+    probe scale, but the ceiling is real and documented here (r14
+    advisory). Cosine rides the Arrow-batched pair kernel (constant
+    plan size, left-to-right float64 — bit-identical to
+    list_dot_product).
     """
     from pyspark.sql import Window
 
@@ -4176,6 +4204,31 @@ REGISTRY["quality_classifier"] = QuerySpec(q_quality_classifier, QCLS_SQL)
 # --- E47: full BPE trainer loop --------------------------------------------
 BPE_TRAIN_MERGES = 4
 
+# Greedy left-to-right merge of the 1-row pair `_bp` ("A B") into the
+# space-joined symbol string `sym`, as a left fold over the symbol
+# array. Non-overlap is structural: the accumulator's last token only
+# matches A if it is an ORIGINAL A — a just-merged token is the string
+# A||B, which can never equal A (B non-empty) — so runs like
+# 'l l l l' under pair (l,l) merge to 'll ll' (string replace with
+# space sentinels consumes the shared boundary space and under-merges
+# to 'll l l'; see the r14 advisory). Mirrored by the DuckDB
+# list_reduce fold in _bpe_train_sql(), proven step-equivalent in
+# tests/test_round14_ops.py::test_bpe_merge_fold_adjacent_occurrences.
+BPE_MERGE_FOLD_EXPR = """
+  array_join(
+    aggregate(
+      split(sym, ' '),
+      cast(array() as array<string>),
+      (acc, x) -> IF(size(acc) > 0
+                     AND element_at(acc, -1) = element_at(split(_bp, ' '), 1)
+                     AND x = element_at(split(_bp, ' '), 2),
+                     concat(slice(acc, 1, size(acc) - 1),
+                            array(concat(element_at(split(_bp, ' '), 1),
+                                         element_at(split(_bp, ' '), 2)))),
+                     concat(acc, array(x)))
+    ), ' ')
+"""
+
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full BPE merge loop (Sennrich et al. 2016) — K merge
@@ -4189,11 +4242,19 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. Each iteration is a declarative stage — adjacent-pair counts
     from the symbolized words, the argmax pair via a deterministic
     sort-limit (count DESC, pair ASC), and a greedy left-to-right
-    merge via space-sentinel string replace (the non-overlapping
-    left-to-right semantics of replace() IS the BPE merge order; the
-    pattern re-emits its boundary spaces so runs like 'l l l l'
-    cascade correctly in one pass). The merged pair broadcasts as a
-    1-row build side; nothing collects to the driver.
+    merge as a LEFT FOLD over the symbol array (aggregate HOF)
+    carrying the merged prefix. String replace() is WRONG here:
+    ' l l l l '.replace(' l l ', ' ll ') consumes the shared boundary
+    space and yields 'll l l', not the Sennrich greedy 'll ll' —
+    adjacent occurrences under-merge (r14 advisory). The fold needs no
+    just-merged flag because the merged token A||B can never
+    string-equal A (B is non-empty), so a token produced this pass can
+    never chain into another merge of the same pair. The merged pair
+    broadcasts as a 1-row build side; nothing collects to the driver.
+    ``localCheckpoint`` between iterations truncates lineage so
+    iteration K plans against a materialised state instead of K
+    chained aggregations (the dup_pagerank lesson; cut the 100x-probe
+    growth).
 
     Output: one row per merge step — (step, merged_pair, pair_count),
     the merge table a BPE tokenizer ships as its model artifact.
@@ -4247,21 +4308,12 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges = (
             merge_row if merges is None else merges.unionByName(merge_row)
         )
-        merged = F.replace(F.col("_bp"), F.lit(" "), F.lit(""))
         state = (
             state.crossJoin(
                 F.broadcast(best.select(F.col("pair").alias("_bp")))
             )
-            .select(
-                "n",
-                F.trim(
-                    F.replace(
-                        F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
-                        F.concat(F.lit(" "), F.col("_bp"), F.lit(" ")),
-                        F.concat(F.lit(" "), merged, F.lit(" ")),
-                    )
-                ).alias("sym"),
-            )
+            .select("n", F.expr(BPE_MERGE_FOLD_EXPR).alias("sym"))
+            .localCheckpoint(eager=False)
         )
     return merges
 
@@ -4297,9 +4349,16 @@ def _bpe_train_sql() -> str:
             "  ORDER BY pair_count DESC, pair LIMIT 1",
             "),",
             f"st{k} AS MATERIALIZED (",
-            "  SELECT n, trim(replace(' ' || sym || ' ',",
-            "    ' ' || b.pair || ' ',",
-            "    ' ' || replace(b.pair, ' ', '') || ' ')) AS sym",
+            "  SELECT n, CASE WHEN len(string_split(sym, ' ')) = 1 THEN sym",
+            "  ELSE list_reduce(string_split(sym, ' '),",
+            "    (acc, x) -> CASE",
+            "      WHEN regexp_extract(acc, '[^ ]*$')"
+            " = split_part(b.pair, ' ', 1)",
+            "       AND x = split_part(b.pair, ' ', 2)",
+            "      THEN regexp_replace(acc, '[^ ]*$',",
+            "        split_part(b.pair, ' ', 1)"
+            " || split_part(b.pair, ' ', 2))",
+            "      ELSE acc || ' ' || x END) END AS sym",
             f"  FROM {prev}, b{k} b",
             "),",
         ]

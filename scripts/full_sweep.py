@@ -39,6 +39,11 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None)
     ap.add_argument("--note", default="")
+    ap.add_argument(
+        "--keys",
+        default=None,
+        help="comma-separated registry-key subset (default: all)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -59,6 +64,12 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
         )
     reg = full_registry()
+    if args.keys:
+        want = [k.strip() for k in args.keys.split(",") if k.strip()]
+        missing = [k for k in want if k not in reg]
+        if missing:
+            raise SystemExit(f"unknown registry keys: {missing}")
+        reg = {k: reg[k] for k in want}
     per_key: dict[str, dict] = {}
     fails: list[str] = []
     n_ok = n_rows_only = 0

@@ -80,14 +80,19 @@ def _time(spark, registry, name: str, sf_dir: str, runs: int = 2) -> float:
 
 
 def main() -> None:
+    import argparse
+
     from gentropy_spark.plans import full_registry
     from gentropy_spark.session import get_session, release_caches
 
-    keys_arg = next(
-        (a.split("=", 1)[1] for a in sys.argv if a.startswith("--keys=")),
-        None,
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--keys",
+        default=None,
+        help="comma-separated registry keys (default: the pipeline set)",
     )
-    keys = keys_arg.split(",") if keys_arg else DEFAULT_KEYS
+    args = ap.parse_args()
+    keys = args.keys.split(",") if args.keys else DEFAULT_KEYS
     registry = full_registry()
     unknown = [k for k in keys if k not in registry]
     if unknown:

@@ -41,6 +41,27 @@ def test_bm25_ranking_invariants(spark):
             assert qid % 10 == 0 and r.doc_id % 10 != 0
 
 
+def test_bm25_query_bound_guard_is_lazy(spark):
+    """r14 advisory (low): the bounded-queries guard must not run a
+    Spark job at plan-BUILD time (plan audits / gen_plans_doc build
+    every q_* lazily) — it fires via raise_error at execution."""
+    import pytest
+
+    import gentropy_spark.plans.llm_pipeline as lp
+
+    old = lp.BM25_MAX_QUERY_DOCS
+    try:
+        lp.BM25_MAX_QUERY_DOCS = 0
+        # build + explain must succeed (no eager job, no raise)
+        df = lp.q_bm25_topk(spark, SF)
+        df.explain()
+        with pytest.raises(Exception, match="bounded-query"):
+            df.collect()
+    finally:
+        lp.BM25_MAX_QUERY_DOCS = old
+    assert len(lp.q_bm25_topk(spark, SF).take(1)) == 1
+
+
 def test_semdedup_priority_one_always_kept(spark):
     """The published rule keeps the farthest-from-centroid member of
     every near-dup group — so the cluster's priority-1 member (no
@@ -92,6 +113,79 @@ def test_bpe_train_merge_invariants(spark):
         assert " " in r.merged_pair and r.merged_pair not in merged
         merged.add(r.merged_pair)
         assert r.pair_count > 0
+
+
+def test_bpe_merge_fold_adjacent_occurrences(spark, tmp_path):
+    """r14 advisory (high): space-sentinel replace under-merges
+    adjacent occurrences of the best pair — ' l l l l ' must merge to
+    'll ll', not 'll l l'. Pin the fold implementation against an
+    INDEPENDENT Python Sennrich reference (greedy left-to-right,
+    non-overlapping, count-DESC / pair-ASC tie-break) on a corpus
+    crafted so the winning pairs cascade through adjacent runs
+    ('llll') and a tie is broken lexicographically — and prove the
+    Spark fold and the DuckDB list_reduce oracle both match it.
+    """
+    import duckdb
+    import pandas as pd
+
+    from gentropy_spark.plans.llm_pipeline import (
+        BPE_TRAIN_MERGES,
+        BPE_TRAIN_SQL,
+        q_bpe_train,
+    )
+
+    texts = ["llll llll", "llll", "anan anan banana", "ll lab lab"]
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+
+    # Independent reference: classic dict-of-symbol-tuples BPE.
+    def ref_bpe(word_freq: dict, k: int) -> list:
+        vocab = {tuple(w): f for w, f in word_freq.items()}
+        merges = []
+        for step in range(1, k + 1):
+            counts: dict = {}
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + f
+            best = min(counts, key=lambda p: (-counts[p], " ".join(p)))
+            merges.append((step, " ".join(best), counts[best]))
+            a, b = best
+            nxt = {}
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nxt[tuple(out)] = nxt.get(tuple(out), 0) + f
+            vocab = nxt
+        return merges
+
+    wf: dict = {}
+    for t in texts:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    expected = ref_bpe(wf, BPE_TRAIN_MERGES)
+    # the corpus is crafted so step 1 hits the adjacency cascade
+    assert expected[0] == (1, "l l", 10)
+
+    got_spark = sorted(
+        (r.step, r.merged_pair, r.pair_count)
+        for r in q_bpe_train(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    got_duck = sorted(tuple(r) for r in con.execute(BPE_TRAIN_SQL).fetchall())
+    assert got_spark == expected
+    assert got_duck == expected
 
 
 def test_epoch_shuffle_is_a_permutation_and_epoch_sensitive(spark):
