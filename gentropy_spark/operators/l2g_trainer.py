@@ -64,22 +64,53 @@ def fit_tree(
     configurable capacity (max_depth 5 there)."""
 
     def best_split(idx):
+        # Vectorized exact greedy (r15): the naive form recomputed an
+        # O(n) masked sum PER candidate threshold — O(n * |thresholds|)
+        # per feature, which made the sf0.1 trainer the dominant cost
+        # of the full-registry sweep (1469s of 2414s). Sort + prefix-sum
+        # gives the identical left-side (G, H) for every candidate in
+        # O(n log n): the left set of `x <= thr` is exactly the prefix
+        # of the value-sorted order up to searchsorted(thr, 'right').
+        # Prefix sums accumulate in sorted order where the old code
+        # summed in row order — both are exact greedy over the same
+        # candidate set; fixture deltas, if any, are float-roundoff at
+        # the 1e-12 gain-tie epsilon (re-pinned when this landed).
+        # The epsilon-chain tie-break ("update only when the gain beats
+        # the incumbent by >1e-12, first candidate wins otherwise") is
+        # replicated exactly by scanning to the next strict improvement
+        # instead of taking a vectorized argmax, which would prefer a
+        # later near-tied candidate the sequential scan rejects.
         best = None
+        cur = -np.inf
         Gt, Ht = g[idx].sum(), h[idx].sum()
         base = -(Gt * Gt) / (Ht + lam)
         for j in range(X.shape[1]):
-            vals = np.unique(np.round(X[idx, j], 6))
+            xj = X[idx, j]
+            vals = np.unique(np.round(xj, 6))
             if len(vals) < 2:
                 continue
-            for thr in (vals[:-1] + vals[1:]) / 2.0:
-                m = X[idx, j] <= thr
-                Gl, Hl = g[idx][m].sum(), h[idx][m].sum()
-                Gr, Hr = Gt - Gl, Ht - Hl
-                if Hl < min_child_weight or Hr < min_child_weight:
-                    continue
-                gain = base + (Gl * Gl) / (Hl + lam) + (Gr * Gr) / (Hr + lam)
-                if best is None or gain > best[0] + 1e-12:
-                    best = (gain, j, float(thr))
+            thrs = (vals[:-1] + vals[1:]) / 2.0
+            order = np.argsort(xj, kind="stable")
+            gs = np.cumsum(g[idx][order])
+            hs = np.cumsum(h[idx][order])
+            pos = np.searchsorted(xj[order], thrs, side="right")
+            Gl = np.where(pos > 0, gs[np.maximum(pos, 1) - 1], 0.0)
+            Hl = np.where(pos > 0, hs[np.maximum(pos, 1) - 1], 0.0)
+            Gr, Hr = Gt - Gl, Ht - Hl
+            gains = np.where(
+                (Hl >= min_child_weight) & (Hr >= min_child_weight),
+                base + (Gl * Gl) / (Hl + lam) + (Gr * Gr) / (Hr + lam),
+                -np.inf,
+            )
+            i = 0
+            while i < len(gains):
+                nxt = np.nonzero(gains[i:] > cur + 1e-12)[0]
+                if nxt.size == 0:
+                    break
+                i += int(nxt[0])
+                cur = float(gains[i])
+                best = (cur, j, float(thrs[i]))
+                i += 1
         return best
 
     def leaf(idx):

@@ -1030,6 +1030,177 @@ FROM per_island GROUP BY 1, 2
 REGISTRY["interval_coverage"] = QuerySpec(q_interval_coverage, INTERVAL_COVERAGE_SQL)
 
 
+# --- C12: boundary-bounded locus statistics --------------------------------
+def q_locus_statistics_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sumstat annotation bounded by locusStart/locusEnd (reference
+    dataset/study_locus.py:1342 ``annotate_locus_statistics_boundaries``):
+    join the FULL summary statistics (no significance filter) into each
+    locus_breaker locus wherever study+contig match and the position
+    falls inside the flanked [locus_start, locus_end] window, then
+    aggregate per locus.
+
+    This differs from ``locus_statistics`` (H11) in exactly the way the
+    reference's two verbs differ: H11 aggregates the CLUSTER MEMBERS
+    (baseline-significant points that formed the locus); this key
+    aggregates every tag inside the locus BOUNDARIES — sub-significant
+    points in the flanks included, and a tag inside two overlapping
+    flanked loci annotates both.
+
+    Spark-first shape: the clumped side is the dimension (the reference
+    broadcasts it too, study_locus.py:1365) — broadcast hash join on
+    (study_id, contig) with the range as a join filter, so the sumstat
+    fact table is scanned once and never shuffled; the per-locus
+    aggregation shuffles locus-grain rows only. The reference's
+    collect_list of tag structs is replaced by the aggregate statistics
+    (count / distinct positions / DECIMAL-exact signal mass) so the
+    result is hash-gateable; the LEFT join back to loci preserves the
+    reference's "no statistics found -> empty locus" semantics.
+    """
+    loci = q_locus_breaker(spark, sf_dir)
+    ss = sumstats(spark, sf_dir)
+    tagged = ss.join(
+        F.broadcast(
+            loci.select(
+                "study_id", "contig", "cluster_seq", "locus_start", "locus_end"
+            )
+        ),
+        on=["study_id", "contig"],
+    ).filter(
+        (F.col("pos") >= F.col("locus_start"))
+        & (F.col("pos") <= F.col("locus_end"))
+    )
+    agg = tagged.groupBy("study_id", "contig", "cluster_seq").agg(
+        F.count("*").alias("n_tags"),
+        F.countDistinct("pos").alias("n_unique_positions"),
+        F.sum(F.col("signif").cast(DEC)).cast("double").alias("tag_signal_mass"),
+    )
+    return (
+        loci.select(
+            "study_id",
+            "contig",
+            "cluster_seq",
+            "locus_start",
+            "locus_end",
+            "lead_pos",
+            "lead_signif",
+        )
+        .join(
+            # locus-grain build side: broadcast so the (equally small)
+            # loci side avoids a sort-merge exchange pair.
+            F.broadcast(agg),
+            on=["study_id", "contig", "cluster_seq"],
+            how="left",
+        )
+        .select(
+            "study_id",
+            "contig",
+            "cluster_seq",
+            "locus_start",
+            "locus_end",
+            "lead_pos",
+            "lead_signif",
+            F.coalesce(F.col("n_tags"), F.lit(0).cast("bigint")).alias("n_tags"),
+            F.coalesce(
+                F.col("n_unique_positions"), F.lit(0).cast("bigint")
+            ).alias("n_unique_positions"),
+            F.coalesce(F.col("tag_signal_mass"), F.lit(0.0)).alias(
+                "tag_signal_mass"
+            ),
+        )
+    )
+
+
+LOCUS_STATS_BOUNDARIES_SQL = f"""
+WITH loci AS ({LOCUS_BREAKER_SQL}),
+ss AS ({SUMSTATS_SQL}),
+agg AS (
+  SELECT l.study_id, l.contig, l.cluster_seq,
+         CAST(COUNT(*) AS BIGINT) AS n_tags,
+         CAST(COUNT(DISTINCT s.pos) AS BIGINT) AS n_unique_positions,
+         CAST(SUM(CAST(s.signif AS DECIMAL(38,6))) AS DOUBLE)
+           AS tag_signal_mass
+  FROM loci l JOIN ss s
+    ON s.study_id = l.study_id AND s.contig = l.contig
+   AND s.pos >= l.locus_start AND s.pos <= l.locus_end
+  GROUP BY 1, 2, 3
+)
+SELECT l.study_id, l.contig, l.cluster_seq, l.locus_start, l.locus_end,
+       l.lead_pos, l.lead_signif,
+       COALESCE(a.n_tags, 0) AS n_tags,
+       COALESCE(a.n_unique_positions, 0) AS n_unique_positions,
+       COALESCE(a.tag_signal_mass, 0.0::DOUBLE) AS tag_signal_mass
+FROM loci l LEFT JOIN agg a
+  ON a.study_id = l.study_id AND a.contig = l.contig
+ AND a.cluster_seq = l.cluster_seq
+"""
+
+REGISTRY["locus_statistics_boundaries"] = QuerySpec(
+    q_locus_statistics_boundaries, LOCUS_STATS_BOUNDARIES_SQL
+)
+
+
+# --- C13: study-type annotation --------------------------------------------
+# The synthetic study index is the customer table (the study_validation
+# convention); study types derive from the market segment via a fixed
+# LUT so both engines compute the identical 5-value mapping.
+_SEGMENT_STUDY_TYPE = {
+    "BUILDING": "gwas",
+    "AUTOMOBILE": "eqtl",
+    "MACHINERY": "pqtl",
+    "HOUSEHOLD": "sqtl",
+    "FURNITURE": "tuqtl",
+}
+
+
+def q_locus_study_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StudyLocus-side study-type annotation (reference
+    dataset/study_locus.py:233 ``annotate_study_type`` over
+    study_index.py:226 ``study_type_lut``): LEFT-join the 2-column
+    (studyId, studyType) LUT onto the clumped locus table — loci whose
+    study is missing from the index keep a NULL type (annotation is
+    never a filter; MISSING_STUDY flagging is ``study_validation``).
+    The LUT is a broadcast dimension, so the locus table never
+    shuffles. Composable surface: operators/coloc.py
+    ``annotate_study_type`` (the colocalisation-side sibling is
+    ``append_study_metadata``)."""
+    from gentropy_spark.operators.coloc import annotate_study_type
+
+    loci = q_window_clump_leads(spark, sf_dir)
+    seg = F.col("c_mktsegment")
+    mapping = F.lit(None).cast("string")
+    for k, v in reversed(_SEGMENT_STUDY_TYPE.items()):
+        mapping = F.when(seg == k, F.lit(v)).otherwise(mapping)
+    idx = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("study_id"), mapping.alias("study_type")
+    )
+    return annotate_study_type(loci, idx).select(
+        "study_id",
+        "contig",
+        "cluster_seq",
+        "lead_point_id",
+        "lead_signif",
+        "study_type",
+    )
+
+
+_SEGMENT_CASE_SQL = "CASE c_mktsegment " + " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in _SEGMENT_STUDY_TYPE.items()
+) + " END"
+
+LOCUS_STUDY_TYPE_SQL = f"""
+WITH loci AS ({WINDOW_CLUMP_SQL}),
+idx AS (
+  SELECT c_custkey AS study_id, {_SEGMENT_CASE_SQL} AS study_type
+  FROM customer
+)
+SELECT l.study_id, l.contig, l.cluster_seq, l.lead_point_id, l.lead_signif,
+       i.study_type
+FROM loci l LEFT JOIN idx i ON i.study_id = l.study_id
+"""
+
+REGISTRY["locus_study_type"] = QuerySpec(q_locus_study_type, LOCUS_STUDY_TYPE_SQL)
+
+
 # --- G4: fine-mapping simulation calibration (rows-only) -------------------
 def q_finemap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simulation-calibrated fine-mapping evidence (reference

@@ -2359,8 +2359,11 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from gentropy_spark.functions.text import tokens
+    from gentropy_spark.operators.dedup import spread_if_narrow
 
-    docs = read_table(spark, sf_dir, "documents")
+    # Spread an under-partitioned scan: tokenize+count is the one
+    # corpus-sized stage (file-count-guarded; counts are order-free).
+    docs = spread_if_narrow(read_table(spark, sf_dir, "documents"), "doc_id")
     word_freq = (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -4143,11 +4146,21 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     or partitionings. score = sigmoid(logit) rounded 6dp. Zero UDFs,
     one partial-agg groupBy on doc_id — the same single-shuffle shape
     as token_count, at any corpus size.
+
+    Scale note (r15, closes the r14 100x-probe flag): the per-token
+    16-round Horner hash is ~2.5x the tokenize cost, so an
+    under-partitioned scan serializes a CPU-bound projection —
+    measured 24x wall for 100x data purely because the staged corpus
+    read as 2 tasks. ``spread_if_narrow`` (file-count-guarded hash
+    repartition, the corpus_curate/bm25 posture) restores scan
+    parallelism; the int64 logit sum is order-free, so values are
+    untouched by the re-partitioning.
     """
     from gentropy_spark.functions.text import tokens
     from gentropy_spark.functions.xhash import poly_hash
+    from gentropy_spark.operators.dedup import spread_if_narrow
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_if_narrow(read_table(spark, sf_dir, "documents"), "doc_id")
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
@@ -4260,8 +4273,13 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge table a BPE tokenizer ships as its model artifact.
     """
     from gentropy_spark.functions.text import tokens
+    from gentropy_spark.operators.dedup import spread_if_narrow
 
-    docs = read_table(spark, sf_dir, "documents")
+    # The ONE corpus-sized stage of the trainer: spread an
+    # under-partitioned scan so tokenize+count parallelizes (r15 — the
+    # 100x probe measured the 2-task scan, not the merge loop, as the
+    # growth driver; counts are order-free so values are untouched).
+    docs = spread_if_narrow(read_table(spark, sf_dir, "documents"), "doc_id")
     word_freq = (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
