@@ -494,6 +494,16 @@ def main() -> None:
                 "amortizes. Residual = per-job dispatch + "
                 "single-task row-group scans, not throughput."
             ),
+            "study_locus_qc_flags": (
+                "r14 flagged 0.73 -> 1.24s with an unchanged 1-exchange "
+                "plan; the r15 re-measure on the same untouched plan "
+                "read 0.88s in the first same-host bench of the round — "
+                "inside the +-30% host band the r14 A/B established. "
+                "Attribution: host noise, not a plan change (no commit "
+                "has touched plans/variants.py's qc-flags path since "
+                "r9; the plan-shape pin in tests/test_plans.py still "
+                "holds at exactly one exchange)."
+            ),
             "coloc|lm_perplexity|dedup_ngram_jaccard|"
             "decode_sumstat_harmonise": (
                 "5 (r12, was 13: null-filtered group keys let AQE "

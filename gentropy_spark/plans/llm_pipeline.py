@@ -4243,10 +4243,13 @@ BPE_MERGE_FOLD_EXPR = """
 """
 
 
-def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train_loop(spark: SparkSession, sf_dir: str):
     """The full BPE merge loop (Sennrich et al. 2016) — K merge
     iterations over the word-frequency dictionary, extending
     bpe_pair_counts (one pair-statistics pass) to the actual trainer.
+    Returns ``(merges, state)``: the merge table (the E47 output) and
+    the final per-word symbolization (word, n, sym) the E49 encoder
+    consumes.
 
     Scale design is the classic one: the only corpus-sized work is the
     ONE word-count aggregation (shuffle ∝ distinct vocabulary); every
@@ -4286,6 +4289,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     state = word_freq.select(
+        "word",
         "n",
         F.array_join(
             F.expr(
@@ -4330,22 +4334,72 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             state.crossJoin(
                 F.broadcast(best.select(F.col("pair").alias("_bp")))
             )
-            .select("n", F.expr(BPE_MERGE_FOLD_EXPR).alias("sym"))
+            .select("word", "n", F.expr(BPE_MERGE_FOLD_EXPR).alias("sym"))
             .localCheckpoint(eager=False)
         )
-    return merges
+    return merges, state
 
 
-def _bpe_train_sql() -> str:
-    """K chained merge stages; every state/best CTE is MATERIALIZED —
-    each stage references its predecessor twice (pair scan + next
-    state), which would otherwise inline 2^K copies of the feeder
-    (the dup_pagerank lesson)."""
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E47: the BPE merge table (see ``_bpe_train_loop``)."""
+    return _bpe_train_loop(spark, sf_dir)[0]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table back to the corpus (E49) —
+    the encode half of the tokenizer lifecycle (Sennrich et al. 2016
+    apply_bpe): every document re-tokenized with the K learned merges,
+    reported as the per-document token accounting a data pipeline
+    actually ships (BPE token count, word count, chars-per-token
+    compression — the fertility metric tokenizer papers quote).
+
+    Scale shape: encoding is a DICTIONARY problem — the merge loop
+    already produced the final symbolization per DISTINCT word
+    (vocab-grain), so applying it corpus-wide is one broadcast join of
+    the (word -> symbol count) vocabulary onto the token stream plus a
+    partial-agg groupBy(doc_id). No per-document merge work, no
+    corpus-sized shuffle beyond the doc-grain aggregate; the corpus
+    scan is spread_if_narrow like the trainer's.
+    """
+    from gentropy_spark.functions.text import tokens
+    from gentropy_spark.operators.dedup import spread_if_narrow
+
+    _, state = _bpe_train_loop(spark, sf_dir)
+    vocab = state.select(
+        "word", F.size(F.split(F.col("sym"), " ")).alias("n_bpe")
+    )
+    docs = spread_if_narrow(read_table(spark, sf_dir, "documents"), "doc_id")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    agg = tok.join(F.broadcast(vocab), on="word").groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+def _bpe_chain_sql() -> list[str]:
+    """The shared K-stage merge chain as CTE lines; every state/best
+    CTE is MATERIALIZED — each stage references its predecessor twice
+    (pair scan + next state), which would otherwise inline 2^K copies
+    of the feeder (the dup_pagerank lesson). ``word`` is carried
+    through every state so the encode tail can join the final
+    symbolization back onto the token stream."""
     parts = [
         f"WITH words AS (SELECT unnest({TOKS_SQL}) AS word FROM documents),",
         "word_freq AS (SELECT word, COUNT(*) AS n FROM words GROUP BY 1),",
         "st0 AS MATERIALIZED (",
-        "  SELECT n, array_to_string(list_transform(",
+        "  SELECT word, n, array_to_string(list_transform(",
         "    generate_series(1, len(word)), i -> word[i:i]), ' ') AS sym",
         "  FROM word_freq",
         "),",
@@ -4367,7 +4421,8 @@ def _bpe_train_sql() -> str:
             "  ORDER BY pair_count DESC, pair LIMIT 1",
             "),",
             f"st{k} AS MATERIALIZED (",
-            "  SELECT n, CASE WHEN len(string_split(sym, ' ')) = 1 THEN sym",
+            "  SELECT word, n,"
+            " CASE WHEN len(string_split(sym, ' ')) = 1 THEN sym",
             "  ELSE list_reduce(string_split(sym, ' '),",
             "    (acc, x) -> CASE",
             "      WHEN regexp_extract(acc, '[^ ]*$')"
@@ -4380,18 +4435,44 @@ def _bpe_train_sql() -> str:
             f"  FROM {prev}, b{k} b",
             "),",
         ]
+    # Drop the trailing comma of the last CTE.
+    parts[-1] = parts[-1].rstrip(",")
+    return parts
+
+
+def _bpe_train_sql() -> str:
     selects = [
         f"SELECT {k} AS step, pair AS merged_pair, pair_count FROM b{k}"
         for k in range(1, BPE_TRAIN_MERGES + 1)
     ]
-    # Drop the trailing comma of the last CTE.
-    parts[-1] = parts[-1].rstrip(",")
-    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+    return "\n".join(_bpe_chain_sql()) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def _bpe_encode_sql() -> str:
+    last = f"st{BPE_TRAIN_MERGES}"
+    return (
+        "\n".join(_bpe_chain_sql())
+        + f"""
+SELECT doc_id, n_words, n_bpe_tokens, n_chars,
+       ROUND(CAST(n_chars AS DOUBLE) / n_bpe_tokens, 6) AS chars_per_token
+FROM (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(len(string_split(s.sym, ' '))) AS BIGINT) AS n_bpe_tokens,
+         CAST(SUM(length(t.word)) AS BIGINT) AS n_chars
+  FROM (SELECT doc_id, unnest({TOKS_SQL}) AS word FROM documents) t
+  JOIN {last} s ON s.word = t.word
+  GROUP BY 1
+)
+"""
+    )
 
 
 BPE_TRAIN_SQL = _bpe_train_sql()
+BPE_ENCODE_SQL = _bpe_encode_sql()
 
 REGISTRY["bpe_train"] = QuerySpec(q_bpe_train, BPE_TRAIN_SQL)
+REGISTRY["bpe_encode"] = QuerySpec(q_bpe_encode, BPE_ENCODE_SQL)
 
 
 # --- E48: deterministic epoch shuffle + sharding ----------------------------

@@ -135,80 +135,79 @@ def _plan_cached(
 # headline artifact is strictly worse than a green 50/50 (r10 verdict
 # task #4).
 _SNAPSHOT_PRIORITY = [
-    # (a) r14: values/plans CHANGED this round -- must re-certify.
-    # coloc + ecaviar_clpp (NEW beta_ratio_sign_avg column -- ORACLE
-    # CHANGED), l2g_explain + l2g_evidence_export (new keys),
-    # finemap_calibration (promoted rows-only -> pinned-fixture oracle),
-    # corpus_curate (persisted scored-doc projection + spread scan +
-    # broadcast anti-join + prepared pair plan -- values unchanged),
-    # dedup_clusters / embedding_clusters (edge_min_labels lazy
-    # checkpoint), l2g_coloc_features + l2g_feature_matrix (consume the
-    # r13 coloc staged projection + the extra_aggs plumbing -- the r13
-    # advice backlog), ann_pq_topk + bm25_topk + semdedup_prune +
-    # quality_classifier + bpe_train + epoch_shuffle (NEW keys this
-    # round -- no driver evidence yet; they displace ann_lsh_bucketed
-    # / ann_cosine_topk / ann_ivf_topk, whose r11 evidence stays
-    # within the min>=r11 freshness bar, and zipf_fit / salted_join /
-    # synthetic_sumstats, three r10 keys deferred to r15, each with
-    # strong standing pytest coverage -- certifying a never-certified
-    # key outranks refreshing a stale green one).
-    "ann_pq_topk",
-    "bm25_topk",
-    "semdedup_prune",
-    "quality_classifier",
+    # --- r15 window ---------------------------------------------------
+    # (a) values/plans CHANGED or NEW this round -- must certify:
+    # locus_statistics_boundaries + locus_study_type (new C12/C13
+    # keys), bpe_train (merge fold replaced the under-merging replace
+    # -- ORACLE AND VALUES CHANGED, the r14 advisory), bm25_topk (lazy
+    # raise_error guard), quality_classifier + bpe_pair_counts
+    # (spread_if_narrow scan -- values order-free-identical, plan
+    # changed).
+    "locus_statistics_boundaries",
+    "locus_study_type",
     "bpe_train",
-    "epoch_shuffle",
-    "corpus_curate",
-    "coloc",
-    "ecaviar_clpp",
-    "l2g_explain",
-    "l2g_evidence_export",
-    "finemap_calibration",
-    "dedup_clusters",
-    "embedding_clusters",
-    "l2g_coloc_features",
-    "l2g_feature_matrix",
-    # (b) freshness rotation, stalest-first: the remaining r10 cohort
-    # (34 of 37 keys; zipf_fit + salted_join + synthetic_sumstats
-    # defer to r15) -- after this window min(last-driver-green) >= r11
-    # for every key except the three deferrals (r13 verdict item 10;
-    # three slots traded for the six new-key certifications above, and
-    # every deferral is value-exact in the committed r14 sf0.1 sweep).
-    "ann_recall_eval",
-    "carma_outliers",
-    "chunk_documents",
-    "cms_heavy_hitters",
-    "compact_parquet",
-    "corpus_mixture",
-    "credible_set_filter",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_substring",
-    "doc_entropy",
-    "dup_pagerank",
-    "dup_triangles",
-    "dwell_time_stats",
-    "effect_ci",
-    "funnel_analysis",
-    "hll_distinct",
-    "hopping_window_agg",
-    "interval_coverage",
-    "key_skew_profile",
-    "kmeans_step",
-    "kmv_distinct",
-    "langid_eval",
-    "minhash_calibration",
-    "multimodal_codec_verify",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "pics_finemap",
-    "pics_finemap_indexed",
-    "quality_gopher",
-    "source_drift",
-    "study_locus_qc_flags",
-    "upsert_sink_drain",
+    "bpe_encode",
+    "bm25_topk",
+    "quality_classifier",
+    "bpe_pair_counts",
+    # (b) the three r10 keys deferred from the r14 window (verdict
+    # item 1) -- the stalest driver evidence in the registry.
+    "zipf_fit",
+    "salted_join",
+    "synthetic_sumstats",
+    # (c) freshness rotation, stalest-first: the r11 cohort
+    # (alphabetical; 46 keys, of which the first 40 fit the 50-key
+    # window -- the tail rotates to r16; every key here is value-exact
+    # in the committed r14 sf0.1 sweep, so the deferral is an
+    # evidence-freshness gap only).
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "complextab_parse",
+    "decode_sumstat_harmonise",
+    "l2g_distance_features",
+    "l2g_gene_features",
+    "l2g_interval_features",
+    "l2g_score",
+    "l2g_score_gbm",
+    "l2g_vep_features",
+    "ld_clump",
+    "ld_index_build",
+    "line_boilerplate",
+    "logsum",
+    "meta_analysis",
+    "neglog_pvalue",
+    "pii_redact",
+    "pvalue_from_neglog",
+    "pvalue_split",
+    "q1_pricing_summary",
+    "sample_stratified",
+    "scd2_intervals",
+    "stderr_harmonise",
+    "stream_enrich",
+    "stream_sessionize",
+    "stream_sliding_agg",
+    "stream_static_enrich",
+    "study_validation",
+    "sumstat_harmonise_finngen",
+    "sumstat_harmonise_full",
+    "text_langid",
+    "text_logfreq",
+    "text_quality",
+    "text_repetition",
+    "tfidf_topterms",
+    "token_count",
+    "top_k_per_group",
+    "v2g_distance",
+    "value_histogram",
+    "variant_id_normalize",
+    "vep_consequence_annotate",
+    "vocab_topk",
+    "wide_to_long",
+    "window_clump_leads",
+    "zscore_chi2",
 ]
+
 
 
 def full_registry() -> dict[str, QuerySpec]:

@@ -30,10 +30,11 @@ AUDIT = {
     "merge_upsert": "Full-outer sort-merge on the key; change-set aggregation partial-agg'd before the join.",
     "decontaminate": "Benchmark shingles deduped small then broadcast; training side aggregates ride one shuffle.",
     "pii_redact": "Pure regexp projection over the scan: zero exchanges, full whole-stage codegen.",
-    "bm25_topk": "Inverted-index retrieval: postings from ONE corpus scan (partial-agg tf), broadcast query-term set, df on the query-vocabulary slice only, broadcast 1-row (N, avgdl); per-term contributions 6dp-rounded then DECIMAL-summed; bounded-query guard (BM25_MAX_QUERY_DOCS) keeps the broadcast side small by contract.",
+    "bm25_topk": "Inverted-index retrieval: postings from ONE corpus scan (partial-agg tf), broadcast query-term set, df on the query-vocabulary slice only, broadcast 1-row (N, avgdl); per-term contributions 6dp-rounded then DECIMAL-summed; bounded-query guard (BM25_MAX_QUERY_DOCS) enforced LAZILY via a raise_error branch riding the stats build side (r15 — plan build stays job-free).",
     "semdedup_prune": "Adaptive-K centroid assignment (K = ceil(n/256) via broadcast 1-row aggregate) -> Arrow-batched l2_pairs_udf distance (the interpreted HOF form single-task-stalled at 200k x 782 in the 100x probe) -> within-cluster equi-join pairs (never a corpus cross join) -> Arrow cosine verify. Pair work linear in corpus at fixed target occupancy.",
-    "quality_classifier": "Zero UDFs: cross-engine Horner hash to 512 buckets, integer LCG weights, EXACT int64 logit accumulation (S/(M*L) - 0.5 -- no float sum order exists), one sigmoid projection, one partial-agg groupBy on doc_id.",
-    "bpe_train": "K=4 declarative merge stages over the aggregated word dictionary (corpus-sized work = ONE vocab groupBy); per stage: adjacent-pair partial-agg counts, deterministic sort-limit argmax broadcast as a 1-row build side, space-sentinel replace merge. Loop cost independent of corpus size.",
+    "quality_classifier": "Zero UDFs: cross-engine Horner hash to 512 buckets, integer LCG weights, EXACT int64 logit accumulation (S/(M*L) - 0.5 -- no float sum order exists), one sigmoid projection, one partial-agg groupBy on doc_id; spread_if_narrow on the scan (r15 — the CPU-bound hash projection serialized on a 2-task scan in the 100x probe: growth 24x -> 2.3x).",
+    "bpe_train": "K=4 declarative merge stages over the aggregated word dictionary (corpus-sized work = ONE vocab groupBy, spread_if_narrow on the scan); per stage: adjacent-pair partial-agg counts, deterministic sort-limit argmax broadcast as a 1-row build side, and the merge as a left FOLD over the symbol array (r15 — string replace under-merged adjacent occurrences, the r14 advisory); localCheckpoint truncates lineage per iteration. Loop cost independent of corpus size.",
+    "bpe_encode": "Encode = dictionary problem: the merge loop's final per-word symbolization (vocab-grain) broadcast-joined onto the token stream, one doc-grain partial-agg groupBy; corpus-sized work is the spread scan + join probe, never per-document merging.",
     "epoch_shuffle": "Hash-keyed permutation: one projection (Horner hash of doc_id:epoch), shard-partitioned window for positions -- no global sort, shuffle only on the shard key.",
     "ann_pq_topk": "PQ encode via per-subspace codebook broadcast + ROUND-before-argmin; ADC distances DECIMAL-summed per (query, corpus) pair so ranking is partition-order-free; exact-cosine rerank only on the k winners.",
     "finemap_calibration": "Driver-side seeded simulation by nature (the reference harness posture); report row pinned as a VALUES-literal oracle.",
@@ -42,6 +43,8 @@ AUDIT = {
     "hopping_window_agg": "Window-membership explode + partial-agg groupBy; shuffle = overlap factor, no range join.",
     "interval_coverage": "Cumulative-max island detection: one exchange, windows and aggregates share it.",
     "dup_triangles": "Node-iterator triangles: ordered edge self-join closed onto edges; cost tracks path2 fan-out.",
+    "locus_statistics_boundaries": "Broadcast range join: the clumped loci (dimension) broadcast onto the FULL sumstat scan via BroadcastHashJoin on (study_id, contig) with the [locus_start, locus_end] range as join filter; per-locus partial-agg; locus-grain agg broadcast back for the left join (no sort-merge exchange pair).",
+    "locus_study_type": "Thin studyType LUT left join: customer-derived 2-column dimension broadcast onto the window-clump leads; the locus side never shuffles beyond its own clumping exchange.",
     "signif_calibration": "Rank windows (percent_rank/cume_dist/ntile) share one study exchange; decile pick rides it.",
     # r8 additions
     "study_locus_qc_flags": "r9 zero-join rewrite: ONE pruned pushdown scan at the locus-breaker threshold (the clump base is a subset), ONE hash(study_id) exchange, every annotation a window riding it via the subset-key rule (lb clustering, clump clustering, lead-rank, PICS PIP-mass, prev/next-lead dominance as O(n) running ignore-null frames, dup-id, per-study sumstats bit); no joins, no broadcasts, no arrays/HOFs in the flag projection; DataFrame memoised per (app, sf_dir).",

@@ -40,6 +40,7 @@ DEFAULT_KEYS = [
     "quality_classifier",
     "epoch_shuffle",
     "bpe_train",
+    "bpe_encode",
     "bm25_topk",
     "semdedup_prune",
     "dedup_minhash_lsh",

@@ -82,6 +82,91 @@ def test_annotate_study_type_operator_semantics(spark):
     assert got == {10: "gwas", 20: None, 30: "eqtl"}
 
 
+def test_bpe_encode_accounting_invariants(spark):
+    """Encode applies the SAME merges the trainer emitted, so the
+    per-doc accounting is tightly constrained: every word yields at
+    least one token and at most its character count; merges never
+    cross word boundaries (tokens >= words); chars-per-token is the
+    total ratio; and every tokenizable document is covered."""
+    from gentropy_spark.plans.llm_pipeline import q_bpe_encode
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = q_bpe_encode(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words <= r.n_bpe_tokens <= r.n_chars
+        assert r.chars_per_token >= 1.0
+        # HALF_UP, not python round() (banker's): a doc with
+        # n_bpe_tokens = 128 hits an EXACT binary tie (141/128 =
+        # 1.1015625) where Spark and DuckDB both round up.
+        want = float(
+            Decimal(r.n_chars / r.n_bpe_tokens).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert abs(r.chars_per_token - want) < 1e-9
+    # doc coverage: one row per document with >= 1 token
+    n_docs = (
+        spark.read.parquet(f"{SF}/documents.parquet").count()
+    )
+    assert len(rows) == n_docs
+
+
+def test_bpe_encode_merges_reduce_tokens(spark, tmp_path):
+    """On a corpus where the learned merges fire, BPE token counts are
+    strictly below character counts (the merges actually applied) —
+    checked against hand-computable words."""
+    import pandas as pd
+
+    from gentropy_spark.plans.llm_pipeline import q_bpe_encode
+
+    texts = ["llll llll", "llll", "anan anan banana", "ll lab lab"]
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    got = {r.doc_id: r for r in q_bpe_encode(spark, str(tmp_path)).collect()}
+    # merges learned: 'l l' (x10), 'a n' (x6), 'an an', 'll ll'
+    # (test_bpe_merge_fold_adjacent_occurrences pins this table).
+    # llll -> [llll] (l l, then ll ll): 1 token per word
+    assert got[0].n_bpe_tokens == 2 and got[0].n_chars == 8
+    assert got[1].n_bpe_tokens == 1
+    # anan -> [anan]; banana -> [b, anan, a]
+    assert got[2].n_bpe_tokens == 1 + 1 + 3
+    # ll -> [ll]; lab -> [l, a, b] (no 'l a' merge learned)
+    assert got[3].n_bpe_tokens == 1 + 3 + 3
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_boundaries_plan_is_broadcast_range_join(spark):
+    """Scale-posture pin: the clumped side is the broadcast dimension
+    (reference study_locus.py:1365 broadcasts it too) and the agg side
+    broadcasts back for the left join — the sumstat fact table must
+    never reach a sort-merge exchange or a nested-loop join."""
+    from gentropy_spark.plans.genomics import q_locus_statistics_boundaries
+
+    plan = _formatted(q_locus_statistics_boundaries(spark, SF))
+    # exactly two joins, both broadcast-hash ("formatted" prints each
+    # node twice: tree line + detail block)
+    assert plan.count("Join type:") == 2
+    assert plan.count("+- BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_locus_study_type_plan_broadcasts_lut(spark):
+    from gentropy_spark.plans.genomics import q_locus_study_type
+
+    plan = _formatted(q_locus_study_type(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_locus_study_type_never_filters(spark):
     """Annotation preserves the locus table's cardinality (the LUT is
     unique per study, the join is LEFT) and every non-null type comes
