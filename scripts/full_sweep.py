@@ -50,6 +50,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from gentropy_spark.plans import full_registry
+    from gentropy_spark.session import release_caches
 
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
@@ -76,6 +77,10 @@ def main() -> None:
     t_start = time.perf_counter()
     for name, spec in reg.items():
         t0 = time.perf_counter()
+        # r15: unpersist tracked intermediates BETWEEN keys — 190 keys'
+        # accumulated caches in one 48g JVM inflated the tail keys ~5x
+        # (l2g_evidence_export 207s in-sweep vs 37s isolated).
+        release_caches()
         try:
             sdf = spec.fn(spark, args.sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
