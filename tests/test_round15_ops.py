@@ -137,6 +137,71 @@ def test_bpe_encode_merges_reduce_tokens(spark, tmp_path):
     assert got[3].n_bpe_tokens == 1 + 3 + 3
 
 
+def test_bpe_merge_fold_randomized_cross_engine(spark):
+    """Property test for the merge fold: 300 seeded-random symbol
+    strings (short alphabet so adjacent/overlapping occurrences are
+    dense) merged against a random pair — Spark's aggregate-HOF fold,
+    DuckDB's list_reduce fold, and a Python greedy reference must
+    agree on every row. Guards the kernel the r14 advisory hit far
+    beyond the four hand-picked corpus words."""
+    import random
+
+    import duckdb
+
+    from gentropy_spark.plans.llm_pipeline import BPE_MERGE_FOLD_EXPR
+
+    rng = random.Random(1815)
+    alphabet = ["a", "b", "ab", "ba", "aa"]
+    cases = []
+    for i in range(300):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(1, 12))]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((i, " ".join(syms), f"{a} {b}"))
+
+    def ref_merge(sym: str, pair: str) -> str:
+        a, b = pair.split(" ")
+        syms, out, i = sym.split(" "), [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return " ".join(out)
+
+    expected = {i: ref_merge(s, p) for i, s, p in cases}
+
+    df = spark.createDataFrame(cases, "id int, sym string, _bp string")
+    got_spark = {
+        r.id: r.merged
+        for r in df.select(
+            "id", F.expr(BPE_MERGE_FOLD_EXPR).alias("merged")
+        ).collect()
+    }
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE cases(id INT, sym VARCHAR, pair VARCHAR)"
+    )
+    con.executemany("INSERT INTO cases VALUES (?, ?, ?)", cases)
+    duck_fold = """
+      SELECT id,
+        CASE WHEN len(string_split(sym, ' ')) = 1 THEN sym
+        ELSE list_reduce(string_split(sym, ' '),
+          (acc, x) -> CASE
+            WHEN regexp_extract(acc, '[^ ]*$') = split_part(pair, ' ', 1)
+             AND x = split_part(pair, ' ', 2)
+            THEN regexp_replace(acc, '[^ ]*$',
+              split_part(pair, ' ', 1) || split_part(pair, ' ', 2))
+            ELSE acc || ' ' || x END) END AS merged
+      FROM cases
+    """
+    got_duck = dict(con.execute(duck_fold).fetchall())
+    assert got_duck == expected
+
+
 def _formatted(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
