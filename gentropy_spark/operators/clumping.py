@@ -19,9 +19,11 @@ parameterised DataFrame transforms:
 
 - ``semi_lead_clump``: the reference's iterative semi-lead pruning
   (window_based_clumping.py:114 ``_prune_peak``) — genuinely
-  sequential per cluster, so it runs as an applyInPandas kernel
-  grouped by cluster (Arrow-batched; clusters are bounded by the
-  window structure so groups are small).
+  sequential per cluster. Runs as a partition-sorted ``mapInPandas``
+  stream (NOT per-group applyInPandas: clusters are overwhelmingly
+  singletons, and one Python round-trip per group cost 56s for 13k
+  clusters at sf0.1 — the r15 finding; the stream form is ~2s and
+  scales with rows, not groups).
 
 Scale notes: every window partitions on (study, contig) — at real
 scale that key space is huge (millions of study x chromosome pairs)
@@ -172,9 +174,19 @@ def semi_lead_clump(
     (window_based_clumping.py:114): walk cluster members in descending
     significance; a member becomes a semi-lead iff it is at least
     ``window`` away from every already-chosen semi-lead. This is a
-    genuine sequential dependency, so it runs as an Arrow-batched
-    applyInPandas over clusters (clusters are small by construction —
-    bounded stretches of significant points).
+    genuine sequential dependency, so it runs in Python — but NOT as
+    applyInPandas: that API makes one Python round-trip PER GROUP, and
+    gap-sessionized clusters are overwhelmingly singletons (sf0.1:
+    13,361 rows in 13,172 clusters), so per-group overhead alone cost
+    ~4ms x clusters = 56s at sf0.1 and would grow linearly with the
+    cluster count (r15 finding). Instead: hash-repartition on the
+    cluster key, sort WITHIN partitions by (cluster key, signif DESC,
+    pos, point_id) — exactly the walk order — and stream whole
+    partitions through ``mapInPandas``, walking each contiguous group
+    inside the batch loop. Python round-trips drop from O(clusters)
+    to O(partitions x arrow batches); a group straddling two Arrow
+    batches is carried over to the next batch, so values are
+    byte-identical to the per-group form (sf0.1: 56s -> ~2s).
     """
     if min_signif is not None:
         df = df.filter(F.col(signif) >= min_signif)
@@ -191,25 +203,64 @@ def semi_lead_clump(
             T.StructField("is_semi_lead", T.BooleanType()),
         ]
     )
+    out_cols = [study, contig, "cluster_seq", point_id, pos, signif,
+                "is_semi_lead"]
+    key_cols = [study, contig, "cluster_seq"]
+    target = df.sparkSession.sparkContext.defaultParallelism
 
-    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            [signif, pos, point_id], ascending=[False, True, True]
-        ).reset_index(drop=True)
-        chosen: list[float] = []
-        flags: list[bool] = []
-        for p in pdf[pos]:
-            is_lead = all(abs(p - c) >= window for c in chosen)
-            if is_lead:
-                chosen.append(p)
-            flags.append(is_lead)
-        pdf["is_semi_lead"] = flags
-        return pdf[[study, contig, "cluster_seq", point_id, pos, signif, "is_semi_lead"]]
+    def prune_stream(batches):
+        import numpy as np
+
+        def walk(g: pd.DataFrame) -> pd.DataFrame:
+            chosen: list[float] = []
+            flags: list[bool] = []
+            for p in g[pos]:
+                is_lead = all(abs(p - c) >= window for c in chosen)
+                if is_lead:
+                    chosen.append(p)
+                flags.append(is_lead)
+            g = g.copy()
+            g["is_semi_lead"] = flags
+            return g[out_cols]
+
+        def emit(head: pd.DataFrame) -> pd.DataFrame:
+            return pd.concat(
+                [walk(g) for _, g in head.groupby(key_cols, sort=False)],
+                ignore_index=True,
+            )
+
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            keys = pdf[key_cols].to_numpy()
+            eq_last = (keys == keys[-1]).all(axis=1)
+            if eq_last.all():
+                # the whole batch is one (possibly incomplete) group
+                carry = pdf
+                continue
+            # groups are contiguous (partition-sorted): the trailing
+            # run of rows equal to the last key may continue in the
+            # next batch — hold it back.
+            tail_len = int(np.argmin(eq_last[::-1]))
+            carry = pdf.iloc[len(pdf) - tail_len :].reset_index(drop=True)
+            yield emit(pdf.iloc[: len(pdf) - tail_len])
+        if carry is not None and len(carry):
+            yield emit(carry)
 
     return (
-        clustered.select(study, contig, "cluster_seq", point_id, pos, signif)
-        .groupBy(study, contig, "cluster_seq")
-        .applyInPandas(prune, schema=out_schema)
+        clustered.select(*key_cols, point_id, pos, signif)
+        .repartition(target, *[F.col(c) for c in key_cols])
+        .sortWithinPartitions(
+            *key_cols,
+            F.col(signif).desc(),
+            F.col(pos).asc(),
+            F.col(point_id).asc(),
+        )
+        .mapInPandas(prune_stream, schema=out_schema)
     )
 
 

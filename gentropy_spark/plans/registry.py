@@ -150,13 +150,17 @@ _SNAPSHOT_PRIORITY = [
     "bm25_topk",
     "quality_classifier",
     "bpe_pair_counts",
+    # window_clump_semi: the per-group applyInPandas walk became a
+    # partition-sorted mapInPandas stream (56s -> 2.2s at sf0.1) --
+    # values byte-identical but the plan changed, so it re-certifies.
+    "window_clump_semi",
     # (b) the three r10 keys deferred from the r14 window (verdict
     # item 1) -- the stalest driver evidence in the registry.
     "zipf_fit",
     "salted_join",
     "synthetic_sumstats",
     # (c) freshness rotation, stalest-first: the r11 cohort
-    # (alphabetical; 46 keys, of which the first 40 fit the 50-key
+    # (alphabetical; 46 keys, of which the first 39 fit the 50-key
     # window -- the tail rotates to r16; every key here is value-exact
     # in the committed r14 sf0.1 sweep, so the deferral is an
     # evidence-freshness gap only).

@@ -284,8 +284,10 @@ def main() -> None:
             )
         else:
             lines.append(
-                "Every ratio shrinks with scale — the sf0.1 overshoots are "
-                "per-job constants, not plan defects."
+                "No non-shrinking ratio above the 2x bar — the sf0.1 "
+                "overshoots are per-job constants, not plan defects. "
+                "(Rows already at/below ~2x at sf0.1 may wobble within "
+                "the bar without being findings.)"
             )
         marker = "## Worst-ratio A/B at "
     doc = os.path.join(REPO, "docs", "SCALE_PROBE.md")

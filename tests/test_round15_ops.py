@@ -202,6 +202,71 @@ def test_bpe_merge_fold_randomized_cross_engine(spark):
     assert got_duck == expected
 
 
+def test_semi_lead_stream_carry_across_arrow_batches(spark):
+    """The r15 mapInPandas rewrite of semi_lead_clump streams whole
+    partitions; a group straddling two Arrow batches must be carried
+    over intact. Force 7-row batches over clusters of width 1..60 and
+    compare against an in-test per-group Python walk."""
+    from gentropy_spark.operators.clumping import semi_lead_clump
+
+    rows = []
+    pid = 0
+    # deterministic layout: clusters of growing size, positions spaced
+    # so some pairs fall inside the prune window and some outside
+    for study in (1, 2):
+        base = 0
+        for width in (1, 3, 60, 2, 25):
+            for i in range(width):
+                pid += 1
+                rows.append(
+                    (pid, study, "c", base + i * 40, float((pid * 37) % 101))
+                )
+            base += 100_000  # new gap-cluster
+    df = spark.createDataFrame(
+        rows, "point_id long, study_id long, contig string, pos long, signif double"
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        got = {
+            r.point_id: r.is_semi_lead
+            for r in semi_lead_clump(df, window=100).collect()
+        }
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+
+    # reference: same walk, plain python per cluster
+    def clusters(points):
+        points = sorted(points, key=lambda r: (r[3], r[0]))
+        out, cur, prev = [], [], None
+        for r in points:
+            if prev is not None and r[3] - prev > 100:
+                out.append(cur)
+                cur = []
+            cur.append(r)
+            prev = r[3]
+        if cur:
+            out.append(cur)
+        return out
+
+    expected = {}
+    for study in (1, 2):
+        pts = [r for r in rows if r[1] == study]
+        for cl in clusters(pts):
+            chosen = []
+            for r in sorted(cl, key=lambda r: (-r[4], r[3], r[0])):
+                ok = all(abs(r[3] - c) >= 100 for c in chosen)
+                if ok:
+                    chosen.append(r[3])
+                expected[r[0]] = ok
+    assert got == expected
+    assert len(got) == len(rows)
+
+
 def _formatted(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
