@@ -211,23 +211,34 @@ def semi_lead_clump(
     def prune_stream(batches):
         import numpy as np
 
-        def walk(g: pd.DataFrame) -> pd.DataFrame:
-            chosen: list[float] = []
-            flags: list[bool] = []
-            for p in g[pos]:
-                is_lead = all(abs(p - c) >= window for c in chosen)
-                if is_lead:
-                    chosen.append(p)
-                flags.append(is_lead)
-            g = g.copy()
-            g["is_semi_lead"] = flags
-            return g[out_cols]
-
         def emit(head: pd.DataFrame) -> pd.DataFrame:
-            return pd.concat(
-                [walk(g) for _, g in head.groupby(key_cols, sort=False)],
-                ignore_index=True,
-            )
+            # Vectorized group segmentation (pandas groupby builds a
+            # DataFrame PER GROUP — ~0.15ms each, which re-created the
+            # per-group overhead in python once the Spark round-trips
+            # were gone). Groups are contiguous; singletons — the vast
+            # majority under gap sessionization — are semi-leads by
+            # definition (the walk over an empty chosen-list always
+            # accepts), so only multi-member groups run the walk.
+            k = head[key_cols].to_numpy()
+            new = np.ones(len(head), dtype=bool)
+            new[1:] = (k[1:] != k[:-1]).any(axis=1)
+            gid = np.cumsum(new) - 1
+            sizes = np.bincount(gid)
+            starts = np.nonzero(new)[0]
+            positions = head[pos].to_numpy()
+            flags = np.ones(len(head), dtype=bool)
+            for g in np.nonzero(sizes > 1)[0]:
+                s = int(starts[g])
+                chosen: list[float] = []
+                for i in range(s, s + int(sizes[g])):
+                    p = positions[i]
+                    is_lead = all(abs(p - c) >= window for c in chosen)
+                    if is_lead:
+                        chosen.append(p)
+                    flags[i] = is_lead
+            out = head.copy()
+            out["is_semi_lead"] = flags
+            return out[out_cols]
 
         carry: pd.DataFrame | None = None
         for pdf in batches:
