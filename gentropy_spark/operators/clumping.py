@@ -187,6 +187,19 @@ def semi_lead_clump(
     to O(partitions x arrow batches); a group straddling two Arrow
     batches is carried over to the next batch, so values are
     byte-identical to the per-group form (sf0.1: 56s -> ~2s).
+
+    The repartition names only the key columns — no explicit width —
+    so ``spark.sql.shuffle.partitions`` / AQE sets the stream's
+    parallelism from the data rather than pinning it to the driver
+    host's core count (r15 verdict advisory; the carry logic is
+    partitioning-agnostic, so any width yields identical values).
+
+    Precondition: the cluster key columns are NON-NULL. This holds by
+    construction (``_cluster_seq`` derives cluster_seq from a window
+    count over non-null (study, contig, pos) rows), and the numpy
+    segmentation below relies on it: object-array equality would read
+    NULL != NULL and silently fragment a group, flipping
+    ``is_semi_lead`` for the split members. ``emit`` asserts it.
     """
     if min_signif is not None:
         df = df.filter(F.col(signif) >= min_signif)
@@ -206,7 +219,6 @@ def semi_lead_clump(
     out_cols = [study, contig, "cluster_seq", point_id, pos, signif,
                 "is_semi_lead"]
     key_cols = [study, contig, "cluster_seq"]
-    target = df.sparkSession.sparkContext.defaultParallelism
 
     def prune_stream(batches):
         import numpy as np
@@ -220,6 +232,12 @@ def semi_lead_clump(
             # definition (the walk over an empty chosen-list always
             # accepts), so only multi-member groups run the walk.
             k = head[key_cols].to_numpy()
+            # Non-null precondition (see docstring): NULL/NaN keys
+            # would compare unequal to themselves and fragment groups.
+            assert not head[key_cols].isna().any().any(), (
+                "semi_lead_clump: NULL cluster key — segmentation "
+                "assumes non-null keys"
+            )
             new = np.ones(len(head), dtype=bool)
             new[1:] = (k[1:] != k[:-1]).any(axis=1)
             gid = np.cumsum(new) - 1
@@ -264,7 +282,7 @@ def semi_lead_clump(
 
     return (
         clustered.select(*key_cols, point_id, pos, signif)
-        .repartition(target, *[F.col(c) for c in key_cols])
+        .repartition(*[F.col(c) for c in key_cols])
         .sortWithinPartitions(
             *key_cols,
             F.col(signif).desc(),

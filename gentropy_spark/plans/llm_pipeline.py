@@ -4277,6 +4277,7 @@ def _bpe_train_loop(spark: SparkSession, sf_dir: str):
     """
     from gentropy_spark.functions.text import tokens
     from gentropy_spark.operators.dedup import spread_if_narrow
+    from gentropy_spark.session import track_local_checkpoint
 
     # The ONE corpus-sized stage of the trainer: spread an
     # under-partitioned scan so tokenize+count parallelizes (r15 — the
@@ -4330,13 +4331,22 @@ def _bpe_train_loop(spark: SparkSession, sf_dir: str):
         merges = (
             merge_row if merges is None else merges.unionByName(merge_row)
         )
-        state = (
+        # track_local_checkpoint (not bare localCheckpoint): the K
+        # per-iteration checkpoint RDDs are invisible to the
+        # CacheManager, so sweep-scope release_caches() could not free
+        # them otherwise (r15 advisory — each build leaked K
+        # vocab-grain RDDs for the session lifetime).
+        state = track_local_checkpoint(
             state.crossJoin(
                 F.broadcast(best.select(F.col("pair").alias("_bp")))
-            )
-            .select("word", "n", F.expr(BPE_MERGE_FOLD_EXPR).alias("sym"))
-            .localCheckpoint(eager=False)
+            ).select("word", "n", F.expr(BPE_MERGE_FOLD_EXPR).alias("sym"))
         )
+    # Safety note: once release_caches() frees these checkpoints the
+    # returned DataFrames hold truncated-lineage RDDs that cannot
+    # recompute — which is why bpe_train/bpe_encode are deliberately
+    # NOT in registry._PLAN_CACHE_KEYS (pinned by
+    # tests/test_round16_ops.py): every wrapped call rebuilds the
+    # chain, so a release between calls can never strand a consumer.
     return merges, state
 
 
@@ -4355,11 +4365,19 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: encoding is a DICTIONARY problem — the merge loop
     already produced the final symbolization per DISTINCT word
-    (vocab-grain), so applying it corpus-wide is one broadcast join of
-    the (word -> symbol count) vocabulary onto the token stream plus a
+    (vocab-grain), so applying it corpus-wide is one join of the
+    (word -> symbol count) vocabulary onto the token stream plus a
     partial-agg groupBy(doc_id). No per-document merge work, no
     corpus-sized shuffle beyond the doc-grain aggregate; the corpus
-    scan is spread_if_narrow like the trainer's.
+    scan is spread_if_narrow like the trainer's. The vocabulary join
+    carries NO broadcast hint (r15 verdict): the vocab side is every
+    distinct whitespace token of the corpus — unbounded in corpus
+    size (10^8-10^9 rows on a web corpus), so a forced broadcast is a
+    job-killing hit on Spark's 8 GB broadcast limit at scale. AQE
+    picks the strategy from the measured size at runtime: it
+    broadcasts when the vocab is actually small (every tested SF) and
+    falls back to a shuffled hash/sort-merge join on `word` when it
+    is not — values identical either way (equi-join on a key).
     """
     from gentropy_spark.functions.text import tokens
     from gentropy_spark.operators.dedup import spread_if_narrow
@@ -4372,7 +4390,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("word")
     )
-    agg = tok.join(F.broadcast(vocab), on="word").groupBy("doc_id").agg(
+    agg = tok.join(vocab, on="word").groupBy("doc_id").agg(
         F.count("*").alias("n_words"),
         F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
         F.sum(F.length("word")).cast("bigint").alias("n_chars"),

@@ -52,10 +52,40 @@ def track_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+# localCheckpoint()ed intermediates (the BPE trainer's per-iteration
+# states) persist an INTERNAL RDD that Spark's CacheManager does not
+# know about, so df.unpersist() cannot free it and sweep-scope
+# release_caches() would leak K checkpointed vocab-grain RDDs per
+# build (r15 advisory). These live in their OWN list — never the FIFO
+# — because evicting a truncated-lineage RDD mid-query destroys data
+# that can no longer be recomputed; they are freed only by an explicit
+# release_caches() (called between sweep/bench keys, after the result
+# is fully materialised).
+_CHECKPOINTED: list[DataFrame] = []
+def track_local_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """``df.localCheckpoint()`` with sweep-scope storage cleanup.
+
+    Returns the checkpointed DataFrame and registers it so
+    ``release_caches()`` can unpersist the internal checkpoint RDD
+    (reached through the analyzed plan's LogicalRDD — the only handle
+    PySpark exposes to the storage localCheckpoint claims).
+    """
+    cp = df.localCheckpoint(eager=eager)
+    _CHECKPOINTED.append(cp)
+    return cp
+
+
 def release_caches() -> None:
     """Unpersist every tracked intermediate (call after materialising)."""
     while _CACHED:
         _CACHED.pop().unpersist()
+    while _CHECKPOINTED:
+        cp = _CHECKPOINTED.pop()
+        try:
+            cp._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            # A stopped session / dead JVM handle: nothing to free.
+            pass
 
 
 def get_session(

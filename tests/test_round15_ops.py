@@ -234,10 +234,16 @@ def test_semi_lead_stream_carry_across_arrow_batches(spark):
             for r in semi_lead_clump(df, window=100).collect()
         }
     finally:
+        # Restore BOTH ways: when the key was previously unset, leaving
+        # maxRecordsPerBatch=7 on the session-scoped SparkSession would
+        # silently shrink Arrow batches for every later pandas-UDF test
+        # in the run (r15 advisory).
         if old is not None:
             spark.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch", old
             )
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
 
     # reference: same walk, plain python per cluster
     def clusters(points):
