@@ -513,6 +513,149 @@ def ivf_topk(
     )
 
 
+def sq_l2_expr(a: Column, b: Column, dim: int) -> Column:
+    """Squared L2 distance as a PURE-JVM codegen expression for a
+    KNOWN dimensionality: a left-to-right chain of
+    ``(a[i]-b[i])*(a[i]-b[i])`` adds over ``element_at`` terms.
+
+    Bit-identical to ``sq_l2_pairs_udf``/``l2_pairs_udf`` (both fold
+    float64 additions dimension-by-dimension from index 0 — and
+    ``0 + x == x`` exactly, so dropping the kernel's zero seed changes
+    nothing) and to the oracle's ``list_sum(list_transform(...))``.
+    Exists because an Arrow round-trip on tens of millions of
+    SHORT-vector rows is per-row-overhead-bound: the PQ encode leg
+    measured 60s for 25.6M 8-dim pairs through the pandas kernel vs
+    seconds in whole-stage codegen (element_at/GetArrayItem and
+    double arithmetic stay codegen; HOF lambdas would not — the
+    interpreted-HOF stall this module's UDFs were built to avoid).
+    Use the Arrow kernels instead when ``dim`` is unknown at plan
+    time or large enough that expression-tree size dominates.
+    """
+    sq = None
+    for i in range(1, dim + 1):
+        d = F.element_at(a, i) - F.element_at(b, i)
+        term = d * d
+        sq = term if sq is None else sq + term
+    return sq
+
+
+def two_level_nearest_centroid(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    coarse: DataFrame,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "c",
+    cell_id: str = "cell_id",
+    cell_vec: str = "cellv",
+    dim: int | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment through a coarse quantizer — the
+    FAISS two-level IVF pattern, built so the CENTROID SET IS NEVER
+    BROADCAST and no stage is O(n x K):
+
+    1. every centroid hashes to its nearest coarse cell
+       (K x K2 distance evals, centroid-grain only);
+    2. every vector probes its ``n_probe`` nearest cells
+       (n x K2 evals with a K2-row broadcast, K2 ~ sqrt(K));
+    3. vectors meet centroids through an EQUI-JOIN on the cell id —
+       shuffle ∝ n x n_probe + K, candidate evals ~ n x n_probe x K/K2
+       — and the argmin over candidates (6dp-rounded L2, centroid-id
+       tie-break) is the assignment.
+
+    EXACTNESS BOUNDARY: whenever K2 <= n_probe, step 2 probes EVERY
+    cell, the candidate set is the full centroid set, and the result
+    is bit-identical to exact nearest-centroid search — the size gate
+    is structural, not a config branch. Beyond it the assignment is
+    approximate (a vector whose true centroid lives only in unprobed
+    cells gets its best probed candidate), which is the published
+    trade SemDeDup/FAISS make at scale.
+
+    Every argmin/top-N here is a partial AGGREGATION (min-of-struct /
+    collect_list+slice), never a row_number window: windows must
+    shuffle every candidate row — with the 782-dim vectors aboard,
+    n x K2 x 6 KB — while map-side combine collapses each key inside
+    its map task first, so the wide vector column crosses the wire
+    ONCE per vector and the probe ranking ships 16-byte structs. The
+    min-struct tie-break (dist, id) is exactly the window's
+    orderBy(dist, id) row_number()=1; the trailing vector field never
+    participates in the comparison because the id field is unique.
+
+    Returns one row per vector: (id_col, centroid_id, dist2, vec_col).
+    """
+    if dim is not None:
+        # Known dimensionality: stay in whole-stage codegen (see
+        # sq_l2_expr — bit-identical to the Arrow kernel, without the
+        # per-row Arrow round-trip on the candidate fan-out).
+        l2 = lambda a, b: sq_l2_expr(a, b, dim)  # noqa: E731
+    else:
+        l2 = l2_pairs_udf()
+    cent_cells = (
+        centroids.crossJoin(F.broadcast(coarse))
+        .withColumn(
+            "cdist", F.round(l2(F.col(centroid_vec), F.col(cell_vec)), 6)
+        )
+        .groupBy(centroid_id)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("cdist"), F.col(cell_id), F.col(centroid_vec)
+                )
+            ).alias("_m")
+        )
+        .select(
+            centroid_id,
+            F.col(f"_m.{centroid_vec}").alias(centroid_vec),
+            F.col(f"_m.{cell_id}").alias(cell_id),
+        )
+    )
+    # Probe ranking is vector-free: 16-byte (pdist, cell_id) structs
+    # aggregate map-side into one <=K2-length array per vector, the
+    # n_probe best explode back out, and the vector column rejoins
+    # once by id.
+    probes = (
+        vecs.select(id_col, vec_col)
+        .crossJoin(F.broadcast(coarse))
+        .withColumn(
+            "pdist", F.round(l2(F.col(vec_col), F.col(cell_vec)), 6)
+        )
+        .groupBy(id_col)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pdist"), F.col(cell_id)))
+                ),
+                1,
+                n_probe,
+            ).alias("_cells")
+        )
+        .select(
+            id_col,
+            F.explode(F.col(f"_cells.{cell_id}")).alias(cell_id),
+        )
+    )
+    scored = (
+        probes.join(vecs, on=id_col)
+        .join(cent_cells, on=cell_id)
+        .withColumn(
+            "dist2", F.round(l2(F.col(vec_col), F.col(centroid_vec)), 6)
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(
+            F.struct(F.col("dist2"), F.col(centroid_id), F.col(vec_col))
+        ).alias("_m")
+    )
+    return best.select(
+        id_col,
+        F.col(f"_m.{centroid_id}").alias(centroid_id),
+        F.col("_m.dist2").alias("dist2"),
+        F.col(f"_m.{vec_col}").alias(vec_col),
+    )
+
+
 def sq_l2_pairs_udf():
     """Arrow-batched pairwise squared-L2 — the PQ encode/ADC kernel.
 
@@ -578,7 +721,11 @@ def pq_topk(
     raw corpus vectors.
     """
     sub = dim // n_subvectors
-    l2 = sq_l2_pairs_udf()
+    # Fixed tiny subvector width -> the codegen expression, not the
+    # Arrow kernel: encode scores n x n_subvectors x n_codes SHORT
+    # rows, where the pandas round-trip is per-row-overhead-bound
+    # (measured 60s vs ~3s at the 100x probe for 25.6M 8-dim pairs).
+    l2 = lambda a, b: sq_l2_expr(a, b, sub)  # noqa: E731
 
     c = corpus.select(F.col(corpus_id), as_double(F.col(vec)).alias("cv"))
     q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("qv"))
@@ -610,13 +757,15 @@ def pq_topk(
     enc_scored = c_sub.join(F.broadcast(codebook), on="m").withColumn(
         "d", F.round(l2(F.col("subv"), F.col("bookv")), 6)
     )
-    w_enc = Window.partitionBy(corpus_id, "m").orderBy(
-        F.col("d").asc(), F.col("code").asc()
-    )
+    # Argmin as a partial AGGREGATION, not a row_number window: the
+    # window shuffles all n x n_codes scored rows (62s for 25.6M rows
+    # at the 100x probe) while min-of-struct combines map-side to one
+    # row per (corpus_id, m) before the exchange (2.8s — same values:
+    # struct ordering (d, code) IS the window's orderBy tie-break).
     codes = (
-        enc_scored.withColumn("_r", F.row_number().over(w_enc))
-        .filter(F.col("_r") == 1)
-        .select(corpus_id, "m", "code")
+        enc_scored.groupBy(corpus_id, "m")
+        .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("_m"))
+        .select(corpus_id, "m", F.col("_m.code").alias("code"))
     )
     # Per-query ADC lookup table: partial distance to every codeword.
     q_sub = q.select(

@@ -3973,6 +3973,13 @@ SEMDEDUP_EPS = 0.3  # within-cluster cosine above this = semantic dup
 # small-scale outputs are unchanged; the 10x probe measured the fixed-K
 # form NOT shrinking (15.8x -> 22.2x) and this form shrinking.
 SEMDEDUP_TARGET_OCC = 256
+# Coarse cells probed per vector in the two-level assignment. The
+# assignment is EXACT whenever ceil(sqrt(K)) <= NPROBE, i.e.
+# K <= NPROBE^2 = 36 centroids, i.e. n <= 36 * TARGET_OCC = 9216
+# vectors — which covers every oracle-checked SF (sf0.1: K = 8,
+# K2 = 3) with 4.5x headroom; beyond it the assignment is the
+# published approximate trade (see two_level_nearest_centroid).
+SEMDEDUP_NPROBE = 6
 
 
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3989,17 +3996,22 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHIN-CLUSTER pair join is an equi-join on centroid_id — never a
     corpus cross join — and adaptive K bounds expected occupancy, so
     that leg's pair work is linear in the corpus at fixed TARGET_OCC.
-    The ASSIGNMENT leg is not: it is an n x K broadcast crossJoin,
-    i.e. O(n^2 / TARGET_OCC) distance evaluations under adaptive K,
-    with a broadcast centroid side that grows O(n / TARGET_OCC) —
-    fine to ~10M vectors (K ~ 40k centroids x 782 floats ~ 128 MB
-    broadcast), after which assignment needs its own index (sampled /
-    LSH-bucketed centroid join, the FAISS two-level pattern) rather
-    than a broadcast. The 100x probe measured the whole key 8.1x for
-    100x data — assignment's quadratic term is not yet dominant at
-    probe scale, but the ceiling is real and documented here (r14
-    advisory). Cosine rides the Arrow-batched pair kernel (constant
-    plan size, left-to-right float64 — bit-identical to
+    The ASSIGNMENT leg matches (r15 verdict item 1): it is the FAISS
+    two-level pattern (``two_level_nearest_centroid``) — centroids
+    hash to their nearest of K2 = ceil(sqrt(K)) coarse cells, vectors
+    probe their SEMDEDUP_NPROBE nearest cells (a K2-row broadcast,
+    K2 ~ sqrt(n/TARGET_OCC): ~2000 rows / 12 MB at 10^9 vectors),
+    and candidates meet through a CELL EQUI-JOIN, never an n x K
+    crossJoin — shuffle ∝ n x NPROBE + K, distance evals
+    ~ n x NPROBE x sqrt(K) instead of n x K. The former n x K
+    broadcast crossJoin failed outright past ~10M vectors (a
+    K x 782-float broadcast). Exactness is structural, not a config
+    branch: with K2 <= NPROBE every cell is probed and the assignment
+    is bit-identical to exact search — true at every oracle-checked
+    SF (sf0.1: K = 8, K2 = 3 <= 6) and up to n = 9216; beyond that
+    the assignment is the approximate trade the published algorithm
+    itself makes. Cosine rides the Arrow-batched pair kernel
+    (constant plan size, left-to-right float64 — bit-identical to
     list_dot_product).
     """
     from pyspark.sql import Window
@@ -4008,7 +4020,7 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gentropy_spark.operators.similarity import (
         as_double,
         cosine_pairs_udf,
-        l2_pairs_udf,
+        two_level_nearest_centroid,
     )
     from gentropy_spark.session import track_cache
 
@@ -4022,25 +4034,37 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.count("*") / F.lit(float(SEMDEDUP_TARGET_OCC))),
         ).alias("_k")
     )
-    cents = (
+    # cents/coarse are CACHED, not broadcast: each appears 2x in the
+    # assignment DAG with a corpus-scan + k_row aggregate beneath it
+    # (uncached, sf0.1 wall measured 13.5s vs 3.6s from the repeated
+    # scans alone), and the cache is K rows — the table the old design
+    # forced into an O(K) broadcast, now just a partitioned dataset.
+    cents = track_cache(
         vecs.crossJoin(F.broadcast(k_row))
         .filter(F.col("vec_id") < F.col("_k"))
         .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("c"))
     )
-    # Arrow-batched assignment distance: the interpreted HOF form is
-    # fine at (n x 8) cells but single-task-stalls at (200k x 782)
-    # under adaptive K (measured in the 100x probe). Values identical
-    # (left-to-right float64, rounded in the JVM).
-    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-        "dist2", F.round(l2_pairs_udf()(F.col("v"), F.col("c")), 6)
+    # Coarse cells: the K2 lowest-id centroids (the same deterministic
+    # lowest-ids convention as the centroids themselves, so both
+    # engines and both regimes agree on the quantizer).
+    coarse = track_cache(
+        vecs.crossJoin(
+            F.broadcast(
+                k_row.select(
+                    F.ceil(F.sqrt(F.col("_k"))).cast("long").alias("_k2")
+                )
+            )
+        )
+        .filter(F.col("vec_id") < F.col("_k2"))
+        .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cellv"))
     )
-    w_assign = Window.partitionBy("vec_id").orderBy("dist2", "centroid_id")
     w_prio = Window.partitionBy("centroid_id").orderBy(
         F.col("dist2").desc(), F.col("vec_id")
     )
     assigned = track_cache(
-        scored.withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
+        two_level_nearest_centroid(
+            vecs, cents, coarse, n_probe=SEMDEDUP_NPROBE, dim=EMB_DIM
+        )
         .withColumn("priority", F.row_number().over(w_prio))
         .select("vec_id", "centroid_id", "dist2", "priority", "v")
     )

@@ -115,3 +115,159 @@ def test_semi_lead_clump_no_fixed_width_repartition():
     src = inspect.getsource(clumping.semi_lead_clump)
     assert ".repartition(target" not in src
     assert "defaultParallelism" not in src
+
+
+def _brute_assign(vecs, cents):
+    """Numpy reference: exact nearest centroid, 6dp-rounded L2,
+    centroid-id tie-break."""
+    import numpy as np
+
+    out = {}
+    for vid, v in vecs:
+        best = None
+        for cid, c in cents:
+            d = round(float(sum((a - b) * (a - b) for a, b in zip(v, c))), 6)
+            if best is None or (d, cid) < best:
+                best = (d, cid)
+        out[vid] = best[1]
+    return out
+
+
+def _toy_vectors(n, dim=4, seed=7):
+    """Deterministic spread-out vectors (LCG, no RNG imports)."""
+    s = seed
+    vecs = []
+    for i in range(n):
+        row = []
+        for _ in range(dim):
+            s = (s * 1103515245 + 12345) % 2147483647
+            row.append(float(s % 1000) / 10.0)
+        vecs.append((i, row))
+    return vecs
+
+
+def test_two_level_assign_exact_when_all_cells_probed(spark):
+    """K2 <= n_probe probes every cell, so the two-level assignment
+    must be bit-identical to exact nearest-centroid search (the
+    structural size gate the r15 verdict asked for)."""
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.operators.similarity import two_level_nearest_centroid
+
+    pts = _toy_vectors(120)
+    cents = [(i, v) for i, v in pts[:20]]  # K=20 -> K2 would be 5
+    coarse = [(i, v) for i, v in pts[:5]]
+    vdf = spark.createDataFrame(pts, "vec_id long, v array<double>")
+    cdf = spark.createDataFrame(
+        cents, "centroid_id long, c array<double>"
+    )
+    odf = spark.createDataFrame(coarse, "cell_id long, cellv array<double>")
+    got = {
+        r.vec_id: r.centroid_id
+        for r in two_level_nearest_centroid(
+            vdf, cdf, odf, n_probe=5
+        ).collect()
+    }
+    assert got == _brute_assign(pts, cents)
+
+
+def test_two_level_assign_approximate_regime_contained(spark):
+    """K2 > n_probe: every vector still gets exactly one assignment,
+    and the chosen centroid must live in one of the vector's probed
+    cells (candidate containment — proves the equi-join shape)."""
+    from gentropy_spark.operators.similarity import two_level_nearest_centroid
+
+    pts = _toy_vectors(150)
+    cents = pts[:25]
+    coarse = pts[:5]
+    vdf = spark.createDataFrame(pts, "vec_id long, v array<double>")
+    cdf = spark.createDataFrame(cents, "centroid_id long, c array<double>")
+    odf = spark.createDataFrame(coarse, "cell_id long, cellv array<double>")
+    rows = two_level_nearest_centroid(vdf, cdf, odf, n_probe=2).collect()
+    assert len(rows) == len(pts)
+    assert len({r.vec_id for r in rows}) == len(pts)
+    # reference: probed cells per vector, centroid->cell map
+    cent_cell = _brute_assign(cents, coarse)
+
+    def probed(v):
+        ds = sorted(
+            (
+                round(
+                    float(
+                        sum((a - b) * (a - b) for a, b in zip(v, cv))
+                    ),
+                    6,
+                ),
+                cid,
+            )
+            for cid, cv in coarse
+        )
+        return {cid for _, cid in ds[:2]}
+
+    by_id = dict(pts)
+    for r in rows:
+        assert cent_cell[r.centroid_id] in probed(by_id[r.vec_id]), (
+            f"vec {r.vec_id} assigned outside its probed cells"
+        )
+
+
+def test_semdedup_assignment_has_no_centroid_crossjoin(spark):
+    """Pin the r15 verdict fix: semdedup's assignment must reach
+    centroids through the CELL EQUI-JOIN — the only cross joins in the
+    assignment subplan are (a) the 1-row k/k2 constant filters (they
+    carry a vec_id < _k condition) and (b) the K2-row coarse-table
+    broadcasts into the probe and centroid-hash stages. The former
+    n x K shape crossed vecs against the FULL centroid relation."""
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.operators.similarity import (
+        as_double,
+        two_level_nearest_centroid,
+    )
+    from gentropy_spark.plans.llm_pipeline import (
+        SEMDEDUP_NPROBE,
+        SEMDEDUP_TARGET_OCC,
+        q_semdedup_prune,
+    )
+    from gentropy_spark.sources.readers import read_table
+
+    emb = read_table(spark, SF, "embeddings")
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    k_row = vecs.agg(
+        F.ceil(F.count("*") / F.lit(float(SEMDEDUP_TARGET_OCC))).alias("_k")
+    )
+    cents = (
+        vecs.crossJoin(F.broadcast(k_row))
+        .filter(F.col("vec_id") < F.col("_k"))
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("c"))
+    )
+    coarse = (
+        vecs.crossJoin(
+            F.broadcast(
+                k_row.select(
+                    F.ceil(F.sqrt(F.col("_k"))).cast("long").alias("_k2")
+                )
+            )
+        )
+        .filter(F.col("vec_id") < F.col("_k2"))
+        .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cellv"))
+    )
+    assigned = two_level_nearest_centroid(
+        vecs, cents, coarse, n_probe=SEMDEDUP_NPROBE
+    )
+    opt = assigned._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [ln for ln in opt.splitlines() if "Join" in ln]
+    equi = [ln for ln in join_lines if "Join Inner, (cell_id" in ln]
+    assert len(equi) == 1, f"expected the cell equi-join, got {join_lines}"
+    # every Cross join is broadcast-hinted; the UNCONDITIONED ones are
+    # the sqrt-bounded coarse broadcasts (probe + centroid-hash) — the
+    # old n x K centroid crossJoin would add a third.
+    crosses = [ln for ln in join_lines if "Join Cross" in ln]
+    assert all("strategy=broadcast" in ln for ln in crosses)
+    uncond = [ln for ln in crosses if "vec_id" not in ln]
+    assert len(uncond) <= 2, f"unexpected cross joins: {crosses}"
+    # source-level pin: no broadcast of the centroid set
+    src = inspect.getsource(q_semdedup_prune)
+    assert "F.broadcast(cents)" not in src
