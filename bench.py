@@ -39,6 +39,12 @@ from gentropy_spark.plans.registry import _PLAN_CACHE_KEYS
 from gentropy_spark.session import get_session, release_caches
 
 # Headline set: one per operator family (SURVEY §2 A/C/D/E).
+# Queries whose best run reaches this many seconds get a third timing
+# run and a recorded per-run spread (r15 verdict item 7) — below it,
+# readings sit in the fixed-overhead floor band where min-of-2 is
+# already stable.
+HEAVY_SEC = 2.0
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -288,6 +294,7 @@ def main() -> None:
     duck_timings: dict[str, float] = {}
     ratios: dict[str, float] = {}
     errors: dict[str, str] = {}
+    spreads: dict[str, float] = {}
     native = os.environ.get("GENTROPY_SPARK_NATIVE_SUMS", "") == "1"
     for name in HEADLINE:
         fn = registry[name].fn
@@ -299,19 +306,34 @@ def main() -> None:
             # runs the parity profile on the unmodified oracle).
             sql = _to_native_sums(sql)
         best_s = best_d = float("inf")
-        for _ in range(2):  # Spark min-of-2 (warm repeat preserved)
+        # Repeat policy (r15 verdict item 7: the duck denominator swung
+        # 45 -> 62s between same-SQL runs, so a 2.4x-class reading must
+        # be self-adjudicating): min-of-2 for the sub-2s floor band,
+        # a THIRD run for any query whose best is >= 2s, and the
+        # per-run spread (max - min) recorded in BENCH_FULL for every
+        # such query on BOTH engines.
+        runs_s: list[float] = []
+        for _ in range(3):  # Spark: min-of-2, +1 if best >= 2s
+            if len(runs_s) == 2 and min(runs_s) < HEAVY_SEC:
+                break
             try:
                 start = time.perf_counter()
                 df = fn(spark, sf_dir)
                 # Engine-side full materialisation of every column.
                 df.write.format("noop").mode("overwrite").save()
-                best_s = min(best_s, time.perf_counter() - start)
+                runs_s.append(time.perf_counter() - start)
+                best_s = min(best_s, runs_s[-1])
             except Exception as exc:  # noqa: BLE001 — one broken query
                 # must not zero the whole benchmark record (it did in r5).
                 errors[name] = str(exc).split("\n")[0][:200]
                 break
+        if len(runs_s) >= 2 and best_s >= HEAVY_SEC:
+            spreads[name] = round(max(runs_s) - min(runs_s), 3)
         if duck_con is not None and sql is not None and name not in errors:
-            for _ in range(2):  # DuckDB min-of-2, same host window
+            runs_d: list[float] = []
+            for _ in range(3):  # DuckDB: same policy, same host window
+                if len(runs_d) == 2 and min(runs_d) < HEAVY_SEC:
+                    break
                 try:
                     start = time.perf_counter()
                     # hash-wrap: forces full engine-side materialisation
@@ -321,10 +343,15 @@ def main() -> None:
                     duck_con.execute(
                         f"SELECT bit_xor(hash(t)) FROM ({sql}) t"
                     ).fetchall()
-                    best_d = min(best_d, time.perf_counter() - start)
+                    runs_d.append(time.perf_counter() - start)
+                    best_d = min(best_d, runs_d[-1])
                 except Exception as exc:  # noqa: BLE001
                     errors[f"duckdb:{name}"] = str(exc).split("\n")[0][:200]
                     break
+            if len(runs_d) >= 2 and best_d >= HEAVY_SEC:
+                spreads[f"duckdb:{name}"] = round(
+                    max(runs_d) - min(runs_d), 3
+                )
         if best_s < float("inf"):
             timings[name] = round(best_s, 3)
         if best_d < float("inf"):
@@ -425,6 +452,11 @@ def main() -> None:
         "queries": timings,
         "duckdb": duck_timings,
         "per_query_ratio": ratios,
+        # Per-run spread (max - min seconds across the min-of-N runs)
+        # for every query whose best run is >= HEAVY_SEC on either
+        # engine — the self-adjudication data for host-noise readings
+        # (r15 verdict item 7).
+        "heavy_query_spread_sec": spreads,
         # Per-key prepared-plan provenance: true = the resolved
         # DataFrame plan is memoized per (app, sf_dir, profile), so
         # the min-of-2's warm run excludes py4j plan construction

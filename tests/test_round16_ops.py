@@ -271,3 +271,29 @@ def test_semdedup_assignment_has_no_centroid_crossjoin(spark):
     # source-level pin: no broadcast of the centroid set
     src = inspect.getsource(q_semdedup_prune)
     assert "F.broadcast(cents)" not in src
+
+
+def test_l2g_coloc_features_uses_study_type_annotation(spark):
+    """r15 verdict item 6: the L2G coloc family must consume study
+    types through the C13 annotation verb (a broadcast study-index
+    LUT), not an inline id-hash on the fact table. Pin (a) the source
+    routes through annotate_study_type, (b) the physical plan carries
+    the LUT as a BroadcastHashJoin on right_study_id over a customer
+    scan — no new data-side exchange."""
+    import inspect
+
+    from gentropy_spark.plans.l2g import q_l2g_coloc_features
+
+    src = inspect.getsource(q_l2g_coloc_features)
+    assert "annotate_study_type" in src
+    assert 'withColumn("qtl_type"' not in src
+
+    df = q_l2g_coloc_features(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lut_joins = [
+        ln
+        for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "right_study_id" in ln
+    ]
+    assert lut_joins, "study-type LUT broadcast join missing"
+    assert "c_custkey" in plan, "LUT must come from the customer dim"
