@@ -656,6 +656,173 @@ def two_level_nearest_centroid(
     )
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_subvectors: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "vec",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbours — the composed
+    billion-scale FAISS layout (Jégou et al. 2011 §V: an inverted file
+    over coarse lists, PQ codes inside the lists): queries probe only
+    their ``n_probe`` closest lists and score members by 8-byte ADC
+    lookups, so search cost is (probed fraction of the corpus) x
+    (n_subvectors table lookups) — neither a full corpus scan (flat
+    PQ) nor raw-vector distance math (IVF-Flat). This repo's variant
+    encodes RAW vectors, not residuals (the no-residual IVFPQ
+    simplification), keeping the codebooks query-independent and both
+    engines bit-aligned.
+
+    Deterministic conventions shared with ``ivf_topk``/``pq_topk``:
+    list centroids = the ``n_lists`` lowest-id corpus vectors,
+    codebooks = subvectors of the ``n_codes`` lowest-id corpus
+    vectors, every distance ROUND(...,6) BEFORE its argmin, id
+    tie-breaks, DECIMAL(38,6) ADC accumulation. Scale shape: coarse
+    distances run in whole-stage codegen (``sq_l2_expr``); every
+    argmin/top-N is a partial aggregation (min-of-struct /
+    collect_list+slice — map-side combine, never a row_number window
+    over the candidate fan-out); the only broadcasts are the
+    centroid/codebook/lookup constants (n_lists + n_subvectors x
+    n_codes x queries rows); members meet queries through the
+    centroid-id equi-join.
+    """
+    sub = dim // n_subvectors
+    l2v = lambda a, b: sq_l2_expr(a, b, dim)  # noqa: E731
+    l2s = lambda a, b: sq_l2_expr(a, b, sub)  # noqa: E731
+
+    c = corpus.select(F.col(corpus_id), as_double(F.col(vec)).alias("cv"))
+    q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("qv"))
+    cents = (
+        c.orderBy(F.col(corpus_id).asc())
+        .limit(n_lists)
+        .select(
+            F.col(corpus_id).alias("centroid_id"), F.col("cv").alias("centv")
+        )
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("ld", F.round(l2v(F.col("cv"), F.col("centv")), 6))
+        .groupBy(corpus_id)
+        .agg(F.min(F.struct(F.col("ld"), F.col("centroid_id"))).alias("_m"))
+        .select(corpus_id, F.col("_m.centroid_id").alias("centroid_id"))
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("ld", F.round(l2v(F.col("qv"), F.col("centv")), 6))
+        .groupBy(query_id)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("ld"), F.col("centroid_id")))
+                ),
+                1,
+                n_probe,
+            ).alias("_c")
+        )
+        .select(query_id, F.explode(F.col("_c.centroid_id")).alias("centroid_id"))
+    )
+    # PQ encode (the pq_topk machinery, min-struct aggregation).
+    seeds = (
+        c.orderBy(F.col(corpus_id).asc())
+        .limit(n_codes)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col(corpus_id).asc()))
+            .alias("code"),
+            "cv",
+        )
+    )
+    m_arr = F.array(*[F.lit(m) for m in range(n_subvectors)])
+    codebook = seeds.select(
+        "code", F.explode(m_arr).alias("m"), F.col("cv").alias("seedv")
+    ).select(
+        "m",
+        "code",
+        F.slice(F.col("seedv"), F.col("m") * sub + 1, sub).alias("bookv"),
+    )
+    c_sub = c.select(
+        F.col(corpus_id), F.explode(m_arr).alias("m"), "cv"
+    ).select(
+        corpus_id,
+        "m",
+        F.slice(F.col("cv"), F.col("m") * sub + 1, sub).alias("subv"),
+    )
+    codes = (
+        c_sub.join(F.broadcast(codebook), on="m")
+        .withColumn("d", F.round(l2s(F.col("subv"), F.col("bookv")), 6))
+        .groupBy(corpus_id, "m")
+        .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("_m"))
+        .select(corpus_id, "m", F.col("_m.code").alias("code"))
+    )
+    q_sub = q.select(
+        F.col(query_id), F.explode(m_arr).alias("m"), "qv"
+    ).select(
+        query_id,
+        "m",
+        F.slice(F.col("qv"), F.col("m") * sub + 1, sub).alias("qsubv"),
+    )
+    lookup = q_sub.join(F.broadcast(codebook), on="m").select(
+        query_id,
+        "m",
+        "code",
+        F.round(l2s(F.col("qsubv"), F.col("bookv")), 6).alias("pdist"),
+    )
+    # ADC restricted to the probed lists: the member set comes from
+    # the centroid-id equi-join, codes fan out per subvector, the
+    # per-query lookup table rides a broadcast.
+    adc = (
+        probes.join(assigned, on="centroid_id")
+        .select(query_id, corpus_id)
+        .join(codes, on=corpus_id)
+        .join(F.broadcast(lookup), on=[query_id, "m", "code"])
+        .groupBy(query_id, corpus_id)
+        .agg(
+            F.sum(F.col("pdist").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("adc_dist")
+        )
+    )
+    top = (
+        adc.groupBy(query_id)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("adc_dist"), F.col(corpus_id)))
+                ),
+                1,
+                k,
+            ).alias("_t")
+        )
+        .select(query_id, F.posexplode(F.col("_t")).alias("_pos", "_e"))
+        .select(
+            query_id,
+            F.col(f"_e.{corpus_id}").alias(corpus_id),
+            (F.col("_pos") + 1).cast("int").alias("ivfpq_rank"),
+            F.col("_e.adc_dist").alias("adc_dist"),
+        )
+    )
+    return (
+        top.join(c, on=corpus_id)
+        .join(F.broadcast(q), on=query_id)
+        .select(
+            query_id,
+            corpus_id,
+            "ivfpq_rank",
+            "adc_dist",
+            F.round(cosine_pairs_udf()(F.col("qv"), F.col("cv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
 def sq_l2_pairs_udf():
     """Arrow-batched pairwise squared-L2 — the PQ encode/ADC kernel.
 

@@ -911,6 +911,132 @@ WHERE t.pq_rank <= 5
 REGISTRY["ann_pq_topk"] = QuerySpec(q_ann_pq, _pq_sql())
 
 
+# --- E6d: IVF-PQ ANN (the composed billion-scale FAISS layout) -------------
+IVFPQ_N_LISTS = 16
+IVFPQ_N_PROBE = 4
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (operators/similarity.py ivfpq_topk): queries
+    probe their IVFPQ_N_PROBE closest of IVFPQ_N_LISTS inverted lists
+    and score members by PQ/ADC lookups — the layout FAISS ships for
+    billion-vector search (IVF bounds the scanned fraction, PQ bounds
+    bytes per member), with exact cosine annotated on the k winners.
+    No-residual variant: codes encode raw vectors, so the codebooks
+    stay query-independent and both engines bit-align."""
+    from gentropy_spark.operators.similarity import ivfpq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
+    )
+    return ivfpq_topk(
+        queries,
+        corpus,
+        n_lists=IVFPQ_N_LISTS,
+        n_probe=IVFPQ_N_PROBE,
+        n_subvectors=PQ_N_SUBVECTORS,
+        n_codes=PQ_N_CODES,
+        k=5,
+        dim=EMB_DIM,
+    )
+
+
+def _ivfpq_sql() -> str:
+    sub = EMB_DIM // PQ_N_SUBVECTORS
+    l2 = (
+        "list_dot_product("
+        "list_transform(generate_series(1, {n}), i -> {a}[i] - {b}[i]), "
+        "list_transform(generate_series(1, {n}), i -> {a}[i] - {b}[i]))"
+    )
+    return f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (SELECT vec_id AS corpus_id, v FROM vecs WHERE vec_id >= 10),
+queries AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < 10),
+cents AS (
+  SELECT corpus_id AS centroid_id, v AS centv
+  FROM corpus ORDER BY corpus_id LIMIT {IVFPQ_N_LISTS}
+),
+assigned AS (
+  SELECT corpus_id, centroid_id
+  FROM (SELECT c.corpus_id, ct.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY c.corpus_id ORDER BY
+                 ROUND({l2.format(n=EMB_DIM, a='c.v', b='ct.centv')}, 6),
+                 ct.centroid_id) AS r
+        FROM corpus c, cents ct)
+  WHERE r = 1
+),
+probes AS (
+  SELECT query_id, centroid_id
+  FROM (SELECT q.query_id, ct.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ROUND({l2.format(n=EMB_DIM, a='q.v', b='ct.centv')}, 6),
+                 ct.centroid_id) AS r
+        FROM queries q, cents ct)
+  WHERE r <= {IVFPQ_N_PROBE}
+),
+ms AS (SELECT unnest(generate_series(0, {PQ_N_SUBVECTORS - 1})) AS m),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY corpus_id) AS code, v
+  FROM corpus ORDER BY corpus_id LIMIT {PQ_N_CODES}
+),
+codebook AS (
+  SELECT ms.m, s.code, s.v[ms.m * {sub} + 1 : ms.m * {sub} + {sub}] AS bookv
+  FROM seeds s, ms
+),
+codes AS (
+  SELECT corpus_id, m, code
+  FROM (SELECT cs.corpus_id, cs.m, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY cs.corpus_id, cs.m ORDER BY
+                 ROUND({l2.format(n=sub, a='cs.subv', b='cb.bookv')}, 6),
+                 cb.code) AS r
+        FROM (SELECT c.corpus_id, ms.m,
+                     c.v[ms.m * {sub} + 1 : ms.m * {sub} + {sub}] AS subv
+              FROM corpus c, ms) cs
+        JOIN codebook cb ON cs.m = cb.m)
+  WHERE r = 1
+),
+lookup AS (
+  SELECT qs.query_id, qs.m, cb.code,
+         ROUND({l2.format(n=sub, a='qs.qsubv', b='cb.bookv')}, 6) AS pdist
+  FROM (SELECT q.query_id, ms.m,
+               q.v[ms.m * {sub} + 1 : ms.m * {sub} + {sub}] AS qsubv
+        FROM queries q, ms) qs
+  JOIN codebook cb ON qs.m = cb.m
+),
+adc AS (
+  SELECT p.query_id, a.corpus_id,
+         CAST(SUM(CAST(l.pdist AS DECIMAL(38,6))) AS DOUBLE) AS adc_dist
+  FROM probes p
+  JOIN assigned a USING (centroid_id)
+  JOIN codes c ON c.corpus_id = a.corpus_id
+  JOIN lookup l ON l.query_id = p.query_id AND l.m = c.m AND l.code = c.code
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT query_id, corpus_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, corpus_id) AS INT)
+           AS ivfpq_rank
+  FROM adc
+)
+SELECT t.query_id, t.corpus_id, t.ivfpq_rank, t.adc_dist,
+       ROUND(list_dot_product(q.v, c.v)
+             / (SQRT(list_dot_product(q.v, q.v))
+                * SQRT(list_dot_product(c.v, c.v))), 6) AS cosine
+FROM top t
+JOIN corpus c USING (corpus_id)
+JOIN queries q USING (query_id)
+WHERE t.ivfpq_rank <= 5
+"""
+
+
+REGISTRY["ann_ivfpq_topk"] = QuerySpec(q_ann_ivfpq, _ivfpq_sql())
+
+
 # --- E15: duplicate clusters (connected components over verified pairs) ---
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash pair candidates → transitive duplicate clusters with one

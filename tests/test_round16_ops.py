@@ -297,3 +297,53 @@ def test_l2g_coloc_features_uses_study_type_annotation(spark):
     ]
     assert lut_joins, "study-type LUT broadcast join missing"
     assert "c_custkey" in plan, "LUT must come from the customer dim"
+
+
+def test_ann_ivfpq_topk_invariants(spark):
+    """E6d composed IVF-PQ: k rows per query with ranks 1..k ordered by
+    (adc_dist, corpus_id); every returned member's inverted list is one
+    of that query's probed lists (the candidate-containment proof that
+    scoring never left the probed fraction)."""
+    from pyspark.sql import functions as F
+
+    from gentropy_spark.plans.llm_pipeline import (
+        EMB_DIM,
+        IVFPQ_N_LISTS,
+        IVFPQ_N_PROBE,
+        q_ann_ivfpq,
+    )
+    from gentropy_spark.sources.readers import read_table
+
+    rows = q_ann_ivfpq(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q, "no results"
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.ivfpq_rank)
+        assert [r.ivfpq_rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        keys = [(r.adc_dist, r.corpus_id) for r in rs]
+        assert keys == sorted(keys), f"rank order broken for query {qid}"
+
+    # containment: recompute lists/probes in python
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in read_table(spark, SF, "embeddings").collect()
+    }
+    cents = sorted(vid for vid in emb if vid >= 10)[:IVFPQ_N_LISTS]
+
+    def sqd(a, b):
+        return round(sum((x - y) * (x - y) for x, y in zip(a, b)), 6)
+
+    def nearest_list(v):
+        return min(cents, key=lambda c: (sqd(v, emb[c]), c))
+
+    for qid, rs in by_q.items():
+        probed = sorted(cents, key=lambda c: (sqd(emb[qid], emb[c]), c))[
+            :IVFPQ_N_PROBE
+        ]
+        for r in rs:
+            assert nearest_list(emb[r.corpus_id]) in probed, (
+                f"member {r.corpus_id} outside query {qid}'s probed lists"
+            )
