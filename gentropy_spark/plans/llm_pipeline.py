@@ -1879,6 +1879,190 @@ FROM m
 REGISTRY["embedding_clusters"] = QuerySpec(q_embedding_clusters, EMB_CLUSTERS_SQL)
 
 
+# --- E51: leading principal component by distributed power iteration -------
+# PCA diagnostics over the embedding table — the whitening/variance
+# prep a training-data pipeline runs before semantic dedup or mixture
+# analysis (how concentrated is the embedding space?). Two power
+# steps of the covariance matvec u = C v, each expressed as ONE
+# corpus-grain aggregation: C v = (1/n) Σ_i ((x_i - μ)·v)(x_i - μ)
+# needs only the per-row projection d_i and a per-dimension sum — no
+# d x d matrix is ever materialised, which is what makes the shape
+# work at 100 TB (the Halko/Mahout distributed-PCA formulation).
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading eigenpair of the embedding covariance (E51).
+
+    v0 = e1 (deterministic, no RNG); two matvec steps with
+    normalization between them; output one row per dimension:
+    (dim, mean, loading, eigenvalue) where loading = the unit second
+    iterate and eigenvalue = ||C v1|| (v1 unit, so the Rayleigh-style
+    norm estimate).
+
+    Exactness discipline: every reduction is a DECIMAL(38,12) sum of
+    9-dp-quantized terms (order-independent — the repo-wide FP-sum
+    rule), per-row projections are themselves per-dimension DECIMAL
+    sums (never a left-to-right double fold whose order a shuffle
+    could change), v1 components round to 12 dp before re-use and
+    outputs to 6 dp. Scale shape: the exploded (row, dim) table is
+    ~2x the data, every groupBy map-side-combines (n x d rows -> d
+    or n groups), μ/v ride 64-row broadcasts, and nothing driver-side
+    ever sees more than d rows.
+    """
+    from gentropy_spark.operators.dedup import spread_if_narrow
+    from gentropy_spark.session import track_cache
+
+    emb = spread_if_narrow(
+        read_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
+    DEC12 = "decimal(38,12)"
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "xj"
+        ),
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "xj")
+    n_row = emb.agg(F.count("*").cast("double").alias("n"))
+    # mus and cx feed every downstream consumer (two matvec steps x
+    # two joins each); uncached, the scan+explode+mean-agg subtree
+    # re-evaluates ~6 times — cache the centered table once (narrow
+    # (id, dim, cx) rows, ~2x the data, partitioned).
+    mus = track_cache(
+        ex.groupBy("dim")
+        .agg(F.sum(F.col("xj").cast(DEC12)).cast("double").alias("sx"))
+        .crossJoin(F.broadcast(n_row))
+        .select("dim", (F.col("sx") / F.col("n")).alias("mu"))
+    )
+    cx = track_cache(
+        ex.join(F.broadcast(mus), on="dim")
+        .select("vec_id", "dim", (F.col("xj") - F.col("mu")).alias("cx"))
+    )
+    # Step 1 onto v0 = e1: the projection d_i is just the centered
+    # first coordinate — join it back per row.
+    d1 = cx.filter(F.col("dim") == 1).select(
+        "vec_id", F.col("cx").alias("d")
+    )
+    u1 = (
+        cx.join(d1, on="vec_id")
+        .groupBy("dim")
+        .agg(
+            F.sum(F.round(F.col("d") * F.col("cx"), 9).cast(DEC12))
+            .cast("double")
+            .alias("su")
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select("dim", (F.col("su") / F.col("n")).alias("u"))
+    )
+    norm1 = u1.agg(
+        F.sqrt(
+            F.sum(F.round(F.col("u") * F.col("u"), 9).cast(DEC12)).cast(
+                "double"
+            )
+        ).alias("nrm")
+    )
+    v1 = (
+        u1.crossJoin(F.broadcast(norm1))
+        .select("dim", F.round(F.col("u") / F.col("nrm"), 12).alias("v"))
+    )
+    # Step 2 onto v1: per-row projection as an order-free DECIMAL sum
+    # of per-dimension terms, then the per-dimension matvec sum.
+    d2 = (
+        cx.join(F.broadcast(v1), on="dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.round(F.col("cx") * F.col("v"), 9).cast(DEC12))
+            .cast("double")
+            .alias("d")
+        )
+    )
+    u2 = (
+        cx.join(d2, on="vec_id")
+        .groupBy("dim")
+        .agg(
+            F.sum(F.round(F.col("d") * F.col("cx"), 9).cast(DEC12))
+            .cast("double")
+            .alias("su")
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select("dim", (F.col("su") / F.col("n")).alias("u"))
+    )
+    norm2 = u2.agg(
+        F.sqrt(
+            F.sum(F.round(F.col("u") * F.col("u"), 9).cast(DEC12)).cast(
+                "double"
+            )
+        ).alias("nrm")
+    )
+    return (
+        u2.crossJoin(F.broadcast(norm2))
+        .join(F.broadcast(mus), on="dim")
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round(F.col("mu"), 6).alias("mean"),
+            F.round(F.col("u") / F.col("nrm"), 6).alias("loading"),
+            F.round(F.col("nrm"), 6).alias("eigenvalue"),
+        )
+    )
+
+
+EMB_PCA_SQL = """
+WITH ex AS (
+  SELECT vec_id, g.idx AS dim, (embedding::DOUBLE[])[g.idx] AS xj
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS g(idx)
+),
+n_row AS (SELECT COUNT(*)::DOUBLE AS n FROM embeddings),
+mus AS (
+  SELECT dim,
+         CAST(SUM(CAST(xj AS DECIMAL(38,12))) AS DOUBLE) / n AS mu
+  FROM ex, n_row GROUP BY dim, n
+),
+cx AS (
+  SELECT e.vec_id, e.dim, e.xj - m.mu AS cx
+  FROM ex e JOIN mus m USING (dim)
+),
+d1 AS (SELECT vec_id, cx AS d FROM cx WHERE dim = 1),
+u1 AS (
+  SELECT c.dim,
+         CAST(SUM(CAST(ROUND(d1.d * c.cx, 9) AS DECIMAL(38,12))) AS DOUBLE)
+           / n AS u
+  FROM cx c JOIN d1 USING (vec_id), n_row GROUP BY c.dim, n
+),
+norm1 AS (
+  SELECT SQRT(CAST(SUM(CAST(ROUND(u * u, 9) AS DECIMAL(38,12))) AS DOUBLE))
+           AS nrm
+  FROM u1
+),
+v1 AS (SELECT dim, ROUND(u / nrm, 12) AS v FROM u1, norm1),
+d2 AS (
+  SELECT c.vec_id,
+         CAST(SUM(CAST(ROUND(c.cx * v1.v, 9) AS DECIMAL(38,12))) AS DOUBLE)
+           AS d
+  FROM cx c JOIN v1 USING (dim) GROUP BY c.vec_id
+),
+u2 AS (
+  SELECT c.dim,
+         CAST(SUM(CAST(ROUND(d2.d * c.cx, 9) AS DECIMAL(38,12))) AS DOUBLE)
+           / n AS u
+  FROM cx c JOIN d2 USING (vec_id), n_row GROUP BY c.dim, n
+),
+norm2 AS (
+  SELECT SQRT(CAST(SUM(CAST(ROUND(u * u, 9) AS DECIMAL(38,12))) AS DOUBLE))
+           AS nrm
+  FROM u2
+)
+SELECT CAST(u2.dim AS INT) AS dim,
+       ROUND(m.mu, 6) AS mean,
+       ROUND(u2.u / norm2.nrm, 6) AS loading,
+       ROUND(norm2.nrm, 6) AS eigenvalue
+FROM u2, norm2
+JOIN mus m ON m.dim = u2.dim
+"""
+
+
+REGISTRY["embedding_pca_power"] = QuerySpec(
+    q_embedding_pca_power, EMB_PCA_SQL
+)
+
+
 # --- E23: training-mixture table ------------------------------------------
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (lang, source) document and token totals with corpus share —
@@ -2463,6 +2647,148 @@ FROM scored GROUP BY doc_id
 
 
 REGISTRY["lm_perplexity"] = QuerySpec(q_lm_perplexity, _lm_perplexity_sql())
+
+
+# --- E50: interpolated Kneser-Ney bigram perplexity -------------------------
+# Kneser & Ney 1995 / Chen & Goodman 1999: absolute discounting with a
+# CONTINUATION-count backoff — the standard n-gram LM smoothing (what
+# KenLM ships), vs E30's add-alpha. The continuation probability
+# P_cont(w2) = N1+(·w2) / |bigram types| asks "how many distinct
+# histories precede w2", which famously fixes the "San Francisco"
+# pathology (high c(francisco) but only one history).
+LM_KN_DISCOUNT = 0.75
+
+
+def q_lm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram perplexity (E50).
+
+    Train + score in one DAG over the same corpus (the E30 contract,
+    so every scored bigram has c12 >= 1 > D and no zero-probability
+    path exists):
+
+      P(w2|w1) = (c12 - D)/c1 + (D * N1+(w1·)/c1) * (N1+(·w2)/T)
+
+    with D = 0.75, N1+(w1·) = distinct continuations of w1, N1+(·w2)
+    = distinct histories of w2, T = distinct bigram types. Everything
+    is partial-agg groupBys joined back on the bigram key (shuffle ∝
+    corpus tokens); the history stats (c1, N1+(w1·)) ride ONE
+    aggregation; no broadcast hints on the vocabulary-sized sides
+    (AQE decides — the E49/E30 posture). Per-term -log2 quantized to
+    9 dp, DECIMAL(38,12) doc sums (order-independent), perplexity =
+    2^H at 4 dp — the E30 rounding ladder exactly.
+    """
+    from pyspark.sql import Window
+
+    from gentropy_spark.functions.text import tokens
+    from gentropy_spark.session import track_cache
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = track_cache(
+        tok.withColumn("w_prev", F.lag("w").over(w_doc)).filter(
+            F.col("w_prev").isNotNull()
+        )
+    )
+    hist = bigrams.groupBy(F.col("w_prev").alias("w1")).agg(
+        F.count("*").alias("c1"),
+        F.countDistinct("w").alias("n_after"),
+    )
+    bi = bigrams.groupBy(
+        F.col("w_prev").alias("w1"), F.col("w").alias("w2")
+    ).agg(F.count("*").alias("c12"))
+    cont = bigrams.groupBy(F.col("w").alias("w2")).agg(
+        F.countDistinct("w_prev").alias("n_before")
+    )
+    t_row = bi.agg(F.count("*").alias("t"))
+    d = F.lit(LM_KN_DISCOUNT)
+    p = (
+        (F.col("c12").cast("double") - d) / F.col("c1").cast("double")
+    ) + (
+        (d * F.col("n_after").cast("double") / F.col("c1").cast("double"))
+        * (F.col("n_before").cast("double") / F.col("t").cast("double"))
+    )
+    scored = (
+        bigrams.join(
+            bi,
+            (bigrams["w_prev"] == bi["w1"]) & (bigrams["w"] == bi["w2"]),
+        )
+        .join(hist.withColumnRenamed("w1", "h1"), F.col("w_prev") == F.col("h1"))
+        .join(cont.withColumnRenamed("w2", "k2"), F.col("w") == F.col("k2"))
+        .crossJoin(F.broadcast(t_row))
+        .select("doc_id", F.round(-F.log2(p), 9).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            (
+                F.sum(F.col("nll").cast("decimal(38,12)")).cast("double")
+                / F.count("*")
+            ),
+            6,
+        ).alias("cross_entropy_bits"),
+        F.round(
+            F.pow(
+                F.lit(2.0),
+                F.sum(F.col("nll").cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+            ),
+            4,
+        ).alias("perplexity"),
+    )
+
+
+def _lm_kn_sql() -> str:
+    d = f"{LM_KN_DISCOUNT!r}::DOUBLE"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, g.idx AS pos, toks[g.idx] AS w
+  FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+       unnest(generate_series(1, len(toks))) AS g(idx)
+),
+bigrams AS (
+  SELECT doc_id, w,
+         LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w_prev
+  FROM tok
+  QUALIFY w_prev IS NOT NULL
+),
+hist AS (
+  SELECT w_prev AS w1, COUNT(*) AS c1, COUNT(DISTINCT w) AS n_after
+  FROM bigrams GROUP BY 1
+),
+bi AS (
+  SELECT w_prev AS w1, w AS w2, COUNT(*) AS c12 FROM bigrams GROUP BY 1, 2
+),
+cont AS (
+  SELECT w AS w2, COUNT(DISTINCT w_prev) AS n_before FROM bigrams GROUP BY 1
+),
+t_row AS (SELECT COUNT(*) AS t FROM bi),
+scored AS (
+  SELECT b.doc_id,
+         ROUND(-log2(
+           ((c12::DOUBLE - {d}) / c1::DOUBLE)
+           + (({d} * n_after::DOUBLE / c1::DOUBLE)
+              * (n_before::DOUBLE / t::DOUBLE))
+         ), 9) AS nll
+  FROM bigrams b
+  JOIN bi ON b.w_prev = bi.w1 AND b.w = bi.w2
+  JOIN hist ON b.w_prev = hist.w1
+  JOIN cont ON b.w = cont.w2
+  CROSS JOIN t_row
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+         AS cross_entropy_bits,
+       ROUND(POW(2.0, CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS DOUBLE)
+                      / COUNT(*)), 4) AS perplexity
+FROM scored
+GROUP BY doc_id
+"""
+
+
+REGISTRY["lm_kn_perplexity"] = QuerySpec(q_lm_kn_perplexity, _lm_kn_sql())
 
 
 # --- E31: BPE merge-candidate pair counts ---------------------------------

@@ -146,8 +146,12 @@ _SNAPSHOT_PRIORITY = [
     # window_clump_semi (stream width now AQE-owned), and
     # l2g_coloc_features + l2g_feature_matrix (qtl_type now annotated
     # through the C13 study-type verb; oracle updated to the same
-    # LEFT-JOIN shape), and ann_ivfpq_topk (NEW E6d: composed IVF-PQ).
+    # LEFT-JOIN shape), plus the three NEW keys: ann_ivfpq_topk (E6d
+    # composed IVF-PQ), lm_kn_perplexity (E50 Kneser-Ney), and
+    # embedding_pca_power (E51 distributed power iteration).
     "ann_ivfpq_topk",
+    "lm_kn_perplexity",
+    "embedding_pca_power",
     "semdedup_prune",
     "ann_pq_topk",
     "ann_recall_eval",
@@ -167,10 +171,11 @@ _SNAPSHOT_PRIORITY = [
     "wide_to_long",
     "window_clump_leads",
     "zscore_chi2",
-    # (c) freshness rotation, stalest-first: 34 of the 41 keys whose
-    # newest driver evidence is r12 (alphabetical; the 7-key tail --
-    # sumstat_qc_summary, table_profile, target_index_build,
-    # trans_qtl_flag, ukb_ppp_harmonise, ukbiobank_study_ingest,
+    # (c) freshness rotation, stalest-first: 32 of the 41 keys whose
+    # newest driver evidence is r12 (alphabetical; the 9-key tail --
+    # sumstat_harmonise_ingest, sumstat_imputation, sumstat_qc_summary,
+    # table_profile, target_index_build, trans_qtl_flag,
+    # ukb_ppp_harmonise, ukbiobank_study_ingest,
     # vep_variant_index_ingest -- rotates to r17).
     "allele_direction",
     "amino_acid_variants",
@@ -204,8 +209,6 @@ _SNAPSHOT_PRIORITY = [
     "sanity_filter",
     "signif_calibration",
     "study_locus_id",
-    "sumstat_harmonise_ingest",
-    "sumstat_imputation",
 ]
 
 

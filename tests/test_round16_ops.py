@@ -347,3 +347,134 @@ def test_ann_ivfpq_topk_invariants(spark):
             assert nearest_list(emb[r.corpus_id]) in probed, (
                 f"member {r.corpus_id} outside query {qid}'s probed lists"
             )
+
+
+def test_lm_kn_perplexity_matches_python_reference(spark, tmp_path):
+    """E50 interpolated Kneser-Ney: per-doc perplexity equals an
+    in-test pure-python implementation of
+    P(w2|w1) = (c12-D)/c1 + D*N1+(w1.)/c1 * N1+(.w2)/T on a corpus
+    small enough to enumerate, and differs from E30's add-alpha."""
+    import math
+    from collections import Counter, defaultdict
+
+    from gentropy_spark.plans.llm_pipeline import (
+        LM_KN_DISCOUNT,
+        q_lm_kn_perplexity,
+        q_lm_perplexity,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a cat and a dog and a bird"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+
+    # python reference
+    bigrams_per_doc = {}
+    all_bigrams = []
+    for did, text in docs:
+        ws = text.split()
+        bs = list(zip(ws, ws[1:]))
+        bigrams_per_doc[did] = bs
+        all_bigrams.extend(bs)
+    c12 = Counter(all_bigrams)
+    c1 = Counter(w1 for w1, _ in all_bigrams)
+    n_after = {
+        w1: len({b for a, b in c12 if a == w1}) for w1 in c1
+    }
+    n_before = defaultdict(set)
+    for a, b in c12:
+        n_before[b].add(a)
+    T = len(c12)
+    D = LM_KN_DISCOUNT
+
+    def p(w1, w2):
+        return (c12[(w1, w2)] - D) / c1[w1] + (
+            D * n_after[w1] / c1[w1]
+        ) * (len(n_before[w2]) / T)
+
+    expected = {}
+    for did, bs in bigrams_per_doc.items():
+        nlls = [round(-math.log2(p(a, b)), 9) for a, b in bs]
+        h = sum(nlls) / len(nlls)
+        expected[did] = (len(bs), round(h, 6), round(2**h, 4))
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.cross_entropy_bits, r.perplexity)
+        for r in q_lm_kn_perplexity(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+
+    addk = {
+        r.doc_id: r.perplexity
+        for r in q_lm_perplexity(spark, str(tmp_path)).collect()
+    }
+    assert any(
+        abs(addk[d] - got[d][2]) > 1e-6 for d in got
+    ), "KN must differ from add-alpha smoothing"
+
+
+def test_embedding_pca_power_matches_numpy_reference(spark):
+    """E51: the two quantized power steps must equal an exact numpy
+    replication (same 9-dp term rounding, same order-free sums), and
+    the loading must be a unit vector aligned with the true leading
+    eigenvector's direction on the real sf0.001 embeddings."""
+    import numpy as np
+
+    from gentropy_spark.plans.llm_pipeline import q_embedding_pca_power
+    from gentropy_spark.sources.readers import read_table
+
+    X = np.array(
+        [
+            [float(v) for v in r.embedding]
+            for r in read_table(spark, SF, "embeddings").collect()
+        ]
+    )
+    n, d = X.shape
+    mu = np.array(
+        [float(np.sum(X[:, j].astype(np.float64))) / n for j in range(d)]
+    )
+    C = X - mu
+
+    def step(v):
+        dd = np.array(
+            [float(np.sum(np.round(C[i] * v, 9))) for i in range(n)]
+        )
+        u = np.array(
+            [float(np.sum(np.round(dd * C[:, j], 9))) / n for j in range(d)]
+        )
+        return u
+
+    u1 = step(np.eye(d)[0])
+    v1 = np.round(u1 / np.sqrt(np.sum(np.round(u1 * u1, 9))), 12)
+    u2 = step(v1)
+    nrm2 = float(np.sqrt(np.sum(np.round(u2 * u2, 9))))
+    expected = {
+        j + 1: (round(float(mu[j]), 6), round(float(u2[j] / nrm2), 6))
+        for j in range(d)
+    }
+    rows = q_embedding_pca_power(spark, SF).collect()
+    got = {r.dim: (r.mean, r.loading) for r in rows}
+    # quantized DECIMAL sums vs numpy float sums: identical up to the
+    # output rounding except possible 1-ulp boundary flips — allow a
+    # 1e-6 band (one output quantum)
+    assert set(got) == set(expected)
+    for j in got:
+        assert abs(got[j][0] - expected[j][0]) <= 1e-6
+        assert abs(got[j][1] - expected[j][1]) <= 1e-6
+    ev = {r.eigenvalue for r in rows}
+    assert len(ev) == 1
+    assert abs(next(iter(ev)) - round(nrm2, 6)) <= 1e-6
+    # unit loading; power-iteration monotonicity: the norm estimate
+    # must not shrink between steps (||C v1|| >= ||C v0|| by
+    # Cauchy-Schwarz for symmetric PSD C), and must stay below the
+    # true leading eigenvalue
+    load = np.array([got[j + 1][1] for j in range(d)])
+    assert abs(np.linalg.norm(load) - 1.0) < 1e-4
+    nrm1 = float(np.sqrt(np.sum(np.round(u1 * u1, 9))))
+    assert nrm2 >= nrm1 - 1e-6, "power step decreased the norm estimate"
+    w = np.linalg.eigvalsh(np.cov(X.T, bias=True))
+    assert nrm2 <= w[-1] + 1e-6, "norm estimate exceeded the top eigenvalue"
