@@ -31,12 +31,12 @@ AUDIT = {
     "decontaminate": "Benchmark shingles deduped small then broadcast; training side aggregates ride one shuffle.",
     "pii_redact": "Pure regexp projection over the scan: zero exchanges, full whole-stage codegen.",
     "bm25_topk": "Inverted-index retrieval: postings from ONE corpus scan (partial-agg tf), broadcast query-term set, df on the query-vocabulary slice only, broadcast 1-row (N, avgdl); per-term contributions 6dp-rounded then DECIMAL-summed; bounded-query guard (BM25_MAX_QUERY_DOCS) enforced LAZILY via a raise_error branch riding the stats build side (r15 — plan build stays job-free).",
-    "semdedup_prune": "Adaptive-K centroid assignment (K = ceil(n/256) via broadcast 1-row aggregate) -> Arrow-batched l2_pairs_udf distance (the interpreted HOF form single-task-stalled at 200k x 782 in the 100x probe) -> within-cluster equi-join pairs (never a corpus cross join) -> Arrow cosine verify. Pair work linear in corpus at fixed target occupancy.",
+    "semdedup_prune": "r16 two-level assignment (r15 verdict item 1): centroids hash to ceil(sqrt(K)) coarse cells, vectors meet them via the cell EQUI-JOIN (the n x K broadcast crossJoin and its O(K) centroid broadcast are gone); coarse/candidate distances in whole-stage codegen (sq_l2_expr), every argmin a min-of-struct partial agg so the 64-dim vectors shuffle once per vector; exact whenever K2 <= NPROBE (all oracle SFs, structurally). Within-cluster pairs stay the centroid_id equi-join + Arrow cosine verify; pair work linear at fixed target occupancy.",
     "quality_classifier": "Zero UDFs: cross-engine Horner hash to 512 buckets, integer LCG weights, EXACT int64 logit accumulation (S/(M*L) - 0.5 -- no float sum order exists), one sigmoid projection, one partial-agg groupBy on doc_id; spread_if_narrow on the scan (r15 — the CPU-bound hash projection serialized on a 2-task scan in the 100x probe: growth 24x -> 2.3x).",
     "bpe_train": "K=4 declarative merge stages over the aggregated word dictionary (corpus-sized work = ONE vocab groupBy, spread_if_narrow on the scan); per stage: adjacent-pair partial-agg counts, deterministic sort-limit argmax broadcast as a 1-row build side, and the merge as a left FOLD over the symbol array (r15 — string replace under-merged adjacent occurrences, the r14 advisory); localCheckpoint truncates lineage per iteration. Loop cost independent of corpus size.",
     "bpe_encode": "Encode = dictionary problem: the merge loop's final per-word symbolization (vocab-grain) broadcast-joined onto the token stream, one doc-grain partial-agg groupBy; corpus-sized work is the spread scan + join probe, never per-document merging.",
     "epoch_shuffle": "Hash-keyed permutation: one projection (Horner hash of doc_id:epoch), shard-partitioned window for positions -- no global sort, shuffle only on the shard key.",
-    "ann_pq_topk": "PQ encode via per-subspace codebook broadcast + ROUND-before-argmin; ADC distances DECIMAL-summed per (query, corpus) pair so ranking is partition-order-free; exact-cosine rerank only on the k winners.",
+    "ann_pq_topk": "PQ encode via per-subspace codebook broadcast + ROUND-before-argmin as a min-of-struct partial aggregation over codegen subvector distances (r16: the row_number window shuffled all n x m x codes scored rows and the Arrow kernel paid ~60s of per-row overhead on 25.6M 8-dim pairs at 100x); ADC distances DECIMAL-summed per (query, corpus) pair so ranking is partition-order-free; exact-cosine rerank only on the k winners. 100x A/B 19.75s vs DuckDB 19.02s.",
     "finemap_calibration": "Driver-side seeded simulation by nature (the reference harness posture); report row pinned as a VALUES-literal oracle.",
     "corpus_curate": "Six pipeline stages as ONE DAG: shared document scan, broadcast joins for small sides, final two-level pack. r12: is_canonical via broadcast ANTI join on the tiny non-canonical drop set (no corpus-wide cluster window in the curation path). r13: the quality gate and language ID are FUSED into the document scan (one staged projection, zero joins -- was 2 scans + 2 doc_id joins), and decontamination runs the Bloom probe (E20b scale posture: fixed 4096-word broadcast array, no benchmark-shingle equi-join; oracle updated to the bloom semantics, bit-identical). r14: the scored-doc projection is persisted (track_cache) -- predicate pushdown was substituting the sampling key's interpreted langid HOF chain down into the scan Filter and re-evaluating it per row (3.8s single-task CPU on the event-log timeline); the cache-fill plan has no downstream predicates, the spread repartition parallelizes the fill, and both cumsum fork branches read the cache. Pair table via the prepared-plan memo; drop-set anti-join broadcast explicitly.",
     "kmeans_step": "Broadcast centroids; HOF distances in codegen; one partial-agg groupBy for occupancy stats.",
