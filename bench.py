@@ -93,6 +93,18 @@ HEADLINE = [
     "gwas_study_ingest",
     "gwas_top_hits",
     "decode_study_ingest",
+    # r16 additions: the rebuilt/new LLM-pipeline heavies — semantic
+    # dedup on the two-level assignment, composed IVF-PQ search,
+    # Kneser-Ney perplexity, and the PCA power iteration. All four
+    # sit ABOVE the 2x floor band at sf0.1 (5.8-15x against 0.1-0.5s
+    # DuckDB denominators — the floor_analysis class; their 10x A/Bs
+    # read 0.8x/1.8x/1.1x/1.6x), so adding them raises the headline
+    # ratio while widening measured coverage; the trade is recorded
+    # here deliberately.
+    "semdedup_prune",
+    "ann_ivfpq_topk",
+    "lm_kn_perplexity",
+    "embedding_pca_power",
 ]
 
 
@@ -525,6 +537,21 @@ def main() -> None:
                 "10x rows in 0.96s = 6.2M rows/s once the constant "
                 "amortizes. Residual = per-job dispatch + "
                 "single-task row-group scans, not throughput."
+            ),
+            "semdedup_prune|ann_ivfpq_topk|lm_kn_perplexity|"
+            "embedding_pca_power": (
+                "the r16 headline additions measure 2.2-4.4s against "
+                "0.1-0.5s DuckDB denominators at sf0.1 — the general "
+                "floor class (multi-stage plans: the two-level "
+                "assignment is ~8 aggregation/join stages, IVF-PQ ~9, "
+                "KN ~6, PCA ~10 x the per-job constant). Their scale "
+                "trajectories are the honest signal and all four are "
+                "at or under 1.8x by 10x (docs/SCALE_PROBE.md keyed "
+                "A/B: semdedup 0.8x, ivfpq 1.8x, kn 1.1x, pca 1.6x) "
+                "with 100x growth 5.3x/5.9x/4.5x/2.9x. Added to the "
+                "headline DELIBERATELY despite raising the aggregate "
+                "ratio — the shared-subset drift comparison in the "
+                "payload is the round-over-round signal."
             ),
             "study_locus_qc_flags": (
                 "r14 flagged 0.73 -> 1.24s with an unchanged 1-exchange "
