@@ -3746,8 +3746,10 @@ REGISTRY["bigram_pmi"] = QuerySpec(q_bigram_pmi, BIGRAM_PMI_SQL)
 # the three registered queries — truth is one exact top-k per query,
 # so the whole evaluation is two small joins on (query_id, corpus_id).
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query recall@5 of LSH-, IVF- and PQ-ANN vs brute force
-    (E40; PQ leg added r14 with ann_pq_topk)."""
+    """Per-query recall@5 of LSH-, IVF-, PQ- and IVFPQ-ANN vs brute
+    force (E40; PQ leg added r14 with ann_pq_topk, composed IVF-PQ leg
+    r16 with ann_ivfpq_topk — the eval covers every ANN path the repo
+    ships)."""
     truth = q_ann_cosine_topk(spark, sf_dir).select("query_id", "corpus_id")
     retrieved = (
         q_ann_lsh(spark, sf_dir)
@@ -3760,6 +3762,11 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             q_ann_pq(spark, sf_dir).select(
                 F.lit("pq").alias("method"), "query_id", "corpus_id"
+            )
+        )
+        .unionByName(
+            q_ann_ivfpq(spark, sf_dir).select(
+                F.lit("ivfpq").alias("method"), "query_id", "corpus_id"
             )
         )
     )
@@ -3777,7 +3784,9 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Base = every (method, query) cell: a query whose LSH bucket is
     # empty must surface as recall 0, not vanish.
-    methods = spark.createDataFrame([("lsh",), ("ivf",), ("pq",)], ["method"])
+    methods = spark.createDataFrame(
+        [("lsh",), ("ivf",), ("pq",), ("ivfpq",)], ["method"]
+    )
     base = truth.select("query_id").distinct().crossJoin(F.broadcast(methods))
     return (
         base.join(hits, on=["method", "query_id"], how="left")
@@ -3800,12 +3809,15 @@ WITH truth AS ({ANN_TOPK_SQL}),
 lsh AS ({ANN_LSH_SQL}),
 ivf AS ({ANN_IVF_SQL}),
 pq AS ({_pq_sql()}),
+ivfpq AS ({_ivfpq_sql()}),
 retrieved AS (
   SELECT 'lsh' AS method, query_id, corpus_id FROM lsh
   UNION ALL
   SELECT 'ivf' AS method, query_id, corpus_id FROM ivf
   UNION ALL
   SELECT 'pq' AS method, query_id, corpus_id FROM pq
+  UNION ALL
+  SELECT 'ivfpq' AS method, query_id, corpus_id FROM ivfpq
 ),
 hits AS (
   SELECT r.method, r.query_id,
@@ -3819,7 +3831,7 @@ hits AS (
 base AS (
   SELECT m.method, q.query_id
   FROM (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'
-        UNION ALL SELECT 'pq') m
+        UNION ALL SELECT 'pq' UNION ALL SELECT 'ivfpq') m
   CROSS JOIN (SELECT DISTINCT query_id FROM truth) q
 )
 SELECT b.method, b.query_id,

@@ -339,6 +339,7 @@ def test_ann_recall_eval_consistent_with_components(spark, sf_dir):
     from gentropy_spark.plans.llm_pipeline import (
         q_ann_cosine_topk,
         q_ann_ivf,
+        q_ann_ivfpq,
         q_ann_lsh,
         q_ann_pq,
         q_ann_recall_eval,
@@ -361,9 +362,14 @@ def test_ann_recall_eval_consistent_with_components(spark, sf_dir):
             (r["query_id"], r["corpus_id"])
             for r in q_ann_pq(spark, sf_dir).collect()
         },
+        # r16: the composed IVF-PQ leg joined the eval
+        "ivfpq": {
+            (r["query_id"], r["corpus_id"])
+            for r in q_ann_ivfpq(spark, sf_dir).collect()
+        },
     }
     rows = q_ann_recall_eval(spark, sf_dir).collect()
-    assert len(rows) == 3 * len({q for q, _ in truth})
+    assert len(rows) == 4 * len({q for q, _ in truth})
     for r in rows:
         got = {
             p for p in retrieved[r["method"]] if p[0] == r["query_id"]
