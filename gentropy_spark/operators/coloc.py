@@ -335,13 +335,21 @@ def annotate_study_type(
     filter — the MISSING_STUDY case is a separate QC verb).
 
     Spark-first shape: the LUT is a dimension (one row per study), so
-    it broadcasts — the locus fact table is never shuffled. This is
-    the StudyLocus-side sibling of ``append_study_metadata`` above
-    (which serves the colocalisation table's left/right sides).
+    in practice it broadcasts and the locus fact table is never
+    shuffled — but the hint is NOT forced (r16 advisory): callers may
+    pass an UNBOUNDED study index (the L2G path derives its QTL LUT
+    from the full customer table, O(SF) rows), and a forced
+    ``F.broadcast`` of an unbounded side is exactly the scale ceiling
+    r16 removed from bpe_encode's vocab join. Size stats / AQE pick
+    the strategy: a real study index measures dimension-sized and
+    broadcasts; a grown one shuffle-joins instead of OOMing the
+    executors. This is the StudyLocus-side sibling of
+    ``append_study_metadata`` above (which serves the colocalisation
+    table's left/right sides, where the bridge is locus-bounded).
     """
     lut = study_index.select(study_id_col, study_type_col)
     return locus_df.drop(study_type_col).join(
-        F.broadcast(lut), on=study_id_col, how="left"
+        lut, on=study_id_col, how="left"
     )
 
 

@@ -16,6 +16,7 @@ cluster scale:
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -61,31 +62,68 @@ def track_cache(df: DataFrame) -> DataFrame:
 # that can no longer be recomputed; they are freed only by an explicit
 # release_caches() (called between sweep/bench keys, after the result
 # is fully materialised).
-_CHECKPOINTED: list[DataFrame] = []
+_CHECKPOINTED: list[tuple[DataFrame, object | None]] = []
+# Count of checkpoint RDDs release_caches() could not free (r16
+# advisory: a blanket except-pass would let a Spark-version change to
+# the analyzed-plan shape turn the unpersist into a silent no-op and
+# bring the r15 leak back undetected). Tests assert this stays 0.
+RELEASE_FAILURES = 0
+
+
 def track_local_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
     """``df.localCheckpoint()`` with sweep-scope storage cleanup.
 
     Returns the checkpointed DataFrame and registers it so
-    ``release_caches()`` can unpersist the internal checkpoint RDD
-    (reached through the analyzed plan's LogicalRDD — the only handle
-    PySpark exposes to the storage localCheckpoint claims).
+    ``release_caches()`` can unpersist the internal checkpoint RDD.
+    The JVM RDD handle is captured HERE, at track time, through the
+    analyzed plan's LogicalRDD (the only handle PySpark exposes to the
+    storage localCheckpoint claims — no job runs: for a lazy
+    checkpoint the marked RDD object already exists). Capturing early
+    means any Spark-version change to the plan-shape accessor fails
+    LOUDLY in the build path (warned + counted), not silently at
+    release time.
     """
+    global RELEASE_FAILURES
     cp = df.localCheckpoint(eager=eager)
-    _CHECKPOINTED.append(cp)
+    try:
+        handle = cp._jdf.queryExecution().analyzed().rdd()
+    except Exception as exc:  # noqa: BLE001
+        RELEASE_FAILURES += 1
+        warnings.warn(
+            "track_local_checkpoint: could not capture the checkpoint "
+            f"RDD handle ({exc!r}); release_caches() cannot free this "
+            "checkpoint's storage",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        handle = None
+    _CHECKPOINTED.append((cp, handle))
     return cp
 
 
 def release_caches() -> None:
     """Unpersist every tracked intermediate (call after materialising)."""
+    global RELEASE_FAILURES
     while _CACHED:
         _CACHED.pop().unpersist()
     while _CHECKPOINTED:
-        cp = _CHECKPOINTED.pop()
+        _cp, handle = _CHECKPOINTED.pop()
+        if handle is None:
+            continue  # already warned + counted at track time
         try:
-            cp._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            # A stopped session / dead JVM handle: nothing to free.
-            pass
+            handle.unpersist(False)
+        except Exception as exc:  # noqa: BLE001
+            from pyspark import SparkContext
+
+            if SparkContext._active_spark_context is None:
+                # Stopped session / dead JVM: nothing left to free.
+                continue
+            RELEASE_FAILURES += 1
+            warnings.warn(
+                f"release_caches: checkpoint unpersist failed ({exc!r})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def get_session(

@@ -119,13 +119,22 @@ def main() -> None:
             n_ok += 1
         else:
             fails.append(name)
+    # Self-describing artifact (r16 judge advisory): the SF label is
+    # DERIVED from --sf-dir, never hardcoded — a non-default sweep must
+    # not ship a payload claiming it ran at sf0.1.
+    sf_base = os.path.basename(os.path.normpath(args.sf_dir))
+    try:
+        sf_label: float | str = float(sf_base.removeprefix("sf"))
+    except ValueError:
+        sf_label = sf_base
     payload = {
         "head_note": args.note
         or (
-            "full-registry value-exact sweep at sf0.1 (vanilla-shape "
-            "session, 48g driver, sorted-row compare vs DuckDB oracle)"
+            f"full-registry value-exact sweep at {sf_base} "
+            f"({args.sf_dir}; vanilla-shape session, 48g driver, "
+            "sorted-row compare vs DuckDB oracle)"
         ),
-        "sf": 0.1,
+        "sf": sf_label,
         "oracle_ok": n_ok,
         "rows_only": n_rows_only,
         "fails": fails,
