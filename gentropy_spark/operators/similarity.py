@@ -551,6 +551,7 @@ def two_level_nearest_centroid(
     cell_id: str = "cell_id",
     cell_vec: str = "cellv",
     dim: int | None = None,
+    probe_occupied_cells: bool = True,
 ) -> DataFrame:
     """Nearest-centroid assignment through a coarse quantizer — the
     FAISS two-level IVF pattern, built so the CENTROID SET IS NEVER
@@ -572,6 +573,21 @@ def two_level_nearest_centroid(
     approximate (a vector whose true centroid lives only in unprobed
     cells gets its best probed candidate), which is the published
     trade SemDeDup/FAISS make at scale.
+
+    TOTALITY (r16 advisory): with ``probe_occupied_cells`` (the
+    default) step 2 ranks only cells that received >= 1 centroid in
+    step 1 — exactly FAISS's posture of probing non-empty inverted
+    lists — so every probed cell yields candidates and the operator
+    returns one row for EVERY vector, for generic inputs. (Without
+    it, a vector whose n_probe nearest cells all happen to be empty
+    would silently drop out of the inner joins.) This also sharpens
+    the exactness boundary to K2_occupied <= n_probe and never
+    changes results where all cells are occupied. The restriction
+    re-evaluates the centroid-grain hash aggregation once more (K
+    rows — noise); callers whose quantizer is structurally
+    all-occupied (semdedup: every coarse cell's vector is itself a
+    centroid, distance 0) may pass ``False`` to keep the minimal
+    plan.
 
     Every argmin/top-N here is a partial AGGREGATION (min-of-struct /
     collect_list+slice), never a row_number window: windows must
@@ -611,13 +627,21 @@ def two_level_nearest_centroid(
             F.col(f"_m.{cell_id}").alias(cell_id),
         )
     )
+    if probe_occupied_cells:
+        # Only rank cells that hold at least one centroid (see
+        # TOTALITY above) — a coarse-grain semi-join, <= K2 rows out.
+        probe_cells = coarse.join(
+            cent_cells.select(cell_id).distinct(), on=cell_id, how="left_semi"
+        )
+    else:
+        probe_cells = coarse
     # Probe ranking is vector-free: 16-byte (pdist, cell_id) structs
     # aggregate map-side into one <=K2-length array per vector, the
     # n_probe best explode back out, and the vector column rejoins
     # once by id.
     probes = (
         vecs.select(id_col, vec_col)
-        .crossJoin(F.broadcast(coarse))
+        .crossJoin(F.broadcast(probe_cells))
         .withColumn(
             "pdist", F.round(l2(F.col(vec_col), F.col(cell_vec)), 6)
         )

@@ -1633,9 +1633,18 @@ REGISTRY.update(
 CURATE_MIN_TOKENS = 10
 CURATE_MIN_ALPHA = 0.45
 CURATE_MAX_CONTAMINATION = 0.5
+# Model-gate threshold for the E22b scored variant: the E46 hashed
+# linear classifier's scores sit in ~[0.43, 0.54] on the testdata
+# corpus (sigmoid of a near-zero logit), so 0.48 drops roughly the
+# lowest-scoring third — the CCNet/DCLM "model-based filter keeps the
+# bulk, sheds the tail" posture (score >= 0.5 would keep ~6%, a
+# degenerate gate).
+CURATE_MIN_QSCORE = 0.48
 
 
-def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_corpus_curate(
+    spark: SparkSession, sf_dir: str, classifier_gate: bool = False
+) -> DataFrame:
     """The WHOLE preprocessing pipeline as ONE declarative plan
     (SURVEY E22): quality gate → language ID → duplicate-cluster
     canonical filter → eval-set decontamination → deterministic
@@ -1645,6 +1654,17 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees a single DAG (shared scans, pushed filters) rather than six
     materialisation round-trips — the difference between a pipeline
     and six jobs at 100 TB.
+
+    ``classifier_gate`` (E22b, the `corpus_curate_scored` key — r16
+    verdict item 4) additionally gates on the E46 hashed-linear
+    quality score >= CURATE_MIN_QSCORE, the DCLM/CCNet model-based
+    filtering posture. The score FUSES into the existing fused
+    quality+langid scan: its token-weight sum rides the same staged
+    ``__toks`` projection as an integer aggregate HOF (exact int64,
+    order-free — identical values to E46's explode+groupBy), so the
+    composed pipeline reads the corpus EXACTLY as many times as the
+    base one (pinned by a scan-count test). Off by default: the base
+    key's oracle is unchanged.
     """
     from gentropy_spark.functions.text import STOPWORDS
     from gentropy_spark.operators.dedup import duplicate_drop_ids, spread_if_narrow
@@ -1679,12 +1699,34 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.col("__toks"), lambda x: F.array_contains(arr, x))
         ).alias(f"__s_{lang}")
 
+    extra_cols = []
+    if classifier_gate:
+        from gentropy_spark.functions.xhash import poly_hash
+
+        def _w_int(tok: F.Column) -> F.Column:
+            bucket = poly_hash(tok, nchars=16) % QCLS_BUCKETS
+            return (
+                bucket * F.lit(QCLS_A).cast("long") + F.lit(QCLS_C)
+            ) % F.lit(QCLS_M).cast("long")
+
+        # E46's logit numerator as a fold over the SAME token array the
+        # quality/langid stages already materialise — int64 adds are
+        # order-free, so this equals the standalone key's
+        # explode+groupBy sum exactly, with zero extra corpus passes.
+        extra_cols.append(
+            F.aggregate(
+                F.col("__toks"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + _w_int(x),
+            ).alias("__wsum")
+        )
     hof = toks_df.select(
         "doc_id",
         "source",
         "text",
         F.size(F.col("__toks")).alias("n_tokens"),
         *[_score(lang) for lang in langs],
+        *extra_cols,
     )
     best = F.greatest(*[F.col(f"__s_{lg}") for lg in langs])
     pred = F.lit("und")
@@ -1706,6 +1748,20 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache. At cluster scale this is the scored-corpus
     # materialisation every curation pipeline persists anyway
     # (~40 B/row vs the raw text it replaces).
+    score_cols = []
+    if classifier_gate:
+        logit = (
+            F.col("__wsum").cast("double")
+            / (
+                F.lit(QCLS_M).cast("long")
+                * F.greatest(F.col("n_tokens"), F.lit(1)).cast("long")
+            )
+        ) - F.lit(0.5)
+        score_cols.append(
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6
+            ).alias("quality_score")
+        )
     scanned = track_cache(
         hof.select(
             "doc_id",
@@ -1716,6 +1772,7 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.greatest(F.length(F.col("text")), F.lit(1))
             ).alias("alpha_ratio"),
             F.when(best == 0, F.lit("und")).otherwise(pred).alias("pred_lang"),
+            *score_cols,
         )
     )
     # is_canonical via ANTI-join on the non-canonical drop set (tiny:
@@ -1740,15 +1797,18 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     decon = q_bloom_decontaminate(spark, sf_dir).select(
         "doc_id", F.col("bloom_hit_ratio").alias("contamination_ratio")
     )
+    gate = (
+        (F.col("n_tokens") >= CURATE_MIN_TOKENS)
+        & (F.col("alpha_ratio") >= CURATE_MIN_ALPHA)
+        & (F.col("contamination_ratio") <= CURATE_MAX_CONTAMINATION)
+    )
+    if classifier_gate:
+        gate = gate & (F.col("quality_score") >= F.lit(CURATE_MIN_QSCORE))
     kept = (
         scanned
         .join(F.broadcast(drop), on="doc_id", how="left_anti")
         .join(decon, on="doc_id")  # inner: benchmark split drops out here
-        .filter(
-            (F.col("n_tokens") >= CURATE_MIN_TOKENS)
-            & (F.col("alpha_ratio") >= CURATE_MIN_ALPHA)
-            & (F.col("contamination_ratio") <= CURATE_MAX_CONTAMINATION)
-        )
+        .filter(gate)
     )
     key = F.substring(
         F.md5(
@@ -1785,11 +1845,25 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _curate_sql() -> str:
+def _curate_sql(scored: bool = False) -> str:
     thr = "CASE " + " ".join(
         f"WHEN pred_lang = '{lg}' THEN '{rate}'"
         for lg, rate in SAMPLE_RATES.items()
     ) + f" ELSE '{SAMPLE_DEFAULT}' END"
+    # E22b: the model gate joins the E46 classifier CTE (QCLS_SQL is
+    # defined later in the module; this builder is only called with
+    # scored=True after it exists).
+    qcls_cte = (
+        f",\nqcls AS (SELECT doc_id, quality_score FROM ({QCLS_SQL}))"
+        if scored
+        else ""
+    )
+    qcls_join = "\n  JOIN qcls s USING (doc_id)" if scored else ""
+    qcls_gate = (
+        f"\n    AND s.quality_score >= {CURATE_MIN_QSCORE!r}::DOUBLE"
+        if scored
+        else ""
+    )
     return f"""
 WITH RECURSIVE
 qual AS (SELECT doc_id, n_tokens, alpha_ratio FROM ({TEXT_QUALITY_SQL})),
@@ -1809,18 +1883,18 @@ clusters AS (
   SELECT id AS doc_id, id = MIN(lbl) AS is_canonical FROM reach GROUP BY id
 ),
 decon AS (SELECT doc_id, bloom_hit_ratio AS contamination_ratio
-          FROM ({_bloom_decon_sql()})),
+          FROM ({_bloom_decon_sql()})){qcls_cte},
 kept AS (
   SELECT d.doc_id, d.source, q.n_tokens, l.pred_lang
   FROM documents d
   JOIN qual q USING (doc_id)
   JOIN lang l USING (doc_id)
   JOIN clusters c USING (doc_id)
-  JOIN decon x USING (doc_id)
+  JOIN decon x USING (doc_id){qcls_join}
   WHERE q.n_tokens >= {CURATE_MIN_TOKENS}
     AND q.alpha_ratio >= {CURATE_MIN_ALPHA}
     AND c.is_canonical
-    AND x.contamination_ratio <= {CURATE_MAX_CONTAMINATION}
+    AND x.contamination_ratio <= {CURATE_MAX_CONTAMINATION}{qcls_gate}
 ),
 sampled AS (
   SELECT * FROM kept
@@ -2061,6 +2135,192 @@ JOIN mus m ON m.dim = u2.dim
 REGISTRY["embedding_pca_power"] = QuerySpec(
     q_embedding_pca_power, EMB_PCA_SQL
 )
+
+
+# --- E53: PCA-projected banded ANN (E51 consumed as a prefilter) -----------
+# r16 verdict item 6 ("make E51 a used verb, not a leaf"): the leading
+# eigenvector E51 computes becomes the candidate generator for a
+# similarity search — project every vector onto the top principal
+# axis (the direction of maximum variance, i.e. the 1-D sketch that
+# preserves the most pairwise spread any single axis can), band the
+# projection into fixed-width bins over the corpus range, and score
+# exact cosine only inside each query's own±adjacent bins. The same
+# composition ladder as IVF-PQ: a cheap coarse structure prunes the
+# corpus, an exact kernel finishes — except here the coarse structure
+# is LEARNED from the data's covariance by the registered E51 verb.
+PCA_ANN_BINS = 16
+PCA_ANN_K = 5
+
+
+def q_ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine neighbours through a PCA-projection band prefilter
+    (E53). Candidate generation: proj(x) = Σ_j round((x_j − μ_j)·v_j, 9)
+    as an order-free DECIMAL sum (the E51 projection discipline),
+    6dp-rounded; corpus bins = floor((proj − min)/((max − min)/16))
+    clamped to [0, 15]; queries probe their own and both adjacent bins
+    through an EQUI-JOIN on the bin id (3 exploded probe keys — never
+    a query×corpus product). Exact cosine + (cosine DESC, corpus_id)
+    ranking finishes inside the ~3/16 candidate slice.
+
+    Scale shape: the eigen-loading and per-dim means ride a d-row
+    broadcast from ``q_embedding_pca_power`` (the composition point —
+    the E51 output IS this operator's input); projections are one
+    explode + one map-side-combined groupBy; the bin range is a 1-row
+    broadcast aggregate; candidates meet through the bin equi-join, so
+    shuffle ∝ corpus + 3×queries and the exact kernel touches ~3/16 of
+    the corpus per query instead of all of it.
+    """
+    from gentropy_spark.operators.dedup import spread_if_narrow
+    from gentropy_spark.operators.similarity import (
+        as_double,
+        cosine_pairs_udf,
+    )
+    from gentropy_spark.session import track_cache
+
+    DEC12 = "decimal(38,12)"
+    emb = spread_if_narrow(
+        read_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    pca = F.broadcast(
+        q_embedding_pca_power(spark, sf_dir).select("dim", "mean", "loading")
+    )
+    exv = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "xj"
+        ),
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "xj")
+    proj = track_cache(
+        exv.join(pca, on="dim")
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("xj") - F.col("mean")) * F.col("loading"), 9
+                    ).cast(DEC12)
+                ).cast("double"),
+                6,
+            ).alias("proj")
+        )
+    )
+    corpus_proj = proj.filter(F.col("vec_id") >= 10)
+    rng = corpus_proj.agg(
+        F.min("proj").alias("mn"), F.max("proj").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(PCA_ANN_BINS))
+    bin_expr = (
+        F.when(width == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((F.col("proj") - F.col("mn")) / width), F.lit(0)
+                ),
+                F.lit(PCA_ANN_BINS - 1),
+            )
+        )
+        .cast("int")
+    )
+    binc = corpus_proj.crossJoin(F.broadcast(rng)).select(
+        F.col("vec_id").alias("corpus_id"), bin_expr.alias("bin")
+    )
+    binq = (
+        proj.filter(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(rng))
+        .select(F.col("vec_id").alias("query_id"), bin_expr.alias("qbin"))
+        .select(
+            "query_id",
+            F.explode(
+                F.array(
+                    F.col("qbin") - 1, F.col("qbin"), F.col("qbin") + 1
+                )
+            ).alias("bin"),
+        )
+    )
+    cos = cosine_pairs_udf()
+    scored = (
+        binq.join(binc, on="bin")
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+            ),
+            on="query_id",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("corpus_id"), F.col("v").alias("cv")
+            ),
+            on="corpus_id",
+        )
+        .withColumn("cosine", F.round(cos(F.col("qv"), F.col("cv")), 6))
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= PCA_ANN_K)
+        .select(
+            "query_id",
+            "corpus_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+_PCA_BIN_CASE = (
+    f"CAST(CASE WHEN (mx - mn) / {float(PCA_ANN_BINS)!r} = 0 THEN 0 "
+    f"ELSE LEAST(GREATEST(FLOOR((proj - mn) "
+    f"/ ((mx - mn) / {float(PCA_ANN_BINS)!r})), 0), {PCA_ANN_BINS - 1}) "
+    "END AS INT)"
+)
+
+ANN_PCA_SQL = f"""
+WITH pca AS MATERIALIZED ({EMB_PCA_SQL}),
+exv AS (
+  SELECT vec_id, g.idx AS dim, (embedding::DOUBLE[])[g.idx] AS xj
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS g(idx)
+),
+proj AS MATERIALIZED (
+  SELECT e.vec_id,
+         ROUND(CAST(SUM(CAST(ROUND((e.xj - p.mean) * p.loading, 9)
+               AS DECIMAL(38,12))) AS DOUBLE), 6) AS proj
+  FROM exv e JOIN pca p USING (dim) GROUP BY e.vec_id
+),
+rng AS (SELECT MIN(proj) AS mn, MAX(proj) AS mx
+        FROM proj WHERE vec_id >= 10),
+binc AS (
+  SELECT vec_id AS corpus_id, {_PCA_BIN_CASE} AS bin
+  FROM proj, rng WHERE vec_id >= 10
+),
+binq AS (
+  SELECT query_id, qbin + d.d AS bin FROM (
+    SELECT vec_id AS query_id, {_PCA_BIN_CASE} AS qbin
+    FROM proj, rng WHERE vec_id < 10
+  ), (VALUES (-1), (0), (1)) AS d(d)
+),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.corpus_id, {COS_SQL} AS cosine
+  FROM binq q
+  JOIN binc c USING (bin)
+  JOIN vecs a ON a.vec_id = q.query_id
+  JOIN vecs b ON b.vec_id = c.corpus_id
+)
+SELECT query_id, corpus_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, corpus_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {PCA_ANN_K}
+"""
+
+
+REGISTRY["ann_pca_topk"] = QuerySpec(q_ann_pca_topk, ANN_PCA_SQL)
 
 
 # --- E23: training-mixture table ------------------------------------------
@@ -3746,9 +4006,9 @@ REGISTRY["bigram_pmi"] = QuerySpec(q_bigram_pmi, BIGRAM_PMI_SQL)
 # the three registered queries — truth is one exact top-k per query,
 # so the whole evaluation is two small joins on (query_id, corpus_id).
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query recall@5 of LSH-, IVF-, PQ- and IVFPQ-ANN vs brute
-    force (E40; PQ leg added r14 with ann_pq_topk, composed IVF-PQ leg
-    r16 with ann_ivfpq_topk — the eval covers every ANN path the repo
+    """Per-query recall@5 of LSH-, IVF-, PQ-, IVFPQ- and PCA-banded
+    ANN vs brute force (E40; PQ leg r14, composed IVF-PQ leg r16,
+    PCA-prefilter leg r17 — the eval covers every ANN path the repo
     ships)."""
     truth = q_ann_cosine_topk(spark, sf_dir).select("query_id", "corpus_id")
     retrieved = (
@@ -3769,6 +4029,11 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("ivfpq").alias("method"), "query_id", "corpus_id"
             )
         )
+        .unionByName(
+            q_ann_pca_topk(spark, sf_dir).select(
+                F.lit("pca").alias("method"), "query_id", "corpus_id"
+            )
+        )
     )
     hits = (
         retrieved.join(
@@ -3785,7 +4050,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Base = every (method, query) cell: a query whose LSH bucket is
     # empty must surface as recall 0, not vanish.
     methods = spark.createDataFrame(
-        [("lsh",), ("ivf",), ("pq",), ("ivfpq",)], ["method"]
+        [("lsh",), ("ivf",), ("pq",), ("ivfpq",), ("pca",)], ["method"]
     )
     base = truth.select("query_id").distinct().crossJoin(F.broadcast(methods))
     return (
@@ -3810,6 +4075,7 @@ lsh AS ({ANN_LSH_SQL}),
 ivf AS ({ANN_IVF_SQL}),
 pq AS ({_pq_sql()}),
 ivfpq AS ({_ivfpq_sql()}),
+pcab AS ({ANN_PCA_SQL}),
 retrieved AS (
   SELECT 'lsh' AS method, query_id, corpus_id FROM lsh
   UNION ALL
@@ -3818,6 +4084,8 @@ retrieved AS (
   SELECT 'pq' AS method, query_id, corpus_id FROM pq
   UNION ALL
   SELECT 'ivfpq' AS method, query_id, corpus_id FROM ivfpq
+  UNION ALL
+  SELECT 'pca' AS method, query_id, corpus_id FROM pcab
 ),
 hits AS (
   SELECT r.method, r.query_id,
@@ -3831,7 +4099,8 @@ hits AS (
 base AS (
   SELECT m.method, q.query_id
   FROM (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'
-        UNION ALL SELECT 'pq' UNION ALL SELECT 'ivfpq') m
+        UNION ALL SELECT 'pq' UNION ALL SELECT 'ivfpq'
+        UNION ALL SELECT 'pca') m
   CROSS JOIN (SELECT DISTINCT query_id FROM truth) q
 )
 SELECT b.method, b.query_id,
@@ -4526,8 +4795,17 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist2").desc(), F.col("vec_id")
     )
     assigned = track_cache(
+        # probe_occupied_cells=False: every coarse cell's vector is
+        # itself a centroid here (cell j = vec j, j < K2 <= K), so the
+        # quantizer is structurally all-occupied and the totality
+        # restriction would only re-evaluate the centroid-hash agg.
         two_level_nearest_centroid(
-            vecs, cents, coarse, n_probe=SEMDEDUP_NPROBE, dim=EMB_DIM
+            vecs,
+            cents,
+            coarse,
+            n_probe=SEMDEDUP_NPROBE,
+            dim=EMB_DIM,
+            probe_occupied_cells=False,
         )
         .withColumn("priority", F.row_number().over(w_prio))
         .select("vec_id", "centroid_id", "dist2", "priority", "v")
@@ -4565,18 +4843,58 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq_l2_sql(a: str, b: str) -> str:
+    """6dp-rounded squared L2 between two DOUBLE[] columns (DuckDB) —
+    the oracle twin of ``sq_l2_expr`` (both fold float64 additions
+    left-to-right from index 0, so the rounded sums are
+    bit-identical)."""
+    return (
+        f"ROUND(list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+    )
+
+
+# The oracle mirrors the Spark plan's TWO-LEVEL assignment (r16
+# advisory: the former brute-force-exact oracle silently diverged from
+# the Spark side wherever K2 > NPROBE made the assignment approximate
+# — beyond n = NPROBE^2 * TARGET_OCC = 9216 vectors. Now BOTH engines
+# share the quantizer, the same posture ann_ivfpq_topk takes, so
+# parity holds at ANY corpus size; in the exact regime — every
+# oracle-checked SF — the mirrored assignment is bit-identical to the
+# old brute-force CTE by the structural argument above).
 SEMDEDUP_SQL = f"""
-WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH vecs AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 kv AS (SELECT GREATEST({KMEANS_K}, CAST(CEIL(
          COUNT(*) / {float(SEMDEDUP_TARGET_OCC)!r}::DOUBLE) AS BIGINT))
          AS k FROM vecs),
-cents AS (SELECT vec_id AS centroid_id, v AS c FROM vecs, kv
+k2v AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS k2 FROM kv),
+cents AS MATERIALIZED (SELECT vec_id AS centroid_id, v AS c FROM vecs, kv
           WHERE vec_id < kv.k),
+coarse AS MATERIALIZED (SELECT vec_id AS cell_id, v AS cellv
+          FROM vecs, k2v WHERE vec_id < k2v.k2),
+cent_cells AS MATERIALIZED (
+  SELECT centroid_id, c, cell_id FROM (
+    SELECT cn.centroid_id, cn.c, co.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY cn.centroid_id
+             ORDER BY {_sq_l2_sql('cn.c', 'co.cellv')}, co.cell_id) AS crk
+    FROM cents cn CROSS JOIN coarse co
+  ) WHERE crk = 1
+),
+probes AS MATERIALIZED (
+  SELECT vec_id, cell_id FROM (
+    SELECT w.vec_id, co.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY w.vec_id
+             ORDER BY {_sq_l2_sql('w.v', 'co.cellv')}, co.cell_id) AS prk
+    FROM vecs w CROSS JOIN coarse co
+  ) WHERE prk <= {SEMDEDUP_NPROBE}
+),
 scored AS (
-  SELECT vecs.vec_id, cents.centroid_id,
-         ROUND(list_sum(list_transform(list_zip(v, c),
-               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist2
-  FROM vecs CROSS JOIN cents
+  SELECT w.vec_id, cc.centroid_id,
+         {_sq_l2_sql('w.v', 'cc.c')} AS dist2
+  FROM probes p
+  JOIN vecs w USING (vec_id)
+  JOIN cent_cells cc USING (cell_id)
 ),
 assigned AS (
   SELECT vec_id, centroid_id, dist2,
@@ -4605,6 +4923,343 @@ FROM assigned a LEFT JOIN pruned p ON p.vec_id = a.vec_id
 
 
 REGISTRY["semdedup_prune"] = QuerySpec(q_semdedup_prune, SEMDEDUP_SQL)
+
+
+# --- E52: two-level assignment recall / prune-overlap calibration ----------
+# The semdedup assignment's APPROXIMATE regime (K2 > NPROBE) gets the
+# same measured treatment the ANN paths get from ann_recall_eval (r16
+# verdict item 2): force many clusters with a small occupancy target so
+# K2 > n_probe at every oracle SF, then score the two-level assignment
+# against exact nearest-centroid — per n_probe — on BOTH what a user
+# tunes for (assignment recall) and what semdedup actually consumes
+# (the pruned-set Jaccard overlap). Like minhash_calibration, this is
+# a CALIBRATION diagnostic: the exact truth leg is O(n x K) by
+# definition (it IS exact nearest-centroid search), so at production
+# scale it runs on a bounded calibration sample, not the corpus.
+ASSIGN_EVAL_OCC = 8  # occupancy target: K = ceil(n/8) -> K2 ~ sqrt(n/8)
+ASSIGN_EVAL_NPROBES = (1, 2, 4, 16)  # 16 >= K2 at every test SF: the
+# boundary row must report recall = 1.0 (measured, not argued).
+
+
+def q_assignment_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-n_probe curve for the two-level centroid assignment
+    (E52). One row per probed width: (n_probe, n_vectors, k, k2,
+    assignment_recall, pruned_two_level, pruned_exact, prune_jaccard).
+
+    The truth leg shares every convention with the operator
+    (6dp-rounded codegen distances, (dist2, centroid_id) argmin
+    tie-break) run with every cell probed — the r16-pinned structural
+    exactness boundary — so the curve isolates exactly one variable:
+    how many cells were probed. Prune sets replay the semdedup
+    keep-priority prune (dist2 DESC within cluster, cosine >=
+    SEMDEDUP_EPS to any higher-priority member) under each
+    assignment; both-empty prune sets score Jaccard 1.0.
+
+    Plan shape: ONE shared candidate table (vec x probed cell x cell
+    members — the same cell equi-join as the operator) feeds every
+    n_probe as a CONDITIONAL min-of-struct in a single aggregation
+    (one shuffle for all widths, map-side combined), then one
+    stack-unpivot, one priority window and one pair join keyed by
+    (n_probe, centroid) replay all the prunes in a single pass. A
+    per-width loop over the operator builds 5 assignment DAGs + 5
+    prune DAGs (~40 tiny stages, 15 unrolled 64-term distance
+    expressions) and measured 19s of py4j plan construction + 20s of
+    stage overhead at sf0.1 for a 4-row diagnostic; the shared-scan
+    form is the identical argmin arithmetic (fidelity vs the operator
+    is pinned in tests/test_round17_ops.py). The conditional-min
+    values equal the operator's because min-over-subset with the
+    (dist2, id) struct IS its argmin; n_probe widths only gate which
+    candidate rows enter each min.
+    """
+    from pyspark.sql import Window
+
+    from gentropy_spark.operators.dedup import spread_if_narrow
+    from gentropy_spark.operators.similarity import (
+        as_double,
+        cosine_pairs_udf,
+        sq_l2_expr,
+    )
+    from gentropy_spark.session import track_cache
+
+    emb = spread_if_narrow(
+        read_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
+    vecs = track_cache(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    )
+    k_row = vecs.agg(
+        F.ceil(F.count("*") / F.lit(float(ASSIGN_EVAL_OCC))).alias("_k"),
+        F.ceil(
+            F.sqrt(F.ceil(F.count("*") / F.lit(float(ASSIGN_EVAL_OCC))))
+        )
+        .cast("long")
+        .alias("_k2"),
+        F.count("*").alias("_n"),
+    )
+    cents = vecs.crossJoin(F.broadcast(k_row)).filter(
+        F.col("vec_id") < F.col("_k")
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("c"))
+    coarse = vecs.crossJoin(F.broadcast(k_row)).filter(
+        F.col("vec_id") < F.col("_k2")
+    ).select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cellv"))
+    l2 = lambda a, b: sq_l2_expr(a, b, EMB_DIM)  # noqa: E731
+    # centroid -> nearest cell (centroid-grain), exactly the operator's
+    # step 1 (min-of-struct, (cdist, cell_id) tie-break).
+    cent_cells = (
+        cents.crossJoin(F.broadcast(coarse))
+        .withColumn("cdist", F.round(l2(F.col("c"), F.col("cellv")), 6))
+        .groupBy("centroid_id")
+        .agg(F.min(F.struct(F.col("cdist"), F.col("cell_id"), F.col("c"))).alias("_m"))
+        .select(
+            "centroid_id",
+            F.col("_m.c").alias("c"),
+            F.col("_m.cell_id").alias("cell_id"),
+        )
+    )
+    # vec -> probe rank per cell (the operator's step-2 ranking, kept
+    # at FULL width so every n_probe reads a prefix of the same list).
+    prank = (
+        vecs.crossJoin(F.broadcast(coarse))
+        .withColumn("pdist", F.round(l2(F.col("v"), F.col("cellv")), 6))
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pdist"), F.col("cell_id")))
+            ).alias("_cells")
+        )
+        .select(
+            "vec_id",
+            F.posexplode(F.col("_cells.cell_id")).alias("_pos", "cell_id"),
+        )
+        .select("vec_id", (F.col("_pos") + 1).alias("prk"), "cell_id")
+    )
+    cand = (
+        prank.join(vecs, on="vec_id")
+        .join(cent_cells, on="cell_id")
+        .withColumn("dist2", F.round(l2(F.col("v"), F.col("c")), 6))
+        .select("vec_id", "prk", "centroid_id", "dist2")
+    )
+    # One conditional argmin per width in a single aggregation; the
+    # sentinel width 10^6 >= K2 is the exact truth leg.
+    widths = [*ASSIGN_EVAL_NPROBES, 1_000_000]
+    mins = [
+        F.min(
+            F.when(
+                F.col("prk") <= np_,
+                F.struct(F.col("dist2"), F.col("centroid_id")),
+            )
+        ).alias(f"_m{np_}")
+        for np_ in widths
+    ]
+    stack = ", ".join(f"{np_}, _m{np_}" for np_ in widths)
+    assigned = track_cache(
+        cand.groupBy("vec_id")
+        .agg(*mins)
+        .select(
+            "vec_id",
+            F.expr(f"stack({len(widths)}, {stack}) AS (np, _m)"),
+        )
+        .select(
+            F.col("np").cast("int").alias("np"),
+            "vec_id",
+            F.col("_m.centroid_id").alias("centroid_id"),
+            F.col("_m.dist2").alias("dist2"),
+        )
+    )
+    # Replay the semdedup prune for every width in one pass, keyed by
+    # (np, centroid).
+    w_prio = Window.partitionBy("np", "centroid_id").orderBy(
+        F.col("dist2").desc(), F.col("vec_id")
+    )
+    av = assigned.withColumn("priority", F.row_number().over(w_prio)).join(
+        vecs, on="vec_id"
+    )
+    cos = cosine_pairs_udf()
+    lo = av.select(
+        "np",
+        "centroid_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("priority").alias("pa"),
+        F.col("v").alias("va"),
+    )
+    hi = av.select(
+        "np",
+        "centroid_id",
+        F.col("priority").alias("pb"),
+        F.col("v").alias("vb"),
+    )
+    pruned = track_cache(
+        lo.join(hi, on=["np", "centroid_id"])
+        .filter(F.col("pb") < F.col("pa"))
+        .withColumn("cos", F.round(cos(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= F.lit(SEMDEDUP_EPS))
+        .select("np", F.col("id_a").alias("vec_id"))
+        .distinct()
+    )
+    exact_a = assigned.filter(F.col("np") == 1_000_000).select(
+        "vec_id", F.col("centroid_id").alias("exact_cid")
+    )
+    p_exact = pruned.filter(F.col("np") == 1_000_000).select("vec_id")
+    rec = (
+        assigned.filter(F.col("np") != 1_000_000)
+        .join(exact_a, on="vec_id")
+        .groupBy("np")
+        .agg(
+            F.round(
+                F.avg(
+                    (F.col("centroid_id") == F.col("exact_cid")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("assignment_recall")
+        )
+    )
+    pa = pruned.filter(F.col("np") != 1_000_000)
+    a_n = pa.groupBy("np").agg(F.count("*").alias("_a"))
+    inter_n = pa.join(p_exact, on="vec_id").groupBy("np").agg(
+        F.count("*").alias("_i")
+    )
+    e_row = p_exact.agg(F.count("*").alias("_e"))
+    out = (
+        rec.join(a_n, on="np", how="left")
+        .join(inter_n, on="np", how="left")
+        .crossJoin(F.broadcast(e_row))
+        .crossJoin(F.broadcast(k_row))
+    )
+    union_n = (
+        F.coalesce(F.col("_a"), F.lit(0))
+        + F.col("_e")
+        - F.coalesce(F.col("_i"), F.lit(0))
+    )
+    return out.select(
+        F.col("np").cast("int").alias("n_probe"),
+        F.col("_n").cast("long").alias("n_vectors"),
+        F.col("_k").cast("long").alias("k"),
+        F.col("_k2").cast("long").alias("k2"),
+        "assignment_recall",
+        F.coalesce(F.col("_a"), F.lit(0)).cast("long").alias(
+            "pruned_two_level"
+        ),
+        F.col("_e").cast("long").alias("pruned_exact"),
+        F.when(union_n == 0, F.lit(1.0))
+        .otherwise(
+            F.round(F.coalesce(F.col("_i"), F.lit(0)) / union_n, 6)
+        )
+        .alias("prune_jaccard"),
+    )
+
+
+def _assign_eval_sql() -> str:
+    """DuckDB mirror of q_assignment_recall_eval — the shared feeders
+    (candidate scores per probe rank, the exact argmin, the exact
+    prune set) are MATERIALIZED once and every n_probe block derives
+    from them (the iterative-oracle rule: an un-materialized feeder
+    referenced per-block would inline len(NPROBES)+1 copies)."""
+    cosxy = (
+        "ROUND(list_dot_product(x.v, y.v)"
+        " / (SQRT(list_dot_product(x.v, x.v))"
+        " * SQRT(list_dot_product(y.v, y.v))), 6)"
+    )
+    blocks, selects = [], []
+    for np_ in ASSIGN_EVAL_NPROBES:
+        blocks.append(f"""
+a{np_} AS MATERIALIZED (
+  SELECT vec_id, centroid_id, dist2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
+              ORDER BY dist2 DESC, vec_id) AS INT) AS priority
+  FROM (
+    SELECT vec_id, centroid_id, dist2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist2, centroid_id) AS rk
+    FROM cand WHERE prk <= {np_}
+  ) WHERE rk = 1
+),
+av{np_} AS MATERIALIZED (
+  SELECT a.*, v.v FROM a{np_} a JOIN vecs v USING (vec_id)),
+p{np_} AS MATERIALIZED (
+  SELECT DISTINCT x.vec_id
+  FROM av{np_} x JOIN av{np_} y
+    ON x.centroid_id = y.centroid_id AND y.priority < x.priority
+  WHERE {cosxy} >= {SEMDEDUP_EPS!r}::DOUBLE
+)""")
+        selects.append(f"""
+SELECT CAST({np_} AS INT) AS n_probe,
+       (SELECT COUNT(*) FROM vecs) AS n_vectors,
+       (SELECT k FROM kv) AS k,
+       (SELECT k2 FROM k2v) AS k2,
+       (SELECT ROUND(AVG(CASE WHEN a.centroid_id = e.centroid_id
+                         THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6)
+        FROM a{np_} a JOIN ax e USING (vec_id)) AS assignment_recall,
+       (SELECT COUNT(*) FROM p{np_}) AS pruned_two_level,
+       (SELECT COUNT(*) FROM px) AS pruned_exact,
+       CASE WHEN (SELECT COUNT(*) FROM
+                  (SELECT vec_id FROM p{np_} UNION SELECT vec_id FROM px)) = 0
+            THEN 1.0::DOUBLE
+            ELSE ROUND(
+              (SELECT COUNT(*) FROM p{np_} JOIN px USING (vec_id))::DOUBLE
+              / (SELECT COUNT(*) FROM
+                 (SELECT vec_id FROM p{np_} UNION SELECT vec_id FROM px)), 6)
+       END AS prune_jaccard""")
+    return f"""
+WITH vecs AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+kv AS (SELECT CAST(CEIL(COUNT(*) / {float(ASSIGN_EVAL_OCC)!r}::DOUBLE)
+              AS BIGINT) AS k FROM vecs),
+k2v AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS k2 FROM kv),
+cents AS MATERIALIZED (SELECT vec_id AS centroid_id, v AS c
+         FROM vecs, kv WHERE vec_id < kv.k),
+coarse AS MATERIALIZED (SELECT vec_id AS cell_id, v AS cellv
+         FROM vecs, k2v WHERE vec_id < k2v.k2),
+cent_cells AS MATERIALIZED (
+  SELECT centroid_id, c, cell_id FROM (
+    SELECT cn.centroid_id, cn.c, co.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY cn.centroid_id
+             ORDER BY {_sq_l2_sql('cn.c', 'co.cellv')}, co.cell_id) AS crk
+    FROM cents cn CROSS JOIN coarse co
+  ) WHERE crk = 1
+),
+prank AS MATERIALIZED (
+  SELECT vec_id, cell_id, prk FROM (
+    SELECT w.vec_id, co.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY w.vec_id
+             ORDER BY {_sq_l2_sql('w.v', 'co.cellv')}, co.cell_id) AS prk
+    FROM vecs w CROSS JOIN coarse co
+  )
+),
+cand AS MATERIALIZED (
+  SELECT w.vec_id, p.prk, cc.centroid_id,
+         {_sq_l2_sql('w.v', 'cc.c')} AS dist2
+  FROM prank p
+  JOIN vecs w USING (vec_id)
+  JOIN cent_cells cc USING (cell_id)
+),
+ax AS MATERIALIZED (
+  SELECT vec_id, centroid_id, dist2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
+              ORDER BY dist2 DESC, vec_id) AS INT) AS priority
+  FROM (
+    SELECT vec_id, centroid_id, dist2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist2, centroid_id) AS rk
+    FROM cand
+  ) WHERE rk = 1
+),
+avx AS MATERIALIZED (
+  SELECT a.*, v.v FROM ax a JOIN vecs v USING (vec_id)),
+px AS MATERIALIZED (
+  SELECT DISTINCT x.vec_id
+  FROM avx x JOIN avx y
+    ON x.centroid_id = y.centroid_id AND y.priority < x.priority
+  WHERE {cosxy} >= {SEMDEDUP_EPS!r}::DOUBLE
+),{",".join(blocks)}
+{" UNION ALL ".join(selects)}
+"""
+
+
+REGISTRY["assignment_recall_eval"] = QuerySpec(
+    q_assignment_recall_eval, _assign_eval_sql()
+)
 
 
 # --- E46: model-based quality classifier (hashing-trick linear scorer) -----
@@ -4700,6 +5355,22 @@ FROM scored
 
 
 REGISTRY["quality_classifier"] = QuerySpec(q_quality_classifier, QCLS_SQL)
+
+
+def q_corpus_curate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22b: the full curation pipeline with the E46 model-based
+    quality gate fused into its scan (see ``q_corpus_curate`` — r16
+    verdict item 4: the curation DAG now CONSUMES the repo's
+    model-based scorer, the DCLM/CCNet posture, instead of shipping it
+    as an unconnected leaf)."""
+    return q_corpus_curate(spark, sf_dir, classifier_gate=True)
+
+
+# Registered here (not beside E22): _curate_sql(scored=True) inlines
+# QCLS_SQL, which is defined just above.
+REGISTRY["corpus_curate_scored"] = QuerySpec(
+    q_corpus_curate_scored, _curate_sql(scored=True)
+)
 
 
 # --- E47: full BPE trainer loop --------------------------------------------

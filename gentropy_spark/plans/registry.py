@@ -135,80 +135,81 @@ def _plan_cached(
 # headline artifact is strictly worse than a green 50/50 (r10 verdict
 # task #4).
 _SNAPSHOT_PRIORITY = [
-    # --- r16 window ---------------------------------------------------
-    # (a) values/plans CHANGED this round -- must certify:
-    # semdedup_prune (assignment leg rebuilt two-level: cell equi-join
-    # + codegen distances -- values identical, plan changed),
-    # ann_pq_topk (encode argmin window -> min-struct agg + codegen
-    # subvector L2) and ann_recall_eval (composes the PQ path),
-    # bpe_encode (vocab broadcast hint dropped -- AQE picks) and
-    # bpe_train (per-iteration checkpoints now lifecycle-tracked),
-    # window_clump_semi (stream width now AQE-owned), and
-    # l2g_coloc_features + l2g_feature_matrix (qtl_type now annotated
-    # through the C13 study-type verb; oracle updated to the same
-    # LEFT-JOIN shape), plus the three NEW keys: ann_ivfpq_topk (E6d
-    # composed IVF-PQ), lm_kn_perplexity (E50 Kneser-Ney), and
-    # embedding_pca_power (E51 distributed power iteration).
-    "ann_ivfpq_topk",
-    "lm_kn_perplexity",
-    "embedding_pca_power",
+    # --- r17 window ---------------------------------------------------
+    # (a) NEW keys this round: ann_pca_topk (E53, the E51 eigenvector
+    # consumed as a banded ANN prefilter), assignment_recall_eval
+    # (E52, the two-level assignment's approximate-regime calibration
+    # curve), corpus_curate_scored (E22b, the E46 model gate fused
+    # into the curation scan).
+    # (b) values/plans/oracles CHANGED this round -- must certify:
+    # semdedup_prune (oracle now mirrors the two-level quantizer, so
+    # parity holds in the approximate regime), ann_recall_eval (PCA
+    # leg added -- 5 methods x 10 queries), corpus_curate (the fused
+    # scan gained the optional classifier columns; default plan
+    # value-identical), l2g_coloc_features + l2g_feature_matrix +
+    # locus_study_type (annotate_study_type's forced LUT broadcast
+    # dropped -- AQE/size stats pick; r16 advisory 3).
+    # (c) the 9-key r12-evidence tail scheduled from r16 (verdict
+    # item 1 -- after this window, no oracle key's driver evidence
+    # predates r13).
+    # (d) freshness rotation, stalest-first: 32 of the 47 keys whose
+    # newest driver evidence is r13 (alphabetical; the 15-key tail --
+    # ot_variant_to_vcf, overlap_join, pack_sequences, pairwise_ld,
+    # panukbb_ld_align, pivot_wide, props_json_parse,
+    # q3_shipping_priority, q5_local_supplier, q_decile_stats,
+    # stream_dedup, stream_window_agg, study_index_validate,
+    # ukb_ppp_study_ingest, variant_effect_normalise -- rotates to
+    # r18).
+    "ann_pca_topk",
+    "assignment_recall_eval",
+    "corpus_curate_scored",
     "semdedup_prune",
-    "ann_pq_topk",
     "ann_recall_eval",
-    "bpe_encode",
-    "bpe_train",
-    "window_clump_semi",
+    "corpus_curate",
     "l2g_coloc_features",
     "l2g_feature_matrix",
-    # (b) the 7-key r11-evidence cohort (r15 verdict item 3 -- the
-    # stalest driver evidence in the registry; every key value-exact
-    # in the committed r15 sf0.1 sweep, so this is freshness, not a
-    # correctness doubt).
-    "value_histogram",
-    "variant_id_normalize",
-    "vep_consequence_annotate",
-    "vocab_topk",
-    "wide_to_long",
-    "window_clump_leads",
-    "zscore_chi2",
-    # (c) freshness rotation, stalest-first: 32 of the 41 keys whose
-    # newest driver evidence is r12 (alphabetical; the 9-key tail --
-    # sumstat_harmonise_ingest, sumstat_imputation, sumstat_qc_summary,
-    # table_profile, target_index_build, trans_qtl_flag,
-    # ukb_ppp_harmonise, ukbiobank_study_ingest,
-    # vep_variant_index_ingest -- rotates to r17).
-    "allele_direction",
-    "amino_acid_variants",
-    "ancestry_aggregate",
-    "biosample_index_merge",
-    "char_ngram_profile",
-    "complex_set_match",
-    "contig_validation",
-    "credible_set_confidence",
-    "credible_set_qc",
-    "decode_aptamer_ingest",
-    "decode_study_ingest",
-    "eqtl_susie_ingest",
-    "finngen_finemapping_ingest",
-    "finngen_study_ingest",
-    "gwas_study_ingest",
-    "intervals_e2g_ingest",
-    "ld_clump_indexed",
-    "lm_perplexity",
-    "locus_statistics",
-    "lof_curation_ingest",
-    "merge_upsert",
-    "mixture_rebalance",
-    "qc_flag_accumulate",
-    "qc_gc_lambda",
-    "qc_mean_beta",
-    "qc_n_eff",
-    "qc_pz_consistency",
-    "retention_cohorts",
-    "rollup_aggregate",
-    "sanity_filter",
-    "signif_calibration",
-    "study_locus_id",
+    "locus_study_type",
+    "sumstat_harmonise_ingest",
+    "sumstat_imputation",
+    "sumstat_qc_summary",
+    "table_profile",
+    "target_index_build",
+    "trans_qtl_flag",
+    "ukb_ppp_harmonise",
+    "ukbiobank_study_ingest",
+    "vep_variant_index_ingest",
+    "asof_join",
+    "bigram_pmi",
+    "bloom_decontaminate",
+    "burst_detection",
+    "decontaminate",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "direction_concordance",
+    "doc_fingerprint",
+    "drug_enrichment",
+    "dsir_importance",
+    "enrichment_odds_ratio",
+    "eqtl_study_ingest",
+    "eqtl_sumstat_ingest",
+    "evidence_vs_gold_standard",
+    "exclude_region",
+    "finngen_meta_study_ingest",
+    "finngen_sumstat_ingest",
+    "gnomad_variant_ingest",
+    "gwas_study_curation",
+    "gwas_study_split",
+    "gwas_sumstat_ingest",
+    "gwas_top_hits",
+    "harmonic_sum",
+    "interval_evidence",
+    "intervals_epiraction_ingest",
+    "l2g_gold_standard",
+    "ld_block_slice",
+    "locus_breaker",
+    "ontology_closure",
 ]
 
 

@@ -11,9 +11,11 @@ Staging replicates documents/embeddings 100x with shifted ids (the
 sf1_ab_probe recipe), so the dedup keyspace, LSH bucket space and
 cluster count grow with the data — the honest scale axis.
 
-Run: python scripts/scale100_probe.py [--keys a,b,c]
-Prints one line per key: sf0.1 wall, 100x wall, growth factor
-(100.0 = linear). Results are hand-recorded in docs/SCALE_PROBE.md.
+Run: python scripts/scale100_probe.py [--keys a,b,c] [--rep N]
+Prints one line per key: sf0.1 wall, Nx wall, growth factor
+(N = linear). Results are hand-recorded in docs/SCALE_PROBE.md.
+--rep 1000 is the "one more decade" mode (2M embeddings / 5M
+documents) for keys whose 100x trajectory needs another point.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REP = 100
+REP = 100  # default; override with --rep
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -92,7 +94,15 @@ def main() -> None:
         default=None,
         help="comma-separated registry keys (default: the pipeline set)",
     )
+    ap.add_argument(
+        "--rep",
+        type=int,
+        default=REP,
+        help="replication factor (default 100; 1000 = one more decade)",
+    )
     args = ap.parse_args()
+    global REP
+    REP = args.rep
     keys = args.keys.split(",") if args.keys else DEFAULT_KEYS
     registry = full_registry()
     unknown = [k for k in keys if k not in registry]
@@ -112,7 +122,7 @@ def main() -> None:
             s1 = _time(spark, registry, name, big)
             release_caches()
             print(
-                f"{name}: sf0.1 {s0:.2f}s -> 100x {s1:.2f}s "
+                f"{name}: sf0.1 {s0:.2f}s -> {REP}x {s1:.2f}s "
                 f"(growth {s1 / s0:.1f}x; linear would be {float(REP):.0f}x)",
                 flush=True,
             )
