@@ -105,6 +105,19 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "lm_kn_perplexity",
     "embedding_pca_power",
+    # r17 additions: the classifier-gated curation pipeline (E22b —
+    # the E46 model gate fused into E22's scan) and the PCA-banded ANN
+    # (E53 — E51's eigenvector consumed as a coarse prefilter, so this
+    # key times the power iteration AND the banded search).
+    # assignment_recall_eval stays OUT like minhash_calibration: both
+    # are calibration diagnostics, not pipeline operators.
+    "corpus_curate_scored",
+    "ann_pca_topk",
+    # embedding_pca_project (E55) times the FULL top-m deflation chain
+    # (E54, three power-iteration blocks + two checkpointed deflations)
+    # plus the per-vector projection; E54 alone adds no distinct
+    # workload beyond that chain, so one headline slot covers both.
+    "embedding_pca_project",
 ]
 
 
@@ -552,6 +565,17 @@ def main() -> None:
                 "headline DELIBERATELY despite raising the aggregate "
                 "ratio — the shared-subset drift comparison in the "
                 "payload is the round-over-round signal."
+            ),
+            "embedding_pca_project": (
+                "times the FULL E54 chain (mean agg + d^2 Gram agg + "
+                "the one-task eigen kernel) plus its own model build "
+                "and projection pass — ~6 jobs total, but the two "
+                "corpus aggs read the ONE-row-group sf0.1 parquet as "
+                "single-task scans (the q1 floor class) and the 650KB "
+                "projection codegen compiles once per session. The "
+                "scale trajectory is the honest signal "
+                "(docs/SCALE_PROBE.md): corpus work is one pass, so "
+                "growth stays near-flat."
             ),
             "study_locus_qc_flags": (
                 "r14 flagged 0.73 -> 1.24s with an unchanged 1-exchange "

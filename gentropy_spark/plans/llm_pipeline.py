@@ -2323,6 +2323,415 @@ QUALIFY rank <= {PCA_ANN_K}
 REGISTRY["ann_pca_topk"] = QuerySpec(q_ann_pca_topk, ANN_PCA_SQL)
 
 
+# --- E54: top-m eigenpairs by Hotelling deflation ---------------------------
+# The r16 verdict sketched this as E51's natural extension: after the
+# leading eigenpair, deflate the centered data (cx' = cx − (cx·v)v —
+# the Hotelling projection, exact regardless of how converged v is)
+# and re-run the same two-step power iteration on the residual. Each
+# extra component costs ONE deflation pass + the E51 matvec block; no
+# d×d matrix ever materializes, so the shape scales exactly like E51.
+PCA_TOPM = 3
+
+
+def _topm_eigen_kernel(pdf_iter):
+    """The corpus-free eigen-iteration over the d²-row covariance
+    table, as ONE Arrow batch task: two-step power blocks + matrix
+    Hotelling deflation for all PCA_TOPM components. Every rounding
+    mirrors the engine discipline EXACTLY — products quantized to
+    9dp with python Decimal HALF_UP (= Spark F.round = BigDecimal
+    setScale(9, HALF_UP): both operate on the exact binary expansion
+    of the double), sums taken over the exact 9dp Decimals (= the
+    DECIMAL(38,12) relational SUM), unit vectors re-quantized to
+    12dp, float divisions/sqrt IEEE-identical across engines, and
+    the deflation update left-associated like the SQL expression.
+    ~26k Decimal ops total (~30 ms) on 4096 rows — the one place a
+    Python kernel beats declarative: ~20 scheduler-bound tiny-table
+    jobs collapse into a single task."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    Q9 = Decimal(1).scaleb(-9)
+    Q12 = Decimal(1).scaleb(-12)
+
+    def q9(x: float) -> Decimal:
+        return Decimal(x).quantize(Q9, rounding=ROUND_HALF_UP)
+
+    def r12(x: float) -> float:
+        return float(Decimal(x).quantize(Q12, rounding=ROUND_HALF_UP))
+
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    d = int(rows["k"].max())
+    G = [[0.0] * d for _ in range(d)]
+    for j, k, g in zip(rows["j"], rows["k"], rows["g"]):
+        # the input is the upper triangle; mirror it (S_kj == S_jk
+        # exactly — IEEE multiply commutes, DECIMAL sums are exact)
+        G[int(j) - 1][int(k) - 1] = float(g)
+        G[int(k) - 1][int(j) - 1] = float(g)
+    out = {"component": [], "dim": [], "v": [], "eig": []}
+    for comp in range(1, PCA_TOPM + 1):
+        u1 = [float(q9(G[j][0])) for j in range(d)]
+        nrm1 = math.sqrt(float(sum(q9(u * u) for u in u1)))
+        v1 = [r12(u / nrm1) for u in u1]
+        u2 = [
+            float(sum(q9(G[j][k] * v1[k]) for k in range(d)))
+            for j in range(d)
+        ]
+        nrm2 = math.sqrt(float(sum(q9(u * u) for u in u2)))
+        vf = [r12(u / nrm2) for u in u2]
+        out["component"] += [comp] * d
+        out["dim"] += list(range(1, d + 1))
+        out["v"] += vf
+        out["eig"] += [nrm2] * d
+        if comp < PCA_TOPM:
+            w = [
+                float(sum(q9(G[j][k] * vf[k]) for k in range(d)))
+                for j in range(d)
+            ]
+            s = float(sum(q9(vf[j] * w[j]) for j in range(d)))
+            G = [
+                [
+                    G[j][k]
+                    - vf[j] * w[k]
+                    - w[j] * vf[k]
+                    + vf[j] * vf[k] * s
+                    for k in range(d)
+                ]
+                for j in range(d)
+            ]
+    yield pd.DataFrame(out)
+
+
+def q_embedding_pca_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-m eigenpairs of the embedding covariance by deflated power
+    iteration (E54). Output one row per (component, dim): 6dp mean /
+    loading / eigenvalue plus var_ratio = eigenvalue over the total
+    variance trace — the explained-variance share a curation pipeline
+    reads to decide how many projection axes its prefilters deserve.
+
+    Formulation (the small-d covariance method — Spark MLlib's
+    RowMatrix/Gramian posture, valid for the engine-wide EMB_DIM
+    width): ONE corpus pass builds the d×d covariance table G_jk =
+    (Σ_i round(c_ij·c_ik, 9))/n — explode, self-join on vec_id,
+    partial-aggregate into d² groups so only the combiner output
+    crosses the wire. Every later step — all m power blocks AND the
+    matrix-level Hotelling deflation C' = (I − vv^T) C (I − vv^T),
+    expanded to C'_jk = C_jk − v_j w_k − w_j v_k + v_j v_k (v·w)
+    with w = C v — is corpus-free math on 4096 values, and runs as
+    ONE Arrow task (_topm_eigen_kernel) with exact HALF_UP Decimal
+    arithmetic mirroring the engine quantization. Why a kernel, for
+    once: the first cut re-ran E51's explode+join matvec per
+    component (~30 corpus-touching jobs, 10.8s at sf0.1 vs a 0.5s
+    DuckDB leg); a second cut unrolled per-row 64-term DECIMAL
+    chains into whole-stage codegen and OOM'd janino with 300-650 KB
+    generated sources per stage; a third ran the iteration
+    relationally on the d²-row table and still paid ~20
+    scheduler-bound tiny-table jobs. 4096 rows × ~26k Decimal ops is
+    driver-constant work — the one shape where an Arrow task beats
+    declarative, and it leaves the plan with exactly two data-grain
+    stages (mean agg, Gram agg).
+
+    Exactness: every relational reduction (mu numerators, G entries)
+    is a DECIMAL(38,12) sum of 9dp-quantized products — order-free
+    under shuffle; the kernel sums exact 9dp Decimals (= the
+    relational SUM), re-quantizes unit vectors to 12dp, and
+    left-associates the deflation update exactly like the SQL
+    expression; outputs round to 6dp; trace = (Σ_j S_jj)/n from the
+    exact DECIMAL diagonal sums. NOT plan-cache memoized (the fn
+    caches mus/gram per call — the release rule).
+    """
+    from gentropy_spark.operators.dedup import spread_if_narrow
+    from gentropy_spark.session import track_cache
+
+    DEC12 = "decimal(38,12)"
+    emb = spread_if_narrow(
+        read_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
+    # Means: one exploded-grain aggregation (E51's mu discipline).
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "xj"
+        ),
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "xj")
+    n_row = emb.agg(F.count("*").cast("double").alias("n"))
+    mus = track_cache(
+        ex.groupBy("dim")
+        .agg(F.sum(F.col("xj").cast(DEC12)).cast("double").alias("sx"))
+        .crossJoin(F.broadcast(n_row))
+        .select("dim", (F.col("sx") / F.col("n")).alias("mu"))
+    )
+    cx = ex.join(F.broadcast(mus), on="dim").select(
+        "vec_id", "dim", (F.col("xj") - F.col("mu")).alias("cx")
+    )
+    # The one corpus-grain stage: G via the vec_id self-join +
+    # partial agg — the shuffle carries the exploded data once and
+    # only the d²-group combiner output leaves the map side. The
+    # exact DECIMAL numerators ride along for the trace.
+    right = cx.select(
+        "vec_id", F.col("dim").alias("k"), F.col("cx").alias("ck")
+    )
+    # Upper triangle only (j <= k rides the merge as a join filter):
+    # C is symmetric and IEEE multiplication commutes, so S_kj == S_jk
+    # EXACTLY — the kernel mirrors the triangle, halving the 9dp
+    # round + DECIMAL-add cost that dominates this pass at scale.
+    gram = track_cache(
+        cx.select("vec_id", F.col("dim").alias("j"), "cx")
+        .join(right, on="vec_id")
+        .filter(F.col("j") <= F.col("k"))
+        .groupBy("j", "k")
+        .agg(
+            F.sum(F.round(F.col("cx") * F.col("ck"), 9).cast(DEC12)).alias(
+                "s"
+            )
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "j", "k", "s", (F.col("s").cast("double") / F.col("n")).alias("g")
+        )
+    )
+    tot = (
+        gram.filter(F.col("j") == F.col("k"))
+        .agg(F.sum(F.col("s")).cast("double").alias("ss"))
+        .crossJoin(F.broadcast(n_row))
+        .select((F.col("ss") / F.col("n")).alias("tv"))
+    )
+    # The corpus-free iteration: one Arrow task over the d² rows.
+    allc = (
+        gram.select("j", "k", "g")
+        .coalesce(1)
+        .mapInPandas(
+            _topm_eigen_kernel,
+            schema="component int, dim int, v double, eig double",
+        )
+    )
+    return (
+        allc.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(mus), on="dim")
+        .select(
+            "component",
+            F.col("dim").cast("int").alias("dim"),
+            F.round(F.col("mu"), 6).alias("mean"),
+            F.round(F.col("v"), 6).alias("loading"),
+            F.round(F.col("eig"), 6).alias("eigenvalue"),
+            F.round(F.col("eig") / F.col("tv"), 6).alias("var_ratio"),
+        )
+    )
+
+
+def _gram_power_block_sql(k: int) -> str:
+    """The two-step power-iteration CTE block over the d²-row
+    covariance table g{k} — the relational mirror of the kernel's
+    power block (same 9dp/12dp quantization points; relational SUM =
+    the kernel's exact-Decimal sum). Every multiply-referenced CTE
+    is MATERIALIZED (the r9b iterative-oracle trap: DuckDB otherwise
+    inlines the feeder per use, 2^iters copies by component 3)."""
+    return f"""
+u1_{k} AS (SELECT j, ROUND(g, 9) AS u FROM g{k} WHERE k = 1),
+norm1_{k} AS (
+  SELECT SQRT(CAST(SUM(CAST(ROUND(u * u, 9) AS DECIMAL(38,12))) AS DOUBLE))
+           AS nrm
+  FROM u1_{k}
+),
+v1_{k} AS (SELECT j, ROUND(u / nrm, 12) AS v FROM u1_{k}, norm1_{k}),
+u2_{k} AS MATERIALIZED (
+  SELECT m.j,
+         CAST(SUM(CAST(ROUND(m.g * v.v, 9) AS DECIMAL(38,12))) AS DOUBLE)
+           AS u
+  FROM g{k} m JOIN v1_{k} v ON v.j = m.k GROUP BY m.j
+),
+norm2_{k} AS (
+  SELECT SQRT(CAST(SUM(CAST(ROUND(u * u, 9) AS DECIMAL(38,12))) AS DOUBLE))
+           AS nrm
+  FROM u2_{k}
+),
+vf_{k} AS MATERIALIZED (
+  SELECT j, ROUND(u / nrm, 12) AS v, nrm AS eig FROM u2_{k}, norm2_{k}
+)"""
+
+
+def _gram_deflate_block_sql(k: int) -> str:
+    """Matrix-level Hotelling deflation C' = (I − vv^T) C (I − vv^T)
+    expanded elementwise with w = C v and s = v·w — plain double
+    arithmetic on DECIMAL-summed deterministic operands."""
+    return f"""
+w_{k} AS MATERIALIZED (
+  SELECT m.j,
+         CAST(SUM(CAST(ROUND(m.g * v.v, 9) AS DECIMAL(38,12))) AS DOUBLE)
+           AS w
+  FROM g{k} m JOIN vf_{k} v ON v.j = m.k GROUP BY m.j
+),
+s_{k} AS (
+  SELECT CAST(SUM(CAST(ROUND(v.v * w.w, 9) AS DECIMAL(38,12))) AS DOUBLE)
+           AS s
+  FROM vf_{k} v JOIN w_{k} w USING (j)
+),
+g{k + 1} AS MATERIALIZED (
+  SELECT m.j, m.k,
+         m.g - vj.v * wk.w - wj.w * vk.v + vj.v * vk.v * s.s AS g
+  FROM g{k} m
+  JOIN vf_{k} vj ON vj.j = m.j
+  JOIN vf_{k} vk ON vk.j = m.k
+  JOIN w_{k} wj ON wj.j = m.j
+  JOIN w_{k} wk ON wk.j = m.k, s_{k} s
+)"""
+
+
+def _pca_topm_sql() -> str:
+    blocks = []
+    for k in range(1, PCA_TOPM + 1):
+        blocks.append(_gram_power_block_sql(k))
+        if k < PCA_TOPM:
+            blocks.append(_gram_deflate_block_sql(k))
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS component, j AS dim, v, eig"
+        f" FROM vf_{k}"
+        for k in range(1, PCA_TOPM + 1)
+    )
+    return f"""
+WITH ex AS (
+  SELECT vec_id, g.idx AS dim, (embedding::DOUBLE[])[g.idx] AS xj
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS g(idx)
+),
+n_row AS (SELECT COUNT(*)::DOUBLE AS n FROM embeddings),
+mus AS MATERIALIZED (
+  SELECT dim,
+         CAST(SUM(CAST(xj AS DECIMAL(38,12))) AS DOUBLE) / n AS mu
+  FROM ex, n_row GROUP BY dim, n
+),
+cx AS MATERIALIZED (
+  SELECT e.vec_id, e.dim, e.xj - m.mu AS cx
+  FROM ex e JOIN mus m USING (dim)
+),
+gs AS MATERIALIZED (
+  SELECT a.dim AS j, b.dim AS k,
+         SUM(CAST(ROUND(a.cx * b.cx, 9) AS DECIMAL(38,12))) AS s
+  FROM cx a JOIN cx b USING (vec_id) GROUP BY a.dim, b.dim
+),
+g1 AS MATERIALIZED (
+  SELECT j, k, CAST(s AS DOUBLE) / n AS g FROM gs, n_row
+),
+trace AS (
+  SELECT CAST(SUM(s) AS DOUBLE) / n AS tv
+  FROM gs, n_row WHERE j = k GROUP BY n
+),
+{",".join(blocks)},
+allc AS ({union})
+SELECT u.component, CAST(u.dim AS INT) AS dim,
+       ROUND(m.mu, 6) AS mean,
+       ROUND(u.v, 6) AS loading,
+       ROUND(u.eig, 6) AS eigenvalue,
+       ROUND(u.eig / t.tv, 6) AS var_ratio
+FROM allc u, trace t
+JOIN mus m ON m.dim = u.dim
+"""
+
+
+EMB_PCA_TOPM_SQL = _pca_topm_sql()
+
+REGISTRY["embedding_pca_topm"] = QuerySpec(
+    q_embedding_pca_topm, EMB_PCA_TOPM_SQL
+)
+
+
+# --- E55: per-vector principal-component coordinates (E54 consumed) --------
+# The corpus-map verb: project every embedding onto the top-2
+# principal axes E54 computes — the 2-D coordinates a dataset
+# explorer (Atlas-style corpus maps) or a stratified-sampling stage
+# reads. Composition point: the E54 OUTPUT (6dp means + loadings) is
+# this operator's broadcast input, the same consumed-verb posture as
+# ann_pca_topk over E51.
+PCA_PROJECT_COMPONENTS = 2
+
+
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector top-2 PC coordinates (E55): pc_k = Σ_j round((x_j −
+    mean_j)·loading_kj, 9) as order-free DECIMAL sums, 6dp output.
+    The consumed E54 output (its 6dp means and loadings — the
+    composition contract) is pivoted into three d-length arrays on a
+    1-row broadcast; both coordinates are then unrolled element_at
+    DECIMAL chains inside ONE codegen projection over the embeddings
+    scan — zero exchanges downstream of the model build, no explode,
+    no per-vector aggregation (the pii_redact plan class, with the
+    E54 chain riding the broadcast side).
+    """
+    from gentropy_spark.operators.dedup import spread_if_narrow
+
+    d = EMB_DIM
+    emb = spread_if_narrow(
+        read_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
+    pca = q_embedding_pca_topm(spark, sf_dir).filter(
+        F.col("component") <= PCA_PROJECT_COMPONENTS
+    )
+    per = pca.groupBy("component").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "loading"))),
+            lambda s: s["loading"],
+        ).alias("l"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+            lambda s: s["mean"],
+        ).alias("m"),
+    )
+    model = per.agg(
+        F.max(F.when(F.col("component") == 1, F.col("l"))).alias("l1"),
+        F.max(F.when(F.col("component") == 2, F.col("l"))).alias("l2"),
+        F.max(F.when(F.col("component") == 1, F.col("m"))).alias("mu"),
+    )
+    x = F.col("embedding").cast("array<double>")
+
+    def proj(lcol) -> object:
+        # Per-step cast back to DECIMAL(38,12): Spark's decimal `+`
+        # widens the nominal integer part and RE-SCALES the result
+        # one digit narrower per chained addition (38,12 → 38,11 →
+        # 38,10 → ...), silently rounding the 9dp partials once the
+        # scale crosses below 9 — measured as a 2e-6 drift vs the
+        # oracle's SUM. The re-cast pins every partial at scale ≥ 11,
+        # keeping the 9dp accumulation exact (= the relational SUM).
+        s = None
+        for j in range(1, d + 1):
+            t = F.round(
+                (F.element_at(x, j) - F.element_at(F.col("mu"), j))
+                * F.element_at(lcol, j),
+                9,
+            ).cast("decimal(38,12)")
+            s = t if s is None else (s + t).cast("decimal(38,12)")
+        return F.round(s.cast("double"), 6)
+
+    return emb.crossJoin(F.broadcast(model)).select(
+        "vec_id",
+        proj(F.col("l1")).alias("pc1"),
+        proj(F.col("l2")).alias("pc2"),
+    )
+
+
+EMB_PCA_PROJECT_SQL = f"""
+WITH topm AS MATERIALIZED ({EMB_PCA_TOPM_SQL}),
+exv AS (
+  SELECT vec_id, g.idx AS dim, (embedding::DOUBLE[])[g.idx] AS xj
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS g(idx)
+)
+SELECT e.vec_id,
+       ROUND(CAST(SUM(CASE WHEN p.component = 1 THEN
+             CAST(ROUND((e.xj - p.mean) * p.loading, 9)
+                  AS DECIMAL(38,12)) END) AS DOUBLE), 6) AS pc1,
+       ROUND(CAST(SUM(CASE WHEN p.component = 2 THEN
+             CAST(ROUND((e.xj - p.mean) * p.loading, 9)
+                  AS DECIMAL(38,12)) END) AS DOUBLE), 6) AS pc2
+FROM exv e
+JOIN topm p ON p.dim = e.dim AND p.component <= {PCA_PROJECT_COMPONENTS}
+GROUP BY e.vec_id
+"""
+
+REGISTRY["embedding_pca_project"] = QuerySpec(
+    q_embedding_pca_project, EMB_PCA_PROJECT_SQL
+)
+
+
 # --- E23: training-mixture table ------------------------------------------
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (lang, source) document and token totals with corpus share —

@@ -140,7 +140,9 @@ _SNAPSHOT_PRIORITY = [
     # consumed as a banded ANN prefilter), assignment_recall_eval
     # (E52, the two-level assignment's approximate-regime calibration
     # curve), corpus_curate_scored (E22b, the E46 model gate fused
-    # into the curation scan).
+    # into the curation scan), embedding_pca_topm (E54, top-m
+    # eigenpairs by Hotelling deflation) + embedding_pca_project
+    # (E55, per-vector top-2 PC coordinates — E54 consumed).
     # (b) values/plans/oracles CHANGED this round -- must certify:
     # semdedup_prune (oracle now mirrors the two-level quantizer, so
     # parity holds in the approximate regime), ann_recall_eval (PCA
@@ -152,17 +154,19 @@ _SNAPSHOT_PRIORITY = [
     # (c) the 9-key r12-evidence tail scheduled from r16 (verdict
     # item 1 -- after this window, no oracle key's driver evidence
     # predates r13).
-    # (d) freshness rotation, stalest-first: 32 of the 47 keys whose
-    # newest driver evidence is r13 (alphabetical; the 15-key tail --
-    # ot_variant_to_vcf, overlap_join, pack_sequences, pairwise_ld,
-    # panukbb_ld_align, pivot_wide, props_json_parse,
-    # q3_shipping_priority, q5_local_supplier, q_decile_stats,
-    # stream_dedup, stream_window_agg, study_index_validate,
-    # ukb_ppp_study_ingest, variant_effect_normalise -- rotates to
-    # r18).
+    # (d) freshness rotation, stalest-first: 30 of the 47 keys whose
+    # newest driver evidence is r13 (alphabetical; the 17-key tail --
+    # locus_breaker, ontology_closure, ot_variant_to_vcf,
+    # overlap_join, pack_sequences, pairwise_ld, panukbb_ld_align,
+    # pivot_wide, props_json_parse, q3_shipping_priority,
+    # q5_local_supplier, q_decile_stats, stream_dedup,
+    # stream_window_agg, study_index_validate, ukb_ppp_study_ingest,
+    # variant_effect_normalise -- rotates to r18).
     "ann_pca_topk",
     "assignment_recall_eval",
     "corpus_curate_scored",
+    "embedding_pca_topm",
+    "embedding_pca_project",
     "semdedup_prune",
     "ann_recall_eval",
     "corpus_curate",
@@ -208,8 +212,6 @@ _SNAPSHOT_PRIORITY = [
     "intervals_epiraction_ingest",
     "l2g_gold_standard",
     "ld_block_slice",
-    "locus_breaker",
-    "ontology_closure",
 ]
 
 

@@ -83,6 +83,7 @@ def _time(spark, registry, name: str, sf_dir: str, runs: int = 2) -> float:
 
 
 def main() -> None:
+    global REP
     import argparse
 
     from gentropy_spark.plans import full_registry
@@ -101,7 +102,6 @@ def main() -> None:
         help="replication factor (default 100; 1000 = one more decade)",
     )
     args = ap.parse_args()
-    global REP
     REP = args.rep
     keys = args.keys.split(",") if args.keys else DEFAULT_KEYS
     registry = full_registry()

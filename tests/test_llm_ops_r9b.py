@@ -342,6 +342,7 @@ def test_ann_recall_eval_consistent_with_components(spark, sf_dir):
         q_ann_ivfpq,
         q_ann_lsh,
         q_ann_pq,
+        q_ann_pca_topk,
         q_ann_recall_eval,
     )
 
@@ -367,9 +368,14 @@ def test_ann_recall_eval_consistent_with_components(spark, sf_dir):
             (r["query_id"], r["corpus_id"])
             for r in q_ann_ivfpq(spark, sf_dir).collect()
         },
+        # r17: the PCA-banded prefilter leg (E53)
+        "pca": {
+            (r["query_id"], r["corpus_id"])
+            for r in q_ann_pca_topk(spark, sf_dir).collect()
+        },
     }
     rows = q_ann_recall_eval(spark, sf_dir).collect()
-    assert len(rows) == 4 * len({q for q, _ in truth})
+    assert len(rows) == 5 * len({q for q, _ in truth})
     for r in rows:
         got = {
             p for p in retrieved[r["method"]] if p[0] == r["query_id"]

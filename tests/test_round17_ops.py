@@ -406,3 +406,220 @@ def test_checkpoint_release_failures_counted(spark, sf_dir):
     assert S.RELEASE_FAILURES == before, (
         "release must free every checkpoint without counted failures"
     )
+
+
+# --- E54/E55: top-m deflated PCA and its projection consumer ---------------
+
+
+def test_pca_topm_component1_agrees_with_e51(spark):
+    """Component 1 of the Gram-form chain computes the same two-step
+    power iteration as E51, just quantized at the covariance-table
+    grain instead of per row — means are EXACT-equal (identical
+    formula) and loadings/eigenvalue agree within the quantization
+    band (the 9dp rounds enter at different points, so outputs can
+    differ by an output quantum)."""
+    from gentropy_spark.plans.llm_pipeline import (
+        q_embedding_pca_power,
+        q_embedding_pca_topm,
+    )
+
+    e51 = {
+        r.dim: (r.mean, r.loading, r.eigenvalue)
+        for r in q_embedding_pca_power(spark, SF).collect()
+    }
+    c1 = {
+        r.dim: (r.mean, r.loading, r.eigenvalue)
+        for r in q_embedding_pca_topm(spark, SF).collect()
+        if r.component == 1
+    }
+    assert set(c1) == set(e51)
+    for dim in c1:
+        assert c1[dim][0] == e51[dim][0], "means must be exact-equal"
+        assert abs(c1[dim][1] - e51[dim][1]) <= 2e-6, dim
+        assert abs(c1[dim][2] - e51[dim][2]) <= 2e-6, dim
+
+
+def test_pca_topm_matches_numpy_deflation(spark):
+    """Full 3-component replication of the Gram formulation: one
+    covariance table, the quantized power steps on it, matrix-level
+    Hotelling deflation C' = C − v wᵀ − w vᵀ + (v·w) v vᵀ — in numpy
+    (the E51 test pattern — 1e-6 band for the DECIMAL-vs-float sum
+    boundary flips)."""
+    import numpy as np
+
+    from gentropy_spark.plans.llm_pipeline import (
+        PCA_TOPM,
+        q_embedding_pca_topm,
+    )
+    from gentropy_spark.sources.readers import read_table
+
+    X = np.array(
+        [
+            [float(v) for v in r.embedding]
+            for r in read_table(spark, SF, "embeddings").collect()
+        ]
+    )
+    n, d = X.shape
+    mu = np.array(
+        [float(np.sum(X[:, j].astype(np.float64))) / n for j in range(d)]
+    )
+    C = X - mu
+    G = np.array(
+        [
+            [
+                float(np.sum(np.round(C[:, j] * C[:, k], 9))) / n
+                for k in range(d)
+            ]
+            for j in range(d)
+        ]
+    )
+    tv = (
+        float(np.sum([np.sum(np.round(C[:, j] * C[:, j], 9)) for j in range(d)]))
+        / n
+    )
+
+    def matvec(M, v):
+        return np.array(
+            [float(np.sum(np.round(M[j] * v, 9))) for j in range(d)]
+        )
+
+    expected = {}
+    Gk = G
+    for k in range(1, PCA_TOPM + 1):
+        u1 = np.round(Gk[:, 0], 9)
+        v1 = np.round(u1 / np.sqrt(np.sum(np.round(u1 * u1, 9))), 12)
+        u2 = matvec(Gk, v1)
+        nrm2 = float(np.sqrt(np.sum(np.round(u2 * u2, 9))))
+        vf = np.round(u2 / nrm2, 12)
+        for j in range(d):
+            expected[(k, j + 1)] = (
+                round(float(mu[j]), 6),
+                round(float(vf[j]), 6),
+                round(nrm2, 6),
+                round(nrm2 / tv, 6),
+            )
+        if k < PCA_TOPM:
+            w = matvec(Gk, vf)
+            s = float(np.sum(np.round(vf * w, 9)))
+            Gk = (
+                Gk
+                - np.outer(vf, w)
+                - np.outer(w, vf)
+                + s * np.outer(vf, vf)
+            )
+    rows = q_embedding_pca_topm(spark, SF).collect()
+    got = {
+        (r.component, r.dim): (r.mean, r.loading, r.eigenvalue, r.var_ratio)
+        for r in rows
+    }
+    assert set(got) == set(expected)
+    for key in got:
+        for a, b in zip(got[key], expected[key]):
+            assert abs(a - b) <= 1e-6, (key, got[key], expected[key])
+
+
+def test_pca_topm_invariants(spark):
+    """Spectral invariants on the fixture: unit loadings, descending
+    eigenvalues/explained shares, pairwise near-orthogonality (the
+    deflation keeps every later iterate in the earlier vectors'
+    orthogonal complement up to the quantization), shares in (0, 1]
+    summing below 1, and eigenvalues below the true top eigenvalue."""
+    import numpy as np
+
+    from gentropy_spark.plans.llm_pipeline import (
+        PCA_TOPM,
+        q_embedding_pca_topm,
+    )
+    from gentropy_spark.sources.readers import read_table
+
+    rows = q_embedding_pca_topm(spark, SF).collect()
+    d = max(r.dim for r in rows)
+    assert len(rows) == PCA_TOPM * d
+    V = {}
+    eig = {}
+    share = {}
+    for k in range(1, PCA_TOPM + 1):
+        comp = sorted(
+            (r for r in rows if r.component == k), key=lambda r: r.dim
+        )
+        V[k] = np.array([r.loading for r in comp])
+        assert abs(np.linalg.norm(V[k]) - 1.0) < 1e-4
+        assert len({r.eigenvalue for r in comp}) == 1
+        assert len({r.var_ratio for r in comp}) == 1
+        eig[k] = comp[0].eigenvalue
+        share[k] = comp[0].var_ratio
+        assert 0.0 < share[k] <= 1.0
+    for k in range(2, PCA_TOPM + 1):
+        assert eig[k] <= eig[k - 1] + 1e-6
+        assert share[k] <= share[k - 1] + 1e-6
+    assert sum(share.values()) <= 1.0 + 1e-6
+    for a in range(1, PCA_TOPM + 1):
+        for b in range(a + 1, PCA_TOPM + 1):
+            assert abs(float(V[a] @ V[b])) < 1e-4, (a, b)
+    X = np.array(
+        [
+            [float(v) for v in r.embedding]
+            for r in read_table(spark, SF, "embeddings").collect()
+        ]
+    )
+    w = np.linalg.eigvalsh(np.cov(X.T, bias=True))
+    assert eig[1] <= w[-1] + 1e-6
+
+
+def test_pca_topm_caches_tracked_and_released(spark):
+    """The mus/gram intermediates are sweep-scope cached; a full
+    build+release cycle must free them without counted failures, and
+    the kernel stays a single-partition task (one Arrow batch group
+    — the whole iteration is corpus-free)."""
+    import gentropy_spark.session as S
+    from gentropy_spark.plans.llm_pipeline import q_embedding_pca_topm
+
+    S.release_caches()
+    before_fail = S.RELEASE_FAILURES
+    n_cached = len(S._CACHED)
+    q_embedding_pca_topm(spark, SF).collect()
+    assert len(S._CACHED) >= n_cached + 2, (
+        "mus and gram must register for sweep-scope release"
+    )
+    S.release_caches()
+    assert S.RELEASE_FAILURES == before_fail
+    assert not S._CACHED
+
+
+def test_pca_project_matches_consumed_definition(spark):
+    """E55 fidelity pin: pc_k equals the order-free quantized
+    projection computed from the CONSUMED E54 output (its 6dp means
+    and loadings — the composition contract), for every vector."""
+    import numpy as np
+
+    from gentropy_spark.plans.llm_pipeline import (
+        q_embedding_pca_project,
+        q_embedding_pca_topm,
+    )
+    from gentropy_spark.sources.readers import read_table
+
+    topm = q_embedding_pca_topm(spark, SF).collect()
+    mean = {}
+    load = {}
+    for r in topm:
+        if r.component <= 2:
+            mean[r.dim] = r.mean
+            load[(r.component, r.dim)] = r.loading
+    d = max(r.dim for r in topm)
+    m1 = np.array([mean[j + 1] for j in range(d)])
+    l1 = np.array([load[(1, j + 1)] for j in range(d)])
+    l2 = np.array([load[(2, j + 1)] for j in range(d)])
+    emb = {
+        r.vec_id: np.array([float(v) for v in r.embedding])
+        for r in read_table(spark, SF, "embeddings").collect()
+    }
+    rows = q_embedding_pca_project(spark, SF).collect()
+    assert {r.vec_id for r in rows} == set(emb)
+    for r in rows:
+        x = emb[r.vec_id]
+        pc1 = round(float(np.sum(np.round((x - m1) * l1, 9))), 6)
+        pc2 = round(float(np.sum(np.round((x - m1) * l2, 9))), 6)
+        assert abs(r.pc1 - pc1) <= 1e-6, r.vec_id
+        assert abs(r.pc2 - pc2) <= 1e-6, r.vec_id
+    # the map must actually spread: both axes carry variance
+    assert len({r.pc1 for r in rows}) > 1 and len({r.pc2 for r in rows}) > 1
