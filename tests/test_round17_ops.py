@@ -623,3 +623,82 @@ def test_pca_project_matches_consumed_definition(spark):
         assert abs(r.pc2 - pc2) <= 1e-6, r.vec_id
     # the map must actually spread: both axes carry variance
     assert len({r.pc1 for r in rows}) > 1 and len({r.pc2 for r in rows}) > 1
+
+
+def test_pca_topm_oracle_parity_on_random_corpus(spark, big_emb_dir):
+    """The Gram+kernel chain must stay value-exact against the
+    relational DuckDB mirror on a seeded RANDOM 9990-vector corpus,
+    not just the driver fixtures — this is the live test of the
+    kernel's exactness claim (python Decimal HALF_UP quantization ==
+    BigDecimal setScale == DuckDB DECIMAL sums), including the
+    upper-triangle mirror and the left-associated deflation."""
+    import duckdb
+
+    from gentropy_spark.plans.llm_pipeline import (
+        EMB_PCA_TOPM_SQL,
+        q_embedding_pca_topm,
+    )
+
+    srows = {
+        (r.component, r.dim): (r.mean, r.loading, r.eigenvalue, r.var_ratio)
+        for r in q_embedding_pca_topm(spark, big_emb_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{big_emb_dir}/embeddings.parquet'"
+    )
+    drows = {
+        (int(c), int(d)): (m, lo, e, v)
+        for c, d, m, lo, e, v in con.execute(EMB_PCA_TOPM_SQL).fetchall()
+    }
+    assert srows == drows
+
+
+def test_pca_topm_plan_shape(spark, sf_dir):
+    """Scale-shape pin for the covariance method: exactly ONE Arrow
+    task (the eigen kernel — the whole m-component iteration), the
+    mus/gram intermediates cached, and no per-vector grouping
+    anywhere (the only vec_id use is the self-join's equi-key).
+    Raw-text caveat: plan.toString() re-lists every cached child
+    under its InMemoryRelation, so scan/exchange COUNTS are printer
+    artifacts — pin node kinds, not counts."""
+    from gentropy_spark.plans.llm_pipeline import q_embedding_pca_topm
+    from gentropy_spark.session import release_caches
+
+    release_caches()
+    plan = (
+        q_embedding_pca_topm(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "keys=[vec_id" not in plan, (
+        "no aggregate may group by vec_id — the kernel owns all "
+        "post-Gram math"
+    )
+    release_caches()
+
+
+def test_pca_project_no_corpus_aggregate(spark, sf_dir):
+    """E55's corpus side must be a pure projection: no per-vector
+    aggregate or join anywhere (keys=[vec_id absent — the old design
+    exploded and re-grouped by vec_id), and the only Arrow task is
+    E54's kernel riding the broadcast model side."""
+    from gentropy_spark.plans.llm_pipeline import q_embedding_pca_project
+    from gentropy_spark.session import release_caches
+
+    release_caches()
+    plan = (
+        q_embedding_pca_project(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1, plan
+    assert "keys=[vec_id" not in plan, plan
+    assert "CartesianProduct" not in plan
+    release_caches()
