@@ -1469,17 +1469,31 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage. All probe indices are in range by construction (the
     # polynomial hash family is non-negative, pos < M bits).
     n_words = BLOOM_M_BITS // BLOOM_WORD_BITS
-    bloom_arr = bloom.groupBy().agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("word_idx", "word"))
-        ).alias("m")
+    # Dense-array build via range left-join + sorted collect (r17).
+    # The previous shape (map_from_entries + transform(sequence) with
+    # try_element_at) was O(n_words x set_words) INTERPRETED work:
+    # HOF lambdas are CodegenFallback and Catalyst's GetMapValue is a
+    # linear scan over the map's key array, so the one-row build stage
+    # burned ~8M interpreted ops (~1.1s single-task at sf0.1, the
+    # event-log 1-task hot stage). The range join densifies missing
+    # words to 0 rows first, so the collect is a sorted O(n_words)
+    # scatter and the only HOF is a linear field extraction. Values
+    # bit-identical (A/B'd inline; same array, same order).
+    dense = (
+        spark.range(n_words)
+        .select(F.col("id").cast("long").alias("word_idx"))
+        .join(bloom, on="word_idx", how="left")
+        .select(
+            "word_idx",
+            F.coalesce("word", F.lit(0).cast("long")).alias("word"),
+        )
+    )
+    bloom_arr = dense.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("word_idx", "word"))).alias(
+            "sw"
+        )
     ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(
-                F.try_element_at(F.col("m"), i.cast("long")), F.lit(0).cast("long")
-            ),
-        ).alias("bloom_words")
+        F.transform(F.col("sw"), lambda s: s["word"]).alias("bloom_words")
     )
     # NOT persisted (unlike the exact path, whose shingle index feeds
     # two consumers): since r13 the probe aggregates straight to doc
@@ -3189,6 +3203,40 @@ REGISTRY.update(
 LM_ALPHA = 0.1
 
 
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w_prev, w) adjacent-token pairs, SHUFFLE-FREE (r17).
+
+    Both LM scorers previously built bigrams as ``lag(w) OVER
+    (PARTITION BY doc_id ORDER BY pos)`` on the exploded token stream
+    — a full corpus-token-grain exchange + sort whose only purpose
+    was to pair each token with its neighbour INSIDE an array the
+    scan already holds. Adjacent pairs come straight off the token
+    array instead: zip slice(toks, 1, n-1) with slice(toks, 2, n-1)
+    and explode — scan-local, whole-stage codegen (arrays_zip is an
+    ordinary expression, not a CodegenFallback HOF), zero exchanges.
+    Bigram multiset per doc is identical by construction (the lag
+    window ordered by the posexplode position IS array order); docs
+    with < 2 tokens produce no rows in both forms (slice length
+    clamps to 0; lag's first row was null-filtered).
+    """
+    from gentropy_spark.functions.text import tokens
+
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    n1 = F.greatest(F.size(F.col("_toks")) - 1, F.lit(0))
+    sl = toked.select(
+        "doc_id",
+        F.slice(F.col("_toks"), 1, n1).alias("_wp"),
+        F.slice(F.col("_toks"), 2, n1).alias("_wc"),
+    )
+    return sl.select(
+        "doc_id", F.explode(F.arrays_zip("_wp", "_wc")).alias("_bg")
+    ).select(
+        "doc_id",
+        F.col("_bg._wp").alias("w_prev"),
+        F.col("_bg._wc").alias("w"),
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM perplexity (SURVEY E30).
 
@@ -3203,23 +3251,14 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is not reliably cross-engine-stable but 4 dp is). High-perplexity
     docs are the quality-filter rejects.
     """
-    from pyspark.sql import Window
-
-    from gentropy_spark.functions.text import tokens
     from gentropy_spark.session import track_cache
 
     docs = read_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
-    )
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
     # bigrams feeds FOUR consumers (uni, bi, vocab, the scored join):
-    # persist it; tok feeds only bigrams, so it stays uncached.
-    bigrams = track_cache(
-        tok.withColumn("w_prev", F.lag("w").over(w_doc)).filter(
-            F.col("w_prev").isNotNull()
-        )
-    )
+    # persist it. Built shuffle-free from the token array (_doc_bigrams
+    # r17 — the former lag-window exchanged and sorted every corpus
+    # token just to pair array neighbours).
+    bigrams = track_cache(_doc_bigrams(docs))
     uni = bigrams.groupBy(F.col("w_prev").alias("w1")).agg(
         F.count("*").alias("c1")
     )
@@ -3346,21 +3385,11 @@ def q_lm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     9 dp, DECIMAL(38,12) doc sums (order-independent), perplexity =
     2^H at 4 dp — the E30 rounding ladder exactly.
     """
-    from pyspark.sql import Window
-
-    from gentropy_spark.functions.text import tokens
     from gentropy_spark.session import track_cache
 
     docs = read_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
-    )
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = track_cache(
-        tok.withColumn("w_prev", F.lag("w").over(w_doc)).filter(
-            F.col("w_prev").isNotNull()
-        )
-    )
+    # Shuffle-free bigram builder (r17): see _doc_bigrams.
+    bigrams = track_cache(_doc_bigrams(docs))
     hist = bigrams.groupBy(F.col("w_prev").alias("w1")).agg(
         F.count("*").alias("c1"),
         F.countDistinct("w").alias("n_after"),
