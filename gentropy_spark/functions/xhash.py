@@ -36,12 +36,24 @@ M2, B2 = 2_147_483_629, 37
 BAND_B = 1_000_003
 
 
-def poly_hash(col: Column, nchars: int = 32, base: int = B1, mod: int = M1) -> Column:
+def poly_hash(
+    col: Column | str, nchars: int = 32, base: int = B1, mod: int = M1
+) -> Column:
     """Horner hash of the first ``nchars`` chars + length mix (Spark side).
 
     ``ascii(substring(s, k, 1))`` is 0 past the end of the string in
     both engines, so short strings need no special-casing.
+
+    Pass a STRING (column name or Spark-SQL fragment) to take the
+    single-round-trip ``F.expr`` path (r17): the Column-operator form
+    issues ~10 py4j calls per Horner level (~0.5s of driver wall per
+    call at nchars=32), where one parsed SQL string builds the
+    IDENTICAL expression tree in one round trip. The Column overload
+    stays for call sites whose input cannot be referenced from SQL
+    text (HOF lambda variables).
     """
+    if isinstance(col, str):
+        return F.expr(_poly_hash_spark_sql(col, nchars, base, mod))
     # Every operand is explicitly BIGINT: mixed int/long literals in a
     # 33-deep nested expression make the analyzer's type-coercion
     # fixed-point exceed its iteration cap.
@@ -50,6 +62,23 @@ def poly_hash(col: Column, nchars: int = 32, base: int = B1, mod: int = M1) -> C
     for k in range(1, nchars + 1):
         h = (h * b + F.ascii(F.substring(col, k, 1)).cast("long")) % m
     return (h * b + F.length(col).cast("long")) % m
+
+
+def _poly_hash_spark_sql(
+    expr: str, nchars: int = 32, base: int = B1, mod: int = M1
+) -> str:
+    """The identical Horner chain as Spark-SQL text — the same explicit
+    BIGINT casts as the Column form (the analyzer's type-coercion
+    fixed-point cap applies to parsed trees too)."""
+    b = f"CAST({base} AS BIGINT)"
+    m = f"CAST({mod} AS BIGINT)"
+    h = "CAST(1 AS BIGINT)"
+    for k in range(1, nchars + 1):
+        h = (
+            f"(({h}) * {b} + CAST(ascii(substring({expr}, {k}, 1)) AS BIGINT))"
+            f" % {m}"
+        )
+    return f"(({h}) * {b} + CAST(length({expr}) AS BIGINT)) % {m}"
 
 
 def poly_hash_sql(expr: str, nchars: int = 32, base: int = B1, mod: int = M1) -> str:

@@ -257,10 +257,14 @@ def minhash_lsh_pairs(
     # Persist: the shingle index feeds the signature agg AND the
     # verification joins.
     sh = track_cache(shingles(df, text_col, id_col, n))
-    hashed = sh.withColumn("h", poly_hash(F.col("shingle")))
+    hashed = sh.withColumn("h", poly_hash("shingle"))
+    # Seeded minima as parsed SQL text (r17): one round trip per seed
+    # instead of ~6 Column-operator calls each — the same affine
+    # rehash tree ``min((h*a + c) % M)`` the ``seeded`` helper builds
+    # (int64-safe: h, a < 2^31).
     sig = hashed.groupBy(id_col).agg(
         *[
-            F.min(seeded(F.col("h"), a, c)).alias(f"m{s}")
+            F.expr(f"min((h * {a} + {c}) % {M1}) AS m{s}")
             for s, (a, c) in enumerate(coeffs)
         ]
     )
@@ -318,8 +322,8 @@ def simhash_buckets(
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     hashed = tok.select(
         id_col,
-        poly_hash(F.col("tok"), base=B1, mod=M1).alias("h1"),
-        poly_hash(F.col("tok"), base=B2, mod=M2).alias("h2"),
+        poly_hash("tok", base=B1, mod=M1).alias("h1"),
+        poly_hash("tok", base=B2, mod=M2).alias("h2"),
     )
     # Bit positions are compile-time constants — unroll to keep
     # shiftright on the fast literal path.
@@ -458,9 +462,20 @@ def edge_min_labels(
     # The edge set joins into EVERY propagation round — without a
     # persist each round would re-execute the upstream pair pipeline
     # (for MinHash edges that's the full shingle/signature/verify DAG).
-    # Cache the PAIRS, not the symmetrized union: a cached union would
-    # execute the upstream DAG once per branch.
-    pairs = track_cache(edges.select("id_a", "id_b"))
+    # Persist the PAIRS, not the symmetrized union: a persisted union
+    # would execute the upstream DAG once per branch. localCheckpoint
+    # rather than cache (r17): a cache node KEEPS the upstream lineage
+    # in every round's logical plan, so the first round's checkpoint
+    # planned the whole MinHash DAG again through the cache —
+    # profiled at ~4s of driver wall inside ONE localCheckpoint call
+    # (Catalyst re-optimising the banded-signature trees, twice via
+    # the symmetrized union). The lazy checkpoint truncates lineage
+    # to an RDD leaf: the pair DAG is planned once, each round's plan
+    # is edge-sized, and the storage is swept by release_caches()
+    # exactly like a cache.
+    from gentropy_spark.session import track_local_checkpoint
+
+    pairs = track_local_checkpoint(edges.select("id_a", "id_b"))
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

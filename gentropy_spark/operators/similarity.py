@@ -723,8 +723,16 @@ def ivfpq_topk(
 
     c = corpus.select(F.col(corpus_id), as_double(F.col(vec)).alias("cv"))
     q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("qv"))
+    # ONE cached lowest-ids prefix serves both constant tables (r17):
+    # the list centroids (n_lists lowest ids) and the PQ codebook
+    # seeds (n_codes lowest ids) are overlapping prefixes of the same
+    # ordering, but each previously ran its OWN full-corpus TakeOrdered
+    # scan. The cache is max(n_lists, n_codes) rows; the re-sort per
+    # consumer is over those rows only. One corpus scan saved per run
+    # (at production scale: a full pass over the vector table).
+    low = track_cache(c.orderBy(F.col(corpus_id).asc()).limit(max(n_lists, n_codes)))
     cents = (
-        c.orderBy(F.col(corpus_id).asc())
+        low.orderBy(F.col(corpus_id).asc())
         .limit(n_lists)
         .select(
             F.col(corpus_id).alias("centroid_id"), F.col("cv").alias("centv")
@@ -753,8 +761,9 @@ def ivfpq_topk(
         .select(query_id, F.explode(F.col("_c.centroid_id")).alias("centroid_id"))
     )
     # PQ encode (the pq_topk machinery, min-struct aggregation).
+    # Seeds come from the same cached prefix as the centroids above.
     seeds = (
-        c.orderBy(F.col(corpus_id).asc())
+        low.orderBy(F.col(corpus_id).asc())
         .limit(n_codes)
         .select(
             F.row_number()

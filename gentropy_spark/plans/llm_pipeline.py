@@ -20,6 +20,7 @@ from gentropy_spark.functions.text import (
 )
 from gentropy_spark.functions.xhash import (
     B2,
+    M1,
     M2,
     band_bucket_sql,
     poly_hash_sql,
@@ -1045,7 +1046,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gentropy_spark.operators.dedup import duplicate_clusters
 
     docs = read_table(spark, sf_dir, "documents")
-    return duplicate_clusters(docs, q_dedup_minhash(spark, sf_dir))
+    # Prepared pair PLAN (r17): this key is not registry-plan-cached
+    # (the fixpoint acts eagerly), so every call rebuilt the banded
+    # MinHash expression tree over py4j — the event-log probe showed a
+    # 3.9s zero-task driver gap before the first fixpoint job. The
+    # memo returns the same resolved plan per (application, sf_dir);
+    # execution still happens per action.
+    return duplicate_clusters(docs, minhash_pairs_prepared(spark, sf_dir))
 
 
 # Min-label propagation as a recursive CTE: a label walks an edge only
@@ -1346,11 +1353,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(~F.expr(_BENCH_PRED))
     bench = docs.filter(F.expr(_BENCH_PRED))
     sh_train = track_cache(shingles(train, n=DECON_NGRAM))
-    # spread=False: the eval split is broadcastable by contract (r13,
-    # same reasoning as the bloom build side).
-    sh_bench = (
-        shingles(bench, n=DECON_NGRAM, spread=False).select("shingle").distinct()
-    )
+    # Guarded spread on the eval side too (r17): the split is
+    # broadcastable AFTER shingling, but its tokenize+shingle kernel
+    # ran inside ONE scan task on a few-file source (the event-log
+    # 1-task ~1.3s hot stage — the filter does not change scan
+    # splits). spread_if_narrow hash-exchanges only the split's raw
+    # text and only when the source is narrow; many-file production
+    # eval sets are untouched.
+    sh_bench = shingles(bench, n=DECON_NGRAM).select("shingle").distinct()
     per_doc = sh_train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     hits = (
         sh_train.join(F.broadcast(sh_bench), on="shingle")
@@ -1432,12 +1442,14 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full shuffle of the eval shingles to save re-ORing identical
     # bits — the word-grain partial aggregate below already combines
     # map-side. (The exact E20 path DOES need its distinct: it counts
-    # joined rows.) spread=False: the eval split is broadcastable by
-    # contract, re-spreading it is a wasted exchange.
-    sh_bench = shingles(bench, n=DECON_NGRAM, spread=False).select("shingle")
+    # joined rows.) Guarded spread (r17): the split's tokenize+shingle
+    # kernel ran inside ONE scan task on a few-file source (the
+    # event-log 1-task ~1.3s hot stage); spread_if_narrow exchanges
+    # only the split's raw text and only when the source is narrow.
+    sh_bench = shingles(bench, n=DECON_NGRAM).select("shingle")
 
     def positions(df: DataFrame) -> DataFrame:
-        h = poly_hash(F.col("shingle"))
+        h = poly_hash("shingle")
         return df.withColumn(
             "pos",
             F.explode(
@@ -1500,7 +1512,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grain, sh_train has exactly ONE consumer, and a persist is pure
     # materialisation overhead (measured +0.7s min-of-2 at sf0.1).
     sh_train = shingles(train, n=DECON_NGRAM)
-    h_train = poly_hash(F.col("shingle"))
+    h_train = poly_hash("shingle")
     probe_pos = sh_train.select(
         "doc_id",
         "shingle",
@@ -3049,7 +3061,11 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gentropy_spark.session import track_cache
 
     docs = read_table(spark, sf_dir, "documents")
-    e = track_cache(q_dedup_minhash(spark, sf_dir).select("id_a", "id_b"))
+    # Prepared pair plan (r17): shared resolved MinHash tree, see
+    # q_dedup_clusters.
+    e = track_cache(
+        minhash_pairs_prepared(spark, sf_dir).select("id_a", "id_b")
+    )
     path2 = (
         e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .join(
@@ -4018,10 +4034,11 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     coeffs = seed_coeffs(MINHASH_NUM_HASHES)
     # Shingle index feeds the signature agg AND the exact-verify joins.
     sh = track_cache(shingles(docs, n=SHINGLE_N))
-    hashed = sh.withColumn("h", poly_hash(F.col("shingle")))
+    hashed = sh.withColumn("h", poly_hash("shingle"))
+    # Parsed-SQL seeded minima (r17): see minhash_lsh_pairs.
     sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(seeded(F.col("h"), a, c)).alias(f"m{s}")
+            F.expr(f"min((h * {a} + {c}) % {M1}) AS m{s}")
             for s, (a, c) in enumerate(coeffs)
         ]
     )
@@ -4209,7 +4226,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = (
         tok.groupBy("tok")
         .agg(F.count("*").alias("true_n"))
-        .withColumn("h", poly_hash(F.col("tok")))
+        .withColumn("h", poly_hash("tok"))
     )
     placed = tc.select(
         "tok",
@@ -4580,10 +4597,19 @@ def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     split proportionally to edge weight, so stronger duplicates
     concentrate rank on the family's most-similar member.
     """
-    pairs = q_dedup_minhash(spark, sf_dir).select("id_a", "id_b", "jaccard")
-    from gentropy_spark.session import track_cache
+    # Prepared pair plan (r17): shared resolved MinHash tree, see
+    # q_dedup_clusters.
+    pairs = minhash_pairs_prepared(spark, sf_dir).select(
+        "id_a", "id_b", "jaccard"
+    )
+    from gentropy_spark.session import track_local_checkpoint
 
-    edges = track_cache(
+    # localCheckpoint, not cache (r17): a cache node keeps the MinHash
+    # lineage in every iteration's logical plan, so each of the 5
+    # power iterations re-optimised the banded-signature trees (see
+    # edge_min_labels). The lazy checkpoint truncates to an RDD leaf;
+    # storage is swept by release_caches() like a cache.
+    edges = track_local_checkpoint(
         pairs.unionByName(
             pairs.select(
                 F.col("id_b").alias("id_a"),
@@ -5205,29 +5231,32 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.count("*") / F.lit(float(SEMDEDUP_TARGET_OCC))),
         ).alias("_k")
     )
+    # ONE cached K-row prefix table serves BOTH quantizer levels (r17).
     # cents/coarse are CACHED, not broadcast: each appears 2x in the
     # assignment DAG with a corpus-scan + k_row aggregate beneath it
     # (uncached, sf0.1 wall measured 13.5s vs 3.6s from the repeated
     # scans alone), and the cache is K rows — the table the old design
     # forced into an O(K) broadcast, now just a partitioned dataset.
-    cents = track_cache(
+    # The coarse cells are by construction the K2 = ceil(sqrt(K))
+    # LOWEST-id centroids (same deterministic lowest-ids convention),
+    # i.e. a strict PREFIX of cents — yet the previous shape built
+    # them with their OWN full corpus scan + k_row aggregate + cache
+    # fill. Carrying _k2 through the cents cache and filtering the
+    # cached K rows instead removes one corpus scan, one corpus-grain
+    # aggregate and one cache-fill job from every run; rows identical
+    # (same _k2, same prefix).
+    cents_full = track_cache(
         vecs.crossJoin(F.broadcast(k_row))
         .filter(F.col("vec_id") < F.col("_k"))
-        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("c"))
-    )
-    # Coarse cells: the K2 lowest-id centroids (the same deterministic
-    # lowest-ids convention as the centroids themselves, so both
-    # engines and both regimes agree on the quantizer).
-    coarse = track_cache(
-        vecs.crossJoin(
-            F.broadcast(
-                k_row.select(
-                    F.ceil(F.sqrt(F.col("_k"))).cast("long").alias("_k2")
-                )
-            )
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("c"),
+            F.ceil(F.sqrt(F.col("_k"))).cast("long").alias("_k2"),
         )
-        .filter(F.col("vec_id") < F.col("_k2"))
-        .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cellv"))
+    )
+    cents = cents_full.select("centroid_id", "c")
+    coarse = cents_full.filter(F.col("centroid_id") < F.col("_k2")).select(
+        F.col("centroid_id").alias("cell_id"), F.col("c").alias("cellv")
     )
     w_prio = Window.partitionBy("centroid_id").orderBy(
         F.col("dist2").desc(), F.col("vec_id")
@@ -5745,7 +5774,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
-    bucket = poly_hash(F.col("token"), nchars=16) % QCLS_BUCKETS
+    bucket = poly_hash("token", nchars=16) % QCLS_BUCKETS
     w_int = (bucket * F.lit(QCLS_A).cast("long") + F.lit(QCLS_C)) % F.lit(
         QCLS_M
     ).cast("long")

@@ -75,6 +75,21 @@ _PLAN_CACHE_KEYS = frozenset(
         "gwas_study_ingest",
         "gwas_top_hits",
         "decode_study_ingest",
+        # r17: the heavy LLM keys that are PURE plan builders (no
+        # fixpoint, no localCheckpoint, no drain) but were rebuilt
+        # over py4j on every call — semdedup's quantizer DAG alone is
+        # ~2s of driver wall per build. Cache-marked subtrees refill
+        # per run after release_caches(); only the resolved PLAN is
+        # reused (execution recurs per action, same as the r14
+        # minhash_pairs_prepared posture).
+        "semdedup_prune",
+        "bloom_decontaminate",
+        "ann_ivfpq_topk",
+        "embedding_pca_power",
+        "embedding_pca_topm",
+        "embedding_pca_project",
+        "ann_pca_topk",
+        "lm_kn_perplexity",
     }
 )
 _PLAN_MEMO: dict[tuple, DataFrame] = {}

@@ -568,7 +568,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     hashed = (
         ev.select("event_type", F.col("user_id").cast("string").alias("uk"))
-        .withColumn("h", poly_hash(F.col("uk")))
+        .withColumn("h", poly_hash("uk"))
         .groupBy("event_type", "h")
         .agg(F.count_distinct("uk").alias("n_keys"))
     )
@@ -1288,7 +1288,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     hashed = ev.select(
         "event_type", F.col("user_id").cast("string").alias("uk")
-    ).withColumn("h", poly_hash(F.col("uk")))
+    ).withColumn("h", poly_hash("uk"))
     # rho = leading-zero count of the 25-bit sub-register value + 1.
     w = (F.col("h") / F.lit(HLL_M)).cast("long")
     rho = F.when(w == 0, F.lit(HLL_SUB_BITS + 1)).otherwise(

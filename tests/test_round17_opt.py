@@ -136,6 +136,31 @@ def test_doc_bigrams_short_docs_produce_no_rows(spark):
     }
 
 
+# --- semdedup: one cached prefix table serves both quantizer levels --------
+# The coarse cells are by construction the K2 = ceil(sqrt(K)) lowest-id
+# centroids — a strict prefix of cents — yet the old shape built them
+# with their own full corpus scan + k_row aggregate + cache fill
+# (measured: 25 -> 22 jobs, 6 -> 4 embeddings scans in the final plan).
+def test_semdedup_coarse_is_prefix_of_cents_cache(spark, sf_dir):
+    import inspect
+
+    from gentropy_spark.plans.llm_pipeline import q_semdedup_prune
+
+    src = inspect.getsource(q_semdedup_prune)
+    # exactly ONE corpus-derived centroid cache; coarse filters it
+    assert src.count("track_cache(\n        vecs.crossJoin") == 1, (
+        "coarse regressed to its own corpus scan + cache"
+    )
+    df = q_semdedup_prune(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("embeddings.parquet") <= 4, (
+        f"expected <= 4 embeddings scans, got "
+        f"{plan.count('embeddings.parquet')}"
+    )
+
+
 def test_lm_kn_plan_has_no_window_node(spark, sf_dir):
     from gentropy_spark.plans.llm_pipeline import q_lm_kn_perplexity
 
