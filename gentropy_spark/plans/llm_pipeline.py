@@ -1718,32 +1718,33 @@ def q_corpus_curate(
     langs = sorted(STOPWORDS)
 
     def _score(lang: str) -> F.Column:
-        # closure, not a default arg: a two-parameter lambda would be
-        # called by F.filter as (element, index)
-        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        return F.size(
-            F.filter(F.col("__toks"), lambda x: F.array_contains(arr, x))
+        # One parsed SQL expression per language (r17): the Column/HOF
+        # form cost ~0.55s of py4j round trips per build for the four
+        # lambdas. Identical tree: size(filter(.., array_contains)).
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return F.expr(
+            f"size(filter(__toks, x -> array_contains(array({words}), x)))"
         ).alias(f"__s_{lang}")
 
     extra_cols = []
     if classifier_gate:
-        from gentropy_spark.functions.xhash import poly_hash
-
-        def _w_int(tok: F.Column) -> F.Column:
-            bucket = poly_hash(tok, nchars=16) % QCLS_BUCKETS
-            return (
-                bucket * F.lit(QCLS_A).cast("long") + F.lit(QCLS_C)
-            ) % F.lit(QCLS_M).cast("long")
+        from gentropy_spark.functions.xhash import _poly_hash_spark_sql
 
         # E46's logit numerator as a fold over the SAME token array the
         # quality/langid stages already materialise — int64 adds are
         # order-free, so this equals the standalone key's
         # explode+groupBy sum exactly, with zero extra corpus passes.
+        # Parsed as ONE SQL lambda (r17): the Column-path poly_hash on
+        # the HOF lambda variable was the build's hot spot.
+        h = _poly_hash_spark_sql("x", nchars=16)
+        w_int = (
+            f"((({h}) % {QCLS_BUCKETS}) * CAST({QCLS_A} AS BIGINT)"
+            f" + {QCLS_C}) % CAST({QCLS_M} AS BIGINT)"
+        )
         extra_cols.append(
-            F.aggregate(
-                F.col("__toks"),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + _w_int(x),
+            F.expr(
+                "aggregate(__toks, CAST(0 AS BIGINT),"
+                f" (acc, x) -> acc + ({w_int}))"
             ).alias("__wsum")
         )
     hof = toks_df.select(
