@@ -50,7 +50,9 @@ def poly_hash(
     call at nchars=32), where one parsed SQL string builds the
     IDENTICAL expression tree in one round trip. The Column overload
     stays for call sites whose input cannot be referenced from SQL
-    text (HOF lambda variables).
+    text (HOF lambda variables). The string form is interpolated into
+    SQL text UNESCAPED — it is a TRUSTED fragment (engine-internal
+    column names / expressions only), never user data.
     """
     if isinstance(col, str):
         return F.expr(_poly_hash_spark_sql(col, nchars, base, mod))

@@ -156,15 +156,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # means a repeat caller inside one cache window (bench min-of-2) finds
 # the fixpoint's edge persist still live instead of re-running the LSH
 # pipeline; release_caches() drops that between bench keys as usual.
-_PAIRS_PLAN_MEMO: dict[tuple[str, str], DataFrame] = {}
+# The memo stores the build's track_cache handles next to the plan and
+# re-registers them on every hit (r18, r17 advisory): the builder never
+# re-runs on a hit, so without this the shingle/signature persists
+# would stay unpersisted after a release and every pair consumer would
+# recompute the LSH pipeline from the raw corpus.
+_PAIRS_PLAN_MEMO: dict[tuple[str, str], tuple[DataFrame, list[DataFrame]]] = {}
 
 
 def minhash_pairs_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gentropy_spark.session import cache_snapshot, caches_since, track_cache
+
     key = (spark.sparkContext.applicationId, sf_dir)
-    df = _PAIRS_PLAN_MEMO.get(key)
-    if df is None:
+    entry = _PAIRS_PLAN_MEMO.get(key)
+    if entry is None:
+        before = cache_snapshot()
         df = q_dedup_minhash(spark, sf_dir)
-        _PAIRS_PLAN_MEMO[key] = df
+        _PAIRS_PLAN_MEMO[key] = (df, caches_since(before))
+        return df
+    df, tracked = entry
+    for t in tracked:
+        track_cache(t)
     return df
 
 
@@ -1721,7 +1733,10 @@ def q_corpus_curate(
         # One parsed SQL expression per language (r17): the Column/HOF
         # form cost ~0.55s of py4j round trips per build for the four
         # lambdas. Identical tree: size(filter(.., array_contains)).
-        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        # '' -escape each word (r17 advisory): the current lists are
+        # bare ASCII, but an apostrophe ("don't", "l'") would otherwise
+        # silently break the parse or change the filter.
+        words = ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS[lang])
         return F.expr(
             f"size(filter(__toks, x -> array_contains(array({words}), x)))"
         ).alias(f"__s_{lang}")
@@ -2465,8 +2480,9 @@ def q_embedding_pca_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational SUM), re-quantizes unit vectors to 12dp, and
     left-associates the deflation update exactly like the SQL
     expression; outputs round to 6dp; trace = (Σ_j S_jj)/n from the
-    exact DECIMAL diagonal sums. NOT plan-cache memoized (the fn
-    caches mus/gram per call — the release rule).
+    exact DECIMAL diagonal sums. Plan-cache memoized since r17
+    (registry._PLAN_CACHE_KEYS); the mus/gram persist marks are
+    re-registered on every memo hit (r18), so the release rule holds.
     """
     from gentropy_spark.operators.dedup import spread_if_narrow
     from gentropy_spark.session import track_cache

@@ -78,9 +78,10 @@ _PLAN_CACHE_KEYS = frozenset(
         # r17: the heavy LLM keys that are PURE plan builders (no
         # fixpoint, no localCheckpoint, no drain) but were rebuilt
         # over py4j on every call — semdedup's quantizer DAG alone is
-        # ~2s of driver wall per build. Cache-marked subtrees refill
-        # per run after release_caches(); only the resolved PLAN is
-        # reused (execution recurs per action, same as the r14
+        # ~2s of driver wall per build. Cache-marked subtrees are
+        # re-registered on every memo hit (r18) so they re-persist
+        # after release_caches(); only the resolved PLAN is reused
+        # (execution recurs per action, same as the r14
         # minhash_pairs_prepared posture).
         "semdedup_prune",
         "bloom_decontaminate",
@@ -92,7 +93,10 @@ _PLAN_CACHE_KEYS = frozenset(
         "lm_kn_perplexity",
     }
 )
-_PLAN_MEMO: dict[tuple, DataFrame] = {}
+# Memo value is (resolved DataFrame, track_cache handles created by the
+# build): the handles are re-registered on every hit so the persist
+# marks survive release_caches() (see wrapped() below; r17 advisory).
+_PLAN_MEMO: dict[tuple, tuple[DataFrame, list[DataFrame]]] = {}
 # Env profile flags that change generated plans (relational.py): part
 # of the cache key so toggling a profile always rebuilds.
 _PROFILE_ENVS = ("GENTROPY_SPARK_NATIVE_SUMS", "GENTROPY_SPARK_APPROX_PERCENTILES")
@@ -114,6 +118,12 @@ def _plan_cached(
         return cached
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gentropy_spark.session import (
+            cache_snapshot,
+            caches_since,
+            track_cache,
+        )
+
         key = (
             spark.sparkContext.applicationId,
             sf_dir,
@@ -122,8 +132,18 @@ def _plan_cached(
         )
         hit = _PLAN_MEMO.get(key)
         if hit is not None:
-            return hit
+            df, tracked = hit
+            # Re-register the build's persist marks (r18, r17 advisory):
+            # on a hit the builder never re-runs, so after
+            # release_caches() its multi-consumer subtrees would
+            # otherwise execute uncached, once per consumer. track_cache
+            # is a no-op while the handle is still persisted.
+            for t in tracked:
+                track_cache(t)
+            return df
+        before = cache_snapshot()
         df = fn(spark, sf_dir)
+        tracked = caches_since(before)
         # Evict entries from other (stopped) SparkSessions: their
         # DataFrames hold py4j references into dead JVM state, and a
         # driver that recreates sessions would otherwise leak one
@@ -131,7 +151,7 @@ def _plan_cached(
         app_id = key[0]
         for stale in [k for k in _PLAN_MEMO if k[0] != app_id]:
             del _PLAN_MEMO[stale]
-        _PLAN_MEMO[key] = df
+        _PLAN_MEMO[key] = (df, tracked)
         return df
 
     wrapped.__name__ = getattr(fn, "__name__", name)

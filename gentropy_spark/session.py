@@ -44,11 +44,26 @@ def _default_driver_mem() -> str:
     if env:
         return env
     try:
-        total_gb = (
-            os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
-        ) / (1 << 30)
+        total = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
     except (ValueError, OSError, AttributeError):
         return "8g"
+    # SC_PHYS_PAGES reports HOST memory; in a container capped below
+    # host/4 a heap sized from it would exceed the cgroup and be
+    # OOM-killed (r17 advisory). Clamp against the cgroup limit too
+    # (v2 memory.max, v1 memory.limit_in_bytes; "max"/huge = no limit).
+    for limit_file in (
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ):
+        try:
+            with open(limit_file) as fh:
+                raw = fh.read().strip()
+            if raw.isdigit():
+                total = min(total, int(raw))
+            break
+        except OSError:
+            continue
+    total_gb = total / (1 << 30)
     return f"{max(8, min(31, int(total_gb // 4)))}g"
 
 # --- cache lifecycle -------------------------------------------------------
@@ -80,6 +95,26 @@ def track_cache(df: DataFrame) -> DataFrame:
     while len(_CACHED) > _CACHE_CAP:
         _CACHED.pop(0).unpersist()
     return df
+
+
+# --- plan-memo cache re-registration (r18, closing the r17 advisory) -------
+# A memoized plan builder (registry._plan_cached, the MinHash
+# pairs-prepared memo) is NOT re-invoked on a memo hit, so its
+# persist() calls never re-run: after release_caches() every
+# multi-consumer subtree under a memoized plan would silently recompute
+# per consumer (semdedup's own comment measures 13.5s uncached vs 3.6s
+# at sf0.1). The memo therefore stores the track_cache handles created
+# during the build and re-registers them on every hit — a no-op while
+# they are still persisted, a lazy re-persist after a release.
+def cache_snapshot() -> set[int]:
+    """Identity snapshot of the tracked-cache registry (take BEFORE a
+    memoized build; pass to ``caches_since`` after)."""
+    return {id(df) for df in _CACHED}
+
+
+def caches_since(before: set[int]) -> list[DataFrame]:
+    """The DataFrames track_cache()d since ``before`` was snapshotted."""
+    return [df for df in _CACHED if id(df) not in before]
 
 
 # localCheckpoint()ed intermediates (the BPE trainer's per-iteration

@@ -142,14 +142,35 @@ def test_doc_bigrams_short_docs_produce_no_rows(spark):
 # with their own full corpus scan + k_row aggregate + cache fill
 # (measured: 25 -> 22 jobs, 6 -> 4 embeddings scans in the final plan).
 def test_semdedup_coarse_is_prefix_of_cents_cache(spark, sf_dir):
+    import ast
     import inspect
+    import textwrap
 
     from gentropy_spark.plans.llm_pipeline import q_semdedup_prune
 
-    src = inspect.getsource(q_semdedup_prune)
-    # exactly ONE corpus-derived centroid cache; coarse filters it
-    assert src.count("track_cache(\n        vecs.crossJoin") == 1, (
-        "coarse regressed to its own corpus scan + cache"
+    # exactly TWO track_cache calls in the builder (the shared
+    # centroid-prefix table `cents_full` — coarse filters it — and the
+    # `assigned` table); a coarse regression to its own corpus scan +
+    # cache would add a third. Counted via the AST, not source
+    # formatting (r17 advisory: the old exact-indentation match broke
+    # on any reflow).
+    fn = getattr(q_semdedup_prune, "__wrapped__", q_semdedup_prune)
+    tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    n_track = sum(
+        1
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Call)
+        and (
+            (isinstance(node.func, ast.Name) and node.func.id == "track_cache")
+            or (
+                isinstance(node.func, ast.Attribute)
+                and node.func.attr == "track_cache"
+            )
+        )
+    )
+    assert n_track == 2, (
+        f"expected exactly 2 track_cache calls (shared centroid prefix "
+        f"+ assigned), got {n_track} — coarse regressed to its own cache?"
     )
     df = q_semdedup_prune(spark, sf_dir)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
