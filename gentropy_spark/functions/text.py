@@ -22,15 +22,21 @@ EN_STOPWORDS = STOPWORDS["en"]
 
 
 def tokens(text: Column) -> Column:
-    """Lowercased word tokens: split on non-alphanumeric runs, drop empties."""
-    return F.filter(
-        F.split(F.lower(text), "[^a-z0-9]+"), lambda x: x != F.lit("")
-    )
+    """Lowercased word tokens: split on non-alphanumeric runs, drop empties.
+
+    ``array_remove(split, '')`` rather than a ``filter`` lambda (r18):
+    higher-order-function lambdas are CodegenFallback — one in a
+    projection makes that expression evaluate interpreted row-by-row —
+    while ArrayRemove is natively code-generated. Values identical:
+    split never yields NULL elements, so dropping ``''`` is the only
+    effect either way, and a NULL input maps to NULL in both forms.
+    """
+    return F.array_remove(F.split(F.lower(text), "[^a-z0-9]+"), "")
 
 
 def token_count_ws(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(F.filter(F.split(text, "\\s+"), lambda x: x != F.lit("")))
+    """Whitespace token count (codegen ``array_remove``, see tokens)."""
+    return F.size(F.array_remove(F.split(text, "\\s+"), ""))
 
 
 def token_count_bpe_ish(text: Column) -> Column:
@@ -38,6 +44,25 @@ def token_count_bpe_ish(text: Column) -> Column:
     return F.size(
         F.regexp_extract_all(F.lower(text), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0)
     )
+
+
+def stopword_count_sql(toks_frag: str, words: list[str]) -> str:
+    """Spark-SQL text counting tokens equal to any of ``words`` (with
+    multiplicity): ``size(toks) - size(array_remove(...chain...))``.
+
+    The codegen replacement (r18) for the interpreted
+    ``size(filter(toks, x -> array_contains(array(...), x)))`` HOF: a
+    token matches at most one word, so removing every word's
+    occurrences and differencing sizes counts exactly the same tokens,
+    and ArrayRemove/Size are natively code-generated where HOF lambdas
+    are CodegenFallback. NULL toks map to NULL in both forms (ANSI
+    size(NULL) is NULL). ``toks_frag`` is a TRUSTED SQL fragment
+    (column name); words are ''-escaped.
+    """
+    chain = toks_frag
+    for w in words:
+        chain = f"array_remove({chain}, '" + w.replace("'", "''") + "')"
+    return f"(size({toks_frag}) - size({chain}))"
 
 
 def _count_class(text: Column, pattern_keep: str) -> Column:

@@ -168,6 +168,11 @@ def q_eqtl_susie_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the rsid explosion duplicates every other column → drop + distinct
         .drop("rsid", "file_path", "cs_id", "event_id", "user_id", "event_type", "value")
+        # Same 3-key prefix hash as the logBF side (r18): the distinct,
+        # the 4-key equi-join (co-partitioned on a key prefix) and the
+        # credible-set windows all ride it (subset rule) — whichever
+        # side streams, the window exchange is elided.
+        .repartition("dataset_id", "molecular_trait_id", "region")
         .distinct()
     )
 
@@ -178,6 +183,14 @@ def q_eqtl_susie_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for k in range(1, _N_LBF + 1)
     ]
+    # ONE exchange for the logBF dedup AND the credible-set windows
+    # (r18): hash the stream side on the (dataset, trait, region)
+    # prefix FIRST — the all-columns distinct rides it (subset rule),
+    # the broadcast study-metadata/credible-set joins preserve
+    # stream-side partitioning, and the downstream 4-key credible-set
+    # windows are satisfied by the same prefix — collapsing the old
+    # (distinct, window) exchange pair to one. Bytes near-identical:
+    # the logBF table is already near-unique per variant.
     lbf = ev.select(
         F.concat(
             F.lit("ENSG"), F.lpad((F.col("event_id") % 200).cast("string"), 11, "0")
@@ -193,7 +206,7 @@ def q_eqtl_susie_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("chromosome_raw"),
         pos.alias("position"),
         *lbf_cols,
-    ).distinct()
+    ).repartition("dataset_id", "molecular_trait_id", "region").distinct()
 
     joined = lbf.join(
         cs.join(F.broadcast(meta), on="dataset_id"),

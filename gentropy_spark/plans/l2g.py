@@ -237,7 +237,17 @@ def q_l2g_coloc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(F.when(F.col("qtl_type") == t, F.col("clpp"))), F.lit(0.0)
             ).alias(f"{t}_clpp_max")
         )
-    local = annotated.groupBy("left_study_id", "contig", "gene_id").agg(*aggs)
+    # ONE exchange for the family max-agg + nbh window (r18): hash on
+    # (left_study_id, contig) first — the 3-key groupBy and the window
+    # below are both satisfied by that prefix partitioning (subset
+    # rule). The exchange carries the annotated coloc rows instead of
+    # the grouped maxima; the fan-in is the QTL-class multiplicity per
+    # gene, a small constant on an already-aggregated pair table.
+    local = (
+        annotated.repartition("left_study_id", "contig")
+        .groupBy("left_study_id", "contig", "gene_id")
+        .agg(*aggs)
+    )
 
     wl = Window.partitionBy("left_study_id", "contig")
     out_cols = [F.col("left_study_id"), F.col("contig"), F.col("gene_id")]
@@ -328,9 +338,18 @@ def _l2g_features_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     colocalisation.py), left-joined on (study, contig, gene) and
     0-filled where the locus has no colocalising QTL."""
     v2g = q_v2g_distance(spark, sf_dir)
-    per_pair = v2g.groupBy("point_id", "study_id", "contig", "gene_id").agg(
-        F.max("v2g_weight").alias("max_weight"),
-        F.count("*").alias("n_hits"),
+    # ONE exchange for per-pair agg + flank window (r18): hash on
+    # (point_id, study_id) first — the 4-key groupBy and the window
+    # ride the same prefix partitioning (subset rule). The exchange
+    # carries v2g hit rows instead of per-pair partials; the fan-in is
+    # the hits-per-(variant, gene) count, bounded by the flank grid.
+    per_pair = (
+        v2g.repartition("point_id", "study_id")
+        .groupBy("point_id", "study_id", "contig", "gene_id")
+        .agg(
+            F.max("v2g_weight").alias("max_weight"),
+            F.count("*").alias("n_hits"),
+        )
     )
     w = Window.partitionBy("point_id", "study_id")
     base = per_pair.select(

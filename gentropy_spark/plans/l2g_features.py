@@ -408,8 +408,18 @@ def q_l2g_interval_features(
     j = cs_b.join(iv_b, on=["contig", "bin"]).filter(
         (F.col("pos") >= F.col("istart")) & (F.col("pos") <= F.col("iend"))
     )
-    per_vg = j.groupBy(*_LOCUS_KEY, "point_id", "pics_pp", "gene_id").agg(
-        F.max("score3").alias("vmax")
+    # ONE exchange for the whole reduction ladder (r18): hash the
+    # matched pairs on the locus prefix once — per_vg's 6-key groupBy,
+    # the e2g feat-key groupBy and the locus window are all satisfied
+    # by HashPartitioning(locus) (subset rule), collapsing three
+    # exchanges to one. Trade (disclosed): the exchange carries the
+    # raw (variant, interval) matches instead of per_vg partials — the
+    # fan-in is the per-bin interval overlap count, a small domain
+    # constant, on a credset-grain (not corpus-grain) table.
+    per_vg = (
+        j.repartition(*_LOCUS_KEY)
+        .groupBy(*_LOCUS_KEY, "point_id", "pics_pp", "gene_id")
+        .agg(F.max("score3").alias("vmax"))
     )
     e2g = per_vg.groupBy(*_FEAT_KEY).agg(
         F.sum((F.col("pics_pp") * F.col("vmax")).cast(DEC12))
@@ -844,7 +854,14 @@ def _tss_counts(leads: DataFrame, genes: DataFrame) -> DataFrame:
         (F.col("gene_start") >= F.col("lead_pos") - GENE_COUNT_FLANK_US)
         & (F.col("gene_start") <= F.col("lead_pos") + GENE_COUNT_FLANK_US)
     )
-    per_g = tssj.select(*_FEAT_KEY).distinct()
+    # ONE exchange for distinct + window (r18): hash on the 3-column
+    # locus FIRST — HashPartitioning(locus) satisfies the 4-column
+    # distinct's clustering (subset rule) AND the locus window, so both
+    # run in the same stage instead of paying separate (feat-key,
+    # locus) exchanges. Bytes are unchanged: tssj is already unique per
+    # (locus, gene) — each gene matches its lead through exactly one
+    # grid key — so the pre-distinct shuffle carries the same rows.
+    per_g = tssj.select(*_FEAT_KEY).repartition(*_LOCUS_KEY).distinct()
     w_loc = Window.partitionBy(*_LOCUS_KEY)
     return per_g.select(
         *_FEAT_KEY,
@@ -946,7 +963,12 @@ def assemble_locus_features(
     unioned = branches[0]
     for b in branches[1:]:
         unioned = unioned.unionByName(b)
-    agg = unioned.groupBy(*_FEAT_KEY).agg(
+    # ONE exchange for combine + distance windows (r18): hash the
+    # union on the locus prefix so the feat-key max-groupBy AND the
+    # shared locus window below ride the same partitioning (subset
+    # rule). The union rows are already family-aggregated (≤4 rows per
+    # feat key), so the pre-combine shuffle is the same small table.
+    agg = unioned.repartition(*_LOCUS_KEY).groupBy(*_FEAT_KEY).agg(
         *[F.max(c).alias(c) for c in union_cols]
     )
 

@@ -161,23 +161,35 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-runs on a hit, so without this the shingle/signature persists
 # would stay unpersisted after a release and every pair consumer would
 # recompute the LSH pipeline from the raw corpus.
-_PAIRS_PLAN_MEMO: dict[tuple[str, str], tuple[DataFrame, list[DataFrame]]] = {}
+_PAIRS_PLAN_MEMO: dict[tuple, tuple[DataFrame, list[DataFrame]]] = {}
 
 
-def minhash_pairs_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _prepared_subplan(spark: SparkSession, sf_dir: str, tag, build) -> DataFrame:
+    """Generic prepared-subplan memo: the resolved PURE subplan per
+    (application, sf_dir, tag), with the build's track_cache handles
+    re-registered on every hit (same posture as registry._plan_cached).
+    Only for pure plan builders — never a subplan whose construction
+    runs jobs or localCheckpoints.
+    """
     from gentropy_spark.session import cache_snapshot, caches_since, track_cache
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
     entry = _PAIRS_PLAN_MEMO.get(key)
     if entry is None:
         before = cache_snapshot()
-        df = q_dedup_minhash(spark, sf_dir)
+        df = build()
         _PAIRS_PLAN_MEMO[key] = (df, caches_since(before))
         return df
     df, tracked = entry
     for t in tracked:
         track_cache(t)
     return df
+
+
+def minhash_pairs_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _prepared_subplan(
+        spark, sf_dir, "minhash_pairs", lambda: q_dedup_minhash(spark, sf_dir)
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,31 +393,26 @@ WHERE cosine >= {format(EMB_MIN_COSINE, ".17e")}
 # --- E7: text quality profile --------------------------------------------
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Values identical to ``quality_profile`` (the oracle is unchanged)
-    but STAGED: higher-order functions are not codegen-supported, so a
-    single projection re-evaluating ``tokens(text)`` under every HOF
-    consumer runs the tokenizer ~4x per row in interpreted mode. Three
-    projections — tokenize once, HOF aggregates over the column ref,
-    then pure-codegen ratios — keep each HOF evaluated once
-    (CollapseProject leaves multi-use non-cheap aliases alone)."""
-    from gentropy_spark.functions.text import EN_STOPWORDS
+    but STAGED: tokenize once, token aggregates over the column ref,
+    then pure-codegen ratios (CollapseProject leaves multi-use
+    non-cheap aliases alone). r18: the stopword count and token-length
+    sum are codegen expressions — ``size - size(array_remove chain)``
+    and ``length(array_join(toks, ''))`` — instead of interpreted
+    CodegenFallback HOF lambdas; values identical (a token matches at
+    most one stopword; concatenated length = summed lengths; NULL maps
+    to NULL in both forms)."""
+    from gentropy_spark.functions.text import EN_STOPWORDS, stopword_count_sql
 
     docs = read_table(spark, sf_dir, "documents")
     toks_df = docs.select(
         "doc_id", "text", tokens(F.col("text")).alias("__toks")
     )
-    stop_array = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     hof = toks_df.select(
         "doc_id",
         "text",
         F.size(F.col("__toks")).alias("__n_tokens"),
-        F.size(
-            F.filter(
-                F.col("__toks"), lambda x: F.array_contains(stop_array, x)
-            )
-        ).alias("__n_stop"),
-        F.aggregate(
-            F.col("__toks"), F.lit(0), lambda acc, x: acc + F.length(x)
-        ).alias("__sum_len"),
+        F.expr(stopword_count_sql("__toks", EN_STOPWORDS)).alias("__n_stop"),
+        F.length(F.array_join(F.col("__toks"), "")).alias("__sum_len"),
     )
     n_chars = F.length(F.col("text"))
     denom_c = F.greatest(n_chars, F.lit(1))
@@ -454,21 +461,18 @@ FROM base
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Values identical to ``predict_lang`` (oracle unchanged) but
     staged like q_text_quality: one tokenize projection, one
-    four-HOF score projection, then a pure-codegen argmax — instead
-    of ~12 interpreted re-evaluations of the score subtrees inside a
-    single projection."""
-    from gentropy_spark.functions.text import STOPWORDS
+    score projection, then a pure-codegen argmax. r18: the per-language
+    scores are codegen ``size - size(array_remove chain)`` expressions
+    instead of interpreted CodegenFallback filter lambdas (identical
+    counts — a token matches at most one stopword per language)."""
+    from gentropy_spark.functions.text import STOPWORDS, stopword_count_sql
 
     docs = read_table(spark, sf_dir, "documents")
     toks_df = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
-    score_cols = []
-    for lang, words in STOPWORDS.items():
-        arr = F.array(*[F.lit(w) for w in words])
-        score_cols.append(
-            F.size(
-                F.filter(F.col("__toks"), lambda x: F.array_contains(arr, x))
-            ).alias(f"__s_{lang}")
-        )
+    score_cols = [
+        F.expr(stopword_count_sql("__toks", words)).alias(f"__s_{lang}")
+        for lang, words in STOPWORDS.items()
+    ]
     scored = toks_df.select("doc_id", *score_cols)
     langs = sorted(STOPWORDS)
     best = F.greatest(*[F.col(f"__s_{lg}") for lg in langs])
@@ -1680,37 +1684,23 @@ CURATE_MAX_CONTAMINATION = 0.5
 CURATE_MIN_QSCORE = 0.48
 
 
-def q_corpus_curate(
-    spark: SparkSession, sf_dir: str, classifier_gate: bool = False
+def _curate_scanned(
+    spark: SparkSession, sf_dir: str, classifier_gate: bool
 ) -> DataFrame:
-    """The WHOLE preprocessing pipeline as ONE declarative plan
-    (SURVEY E22): quality gate → language ID → duplicate-cluster
-    canonical filter → eval-set decontamination → deterministic
-    per-language sampling → fixed-budget sequence packing, emitting the
-    final training-bin manifest. Every stage is one of the registry's
-    oracle-checked operators composed by doc_id equi-joins, so Catalyst
-    sees a single DAG (shared scans, pushed filters) rather than six
-    materialisation round-trips — the difference between a pipeline
-    and six jobs at 100 TB.
-
-    ``classifier_gate`` (E22b, the `corpus_curate_scored` key — r16
-    verdict item 4) additionally gates on the E46 hashed-linear
-    quality score >= CURATE_MIN_QSCORE, the DCLM/CCNet model-based
-    filtering posture. The score FUSES into the existing fused
-    quality+langid scan: its token-weight sum rides the same staged
-    ``__toks`` projection as an integer aggregate HOF (exact int64,
-    order-free — identical values to E46's explode+groupBy), so the
-    composed pipeline reads the corpus EXACTLY as many times as the
-    base one (pinned by a scan-count test). Off by default: the base
-    key's oracle is unchanged.
+    """The curation pipeline's fused quality+langid(+classifier) scan,
+    persisted (see the r14 note inside). Factored out of
+    q_corpus_curate (r18) so the PURE scan subplan can be prepared per
+    (application, sf_dir, gate) — repeat curate calls were re-paying
+    its py4j construction + Catalyst analysis on every invocation.
     """
     from gentropy_spark.functions.text import STOPWORDS
-    from gentropy_spark.operators.dedup import duplicate_drop_ids, spread_if_narrow
+    from gentropy_spark.operators.dedup import spread_if_narrow
+    from gentropy_spark.session import track_cache
 
-    # Spread the doc scan before the fused HOF projection (r14): the
-    # 4-language stopword scans + tokenize are the pipeline's heaviest
-    # per-row kernel, and on a few-file source they ran inside ONE
-    # row-group task feeding the join broadcast — the event-log
+    # Spread the doc scan before the fused tokenize projection (r14):
+    # the 4-language stopword scans + tokenize are the pipeline's
+    # heaviest per-row kernel, and on a few-file source they ran inside
+    # ONE row-group task feeding the join broadcast — the event-log
     # timeline showed that single task as a 4.6s critical-path stage
     # (vs 0.3s spread across defaultParallelism). Same guard as
     # shingles(): many-file production sources are left alone.
@@ -1722,24 +1712,25 @@ def q_corpus_curate(
     # staged projection computes in place. Values identical to the
     # join composition (same grain, same expressions — the per-field
     # logic mirrors q_text_quality/q_text_langid; oracle unchanged).
-    # Staging rule as in q_text_quality: the 4 langid stopword HOFs
-    # live in their own projection so each evaluates once.
+    # Staging rule as in q_text_quality: the stopword scores live in
+    # their own projection so each evaluates once.
     toks_df = docs.select(
         "doc_id", "source", "text", tokens(F.col("text")).alias("__toks")
     )
     langs = sorted(STOPWORDS)
 
     def _score(lang: str) -> F.Column:
-        # One parsed SQL expression per language (r17): the Column/HOF
-        # form cost ~0.55s of py4j round trips per build for the four
-        # lambdas. Identical tree: size(filter(.., array_contains)).
-        # '' -escape each word (r17 advisory): the current lists are
-        # bare ASCII, but an apostrophe ("don't", "l'") would otherwise
-        # silently break the parse or change the filter.
-        words = ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS[lang])
-        return F.expr(
-            f"size(filter(__toks, x -> array_contains(array({words}), x)))"
-        ).alias(f"__s_{lang}")
+        # One parsed SQL expression per language (r17 — a single py4j
+        # round trip), now the codegen array_remove-chain form (r18):
+        # the old filter-lambda HOF was CodegenFallback, ~2s of the
+        # fused scan stage at sf0.1 ran interpreted. Identical counts
+        # (a token matches at most one stopword; helper escapes
+        # quotes per the r17 advisory).
+        from gentropy_spark.functions.text import stopword_count_sql
+
+        return F.expr(stopword_count_sql("__toks", STOPWORDS[lang])).alias(
+            f"__s_{lang}"
+        )
 
     extra_cols = []
     if classifier_gate:
@@ -1774,22 +1765,18 @@ def q_corpus_curate(
     pred = F.lit("und")
     for lg in sorted(langs, reverse=True):
         pred = F.when(F.col(f"__s_{lg}") == best, F.lit(lg)).otherwise(pred)
-    from gentropy_spark.session import track_cache
-
     # PERSIST the scored doc table (r14). Not an optional micro-cache:
     # downstream, the sampling filter references pred_lang, and
     # predicate pushdown SUBSTITUTES aliases on its way down — the
     # event-log timeline showed the scan's Filter re-evaluating the
-    # interpreted when-chain over all four stopword HOFs (HOF lambdas
-    # are CodegenFallback, outside codegen subexpression elimination)
-    # as a 3.8s single-task CPU burn before the projection computed
-    # the same columns again. The cache-fill plan has NO downstream
-    # predicates, so it evaluates each HOF exactly once, spread across
-    # the repartition; every consumer (keep-filter, sampler, both
-    # cumsum fork branches) then reads 5 narrow columns from the
-    # cache. At cluster scale this is the scored-corpus
-    # materialisation every curation pipeline persists anyway
-    # (~40 B/row vs the raw text it replaces).
+    # when-chain over all four stopword scores as a 3.8s single-task
+    # CPU burn before the projection computed the same columns again.
+    # The cache-fill plan has NO downstream predicates, so it evaluates
+    # each score exactly once, spread across the repartition; every
+    # consumer (keep-filter, sampler, both cumsum fork branches) then
+    # reads 5 narrow columns from the cache. At cluster scale this is
+    # the scored-corpus materialisation every curation pipeline
+    # persists anyway (~40 B/row vs the raw text it replaces).
     score_cols = []
     if classifier_gate:
         logit = (
@@ -1804,7 +1791,7 @@ def q_corpus_curate(
                 F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6
             ).alias("quality_score")
         )
-    scanned = track_cache(
+    return track_cache(
         hof.select(
             "doc_id",
             "source",
@@ -1816,6 +1803,44 @@ def q_corpus_curate(
             F.when(best == 0, F.lit("und")).otherwise(pred).alias("pred_lang"),
             *score_cols,
         )
+    )
+
+
+def q_corpus_curate(
+    spark: SparkSession, sf_dir: str, classifier_gate: bool = False
+) -> DataFrame:
+    """The WHOLE preprocessing pipeline as ONE declarative plan
+    (SURVEY E22): quality gate → language ID → duplicate-cluster
+    canonical filter → eval-set decontamination → deterministic
+    per-language sampling → fixed-budget sequence packing, emitting the
+    final training-bin manifest. Every stage is one of the registry's
+    oracle-checked operators composed by doc_id equi-joins, so Catalyst
+    sees a single DAG (shared scans, pushed filters) rather than six
+    materialisation round-trips — the difference between a pipeline
+    and six jobs at 100 TB.
+
+    ``classifier_gate`` (E22b, the `corpus_curate_scored` key — r16
+    verdict item 4) additionally gates on the E46 hashed-linear
+    quality score >= CURATE_MIN_QSCORE, the DCLM/CCNet model-based
+    filtering posture. The score FUSES into the existing fused
+    quality+langid scan: its token-weight sum rides the same staged
+    ``__toks`` projection as an integer aggregate HOF (exact int64,
+    order-free — identical values to E46's explode+groupBy), so the
+    composed pipeline reads the corpus EXACTLY as many times as the
+    base one (pinned by a scan-count test). Off by default: the base
+    key's oracle is unchanged.
+    """
+    from gentropy_spark.operators.dedup import duplicate_drop_ids
+
+    # The fused quality+langid(+classifier) scan is a PURE subplan —
+    # prepared per (application, sf_dir, gate) like the MinHash pairs
+    # (r18): repeat curate calls skip its py4j construction + Catalyst
+    # analysis, and the scan's persist mark re-registers on every hit.
+    scanned = _prepared_subplan(
+        spark,
+        sf_dir,
+        ("curate_scanned", classifier_gate),
+        lambda: _curate_scanned(spark, sf_dir, classifier_gate),
     )
     # is_canonical via ANTI-join on the non-canonical drop set (tiny:
     # bounded by duplicate-edge endpoints) — not an inner join against
@@ -1836,8 +1861,16 @@ def q_corpus_curate(
     # cross-engine-identical) false-positive-stricter; the oracle SQL
     # below uses the same bloom semantics, bit-identical. The exact
     # variant stays registered as the `decontaminate` key.
-    decon = q_bloom_decontaminate(spark, sf_dir).select(
-        "doc_id", F.col("bloom_hit_ratio").alias("contamination_ratio")
+    # Prepared like the scan (r18): q_bloom_decontaminate is a pure
+    # plan builder (registry plan-cache posture), but the raw call here
+    # rebuilt it per curate invocation.
+    decon = _prepared_subplan(
+        spark,
+        sf_dir,
+        "curate_decon",
+        lambda: q_bloom_decontaminate(spark, sf_dir).select(
+            "doc_id", F.col("bloom_hit_ratio").alias("contamination_ratio")
+        ),
     )
     gate = (
         (F.col("n_tokens") >= CURATE_MIN_TOKENS)
@@ -2067,17 +2100,22 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_row))
         .select("dim", (F.col("su") / F.col("n")).alias("u"))
     )
-    norm1 = u1.agg(
-        F.sqrt(
-            F.sum(F.round(F.col("u") * F.col("u"), 9).cast(DEC12)).cast(
-                "double"
-            )
-        ).alias("nrm")
+    # Norm fused as a global-window sum over the d-row u table (r18):
+    # the old separate ``norm`` aggregate + broadcast crossJoin
+    # re-evaluated the whole corpus-grain u subtree TWICE per iteration
+    # (once inside the broadcast build, once for the consumer) and paid
+    # an extra broadcast job each — measured 46 -> 25 jobs on the full
+    # key. A window over a single d-row partition is scale-safe
+    # (d = EMB_DIM rows) and arithmetically identical: same
+    # round(u*u, 9) terms, same DECIMAL(38,12) order-free sum, same
+    # double cast before sqrt.
+    w_all = Window.partitionBy()
+    nrm1 = F.sqrt(
+        F.sum(F.round(F.col("u") * F.col("u"), 9).cast(DEC12))
+        .over(w_all)
+        .cast("double")
     )
-    v1 = (
-        u1.crossJoin(F.broadcast(norm1))
-        .select("dim", F.round(F.col("u") / F.col("nrm"), 12).alias("v"))
-    )
+    v1 = u1.select("dim", F.round(F.col("u") / nrm1, 12).alias("v"))
     # Step 2 onto v1: per-row projection as an order-free DECIMAL sum
     # of per-dimension terms, then the per-dimension matvec sum.
     d2 = (
@@ -2100,15 +2138,13 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_row))
         .select("dim", (F.col("su") / F.col("n")).alias("u"))
     )
-    norm2 = u2.agg(
-        F.sqrt(
-            F.sum(F.round(F.col("u") * F.col("u"), 9).cast(DEC12)).cast(
-                "double"
-            )
-        ).alias("nrm")
+    nrm2 = F.sqrt(
+        F.sum(F.round(F.col("u") * F.col("u"), 9).cast(DEC12))
+        .over(w_all)
+        .cast("double")
     )
     return (
-        u2.crossJoin(F.broadcast(norm2))
+        u2.withColumn("nrm", nrm2)
         .join(F.broadcast(mus), on="dim")
         .select(
             F.col("dim").cast("int").alias("dim"),
