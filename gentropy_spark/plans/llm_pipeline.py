@@ -2037,6 +2037,38 @@ REGISTRY["embedding_clusters"] = QuerySpec(q_embedding_clusters, EMB_CLUSTERS_SQ
 # needs only the per-row projection d_i and a per-dimension sum — no
 # d x d matrix is ever materialised, which is what makes the shape
 # work at 100 TB (the Halko/Mahout distributed-PCA formulation).
+def _dim_table_to_array(val_col: str) -> F.Column:
+    """Aggregate a (dim, value) table into ONE dim-ordered array column
+    — the d-row model pivot every array-form PCA consumer broadcasts
+    (the q_embedding_pca_project pattern). The transform lambda runs
+    interpreted, but over a single d-element row."""
+    return F.transform(
+        F.array_sort(F.collect_list(F.struct("dim", val_col))),
+        lambda s: s[val_col],
+    )
+
+
+def _proj_chain_dec12(
+    x: F.Column, mu_arr: F.Column, l_arr: F.Column, d: int
+) -> F.Column:
+    """Σ_j round((x_j − μ_j)·l_j, 9) as an unrolled per-row DECIMAL
+    chain — equal to the relational DECIMAL(38,12) SUM over the same
+    9dp terms (decimal addition is exact, so association order cannot
+    matter), and whole-stage-codegen where an explode+groupBy pays an
+    exchange. Per-step cast back to DECIMAL(38,12): Spark's decimal
+    `+` re-scales one digit narrower per chained addition, silently
+    rounding the 9dp partials once the scale crosses below 9 (the
+    q_embedding_pca_project measurement — 2e-6 drift vs the oracle's
+    SUM); the re-cast pins every partial at scale 12."""
+    s = None
+    for j in range(1, d + 1):
+        t = F.round(
+            (F.element_at(x, j) - F.element_at(mu_arr, j))
+            * F.element_at(l_arr, j),
+            9,
+        ).cast("decimal(38,12)")
+        s = t if s is None else (s + t).cast("decimal(38,12)")
+    return s
 def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leading eigenpair of the embedding covariance (E51).
 
@@ -2050,11 +2082,13 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     9-dp-quantized terms (order-independent — the repo-wide FP-sum
     rule), per-row projections are themselves per-dimension DECIMAL
     sums (never a left-to-right double fold whose order a shuffle
-    could change), v1 components round to 12 dp before re-use and
-    outputs to 6 dp. Scale shape: the exploded (row, dim) table is
-    ~2x the data, every groupBy map-side-combines (n x d rows -> d
-    or n groups), μ/v ride 64-row broadcasts, and nothing driver-side
-    ever sees more than d rows.
+    could change — the per-row DECIMAL chain is exact, so it equals
+    the SUM), v1 components round to 12 dp before re-use and outputs
+    to 6 dp. Scale shape (array form, r18): μ and v ride 1-row
+    broadcast arrays, each matvec step is one explode +
+    map-side-combined per-dimension aggregate over the raw scan (only
+    d-row combiner partials shuffle), and nothing driver-side ever
+    sees more than d rows. No corpus-grain cache, no vec_id joins.
     """
     from gentropy_spark.operators.dedup import spread_if_narrow
     from gentropy_spark.session import track_cache
@@ -2063,40 +2097,54 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "embeddings"), "vec_id"
     )
     DEC12 = "decimal(38,12)"
+    x = F.col("embedding").cast("array<double>")
     ex = emb.select(
         "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "pos", "xj"
-        ),
+        F.posexplode(x).alias("pos", "xj"),
     ).select("vec_id", (F.col("pos") + 1).alias("dim"), "xj")
     n_row = emb.agg(F.count("*").cast("double").alias("n"))
-    # mus and cx feed every downstream consumer (two matvec steps x
-    # two joins each); uncached, the scan+explode+mean-agg subtree
-    # re-evaluates ~6 times — cache the centered table once (narrow
-    # (id, dim, cx) rows, ~2x the data, partitioned).
+    # mus feeds the μ-array pivot (both matvec scans) and the output
+    # mean column — cache the d-row table once.
     mus = track_cache(
         ex.groupBy("dim")
         .agg(F.sum(F.col("xj").cast(DEC12)).cast("double").alias("sx"))
         .crossJoin(F.broadcast(n_row))
         .select("dim", (F.col("sx") / F.col("n")).alias("mu"))
     )
-    cx = track_cache(
-        ex.join(F.broadcast(mus), on="dim")
-        .select("vec_id", "dim", (F.col("xj") - F.col("mu")).alias("cx"))
-    )
-    # Step 1 onto v0 = e1: the projection d_i is just the centered
-    # first coordinate — join it back per row.
-    d1 = cx.filter(F.col("dim") == 1).select(
-        "vec_id", F.col("cx").alias("d")
+    # Array-form matvec (r18): μ rides a 1-row broadcast array, so the
+    # per-row projection d_i is an inline expression over the row's own
+    # embedding and each matvec step is ONE explode + map-side-combined
+    # per-dimension aggregate over the raw scan. The old exploded-grain
+    # cx cache joined d_i back per row — two corpus-grain vec_id
+    # shuffle-joins per call plus a groupBy(vec_id) exchange for d2,
+    # all carrying the n×d table; the array form shuffles only d-row
+    # combiner partials. Every term is bit-identical: same
+    # (x_j − μ_j) doubles, same round(·, 9) products, same order-free
+    # DECIMAL(38,12) sums.
+    mu_row = F.broadcast(mus.agg(_dim_table_to_array("mu").alias("mu_arr")))
+    # Step 1 onto v0 = e1: d_i is the centered first coordinate,
+    # computed inline from the row.
+    st1 = emb.crossJoin(mu_row).select(
+        (F.element_at(x, 1) - F.element_at(F.col("mu_arr"), 1)).alias("__d"),
+        F.col("mu_arr"),
+        F.posexplode(x).alias("pos", "xj"),
     )
     u1 = (
-        cx.join(d1, on="vec_id")
-        .groupBy("dim")
-        .agg(
-            F.sum(F.round(F.col("d") * F.col("cx"), 9).cast(DEC12))
-            .cast("double")
-            .alias("su")
+        st1.select(
+            (F.col("pos") + 1).alias("dim"),
+            F.round(
+                F.col("__d")
+                * (
+                    F.col("xj")
+                    - F.element_at(F.col("mu_arr"), F.col("pos") + 1)
+                ),
+                9,
+            )
+            .cast(DEC12)
+            .alias("t"),
         )
+        .groupBy("dim")
+        .agg(F.sum("t").cast("double").alias("su"))
         .crossJoin(F.broadcast(n_row))
         .select("dim", (F.col("su") / F.col("n")).alias("u"))
     )
@@ -2116,25 +2164,35 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
     )
     v1 = u1.select("dim", F.round(F.col("u") / nrm1, 12).alias("v"))
-    # Step 2 onto v1: per-row projection as an order-free DECIMAL sum
-    # of per-dimension terms, then the per-dimension matvec sum.
-    d2 = (
-        cx.join(F.broadcast(v1), on="dim")
-        .groupBy("vec_id")
-        .agg(
-            F.sum(F.round(F.col("cx") * F.col("v"), 9).cast(DEC12))
-            .cast("double")
-            .alias("d")
-        )
+    # Step 2 onto v1: v rides a 1-row broadcast array, the per-row
+    # projection d_i is the unrolled DECIMAL chain (== the relational
+    # SUM of the same 9dp terms), and the matvec sum is again one
+    # explode + per-dimension aggregate — no vec_id join, no
+    # groupBy(vec_id) exchange.
+    v_row = F.broadcast(v1.agg(_dim_table_to_array("v").alias("v_arr")))
+    st2 = emb.crossJoin(mu_row).crossJoin(v_row).select(
+        _proj_chain_dec12(x, F.col("mu_arr"), F.col("v_arr"), EMB_DIM)
+        .cast("double")
+        .alias("__d"),
+        F.col("mu_arr"),
+        F.posexplode(x).alias("pos", "xj"),
     )
     u2 = (
-        cx.join(d2, on="vec_id")
-        .groupBy("dim")
-        .agg(
-            F.sum(F.round(F.col("d") * F.col("cx"), 9).cast(DEC12))
-            .cast("double")
-            .alias("su")
+        st2.select(
+            (F.col("pos") + 1).alias("dim"),
+            F.round(
+                F.col("__d")
+                * (
+                    F.col("xj")
+                    - F.element_at(F.col("mu_arr"), F.col("pos") + 1)
+                ),
+                9,
+            )
+            .cast(DEC12)
+            .alias("t"),
         )
+        .groupBy("dim")
+        .agg(F.sum("t").cast("double").alias("su"))
         .crossJoin(F.broadcast(n_row))
         .select("dim", (F.col("su") / F.col("n")).alias("u"))
     )
@@ -2240,13 +2298,14 @@ def q_ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a query×corpus product). Exact cosine + (cosine DESC, corpus_id)
     ranking finishes inside the ~3/16 candidate slice.
 
-    Scale shape: the eigen-loading and per-dim means ride a d-row
-    broadcast from ``q_embedding_pca_power`` (the composition point —
-    the E51 output IS this operator's input); projections are one
-    explode + one map-side-combined groupBy; the bin range is a 1-row
-    broadcast aggregate; candidates meet through the bin equi-join, so
-    shuffle ∝ corpus + 3×queries and the exact kernel touches ~3/16 of
-    the corpus per query instead of all of it.
+    Scale shape: the eigen-loading and per-dim means pivot into a
+    1-row broadcast array from ``q_embedding_pca_power`` (the
+    composition point — the E51 output IS this operator's input);
+    projections are an inline codegen DECIMAL chain over the scan
+    (r18 — no explode, no per-vector aggregation); the bin range is a
+    1-row broadcast aggregate; candidates meet through the bin
+    equi-join, so shuffle ∝ corpus + 3×queries and the exact kernel
+    touches ~3/16 of the corpus per query instead of all of it.
     """
     from gentropy_spark.operators.dedup import spread_if_narrow
     from gentropy_spark.operators.similarity import (
@@ -2260,27 +2319,29 @@ def q_ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "embeddings"), "vec_id"
     )
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    pca = F.broadcast(
-        q_embedding_pca_power(spark, sf_dir).select("dim", "mean", "loading")
+    pca = q_embedding_pca_power(spark, sf_dir)
+    # Array-form projection (r18): the d-row E51 output pivots into a
+    # 1-row (means, loadings) broadcast and proj is the unrolled
+    # per-row DECIMAL chain — one codegen projection over the scan
+    # instead of explode + d-row join + groupBy(vec_id) exchange.
+    # Identical terms: same round((x_j − mean_j)·loading_j, 9)
+    # products, and the exact DECIMAL chain equals the relational SUM.
+    model = F.broadcast(
+        pca.agg(
+            _dim_table_to_array("mean").alias("m_arr"),
+            _dim_table_to_array("loading").alias("l_arr"),
+        )
     )
-    exv = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "pos", "xj"
-        ),
-    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "xj")
+    xcol = F.col("embedding").cast("array<double>")
     proj = track_cache(
-        exv.join(pca, on="dim")
-        .groupBy("vec_id")
-        .agg(
+        emb.crossJoin(model).select(
+            "vec_id",
             F.round(
-                F.sum(
-                    F.round(
-                        (F.col("xj") - F.col("mean")) * F.col("loading"), 9
-                    ).cast(DEC12)
+                _proj_chain_dec12(
+                    xcol, F.col("m_arr"), F.col("l_arr"), EMB_DIM
                 ).cast("double"),
                 6,
-            ).alias("proj")
+            ).alias("proj"),
         )
     )
     corpus_proj = proj.filter(F.col("vec_id") >= 10)
@@ -2491,7 +2552,8 @@ def q_embedding_pca_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Formulation (the small-d covariance method — Spark MLlib's
     RowMatrix/Gramian posture, valid for the engine-wide EMB_DIM
     width): ONE corpus pass builds the d×d covariance table G_jk =
-    (Σ_i round(c_ij·c_ik, 9))/n — explode, self-join on vec_id,
+    (Σ_i round(c_ij·c_ik, 9))/n — chained upper-triangle generators
+    over each row's own embedding (r18; no vec_id self-join),
     partial-aggregate into d² groups so only the combiner output
     crosses the wire. Every later step — all m power blocks AND the
     matrix-level Hotelling deflation C' = (I − vv^T) C (I − vv^T),
@@ -2541,30 +2603,57 @@ def q_embedding_pca_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_row))
         .select("dim", (F.col("sx") / F.col("n")).alias("mu"))
     )
-    cx = ex.join(F.broadcast(mus), on="dim").select(
-        "vec_id", "dim", (F.col("xj") - F.col("mu")).alias("cx")
+    # The one corpus-grain stage: G via chained generators over the
+    # row's own embedding (r18) — the old form self-joined the
+    # exploded cx table on vec_id, shuffling the n×d table TWICE just
+    # to pair a row's coordinates with themselves. Two posexplodes
+    # (the second over the j.. suffix slice, so only the upper
+    # triangle is ever generated) produce the identical
+    # round(cx_j·cx_k, 9) terms scan-locally, and only the d²-group
+    # combiner output leaves the map side. The exact DECIMAL
+    # numerators ride along for the trace.
+    # Upper triangle only: C is symmetric and IEEE multiplication
+    # commutes, so S_kj == S_jk EXACTLY — the kernel mirrors the
+    # triangle, halving the 9dp round + DECIMAL-add cost that
+    # dominates this pass at scale.
+    x = F.col("embedding").cast("array<double>")
+    mu_row = F.broadcast(mus.agg(_dim_table_to_array("mu").alias("mu_arr")))
+    e1 = emb.crossJoin(mu_row).select(
+        x.alias("__x"),
+        F.col("mu_arr"),
+        F.posexplode(x).alias("jpos", "xj"),
     )
-    # The one corpus-grain stage: G via the vec_id self-join +
-    # partial agg — the shuffle carries the exploded data once and
-    # only the d²-group combiner output leaves the map side. The
-    # exact DECIMAL numerators ride along for the trace.
-    right = cx.select(
-        "vec_id", F.col("dim").alias("k"), F.col("cx").alias("ck")
-    )
-    # Upper triangle only (j <= k rides the merge as a join filter):
-    # C is symmetric and IEEE multiplication commutes, so S_kj == S_jk
-    # EXACTLY — the kernel mirrors the triangle, halving the 9dp
-    # round + DECIMAL-add cost that dominates this pass at scale.
-    gram = track_cache(
-        cx.select("vec_id", F.col("dim").alias("j"), "cx")
-        .join(right, on="vec_id")
-        .filter(F.col("j") <= F.col("k"))
-        .groupBy("j", "k")
-        .agg(
-            F.sum(F.round(F.col("cx") * F.col("ck"), 9).cast(DEC12)).alias(
-                "s"
+    e2 = e1.select(
+        (F.col("jpos") + 1).alias("j"),
+        (
+            F.col("xj") - F.element_at(F.col("mu_arr"), F.col("jpos") + 1)
+        ).alias("cxj"),
+        F.col("mu_arr"),
+        F.posexplode(
+            F.slice(
+                F.col("__x"), F.col("jpos") + 1, F.lit(EMB_DIM) - F.col("jpos")
             )
+        ).alias("kpos", "xk"),
+    )
+    gram = track_cache(
+        e2.select(
+            "j",
+            (F.col("j") + F.col("kpos")).alias("k"),
+            F.round(
+                F.col("cxj")
+                * (
+                    F.col("xk")
+                    - F.element_at(
+                        F.col("mu_arr"), F.col("j") + F.col("kpos")
+                    )
+                ),
+                9,
+            )
+            .cast(DEC12)
+            .alias("t"),
         )
+        .groupBy("j", "k")
+        .agg(F.sum("t").alias("s"))
         .crossJoin(F.broadcast(n_row))
         .select(
             "j", "k", "s", (F.col("s").cast("double") / F.col("n")).alias("g")

@@ -170,83 +170,74 @@ def _plan_cached(
 # headline artifact is strictly worse than a green 50/50 (r10 verdict
 # task #4).
 _SNAPSHOT_PRIORITY = [
-    # --- r17 window ---------------------------------------------------
-    # (a) NEW keys this round: ann_pca_topk (E53, the E51 eigenvector
-    # consumed as a banded ANN prefilter), assignment_recall_eval
-    # (E52, the two-level assignment's approximate-regime calibration
-    # curve), corpus_curate_scored (E22b, the E46 model gate fused
-    # into the curation scan), embedding_pca_topm (E54, top-m
-    # eigenpairs by Hotelling deflation) + embedding_pca_project
-    # (E55, per-vector top-2 PC coordinates — E54 consumed).
-    # (b) values/plans/oracles CHANGED this round -- must certify:
-    # semdedup_prune (oracle now mirrors the two-level quantizer, so
-    # parity holds in the approximate regime), ann_recall_eval (PCA
-    # leg added -- 5 methods x 10 queries), corpus_curate (the fused
-    # scan gained the optional classifier columns; default plan
-    # value-identical), l2g_coloc_features + l2g_feature_matrix +
-    # locus_study_type (annotate_study_type's forced LUT broadcast
-    # dropped -- AQE/size stats pick; r16 advisory 3).
-    # (c) the 9-key r12-evidence tail scheduled from r16 (verdict
-    # item 1 -- after this window, no oracle key's driver evidence
-    # predates r13).
-    # (d) freshness rotation, stalest-first: 30 of the 47 keys whose
-    # newest driver evidence is r13 (alphabetical; the 17-key tail --
-    # locus_breaker, ontology_closure, ot_variant_to_vcf,
-    # overlap_join, pack_sequences, pairwise_ld, panukbb_ld_align,
-    # pivot_wide, props_json_parse, q3_shipping_priority,
-    # q5_local_supplier, q_decile_stats, stream_dedup,
-    # stream_window_agg, study_index_validate, ukb_ppp_study_ingest,
-    # variant_effect_normalise -- rotates to r18).
-    "ann_pca_topk",
-    "assignment_recall_eval",
-    "corpus_curate_scored",
+    # --- r18 window ---------------------------------------------------
+    # (a) r17 driver-certification debt (r17 verdict item 1): these
+    # were rewritten in r17 (lag-window -> array-zip bigrams,
+    # prepared-pair routing + localCheckpoint, IVF-PQ shared prefix,
+    # poly_hash string path) but sat outside the r17 sample window.
+    "lm_perplexity",
+    "lm_kn_perplexity",
+    "dedup_clusters",
+    "dup_triangles",
+    "dup_pagerank",
+    "ann_ivfpq_topk",
+    "minhash_calibration",
+    "kmv_distinct",
+    "hll_distinct",
+    "cms_heavy_hitters",
+    # (b) plans/values changed THIS round (r18) -- must certify:
+    # the window-fused PCA normaliser (power/topm/project/pca_topk),
+    # the codegen tokens()/stopword rewrite and its heaviest consumers
+    # (text_quality/langid, token_count, quality_classifier, the
+    # curate pair, the bloom/exact decon pair, the shingle dedups),
+    # the fused-sample-count + union-agg study ingests, the spread
+    # orders scans, and the shortest-prefix exchange-sharing family
+    # (l2g features/score/coloc/interval, gwas_top_hits, eqtl_susie).
+    "embedding_pca_power",
     "embedding_pca_topm",
     "embedding_pca_project",
-    "semdedup_prune",
-    "ann_recall_eval",
+    "ann_pca_topk",
+    "text_quality",
+    "text_langid",
+    "token_count",
+    "quality_classifier",
     "corpus_curate",
-    "l2g_coloc_features",
-    "l2g_feature_matrix",
-    "locus_study_type",
-    "sumstat_harmonise_ingest",
-    "sumstat_imputation",
-    "sumstat_qc_summary",
-    "table_profile",
-    "target_index_build",
-    "trans_qtl_flag",
-    "ukb_ppp_harmonise",
-    "ukbiobank_study_ingest",
-    "vep_variant_index_ingest",
-    "asof_join",
-    "bigram_pmi",
+    "corpus_curate_scored",
     "bloom_decontaminate",
-    "burst_detection",
     "decontaminate",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_simhash_pairs",
-    "direction_concordance",
-    "doc_fingerprint",
-    "drug_enrichment",
-    "dsir_importance",
-    "enrichment_odds_ratio",
-    "eqtl_study_ingest",
-    "eqtl_sumstat_ingest",
-    "evidence_vs_gold_standard",
-    "exclude_region",
-    "finngen_meta_study_ingest",
-    "finngen_sumstat_ingest",
-    "gnomad_variant_ingest",
-    "gwas_study_curation",
-    "gwas_study_split",
-    "gwas_sumstat_ingest",
+    "gwas_study_ingest",
+    "decode_study_ingest",
     "gwas_top_hits",
-    "harmonic_sum",
-    "interval_evidence",
-    "intervals_epiraction_ingest",
-    "l2g_gold_standard",
-    "ld_block_slice",
+    "eqtl_susie_ingest",
+    "l2g_feature_matrix",
+    "l2g_score",
+    "l2g_coloc_features",
+    "l2g_interval_features",
+    # (c) the 17-key freshness tail scheduled from r17 (newest driver
+    # evidence r13) -- after this window the remaining tokens()
+    # consumers with value-identical plans (dedup_simhash_pairs,
+    # doc_fingerprint, bigram_pmi, dsir_importance, vocab_topk,
+    # char_ngram_profile) are the stalest set and rotate to r19.
+    "locus_breaker",
+    "ontology_closure",
+    "ot_variant_to_vcf",
+    "overlap_join",
+    "pack_sequences",
+    "pairwise_ld",
+    "panukbb_ld_align",
+    "pivot_wide",
+    "props_json_parse",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_decile_stats",
+    "stream_dedup",
+    "stream_window_agg",
+    "study_index_validate",
+    "ukb_ppp_study_ingest",
+    "variant_effect_normalise",
 ]
 
 
